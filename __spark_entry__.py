@@ -1,38 +1,549 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)``  — flagship query (the reference's ``job_statistics``
+scalar multi-aggregate, A1-A5) on sf0.001.
+``queries()``     — one runnable query per implemented operator from
+SURVEY.md §2 (operator IDs in each key's docstring/name).
+``oracle_sql()``  — DuckDB-equivalent SQL per query.
+
+Conventions for hash-stable comparison with the DuckDB oracle:
+- every computed column is aliased identically on both sides;
+- timestamps rendered to 'yyyy-MM-dd HH:mm:ss[.SSSSSS]' strings;
+- double aggregates rounded (sums: 2dp; similarities: 4dp);
+- any top-k ordering carries an id tiebreaker on both sides;
+- date anchors are data-derived (max date), never wall-clock.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from usajobs_etl_service_spark.functions import text as TX
+from usajobs_etl_service_spark.functions import transforms as X
+from usajobs_etl_service_spark.operators import similarity as SIM
+from usajobs_etl_service_spark.operators.dedup import dedup_first_wins
+from usajobs_etl_service_spark.operators.stats import group_counts, metric_value_union, summary_stats
+from usajobs_etl_service_spark.operators.topk import top_k
+from usajobs_etl_service_spark.sinks.upsert import merge_metrics, merge_upsert
+from usajobs_etl_service_spark.sources.ingest import flatten_postings, parse_api_pages
+
+SF0001 = "/root/testdata/sf0.001"
+
+TS_FMT = "yyyy-MM-dd HH:mm:ss"
+TS_FMT_US = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    from usajobs_etl_service_spark.session import read_table
+
+    return read_table(spark, sf_dir, name)
+
+
+def _max_date(spark: SparkSession, sf_dir: str, table: str, ts_col: str):
+    return _t(spark, sf_dir, table).agg(F.max(F.to_date(ts_col))).first()[0]
+
+
+# ---------------------------------------------------------------------------
+# entry — flagship
+# ---------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: the reference's job_statistics view (A1-A5) on sf0.001."""
+    return q01_job_statistics(spark, SF0001)
+
+
+# ---------------------------------------------------------------------------
+# Queries (Spark side)
+# ---------------------------------------------------------------------------
+
+def q01_job_statistics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1-A5 + F8: scalar multi-aggregate (init.sql:60-70) on orders."""
+    orders = _t(spark, sf_dir, "orders")
+    anchor = _max_date(spark, sf_dir, "orders", "o_orderdate")
+    out = summary_stats(
+        orders,
+        org_col="o_custkey",
+        dept_col="o_orderpriority",
+        ts_col="o_orderdate",
+        anchor_date=F.lit(anchor),
+    )
+    return out.select(
+        "total_jobs",
+        "unique_organizations",
+        "unique_departments",
+        "jobs_today",
+        "jobs_this_week",
+        "jobs_this_month",
+        F.date_format("last_job_date", TS_FMT).alias("last_job_date"),
+        F.date_format("first_job_date", TS_FMT).alias("first_job_date"),
+    )
+
+
+def q02_metric_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U1 + F9: monitor.sh labelled metric/value UNION ALL shape, computed
+    as one aggregate pass + unpivot."""
+    events = _t(spark, sf_dir, "events")
+    anchor = _max_date(spark, sf_dir, "events", "ts")
+    return metric_value_union(
+        events,
+        [
+            ("Total Events", F.count(F.lit(1))),
+            ("Events This Week", F.count(F.when(F.to_date("ts") >= F.date_sub(F.lit(anchor), 7), 1))),
+            ("Unique Users", F.countDistinct("user_id")),
+        ],
+    )
+
+
+def q03_group_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A7: GROUP BY + COUNT (test_performance.py:377)."""
+    return group_counts(_t(spark, sf_dir, "events"), "event_type")
+
+
+def q04_top_k_recent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O1: ORDER BY ts DESC LIMIT k -> TakeOrderedAndProject (init.sql:57)."""
+    events = _t(spark, sf_dir, "events")
+    out = events.orderBy(F.col("ts").desc(), F.col("event_id").desc()).limit(100)
+    return out.select("event_id", F.date_format("ts", TS_FMT_US).alias("ts_s"), "event_type")
+
+
+def q05_dedup_first_wins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6/J2: deterministic first-wins dedup by key (etl.py:452-465)."""
+    events = _t(spark, sf_dir, "events")
+    first = dedup_first_wins(events, ["user_id"], "event_id")
+    return first.select("user_id", "event_id", "event_type", F.date_format("ts", TS_FMT_US).alias("ts_s"))
+
+
+def q06_dedup_exact_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extension (exact dedup at scale): md5 fingerprint of normalized
+    text, first doc_id wins."""
+    docs = _t(spark, sf_dir, "documents").withColumn("fp", TX.fingerprint_md5(F.col("text")))
+    return dedup_first_wins(docs, ["fp"], "doc_id").select("doc_id", "fp")
+
+
+def q07_recent_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P4+P5: recent_job_postings view shape — trailing-30d filter plus
+    column projection (init.sql:44-57) on events."""
+    events = _t(spark, sf_dir, "events")
+    anchor = _max_date(spark, sf_dir, "events", "ts")
+    return (
+        events.filter(F.to_date("ts") >= F.date_sub(F.lit(anchor), 30))
+        .select("event_id", "user_id", "event_type", F.date_format("ts", TS_FMT_US).alias("ts_s"))
+    )
+
+
+def q08_like_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P6: LIKE-prefix predicate (test_performance.py:375-376)."""
+    part = _t(spark, sf_dir, "part")
+    return part.filter(F.col("p_name").like("small%")).select("p_partkey", "p_name", "p_type")
+
+
+def q09_key_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P7: equality lookup by unique key (test_integration.py:140-147)."""
+    orders = _t(spark, sf_dir, "orders")
+    min_key = orders.agg(F.min("o_orderkey")).first()[0]
+    return orders.filter(F.col("o_orderkey") == F.lit(min_key)).select(
+        "o_orderkey", "o_custkey", "o_orderstatus", F.round("o_totalprice", 2).alias("o_totalprice")
+    )
+
+
+def q10_location_render(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F2: location render golden semantics ("Washington, DC, US";
+    missing-key US default; empty -> 'Location not specified')."""
+    cust = _t(spark, sf_dir, "customer")
+    country = (
+        F.when(F.col("c_custkey") % 3 == 0, F.lit(None).cast("string"))
+        .when(F.col("c_custkey") % 3 == 1, F.lit(""))
+        .otherwise(F.lit("US"))
+    )
+    loc_arr = F.when(
+        F.col("c_custkey") % 7 == 0, F.lit(None).cast("array<struct<CityName:string,StateCode:string,CountryCode:string>>")
+    ).otherwise(
+        F.array(
+            F.struct(
+                F.col("c_name").alias("CityName"),
+                F.col("c_mktsegment").alias("StateCode"),
+                country.alias("CountryCode"),
+            )
+        )
+    )
+    return cust.select("c_custkey", X.render_location(loc_arr).alias("rendered_location"))
+
+
+def q11_remuneration_render(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F3+F13: remuneration render goldens ('$80,000 - $120,000 Per Year',
+    '$80,000+ Per Year', 'Not specified'; truncation not rounding)."""
+    part = _t(spark, sf_dir, "part")
+    minv = F.floor(F.col("p_retailprice") * 100).cast("long").cast("string")
+    maxv = F.floor(F.col("p_retailprice") * 150).cast("long").cast("string")
+    min_raw = F.when(F.col("p_partkey") % 5 == 0, F.lit("not-a-number")).otherwise(minv)
+    rem_arr = F.when(
+        F.col("p_partkey") % 3 == 2,
+        F.lit(None).cast("array<struct<MinimumRange:string,MaximumRange:string,RateIntervalCode:string>>"),
+    ).otherwise(
+        F.array(
+            F.struct(
+                min_raw.alias("MinimumRange"),
+                F.when(F.col("p_partkey") % 3 == 0, maxv).otherwise(F.lit(None).cast("string")).alias(
+                    "MaximumRange"
+                ),
+                F.lit("Per Year").alias("RateIntervalCode"),
+            )
+        )
+    )
+    return part.select("p_partkey", X.render_remuneration(rem_arr).alias("rendered_remuneration"))
+
+
+def q12_date_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F4: ISO date parse incl. 7-digit fractional + 'Z' suffix + invalid
+    -> NULL (etl.py:340-348)."""
+    events = _t(spark, sf_dir, "events")
+    iso = (
+        F.when(F.col("event_id") % 5 == 0, F.lit("invalid-date"))
+        .when(F.col("event_id") % 5 == 1, F.concat(F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss"), F.lit("Z")))
+        .otherwise(F.concat(F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss"), F.lit(".0000000")))
+    )
+    return events.select("event_id", X.parse_iso_date(iso).alias("parsed_date"))
+
+
+def q13_text_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F12: full-text term match parity for the PG GIN tsvector index."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.filter(X.text_matches(F.col("text"), "the data")).select("doc_id", "lang")
+
+
+def q14_join_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join surface: orders⋈customer⋈nation with broadcast dims, grouped
+    revenue per nation (J-surface per SURVEY §2.3)."""
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    return (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("revenue"), F.count(F.lit(1)).alias("n_orders"))
+    )
+
+
+def q15_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join surface: left_anti (NOT EXISTS) — customers without orders."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    return cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti").select("c_custkey", "c_name")
+
+
+def _merge_inputs(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
+    orders = _t(spark, sf_dir, "orders")
+    updates = (
+        orders.filter(F.col("o_orderkey") % 10 == 0)
+        .withColumn("o_totalprice", F.col("o_totalprice") + 1000)
+        .withColumn("o_orderpriority", F.lit("UPDATED"))
+    )
+    inserts = (
+        orders.filter(F.col("o_orderkey") % 100 == 0)
+        .withColumn("o_orderkey", F.col("o_orderkey") + 10000000)
+        .withColumn("o_orderpriority", F.lit("NEW"))
+    )
+    return orders, updates.unionByName(inserts)
+
+
+def q16_upsert_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S6/J1: join-based upsert — last-writer-wins per key against the
+    table (ON CONFLICT DO UPDATE parity, etl.py:467-488)."""
+    base, batch = _merge_inputs(spark, sf_dir)
+    merged = merge_upsert(base, batch, ["o_orderkey"])
+    return merged.select("o_orderkey", F.round("o_totalprice", 2).alias("o_totalprice"), "o_orderpriority")
+
+
+def q17_merge_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A8: inserted/updated/total merge metrics (xmax-flag parity,
+    etl.py:514-515)."""
+    base, batch = _merge_inputs(spark, sf_dir)
+    return merge_metrics(base, batch, ["o_orderkey"])
+
+
+def q18_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extension (similarity search): exact brute-force top-20 cosine
+    against the vec_id=0 embedding."""
+    emb = _t(spark, sf_dir, "embeddings")
+    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]]
+    return SIM.topk_cosine(emb.filter(F.col("vec_id") != 0), qvec, k=20, round_digits=4)
+
+
+def q19_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extension (text analysis): char/token counts per document."""
+    docs = _t(spark, sf_dir, "documents")
+    n_tokens = TX.token_count_ws(F.col("text"))
+    return docs.select(
+        "doc_id",
+        TX.char_count(F.col("text")).alias("chars"),
+        n_tokens.alias("tokens_ws"),
+        F.round(F.length("text").cast("double") / n_tokens, 3).alias("chars_per_token"),
+    )
+
+
+def q20_flatten_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S4+P1+P2+F1-F7: nested JSON ingest -> explode -> transform ->
+    validate, exercised end-to-end by synthesizing API documents from
+    orders, then flattening with the production path."""
+    orders = _t(spark, sf_dir, "orders")
+    md = F.struct(
+        F.concat(F.lit("Order "), F.col("o_orderkey")).alias("PositionTitle"),
+        F.concat(F.lit("http://orders/"), F.col("o_orderkey")).alias("PositionURI"),
+        F.array(
+            F.struct(
+                F.concat(F.lit("City "), (F.col("o_custkey") % 10)).alias("CityName"),
+                F.lit("ST").alias("StateCode"),
+                F.lit("US").alias("CountryCode"),
+            )
+        ).alias("PositionLocation"),
+        F.array(
+            F.struct(
+                F.floor("o_totalprice").cast("long").cast("string").alias("MinimumRange"),
+                (F.floor("o_totalprice") + 5000).cast("long").cast("string").alias("MaximumRange"),
+                F.lit("Per Year").alias("RateIntervalCode"),
+            )
+        ).alias("PositionRemuneration"),
+        F.col("o_orderpriority").alias("OrganizationName"),
+        F.col("o_orderstatus").alias("DepartmentName"),
+        F.concat(F.date_format("o_orderdate", "yyyy-MM-dd'T'HH:mm:ss"), F.lit(".0000000")).alias(
+            "PositionStartDate"
+        ),
+        F.lit(None).cast("string").alias("PositionEndDate"),
+        F.array(F.struct(F.lit("Information Technology").alias("Name"))).alias("JobCategory"),
+        F.array(F.struct(F.lit("GS-13").alias("Code"))).alias("JobGrade"),
+    )
+    payload = F.to_json(
+        F.struct(
+            F.struct(
+                F.lit(1).alias("SearchResultCount"),
+                F.lit(1).alias("SearchResultCountAll"),
+                F.array(F.struct(md.alias("MatchedObjectDescriptor"))).alias("SearchResultItems"),
+            ).alias("SearchResult")
+        )
+    )
+    raw = orders.select(F.col("o_orderkey").alias("page"), payload.alias("payload"))
+    flat = flatten_postings(parse_api_pages(raw))
+    return flat.select(
+        "position_title",
+        "position_uri",
+        "position_location",
+        "position_remuneration",
+        "position_start_date",
+        "organization_name",
+        "department_name",
+        "job_category",
+        "job_grade",
+    )
+
+
+def q21_window_running(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window surface (§2.5): running per-user sum ordered by time."""
+    from pyspark.sql import Window
+
+    events = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(Window.unboundedPreceding, 0)
+    return events.select(
+        "event_id",
+        "user_id",
+        F.round(F.sum("value").over(w), 2).alias("running_value"),
+    )
+
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "q01_job_statistics": q01_job_statistics,
+    "q02_metric_union": q02_metric_union,
+    "q03_group_counts": q03_group_counts,
+    "q04_top_k_recent": q04_top_k_recent,
+    "q05_dedup_first_wins": q05_dedup_first_wins,
+    "q06_dedup_exact_fingerprint": q06_dedup_exact_fingerprint,
+    "q07_recent_view": q07_recent_view,
+    "q08_like_prefix": q08_like_prefix,
+    "q09_key_lookup": q09_key_lookup,
+    "q10_location_render": q10_location_render,
+    "q11_remuneration_render": q11_remuneration_render,
+    "q12_date_parse": q12_date_parse,
+    "q13_text_search": q13_text_search,
+    "q14_join_star": q14_join_star,
+    "q15_anti_join": q15_anti_join,
+    "q16_upsert_merge": q16_upsert_merge,
+    "q17_merge_metrics": q17_merge_metrics,
+    "q18_topk_cosine": q18_topk_cosine,
+    "q19_text_stats": q19_text_stats,
+    "q20_flatten_ingest": q20_flatten_ingest,
+    "q21_window_running": q21_window_running,
+}
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return dict(QUERIES)
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# ---------------------------------------------------------------------------
+# DuckDB oracles
+# ---------------------------------------------------------------------------
+
+_ANCHOR_ORDERS = "(SELECT max(CAST(o_orderdate AS DATE)) FROM orders)"
+_ANCHOR_EVENTS = "(SELECT max(CAST(ts AS DATE)) FROM events)"
+
+ORACLES: dict[str, str] = {
+    "q01_job_statistics": f"""
+        SELECT count(*) AS total_jobs,
+               count(DISTINCT o_custkey) AS unique_organizations,
+               count(DISTINCT o_orderpriority) AS unique_departments,
+               count(*) FILTER (WHERE CAST(o_orderdate AS DATE) >= {_ANCHOR_ORDERS}) AS jobs_today,
+               count(*) FILTER (WHERE CAST(o_orderdate AS DATE) >= {_ANCHOR_ORDERS} - INTERVAL 7 DAY) AS jobs_this_week,
+               count(*) FILTER (WHERE CAST(o_orderdate AS DATE) >= {_ANCHOR_ORDERS} - INTERVAL 30 DAY) AS jobs_this_month,
+               strftime(max(o_orderdate), '%Y-%m-%d %H:%M:%S') AS last_job_date,
+               strftime(min(o_orderdate), '%Y-%m-%d %H:%M:%S') AS first_job_date
+        FROM orders
+    """,
+    "q02_metric_union": f"""
+        SELECT 'Total Events' AS metric, CAST(count(*) AS VARCHAR) AS value FROM events
+        UNION ALL
+        SELECT 'Events This Week', CAST(count(*) FILTER (WHERE CAST(ts AS DATE) >= {_ANCHOR_EVENTS} - INTERVAL 7 DAY) AS VARCHAR) FROM events
+        UNION ALL
+        SELECT 'Unique Users', CAST(count(DISTINCT user_id) AS VARCHAR) FROM events
+    """,
+    "q03_group_counts": """
+        SELECT event_type, count(*) AS job_count FROM events GROUP BY event_type
+    """,
+    "q04_top_k_recent": """
+        SELECT event_id, strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS ts_s, event_type
+        FROM events ORDER BY ts DESC, event_id DESC LIMIT 100
+    """,
+    "q05_dedup_first_wins": """
+        SELECT user_id, event_id, event_type, strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS ts_s
+        FROM (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY event_id) AS rn FROM events)
+        WHERE rn = 1
+    """,
+    "q06_dedup_exact_fingerprint": """
+        SELECT doc_id, fp FROM (
+            SELECT doc_id,
+                   md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp,
+                   row_number() OVER (PARTITION BY md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))
+                                      ORDER BY doc_id) AS rn
+            FROM documents)
+        WHERE rn = 1
+    """,
+    "q07_recent_view": f"""
+        SELECT event_id, user_id, event_type, strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS ts_s
+        FROM events WHERE CAST(ts AS DATE) >= {_ANCHOR_EVENTS} - INTERVAL 30 DAY
+    """,
+    "q08_like_prefix": """
+        SELECT p_partkey, p_name, p_type FROM part WHERE p_name LIKE 'small%'
+    """,
+    "q09_key_lookup": """
+        SELECT o_orderkey, o_custkey, o_orderstatus, round(o_totalprice, 2) AS o_totalprice
+        FROM orders WHERE o_orderkey = (SELECT min(o_orderkey) FROM orders)
+    """,
+    "q10_location_render": """
+        SELECT c_custkey,
+               CASE WHEN c_custkey % 7 = 0 THEN 'Location not specified'
+                    ELSE concat_ws(', ', NULLIF(c_name, ''), NULLIF(c_mktsegment, ''),
+                                   CASE WHEN c_custkey % 3 = 1 THEN NULL ELSE 'US' END)
+               END AS rendered_location
+        FROM customer
+    """,
+    "q11_remuneration_render": """
+        SELECT p_partkey,
+               CASE WHEN p_partkey % 3 = 2 THEN 'Not specified'
+                    WHEN p_partkey % 5 = 0 THEN 'Not specified'
+                    WHEN p_partkey % 3 = 0 THEN
+                         '$' || format('{:,}', CAST(floor(p_retailprice * 100) AS BIGINT))
+                          || ' - $' || format('{:,}', CAST(floor(p_retailprice * 150) AS BIGINT))
+                          || ' Per Year'
+                    ELSE '$' || format('{:,}', CAST(floor(p_retailprice * 100) AS BIGINT)) || '+ Per Year'
+               END AS rendered_remuneration
+        FROM part
+    """,
+    "q12_date_parse": """
+        SELECT event_id,
+               CASE WHEN event_id % 5 = 0 THEN NULL ELSE CAST(ts AS DATE) END AS parsed_date
+        FROM events
+    """,
+    "q13_text_search": """
+        SELECT doc_id, lang FROM documents
+        WHERE regexp_matches(lower(text), '\\bthe\\b') AND regexp_matches(lower(text), '\\bdata\\b')
+    """,
+    "q14_join_star": """
+        SELECT n_name, round(sum(o_totalprice), 2) AS revenue, count(*) AS n_orders
+        FROM orders
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY n_name
+    """,
+    "q15_anti_join": """
+        SELECT c_custkey, c_name FROM customer
+        WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    """,
+    "q16_upsert_merge": """
+        WITH batch AS (
+            SELECT o_orderkey, o_totalprice + 1000 AS o_totalprice, 'UPDATED' AS o_orderpriority
+            FROM orders WHERE o_orderkey % 10 = 0
+            UNION ALL
+            SELECT o_orderkey + 10000000, o_totalprice, 'NEW'
+            FROM orders WHERE o_orderkey % 100 = 0
+        )
+        SELECT o_orderkey, round(o_totalprice, 2) AS o_totalprice, o_orderpriority FROM batch
+        UNION ALL
+        SELECT o_orderkey, round(o_totalprice, 2), o_orderpriority FROM orders
+        WHERE o_orderkey NOT IN (SELECT o_orderkey FROM batch)
+    """,
+    "q17_merge_metrics": """
+        WITH batch AS (
+            SELECT o_orderkey FROM orders WHERE o_orderkey % 10 = 0
+            UNION ALL
+            SELECT o_orderkey + 10000000 FROM orders WHERE o_orderkey % 100 = 0
+        )
+        SELECT count(*) FILTER (WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = batch.o_orderkey)) AS inserted,
+               count(*) FILTER (WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = batch.o_orderkey)) AS updated,
+               count(*) AS total
+        FROM batch
+    """,
+    "q18_topk_cosine": """
+        SELECT vec_id,
+               round(list_cosine_similarity(CAST(embedding AS DOUBLE[]),
+                     (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 0)), 4) AS sim
+        FROM embeddings WHERE vec_id <> 0
+        ORDER BY sim DESC, vec_id ASC LIMIT 20
+    """,
+    "q19_text_stats": """
+        SELECT doc_id,
+               length(text) AS chars,
+               len(list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '')) AS tokens_ws,
+               round(CAST(length(text) AS DOUBLE) / len(list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '')), 3) AS chars_per_token
+        FROM documents
+    """,
+    "q20_flatten_ingest": """
+        SELECT 'Order ' || o_orderkey AS position_title,
+               'http://orders/' || o_orderkey AS position_uri,
+               'City ' || (o_custkey % 10) || ', ST, US' AS position_location,
+               '$' || format('{:,}', CAST(floor(o_totalprice) AS BIGINT))
+                   || ' - $' || format('{:,}', CAST(floor(o_totalprice) + 5000 AS BIGINT))
+                   || ' Per Year' AS position_remuneration,
+               CAST(o_orderdate AS DATE) AS position_start_date,
+               o_orderpriority AS organization_name,
+               o_orderstatus AS department_name,
+               'Information Technology' AS job_category,
+               'GS-13' AS job_grade
+        FROM orders
+    """,
+    "q21_window_running": """
+        SELECT event_id, user_id,
+               round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_value
+        FROM events
+    """,
+}
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return dict(ORACLES)

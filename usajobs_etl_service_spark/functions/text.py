@@ -1,0 +1,144 @@
+"""Text-analysis Column expressions for the LLM-data-pipeline extensions
+(SURVEY.md §2.11): tokenization, token counting, language-ID heuristic,
+quality scoring, document fingerprinting, shingling.
+
+All pure built-in expressions — they run inside whole-stage codegen and
+scale linearly with no shuffle; the only shuffles in the callers are the
+explicit groupBys.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Whitespace tokenizer + a BPE-ish word/punct splitter.
+_WS = r"\s+"
+# split points: whitespace, or boundaries between word chars and non-word chars
+_BPEISH = r"\s+|(?<=\W)(?=\w)|(?<=\w)(?=\W)"
+
+
+def tokens_ws(col: Column) -> Column:
+    """Whitespace tokens (empties removed)."""
+    return F.filter(F.split(F.trim(col), _WS), lambda t: t != "")
+
+
+def token_count_ws(col: Column) -> Column:
+    """Whitespace token count."""
+    return F.size(tokens_ws(col))
+
+
+def token_count_bpeish(col: Column) -> Column:
+    """BPE-ish token count: words and punctuation runs count separately —
+    a cheap, deterministic proxy for a subword tokenizer's token count."""
+    return F.size(F.filter(F.split(F.trim(col), _BPEISH), lambda t: t != ""))
+
+
+def char_count(col: Column) -> Column:
+    return F.length(col)
+
+
+# ---------------------------------------------------------------------------
+# Language ID — stopword-hit heuristic
+# ---------------------------------------------------------------------------
+
+# Tiny, high-frequency function-word lists per language. Deterministic and
+# cheap; a real deployment would swap in fastText/CLD3 behind the same API.
+_LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "is", "in", "that", "with"],
+    "fr": ["le", "la", "les", "des", "est", "et", "une", "dans"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "ein", "mit"],
+    "es": ["el", "los", "las", "es", "una", "que", "para", "con"],
+}
+
+
+def _marker_hits(col: Column, markers: list[str]) -> Column:
+    toks = F.split(F.lower(col), _WS)
+    hits = F.filter(toks, lambda t: t.isin(*markers))
+    return F.size(hits)
+
+
+def lang_id(col: Column) -> Column:
+    """Best-guess language code by stopword-hit count; ``und`` when no
+    marker list scores a hit."""
+    scores = [(_marker_hits(col, m), lang) for lang, m in _LANG_MARKERS.items()]
+    best_score = F.greatest(*[s for s, _ in scores])
+    result = F.lit("und")
+    # later languages win ties only if strictly better -> iterate in order
+    for score, lang in scores:
+        result = F.when((score == best_score) & (best_score > 0) & (result == "und"), F.lit(lang)).otherwise(
+            result
+        )
+    return result
+
+
+# ---------------------------------------------------------------------------
+# Quality scoring
+# ---------------------------------------------------------------------------
+
+def quality_features(col: Column) -> dict[str, Column]:
+    """Gopher/C4-style cheap quality signals as named expressions."""
+    n_chars = F.length(col)
+    toks = tokens_ws(col)
+    n_tokens = F.size(toks)
+    mean_tok_len = F.when(n_tokens > 0, n_chars.cast("double") / n_tokens).otherwise(F.lit(0.0))
+    n_alpha = F.length(F.regexp_replace(col, r"[^A-Za-z]", ""))
+    n_digit = F.length(F.regexp_replace(col, r"[^0-9]", ""))
+    n_punct = F.length(F.regexp_replace(col, r"[^!-/:-@\[-`{-~]", ""))
+    stop_hits = _marker_hits(col, _LANG_MARKERS["en"])
+    return {
+        "n_chars": n_chars,
+        "n_tokens": n_tokens,
+        "mean_token_len": mean_tok_len,
+        "alpha_ratio": F.when(n_chars > 0, n_alpha.cast("double") / n_chars).otherwise(F.lit(0.0)),
+        "digit_ratio": F.when(n_chars > 0, n_digit.cast("double") / n_chars).otherwise(F.lit(0.0)),
+        "punct_ratio": F.when(n_chars > 0, n_punct.cast("double") / n_chars).otherwise(F.lit(0.0)),
+        "stopword_hits": stop_hits,
+    }
+
+
+def quality_score(col: Column) -> Column:
+    """Scalar 0-1 quality score: penalize too-short docs, low alpha ratio,
+    high digit/punct ratios; reward stopword presence. Deterministic."""
+    f = quality_features(col)
+    score = (
+        F.least(f["n_tokens"].cast("double") / F.lit(20.0), F.lit(1.0)) * 0.3
+        + f["alpha_ratio"] * 0.3
+        + (1 - F.least(f["digit_ratio"] * 4, F.lit(1.0))) * 0.15
+        + (1 - F.least(f["punct_ratio"] * 4, F.lit(1.0))) * 0.15
+        + F.least(f["stopword_hits"].cast("double") / F.lit(5.0), F.lit(1.0)) * 0.1
+    )
+    return F.round(score, 4)
+
+
+# ---------------------------------------------------------------------------
+# Fingerprinting & shingling
+# ---------------------------------------------------------------------------
+
+def normalized_text(col: Column) -> Column:
+    """Dedup normalization: lowercase, collapse whitespace, strip."""
+    return F.trim(F.regexp_replace(F.lower(col), r"\s+", " "))
+
+
+def fingerprint_md5(col: Column) -> Column:
+    """Exact-dup fingerprint: md5 hex of normalized text (md5 matches
+    DuckDB's md5() for oracle checks)."""
+    return F.md5(normalized_text(col))
+
+
+def fingerprint_xx64(col: Column) -> Column:
+    """64-bit content fingerprint (xxhash64 — fast, JVM-side); use for
+    shuffle keys where a cryptographic hash is overkill."""
+    return F.xxhash64(normalized_text(col))
+
+
+def shingles(col: Column, k: int = 5) -> Column:
+    """Word k-gram shingles (array<string>) over normalized text — the
+    rolling-hash unit for MinHash / Jaccard near-dup."""
+    toks = F.split(normalized_text(col), _WS)
+    n = F.size(toks)
+    idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
+    return F.when(
+        n >= k,
+        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k))),
+    ).otherwise(F.array(F.concat_ws(" ", toks)))

@@ -1,0 +1,136 @@
+"""Similarity search over an embedding column (SURVEY.md §2.11).
+
+Two tiers:
+- ``topk_cosine`` — exact brute-force top-k: one codegen'd projection
+  computing the dot product against a literal query vector, then
+  ``TakeOrderedAndProject`` (per-partition k-heaps, no global sort). At
+  100 TB this is a single scan; it is the correctness baseline and often
+  the right answer for one-off queries.
+- ``ivf_build`` / ``ivf_topk_cosine`` — IVF-style bucketed ANN: assign
+  each vector to its nearest of C centroids (one pass), partition the
+  index by centroid id, probe only ``nprobe`` buckets at query time ->
+  the scan prunes to ~nprobe/C of the data. Centroids here are sampled
+  rows (k-means init-style); a production pipeline would refine them
+  with ``pyspark.ml`` KMeans on a sample.
+
+All vector math is built-in higher-order functions (JVM, codegen) — no
+Python in the scan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from usajobs_etl_service_spark.functions.vectors import cosine, dot, l2_normalize, norm
+
+
+def _as_double_array(col: Column) -> Column:
+    return col.cast("array<double>")
+
+
+def query_vector_literal(vec: list[float]) -> Column:
+    return F.array(*[F.lit(float(x)) for x in vec])
+
+
+def topk_cosine(
+    df: DataFrame,
+    vec: list[float],
+    *,
+    embedding_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 10,
+    round_digits: int | None = 4,
+) -> DataFrame:
+    """Exact top-k by cosine similarity to ``vec``. Deterministic ties:
+    (similarity desc, id asc). Plans as scan -> project -> TakeOrdered."""
+    q = query_vector_literal(vec)
+    sim = cosine(_as_double_array(F.col(embedding_col)), q)
+    if round_digits is not None:
+        sim = F.round(sim, round_digits)
+    return (
+        df.select(F.col(id_col), sim.alias("sim"))
+        .orderBy(F.col("sim").desc(), F.col(id_col).asc())
+        .limit(k)
+    )
+
+
+def brute_force_knn_join(
+    left: DataFrame,
+    right: DataFrame,
+    *,
+    k: int,
+    left_id: str = "vec_id",
+    right_id: str = "vec_id",
+    embedding_col: str = "embedding",
+) -> DataFrame:
+    """All-pairs k-NN via cross join + per-left-id window top-k. O(n*m) —
+    correctness oracle / small-dim tool only; the scale path is IVF/LSH
+    bucketing which turns the cross join into a bucket-equi-join."""
+    from pyspark.sql import Window
+
+    l = left.select(F.col(left_id).alias("query_id"), _as_double_array(F.col(embedding_col)).alias("qv"))
+    r = right.select(F.col(right_id).alias("match_id"), _as_double_array(F.col(embedding_col)).alias("mv"))
+    pairs = l.crossJoin(F.broadcast(r)).filter(F.col("query_id") != F.col("match_id"))
+    scored = pairs.select("query_id", "match_id", F.round(cosine(F.col("qv"), F.col("mv")), 6).alias("sim"))
+    w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("match_id").asc())
+    return scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= k).drop("rn")
+
+
+def ivf_build(
+    df: DataFrame,
+    *,
+    n_centroids: int = 256,
+    embedding_col: str = "embedding",
+    id_col: str = "vec_id",
+    seed: int = 42,
+) -> tuple[DataFrame, DataFrame]:
+    """Build an IVF index: pick C deterministic sample rows as centroids,
+    assign every vector to its nearest centroid (broadcast the centroids,
+    one codegen'd pass), and hash-partition the index by centroid.
+
+    Returns (index_df, centroids_df); persist ``index_df`` partitioned by
+    ``centroid_id`` so probes prune partitions.
+    """
+    # deterministic "sample": stable hash order, C rows
+    cent = (
+        df.select(F.col(id_col), l2_normalize(_as_double_array(F.col(embedding_col))).alias("cv"))
+        .orderBy(F.xxhash64(F.col(id_col).cast("string"), F.lit(seed)))
+        .limit(n_centroids)
+        .select(F.monotonically_increasing_id().alias("centroid_id"), "cv")
+    )
+    vecs = df.select(F.col(id_col), _as_double_array(F.col(embedding_col)).alias("v"))
+    joined = vecs.crossJoin(F.broadcast(cent))
+    scored = joined.select(id_col, "centroid_id", dot(l2_normalize(F.col("v")), F.col("cv")).alias("csim"))
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(id_col).orderBy(F.col("csim").desc(), F.col("centroid_id").asc())
+    assign = scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1).select(id_col, "centroid_id")
+    index = df.join(assign, id_col).repartition("centroid_id")
+    return index, cent
+
+
+def ivf_topk_cosine(
+    index: DataFrame,
+    centroids: DataFrame,
+    vec: list[float],
+    *,
+    k: int = 10,
+    nprobe: int = 8,
+    embedding_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Probe the ``nprobe`` nearest centroids' buckets only, then exact
+    top-k within them. Recall < 1.0 by construction; raise nprobe to
+    trade scan cost for recall."""
+    q = query_vector_literal(vec)
+    qn = l2_normalize(q)
+    probe_ids = [
+        r["centroid_id"]
+        for r in centroids.select("centroid_id", dot(F.col("cv"), qn).alias("s"))
+        .orderBy(F.col("s").desc())
+        .limit(nprobe)
+        .collect()
+    ]
+    pruned = index.filter(F.col("centroid_id").isin(probe_ids))
+    return topk_cosine(pruned, vec, embedding_col=embedding_col, id_col=id_col, k=k)

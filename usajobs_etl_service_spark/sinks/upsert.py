@@ -1,0 +1,103 @@
+"""S6 / J1 / A8 — the upsert (merge) sink (SURVEY.md §2.1 S6, §2.3 J1,
+§2.4 A8; reference ``etl/etl.py:445-525``, trigger ``init.sql:28-41``).
+
+Semantics preserved from the reference:
+- **first-wins within a batch** (in-batch dedup by key, etl.py:452-465),
+- **last-writer-wins against the table** (ON CONFLICT DO UPDATE),
+- ``created_at`` preserved on update, ``updated_at`` refreshed
+  (DO UPDATE list excludes created_at; trigger refreshes updated_at),
+- per-run metrics ``{"inserted", "updated", "total"}`` — the reference
+  derives them from the PG ``(xmax = 0)`` trick; here they are the
+  semi/anti-join split of the batch against the table.
+
+Scale shape: the batch is normally orders of magnitude smaller than the
+table, so the batch side is broadcast — the merge is then a scan of the
+base table with a broadcast hash anti-join (no shuffle of the base). If
+the batch is genuinely large, drop the broadcast hint and let AQE pick a
+sort-merge join on the key. On storage that supports it, the same
+semantics map 1:1 to ``MERGE INTO`` (Delta/Iceberg); this module is the
+engine-native implementation over plain snapshots.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from usajobs_etl_service_spark.operators.dedup import dedup_first_wins
+
+
+def prepare_batch(batch: DataFrame, key_cols: list[str], order_col: str | None = None) -> DataFrame:
+    """In-batch first-wins dedup (A6) — mirrors reference etl.py:452-465."""
+    if order_col is not None:
+        return dedup_first_wins(batch, key_cols, order_col)
+    return batch.dropDuplicates(key_cols)
+
+
+def merge_upsert(
+    base: DataFrame,
+    batch: DataFrame,
+    key_cols: list[str],
+    *,
+    order_col: str | None = None,
+    preserve_cols: list[str] | None = None,
+    touch_cols: list[str] | None = None,
+    broadcast_batch: bool = True,
+) -> DataFrame:
+    """Return the post-merge table: base rows whose key is not in the
+    batch, plus the batch (last-writer-wins per key).
+
+    ``preserve_cols``: columns whose base value survives an update
+    (reference: ``created_at``). ``touch_cols``: columns refreshed to
+    ``current_timestamp()`` on every written row (reference:
+    ``updated_at`` via trigger).
+    """
+    b = prepare_batch(batch, key_cols, order_col)
+    if order_col is not None and order_col in b.columns:
+        b = b.drop(order_col)
+    preserve_cols = preserve_cols or []
+    touch_cols = touch_cols or []
+
+    if preserve_cols:
+        keep = base.select(*key_cols, *[F.col(c).alias(f"__base_{c}") for c in preserve_cols])
+        b = b.join(F.broadcast(keep) if broadcast_batch else keep, key_cols, "left")
+        for c in preserve_cols:
+            b = b.withColumn(c, F.coalesce(F.col(f"__base_{c}"), F.col(c))).drop(f"__base_{c}")
+    for c in touch_cols:
+        b = b.withColumn(c, F.current_timestamp())
+
+    b_hint = F.broadcast(b) if broadcast_batch else b
+    untouched = base.join(b_hint.select(*key_cols), key_cols, "left_anti")
+    return untouched.unionByName(b.select(*base.columns))
+
+
+def merge_metrics(
+    base: DataFrame,
+    batch: DataFrame,
+    key_cols: list[str],
+    *,
+    order_col: str | None = None,
+) -> DataFrame:
+    """A8: one-row DataFrame (inserted, updated, total) — the semi/anti
+    split that replaces the reference's ``(xmax = 0) AS inserted`` flag
+    readback (etl.py:487, 514-515). One pass over the (small) batch with
+    a broadcast-able probe of base keys.
+    """
+    b = prepare_batch(batch, key_cols, order_col)
+    flags = b.select(*key_cols).join(
+        base.select(*key_cols).dropDuplicates(key_cols).withColumn("__matched", F.lit(1)),
+        key_cols,
+        "left",
+    )
+    return flags.agg(
+        F.count(F.when(F.col("__matched").isNull(), 1)).alias("inserted"),
+        F.count(F.when(F.col("__matched").isNotNull(), 1)).alias("updated"),
+        F.count(F.lit(1)).alias("total"),
+    )
+
+
+def upsert_stats(base: DataFrame, batch: DataFrame, key_cols: list[str], order_col: str | None = None) -> dict:
+    """Reference-shaped return value: ``{"inserted": n, "updated": m,
+    "total": n+m}`` (etl.py:519-524)."""
+    row = merge_metrics(base, batch, key_cols, order_col=order_col).first()
+    return {"inserted": row["inserted"], "updated": row["updated"], "total": row["total"]}

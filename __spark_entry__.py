@@ -357,6 +357,59 @@ def q21_window_running(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q22_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extension (near-dup, embeddings): blocked self-join on label +
+    exact cosine — the block stands in for an IVF/LSH bucket at scale."""
+    from usajobs_etl_service_spark.operators.neardup import embedding_near_dup_pairs
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return embedding_near_dup_pairs(emb, block_col="label", threshold=0.4)
+
+
+def q23_ngram_jaccard_adjacent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extension (near-dup, n-gram Jaccard): exact 3-gram Jaccard for
+    adjacent doc_id pairs (stand-in candidate set)."""
+    from usajobs_etl_service_spark.operators.neardup import ngram_jaccard_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = docs.select(F.col("doc_id").alias("id_a"), (F.col("doc_id") + 1).alias("id_b")).join(
+        docs.select(F.col("doc_id").alias("id_b")), "id_b", "left_semi"
+    )
+    return ngram_jaccard_pairs(docs, pairs, n=3)
+
+
+def q24_minhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extension (near-dup, MinHash+LSH). Deterministic signatures; no
+    SQL oracle (LSH banding is not SQL-expressible) -> rows-only check;
+    recall/precision covered by tests/test_neardup.py on planted dups."""
+    from usajobs_etl_service_spark.operators.neardup import minhash_near_dup_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    return minhash_near_dup_pairs(docs, threshold=0.5, num_hashes=64, bands=16)
+
+
+def q25_simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extension (near-dup, SimHash): banded 64-bit signatures, Hamming
+    <= 3. Rows-only (tests cover planted dups)."""
+    from usajobs_etl_service_spark.operators.neardup import simhash_near_dup_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    return simhash_near_dup_pairs(docs, max_hamming=3)
+
+
+def q26_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extension (text analysis): stopword-marker language ID."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", "lang", TX.lang_id(F.col("text")).alias("lang_pred"))
+
+
+def q27_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extension (text analysis): deterministic 0-1 quality score from
+    length/alpha/digit/punct/stopword signals."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", TX.quality_score(F.col("text")).alias("quality"))
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_job_statistics": q01_job_statistics,
     "q02_metric_union": q02_metric_union,
@@ -379,6 +432,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q19_text_stats": q19_text_stats,
     "q20_flatten_ingest": q20_flatten_ingest,
     "q21_window_running": q21_window_running,
+    "q22_embedding_near_dup": q22_embedding_near_dup,
+    "q23_ngram_jaccard_adjacent": q23_ngram_jaccard_adjacent,
+    "q24_minhash_near_dup": q24_minhash_near_dup,
+    "q25_simhash_near_dup": q25_simhash_near_dup,
+    "q26_lang_id": q26_lang_id,
+    "q27_quality_score": q27_quality_score,
 }
 
 
@@ -541,6 +600,75 @@ ORACLES: dict[str, str] = {
                round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
                                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_value
         FROM events
+    """,
+    "q22_embedding_near_dup": """
+        WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               round(list_cosine_similarity(a.v, b.v), 4) AS cos
+        FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+        WHERE round(list_cosine_similarity(a.v, b.v), 4) >= 0.4
+    """,
+    "q23_ngram_jaccard_adjacent": """
+        WITH g AS (
+            SELECT doc_id,
+                   CASE WHEN len(toks) >= 3
+                        THEN list_distinct(list_transform(generate_series(1, len(toks) - 2),
+                                           x -> array_to_string(list_slice(toks, x, x + 2), ' ')))
+                        ELSE [array_to_string(toks, ' ')]
+                   END AS grams
+            FROM (SELECT doc_id,
+                         string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS toks
+                  FROM documents)
+        )
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               round(CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+                     / len(list_distinct(list_concat(a.grams, b.grams))), 4) AS jaccard
+        FROM g a JOIN g b ON b.doc_id = a.doc_id + 1
+    """,
+    # q24/q25: LSH banding is not SQL-expressible -> rows-only checks
+    "q26_lang_id": """
+        WITH s AS (
+            SELECT doc_id, lang,
+                   len(list_filter(string_split_regex(lower(text), '\\s+'),
+                       x -> x IN ('the','and','of','to','is','in','that','with'))) AS s_en,
+                   len(list_filter(string_split_regex(lower(text), '\\s+'),
+                       x -> x IN ('le','la','les','des','est','et','une','dans'))) AS s_fr,
+                   len(list_filter(string_split_regex(lower(text), '\\s+'),
+                       x -> x IN ('der','die','das','und','ist','nicht','ein','mit'))) AS s_de,
+                   len(list_filter(string_split_regex(lower(text), '\\s+'),
+                       x -> x IN ('el','los','las','es','una','que','para','con'))) AS s_es
+            FROM documents
+        )
+        SELECT doc_id, lang,
+               CASE WHEN greatest(s_en, s_fr, s_de, s_es) = 0 THEN 'und'
+                    WHEN s_en = greatest(s_en, s_fr, s_de, s_es) THEN 'en'
+                    WHEN s_fr = greatest(s_en, s_fr, s_de, s_es) THEN 'fr'
+                    WHEN s_de = greatest(s_en, s_fr, s_de, s_es) THEN 'de'
+                    ELSE 'es'
+               END AS lang_pred
+        FROM s
+    """,
+    "q27_quality_score": """
+        WITH f AS (
+            SELECT doc_id,
+                   length(text) AS n_chars,
+                   len(list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '')) AS n_tokens,
+                   length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS n_alpha,
+                   length(regexp_replace(text, '[^0-9]', '', 'g')) AS n_digit,
+                   length(text) - length(regexp_replace(text, '\\s', '', 'g')) AS n_space,
+                   len(list_filter(string_split_regex(lower(text), '\\s+'),
+                       x -> x IN ('the','and','of','to','is','in','that','with'))) AS stop_hits
+            FROM documents
+        )
+        SELECT doc_id,
+               round(
+                   least(CAST(n_tokens AS DOUBLE) / 20.0, 1.0) * 0.3
+                 + (CASE WHEN n_chars > 0 THEN CAST(n_alpha AS DOUBLE) / n_chars ELSE 0.0 END) * 0.3
+                 + (1 - least((CASE WHEN n_chars > 0 THEN CAST(n_digit AS DOUBLE) / n_chars ELSE 0.0 END) * 4, 1.0)) * 0.15
+                 + (1 - least((CASE WHEN n_chars > 0 THEN CAST(n_chars - n_alpha - n_digit - n_space AS DOUBLE) / n_chars ELSE 0.0 END) * 4, 1.0)) * 0.15
+                 + least(CAST(stop_hits AS DOUBLE) / 5.0, 1.0) * 0.1
+               , 4) AS quality
+        FROM f
     """,
 }
 

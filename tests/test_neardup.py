@@ -1,0 +1,78 @@
+"""Near-dup operators: MinHash+LSH, SimHash, n-gram Jaccard, embedding
+cosine — planted near-duplicates must be found, distinct docs must not."""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import functions as F
+
+from usajobs_etl_service_spark.operators import neardup as ND
+
+WORDS = "the data engine spark shuffle partition join filter scan agg window sort merge hash key value row batch stream table".split()
+
+
+def _doc(rng, n=60):
+    return " ".join(rng.choice(WORDS) for _ in range(n))
+
+
+def _docs_df(spark):
+    rng = random.Random(7)
+    a = _doc(rng)
+    # near-dup of a: change 3 of 60 words
+    a_words = a.split()
+    for i in (5, 20, 40):
+        a_words[i] = "changed%d" % i
+    a_prime = " ".join(a_words)
+    b = _doc(rng)
+    c = _doc(rng)
+    rows = [(0, a), (1, a_prime), (2, b), (3, c)]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_minhash_finds_planted_pair(spark):
+    df = _docs_df(spark)
+    pairs = ND.minhash_near_dup_pairs(df, threshold=0.5, num_hashes=64, bands=16).collect()
+    found = {(r["id_a"], r["id_b"]) for r in pairs}
+    assert (0, 1) in found
+    assert (2, 3) not in found
+
+
+def test_minhash_signature_deterministic(spark):
+    df = _docs_df(spark)
+    s1 = df.select(ND.minhash_signature(F.col("text"), 32).alias("s")).collect()
+    s2 = df.select(ND.minhash_signature(F.col("text"), 32).alias("s")).collect()
+    assert [r["s"] for r in s1] == [r["s"] for r in s2]
+
+
+def test_simhash_finds_planted_pair(spark):
+    df = _docs_df(spark)
+    # identical docs -> hamming 0; near-dup should be small
+    sigs = {r["doc_id"]: r["sig"] for r in df.select("doc_id", ND.simhash64(F.col("text")).alias("sig")).collect()}
+    ham01 = bin(sigs[0] ^ sigs[1]).count("1")
+    ham02 = bin(sigs[0] ^ sigs[2]).count("1")
+    assert ham01 < ham02
+    pairs = ND.simhash_near_dup_pairs(df, max_hamming=max(ham01, 3))
+    found = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    assert (0, 1) in found
+
+
+def test_ngram_jaccard(spark):
+    df = _docs_df(spark)
+    pairs = spark.createDataFrame([(0, 1), (0, 2)], "id_a long, id_b long")
+    out = {(r["id_a"], r["id_b"]): r["jaccard"] for r in ND.ngram_jaccard_pairs(df, pairs).collect()}
+    assert out[(0, 1)] > 0.5  # 3/60 words changed
+    assert out[(0, 2)] < 0.2
+
+
+def test_embedding_near_dup_blocked(spark):
+    rows = [
+        (0, [1.0, 0.0, 0.0], "x"),
+        (1, [0.999, 0.01, 0.0], "x"),  # near-dup of 0, same block
+        (2, [0.0, 1.0, 0.0], "x"),
+        (3, [1.0, 0.0, 0.0], "y"),  # identical to 0 but different block -> not compared
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>, label string")
+    pairs = ND.embedding_near_dup_pairs(df, block_col="label", threshold=0.95).collect()
+    found = {(r["id_a"], r["id_b"]) for r in pairs}
+    assert found == {(0, 1)}

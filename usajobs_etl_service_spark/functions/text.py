@@ -84,7 +84,9 @@ def quality_features(col: Column) -> dict[str, Column]:
     mean_tok_len = F.when(n_tokens > 0, n_chars.cast("double") / n_tokens).otherwise(F.lit(0.0))
     n_alpha = F.length(F.regexp_replace(col, r"[^A-Za-z]", ""))
     n_digit = F.length(F.regexp_replace(col, r"[^0-9]", ""))
-    n_punct = F.length(F.regexp_replace(col, r"[^!-/:-@\[-`{-~]", ""))
+    n_space = n_chars - F.length(F.regexp_replace(col, r"\s", ""))
+    # "punct" = everything that is not alpha, digit, or whitespace
+    n_punct = n_chars - n_alpha - n_digit - n_space
     stop_hits = _marker_hits(col, _LANG_MARKERS["en"])
     return {
         "n_chars": n_chars,

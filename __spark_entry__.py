@@ -410,6 +410,105 @@ def q27_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id", TX.quality_score(F.col("text")).alias("quality"))
 
 
+def q28_global_sort_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O2: deterministic full sort, materialized as a global rank so the
+    order itself is value-checked (test_integration.py:93,549)."""
+    from pyspark.sql import Window
+
+    events = _t(spark, sf_dir, "events")
+    return events.select("event_id", F.round("value", 3).alias("value_r")).withColumn(
+        "rank", F.row_number().over(Window.orderBy(F.col("value_r").desc(), F.col("event_id").asc()))
+    )
+
+
+def q29_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aggregate surface: ROLLUP with subtotals + grand total."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+    )
+
+
+def q30_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aggregate surface: pivot events by type (explicit value list ->
+    no extra distinct-discovery pass — the 100 TB form)."""
+    events = _t(spark, sf_dir, "events")
+    types = ["click", "error", "purchase", "signup", "view"]
+    out = events.groupBy("user_id").pivot("event_type", types).agg(F.round(F.sum("value"), 2))
+    return out.select("user_id", *[F.col(t).alias(f"sum_{t}") for t in types])
+
+
+def q31_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set-op surface: UNION (distinct) + EXCEPT over label sets."""
+    cust = _t(spark, sf_dir, "customer").select(F.col("c_mktsegment").alias("label"))
+    pri = _t(spark, sf_dir, "orders").select(F.col("o_orderpriority").alias("label"))
+    return cust.union(pri).distinct().exceptAll(
+        _t(spark, sf_dir, "events").select(F.col("event_type").alias("label")).distinct()
+    )
+
+
+def q32_monitor_display(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F10+F11+O1: monitor.sh recent-rows probe — LEFT() truncation,
+    ::date cast, top-5 (monitor.sh:47-56)."""
+    events = _t(spark, sf_dir, "events")
+    return (
+        events.orderBy(F.col("ts").desc(), F.col("event_id").desc())
+        .limit(5)
+        .select(
+            "event_id",
+            F.substring("event_type", 1, 3).alias("type_short"),
+            F.to_date("ts").alias("date"),
+        )
+    )
+
+
+def q33_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured surface: JSON property extraction + grouped avg
+    (events.props is a JSON string column)."""
+    events = _t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return events.groupBy("event_type").agg(
+        F.round(F.avg(k), 4).alias("avg_k"),
+        F.max(k).alias("max_k"),
+    )
+
+
+def q34_views_layer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S5+P4+P5: the SQL view surface — flatten orders into job_postings
+    (q20 path), register the reference views, query through Spark SQL."""
+    from usajobs_etl_service_spark.plans.views import register_views
+
+    flat = q20_flatten_ingest(spark, sf_dir).withColumn("created_at", F.current_timestamp()).withColumn(
+        "updated_at", F.current_timestamp()
+    )
+    register_views(spark, flat)
+    return spark.sql(
+        "SELECT count(*) AS n_recent, count(DISTINCT organization_name) AS n_orgs FROM recent_job_postings"
+    )
+
+
+def q35_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2 at scale: HLL approx_count_distinct (rows-only: approximate by
+    construction; accuracy asserted in tests)."""
+    orders = _t(spark, sf_dir, "orders")
+    return orders.agg(
+        F.approx_count_distinct("o_custkey").alias("approx_custs"),
+        F.countDistinct("o_custkey").alias("exact_custs"),
+    )
+
+
+def q36_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extension (similarity, scale path): IVF-bucketed ANN probe of the
+    vec_id=0 query (rows-only: approximate; recall asserted in tests)."""
+    from usajobs_etl_service_spark.operators.similarity import ivf_build, ivf_topk_cosine
+
+    emb = _t(spark, sf_dir, "embeddings")
+    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]]
+    index, cents = ivf_build(emb.filter(F.col("vec_id") != 0), n_centroids=16)
+    return ivf_topk_cosine(index, cents, qvec, k=10, nprobe=4)
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_job_statistics": q01_job_statistics,
     "q02_metric_union": q02_metric_union,
@@ -438,6 +537,15 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q25_simhash_near_dup": q25_simhash_near_dup,
     "q26_lang_id": q26_lang_id,
     "q27_quality_score": q27_quality_score,
+    "q28_global_sort_rank": q28_global_sort_rank,
+    "q29_rollup": q29_rollup,
+    "q30_pivot": q30_pivot,
+    "q31_set_ops": q31_set_ops,
+    "q32_monitor_display": q32_monitor_display,
+    "q33_json_props": q33_json_props,
+    "q34_views_layer": q34_views_layer,
+    "q35_approx_distinct": q35_approx_distinct,
+    "q36_ivf_ann": q36_ivf_ann,
 }
 
 
@@ -648,6 +756,45 @@ ORACLES: dict[str, str] = {
                END AS lang_pred
         FROM s
     """,
+    "q28_global_sort_rank": """
+        SELECT event_id, round(value, 3) AS value_r,
+               row_number() OVER (ORDER BY round(value, 3) DESC, event_id ASC) AS rank
+        FROM events
+    """,
+    "q29_rollup": """
+        SELECT l_returnflag, l_linestatus, count(*) AS n_items, round(sum(l_quantity), 2) AS sum_qty
+        FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+    """,
+    "q30_pivot": """
+        SELECT user_id,
+               round(sum(value) FILTER (WHERE event_type = 'click'), 2) AS sum_click,
+               round(sum(value) FILTER (WHERE event_type = 'error'), 2) AS sum_error,
+               round(sum(value) FILTER (WHERE event_type = 'purchase'), 2) AS sum_purchase,
+               round(sum(value) FILTER (WHERE event_type = 'signup'), 2) AS sum_signup,
+               round(sum(value) FILTER (WHERE event_type = 'view'), 2) AS sum_view
+        FROM events GROUP BY user_id
+    """,
+    "q31_set_ops": """
+        (SELECT DISTINCT c_mktsegment AS label FROM customer
+         UNION
+         SELECT DISTINCT o_orderpriority FROM orders)
+        EXCEPT
+        (SELECT DISTINCT event_type FROM events)
+    """,
+    "q32_monitor_display": """
+        SELECT event_id, substr(event_type, 1, 3) AS type_short, CAST(ts AS DATE) AS date
+        FROM events ORDER BY ts DESC, event_id DESC LIMIT 5
+    """,
+    "q33_json_props": """
+        SELECT event_type,
+               round(avg(CAST(json_extract(props, '$.k') AS INTEGER)), 4) AS avg_k,
+               max(CAST(json_extract(props, '$.k') AS INTEGER)) AS max_k
+        FROM events GROUP BY event_type
+    """,
+    "q34_views_layer": """
+        SELECT count(*) AS n_recent, count(DISTINCT o_orderpriority) AS n_orgs FROM orders
+    """,
+    # q35 (HLL approximate) and q36 (IVF ANN) are rows-only by design
     "q27_quality_score": """
         WITH f AS (
             SELECT doc_id,

@@ -1,0 +1,111 @@
+"""JDBC upsert writer (SQL generation + batching via fake DB-API
+connection) and snapshot export with retention."""
+
+from __future__ import annotations
+
+import time
+
+from usajobs_etl_service_spark.sinks.jdbc import build_upsert_sql, jdbc_upsert, upsert_partition
+from usajobs_etl_service_spark.sinks.snapshot import (
+    list_snapshots,
+    read_latest_snapshot,
+    write_snapshot,
+)
+
+
+class FakeCursor:
+    """DB-API cursor that records SQL and simulates ON CONFLICT xmax flags."""
+
+    def __init__(self, existing_keys, key_idx):
+        self.existing = existing_keys
+        self.key_idx = key_idx
+        self.executed = []
+        self._flags = []
+
+    def execute(self, sql, params):
+        self.executed.append((sql, list(params)))
+        n_cols = sql.split("VALUES")[0].count(",") + 1
+        rows = [tuple(params[i : i + n_cols]) for i in range(0, len(params), n_cols)]
+        self._flags = []
+        for r in rows:
+            k = r[self.key_idx]
+            self._flags.append((k not in self.existing,))
+            self.existing.add(k)
+
+    def fetchall(self):
+        return self._flags
+
+
+class FakeConn:
+    def __init__(self, existing, key_idx):
+        self.cur = FakeCursor(existing, key_idx)
+        self.committed = False
+
+    def cursor(self):
+        return self.cur
+
+    def commit(self):
+        self.committed = True
+
+    def close(self):
+        pass
+
+
+def test_build_upsert_sql_shape():
+    sql = build_upsert_sql("job_postings", ["position_uri", "position_title", "created_at"], "position_uri", 2)
+    assert "INSERT INTO job_postings (position_uri, position_title, created_at)" in sql
+    assert sql.count("(%s, %s, %s)") == 2
+    assert "ON CONFLICT (position_uri) DO UPDATE SET" in sql
+    # created_at never updated; updated_at refreshed; key not self-assigned
+    assert "created_at = EXCLUDED" not in sql
+    assert "position_uri = EXCLUDED" not in sql
+    assert "position_title = EXCLUDED.position_title" in sql
+    assert "updated_at = CURRENT_TIMESTAMP" in sql
+    assert "RETURNING (xmax = 0)" in sql
+
+
+def test_upsert_partition_batching_and_flags():
+    conns = []
+
+    def connect():
+        c = FakeConn(existing={"u1"}, key_idx=0)
+        conns.append(c)
+        return c
+
+    rows = [{"position_uri": f"u{i}", "position_title": f"t{i}"} for i in range(5)]
+    ins, upd = upsert_partition(
+        iter(rows), table="t", columns=["position_uri", "position_title"], key="position_uri",
+        batch_size=2, connect=connect,
+    )
+    assert (ins, upd) == (4, 1)  # u1 existed -> update
+    assert len(conns) == 1 and conns[0].committed
+    assert len(conns[0].cur.executed) == 3  # 2+2+1 rows in 3 batches
+
+
+def test_jdbc_upsert_distributed(spark):
+    existing = {"u0"}
+
+    def connect():
+        return FakeConn(existing, key_idx=0)
+
+    df = spark.createDataFrame(
+        [(f"u{i}", f"t{i}") for i in range(10)], "position_uri string, position_title string"
+    )
+    stats = jdbc_upsert(df, table="job_postings", key="position_uri", batch_size=3,
+                        max_connections=2, connect=connect)
+    assert stats["total"] == 10
+    assert stats["inserted"] + stats["updated"] == 10
+    # u0 pre-existed; on a fresh single-driver run the flag split is exact
+    assert stats["updated"] >= 1
+
+
+def test_snapshot_retention(spark, tmp_path):
+    base = str(tmp_path / "snaps")
+    df = spark.range(5)
+    paths = []
+    for _ in range(4):
+        paths.append(write_snapshot(df, base, keep_last=3))
+        time.sleep(0.002)
+    snaps = list_snapshots(base)
+    assert len(snaps) == 3  # oldest pruned
+    assert read_latest_snapshot(spark, base).count() == 5

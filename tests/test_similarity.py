@@ -1,0 +1,72 @@
+"""Similarity search: brute-force exactness, IVF recall, knn join;
+approx_count_distinct accuracy."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from usajobs_etl_service_spark.operators.similarity import (
+    brute_force_knn_join,
+    ivf_build,
+    ivf_topk_cosine,
+    topk_cosine,
+)
+from usajobs_etl_service_spark.session import read_table
+
+
+def _query_vec(emb):
+    return [float(x) for x in emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]]
+
+
+def test_topk_cosine_matches_numpy(spark, sf_dir):
+    import numpy as np
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    rows = emb.collect()
+    q = np.array(rows[0]["embedding"], dtype=np.float64)
+    sims = {}
+    for r in rows:
+        if r["vec_id"] == 0:
+            continue
+        v = np.array(r["embedding"], dtype=np.float64)
+        sims[r["vec_id"]] = float(q @ v / (np.linalg.norm(q) * np.linalg.norm(v)))
+    expected = sorted(sims.items(), key=lambda kv: (-round(kv[1], 6), kv[0]))[:10]
+
+    got = topk_cosine(emb.filter(F.col("vec_id") != 0), _query_vec(emb), k=10, round_digits=6).collect()
+    assert [r["vec_id"] for r in got] == [k for k, _ in expected]
+    for r, (_, s) in zip(got, expected):
+        assert abs(r["sim"] - round(s, 6)) <= 1e-6
+
+
+def test_ivf_recall_at_full_probe(spark, sf_dir):
+    """Probing ALL centroids must recover the exact top-k (recall=1)."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    qvec = _query_vec(emb)
+    rest = emb.filter(F.col("vec_id") != 0)
+    exact = {r["vec_id"] for r in topk_cosine(rest, qvec, k=10).collect()}
+    index, cents = ivf_build(rest, n_centroids=8)
+    approx_full = {r["vec_id"] for r in ivf_topk_cosine(index, cents, qvec, k=10, nprobe=8).collect()}
+    assert approx_full == exact
+    # partial probe keeps decent recall on this data
+    approx_partial = {r["vec_id"] for r in ivf_topk_cosine(index, cents, qvec, k=10, nprobe=4).collect()}
+    assert len(approx_partial & exact) >= 5
+
+
+def test_knn_join_shape(spark):
+    rows = [(i, [float(i), 1.0]) for i in range(6)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = brute_force_knn_join(df, df, k=2)
+    per_query = {}
+    for r in out.collect():
+        per_query.setdefault(r["query_id"], []).append(r)
+    assert set(per_query) == set(range(6))
+    assert all(len(v) == 2 for v in per_query.values())
+
+
+def test_approx_count_distinct_accuracy(spark, sf_dir):
+    orders = read_table(spark, sf_dir, "orders")
+    row = orders.agg(
+        F.approx_count_distinct("o_custkey", 0.05).alias("approx"),
+        F.countDistinct("o_custkey").alias("exact"),
+    ).first()
+    assert abs(row["approx"] - row["exact"]) / row["exact"] < 0.1

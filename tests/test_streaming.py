@@ -1,0 +1,98 @@
+"""Structured Streaming: incremental spool drain with exactly-once
+checkpointing, windowed counts, session windows."""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import functions as F
+
+from usajobs_etl_service_spark.session import read_table
+from usajobs_etl_service_spark.sinks.upsert import merge_upsert
+from usajobs_etl_service_spark.streaming.pipeline import (
+    run_incremental_upsert,
+    sessionize,
+    stream_spool,
+    windowed_event_counts,
+)
+
+from tests.test_rest_source import make_page
+
+
+def _write_page(spool, page_no, payload):
+    spool.mkdir(exist_ok=True)
+    (spool / f"page-{page_no:05d}.json").write_text(
+        json.dumps({"page": page_no, "payload": json.dumps(payload)})
+    )
+
+
+def test_incremental_drain_and_resume(spark, tmp_path):
+    spool = tmp_path / "spool"
+    ckpt = str(tmp_path / "ckpt")
+    out = {"batches": [], "rows": 0}
+
+    def apply_batch(df, batch_id):
+        out["batches"].append(batch_id)
+        out["rows"] += df.count()
+
+    _write_page(spool, 1, make_page(4, 0, 8))
+    _write_page(spool, 2, make_page(4, 4, 8))
+    run_incremental_upsert(spark, str(spool), ckpt, apply_batch)
+    assert out["rows"] == 8
+
+    # new page arrives; re-run drains ONLY the new file (checkpoint)
+    _write_page(spool, 3, make_page(2, 8, 10))
+    run_incremental_upsert(spark, str(spool), ckpt, apply_batch)
+    assert out["rows"] == 10  # 8 + 2, pages 1-2 not reprocessed
+
+
+def test_streaming_and_batch_share_plan(spark, tmp_path):
+    spool = tmp_path / "spool"
+    _write_page(spool, 1, make_page(3, 0, 3))
+    sdf = stream_spool(spark, str(spool))
+    assert sdf.isStreaming
+    assert "position_uri" in sdf.columns and "ingest_seq" in sdf.columns
+
+
+def test_foreachbatch_upsert_integration(spark, tmp_path):
+    """Stream pages into a parquet table through the merge writer."""
+    import os
+
+    spool = tmp_path / "spool"
+    ckpt = str(tmp_path / "ckpt")
+    table = str(tmp_path / "table")
+
+    def apply_batch(df, batch_id):
+        from usajobs_etl_service_spark.schemas import JOB_POSTING_SCHEMA
+
+        batch = df.drop("ingest_seq").withColumn("created_at", F.current_timestamp()).withColumn(
+            "updated_at", F.current_timestamp()
+        )
+        if os.path.isdir(table) and any(f.endswith(".parquet") for f in os.listdir(table)):
+            base = spark.read.parquet(table)
+        else:
+            base = spark.createDataFrame([], JOB_POSTING_SCHEMA)
+        merged = merge_upsert(base, batch, ["position_uri"])
+        merged.write.mode("overwrite").parquet(table + ".tmp")
+        spark.read.parquet(table + ".tmp").write.mode("overwrite").parquet(table)
+
+    _write_page(spool, 1, make_page(5, 0, 5))
+    run_incremental_upsert(spark, str(spool), ckpt, apply_batch)
+    assert spark.read.parquet(table).count() == 5
+
+
+def test_windowed_counts_on_events(spark, sf_dir):
+    events = read_table(spark, sf_dir, "events")
+    out = windowed_event_counts(events, window_duration="1 day")
+    rows = out.collect()
+    assert sum(r["n_events"] for r in rows) == events.count()
+    # every window boundary is aligned to the day
+    assert all(r["window_start"].hour == 0 for r in rows)
+
+
+def test_sessionize_on_events(spark, sf_dir):
+    events = read_table(spark, sf_dir, "events")
+    out = sessionize(events, gap="30 minutes")
+    rows = out.collect()
+    assert sum(r["n_events"] for r in rows) == events.count()
+    assert all(r["session_end"] >= r["session_start"] for r in rows)

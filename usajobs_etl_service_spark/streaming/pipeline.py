@@ -1,0 +1,107 @@
+"""Incremental ingest + event-time analytics with Structured Streaming.
+
+The reference runs one batch per day (infrastructure/main.tf:337-384,
+Recurrence frequency=Day). The Spark-native incremental shape keeps the
+same operators but swaps the driver loop for a stream:
+
+- **source**: the REST spool directory as a file stream — each spooled
+  page JSON is an input file; ``Trigger.AvailableNow`` drains whatever
+  pages exist and stops (the daily-batch analog with checkpointed
+  exactly-once progress, so a crashed run resumes at the unprocessed
+  pages instead of re-fetching).
+- **transform**: the SAME ``parse_api_pages``/``flatten_postings`` DAG —
+  batch and streaming share one code path (Catalyst treats the stream
+  as an unbounded relation).
+- **sink**: ``foreachBatch`` -> the join-based upsert writer. MERGE is
+  not expressible as a streaming sink; foreachBatch gives each
+  micro-batch transactional batch semantics (reference upsert parity).
+- **late data**: watermarked sliding/tumbling windows over event time
+  for the analytics surface (demonstrated on the ``events`` table).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from usajobs_etl_service_spark.sources.ingest import flatten_postings, parse_api_pages
+
+
+def stream_spool(spark: SparkSession, spool_dir: str) -> DataFrame:
+    """Streaming DataFrame of flattened postings from a spool directory
+    (one JSON file per fetched page)."""
+    raw = spark.readStream.schema("page long, payload string").json(spool_dir)
+    return flatten_postings(parse_api_pages(raw))
+
+
+def run_incremental_upsert(
+    spark: SparkSession,
+    spool_dir: str,
+    checkpoint_dir: str,
+    apply_batch,
+) -> None:
+    """Drain the spool once (Trigger.AvailableNow) upserting each
+    micro-batch via ``apply_batch(batch_df, batch_id)``; blocks until
+    the drain completes. Checkpointing makes re-runs exactly-once per
+    page file."""
+    stream = stream_spool(spark, spool_dir)
+    query = (
+        stream.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+
+
+def windowed_event_counts(
+    events: DataFrame,
+    *,
+    window_duration: str = "1 hour",
+    slide: str | None = None,
+    watermark: str = "2 hours",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Watermarked event-time windowed counts per event_type. Works on
+    both a static events DataFrame and a stream (same plan); on a
+    stream the watermark bounds state and admits late rows up to its
+    horizon."""
+    windowed = events.withWatermark(ts_col, watermark) if events.isStreaming else events
+    win = F.window(F.col(ts_col), window_duration, slide or window_duration)
+    return (
+        windowed.groupBy(win.alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def sessionize(
+    events: DataFrame,
+    *,
+    gap: str = "30 minutes",
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Session windows (gap-based) per user — the stateful-op demo.
+    ``F.session_window`` keeps state per open session; the watermark
+    closes sessions whose gap has passed."""
+    src = events.withWatermark(ts_col, watermark) if events.isStreaming else events
+    sw = F.session_window(F.col(ts_col), gap)
+    return (
+        src.groupBy(sw.alias("s"), user_col)
+        .agg(F.count(F.lit(1)).alias("n_events"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .select(
+            F.col("s.start").alias("session_start"),
+            F.col("s.end").alias("session_end"),
+            user_col,
+            "n_events",
+            "sum_value",
+        )
+    )

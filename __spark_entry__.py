@@ -509,6 +509,105 @@ def q36_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk_cosine(index, cents, qvec, k=10, nprobe=4)
 
 
+def q37_rest_scan_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1-S4 + A6 end-to-end through the driver harness: deterministic
+    in-process REST transport -> paginated scan -> spool -> flatten ->
+    first-wins dedup. The oracle is the literal expected output
+    (VALUES), so the whole source+transform path is value-checked."""
+    from usajobs_etl_service_spark.operators.dedup import dedup_first_wins
+    from usajobs_etl_service_spark.sources.rest_api import RestPageSource, RetryPolicy, scan_to_dataframe
+
+    def md(title, uri, loc=None, rem=None, org=None, start=None):
+        d = {"PositionTitle": title, "PositionURI": uri}
+        if loc is not None:
+            d["PositionLocation"] = loc
+        if rem is not None:
+            d["PositionRemuneration"] = rem
+        if org is not None:
+            d["OrganizationName"] = org
+        if start is not None:
+            d["PositionStartDate"] = start
+        return {"MatchedObjectDescriptor": d}
+
+    pages = {
+        1: [
+            md(
+                "  Data Engineer ",
+                "https://jobs.example/1",
+                loc=[{"CityName": "Washington", "StateCode": "DC", "CountryCode": "US"}],
+                rem=[{"MinimumRange": "80000", "MaximumRange": "120000", "RateIntervalCode": "Per Year"}],
+                org="DoD",
+                start="2023-01-01T00:00:00.0000000",
+            ),
+            md("Analyst", "ftp://bad-uri"),  # filtered by P2
+            md("SRE", "https://jobs.example/2", rem=[{"MinimumRange": "90000", "RateIntervalCode": "Per Year"}]),
+        ],
+        2: [
+            md("Shadow Duplicate", "https://jobs.example/1"),  # dropped by A6 first-wins
+            md("PM", "https://jobs.example/3", loc=[]),
+        ],
+    }
+
+    def transport(params):
+        items = pages.get(params["Page"], [])
+        return {
+            "SearchResult": {
+                "SearchResultCount": len(items),
+                "SearchResultCountAll": 5,
+                "SearchResultItems": items,
+            }
+        }
+
+    src = RestPageSource(
+        transport=transport, page_size=3, max_pages=5,
+        retry=RetryPolicy(sleep=lambda s: None), sleep=lambda s: None,
+    )
+    flat = scan_to_dataframe(spark, src, "data engineering")
+    deduped = dedup_first_wins(flat, ["position_uri"], "ingest_seq")
+    return deduped.select(
+        "position_title",
+        "position_uri",
+        "position_location",
+        "position_remuneration",
+        "position_start_date",
+        "organization_name",
+    )
+
+
+def q38_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-shaped pricing summary: the canonical wide-agg scan
+    (filter pushdown + partial agg over 2 group keys)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+def q39_top_unshipped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3-shaped: 3-way join + grouped revenue + top-10
+    (broadcast dims, TakeOrdered on the grouped result)."""
+    cust = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderdate") < F.lit("1998-01-01"))
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > F.lit("1998-01-01"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey", "o_orderpriority")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey").asc())
+        .limit(10)
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_job_statistics": q01_job_statistics,
     "q02_metric_union": q02_metric_union,
@@ -546,6 +645,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q34_views_layer": q34_views_layer,
     "q35_approx_distinct": q35_approx_distinct,
     "q36_ivf_ann": q36_ivf_ann,
+    "q37_rest_scan_pipeline": q37_rest_scan_pipeline,
+    "q38_pricing_summary": q38_pricing_summary,
+    "q39_top_unshipped": q39_top_unshipped,
 }
 
 
@@ -795,6 +897,42 @@ ORACLES: dict[str, str] = {
         SELECT count(*) AS n_recent, count(DISTINCT o_orderpriority) AS n_orgs FROM orders
     """,
     # q35 (HLL approximate) and q36 (IVF ANN) are rows-only by design
+    "q37_rest_scan_pipeline": """
+        SELECT * FROM (VALUES
+            ('Data Engineer', 'https://jobs.example/1', 'Washington, DC, US',
+             '$80,000 - $120,000 Per Year', DATE '2023-01-01', 'DoD'),
+            ('SRE', 'https://jobs.example/2', 'Location not specified',
+             '$90,000+ Per Year', CAST(NULL AS DATE), ''),
+            ('PM', 'https://jobs.example/3', 'Location not specified',
+             'Not specified', CAST(NULL AS DATE), '')
+        ) AS t(position_title, position_uri, position_location,
+               position_remuneration, position_start_date, organization_name)
+    """,
+    "q38_pricing_summary": """
+        SELECT l_returnflag, l_linestatus,
+               round(sum(l_quantity), 2) AS sum_qty,
+               round(sum(l_extendedprice), 2) AS sum_base_price,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+               round(avg(l_quantity), 4) AS avg_qty,
+               round(avg(l_discount), 6) AS avg_disc,
+               count(*) AS count_order
+        FROM lineitem
+        WHERE CAST(l_shipdate AS DATE) <= DATE '1998-09-02'
+        GROUP BY l_returnflag, l_linestatus
+    """,
+    "q39_top_unshipped": """
+        SELECT l_orderkey, o_orderpriority,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        WHERE c_mktsegment = 'BUILDING'
+          AND CAST(o_orderdate AS DATE) < DATE '1998-01-01'
+          AND CAST(l_shipdate AS DATE) > DATE '1998-01-01'
+        GROUP BY l_orderkey, o_orderpriority
+        ORDER BY revenue DESC, l_orderkey ASC
+        LIMIT 10
+    """,
     "q27_quality_score": """
         WITH f AS (
             SELECT doc_id,

@@ -1,0 +1,83 @@
+"""Scale-shape checks: plan assertions (pushdown, broadcast,
+TakeOrdered, single-shuffle dedup), salted aggregation equivalence, and
+bucketed co-located joins."""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import functions as F
+
+from usajobs_etl_service_spark.operators.stats import group_counts, salted_group_counts
+from usajobs_etl_service_spark.session import read_table
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_salted_counts_match_plain(spark, sf_dir):
+    events = read_table(spark, sf_dir, "events")
+    plain = {r["event_type"]: r["job_count"] for r in group_counts(events, "event_type").collect()}
+    salted = {r["event_type"]: r["job_count"] for r in salted_group_counts(events, "event_type").collect()}
+    assert salted == plain
+
+
+def test_topk_plans_take_ordered(spark, sf_dir):
+    events = read_table(spark, sf_dir, "events")
+    p = _plan(events.orderBy(F.col("value").desc()).limit(5))
+    assert "TakeOrderedAndProject" in p
+    assert "Exchange" not in p  # no full-shuffle sort for a top-k
+
+
+def test_parquet_pushdown(spark, sf_dir):
+    part = read_table(spark, sf_dir, "part")
+    p = _plan(part.filter(F.col("p_name").startswith("small")).select("p_partkey"))
+    m = re.search(r"PushedFilters: \[([^\]]*)\]", p)
+    assert m and "StringStartsWith(p_name,small)" in m.group(1)
+    m = re.search(r"ReadSchema: ([^\n,]*)", p)
+    assert "p_retailprice" not in p.split("ReadSchema")[1][:200]  # pruned
+
+
+def test_merge_broadcasts_batch(spark, sf_dir):
+    from usajobs_etl_service_spark.sinks.upsert import merge_upsert
+
+    orders = read_table(spark, sf_dir, "orders")
+    batch = orders.limit(10)
+    p = _plan(merge_upsert(orders, batch, ["o_orderkey"]))
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+
+
+def test_dedup_single_shuffle(spark, sf_dir):
+    from usajobs_etl_service_spark.operators.dedup import dedup_first_wins
+
+    events = read_table(spark, sf_dir, "events")
+    p = _plan(dedup_first_wins(events, ["user_id"], "event_id"))
+    assert p.count("Exchange") == 1
+
+
+def test_bucketed_join_avoids_shuffle(spark, sf_dir, tmp_path):
+    """Bucketing both sides on the join key pre-shuffles at write time;
+    the join plan then has no Exchange — the repeated-join 100 TB
+    pattern (bucket once, join many times)."""
+    orders = read_table(spark, sf_dir, "orders")
+    li = read_table(spark, sf_dir, "lineitem")
+    spark.sql("DROP TABLE IF EXISTS b_orders")
+    spark.sql("DROP TABLE IF EXISTS b_lineitem")
+    orders.write.bucketBy(8, "o_orderkey").sortBy("o_orderkey").saveAsTable("b_orders")
+    li.write.bucketBy(8, "l_orderkey").sortBy("l_orderkey").saveAsTable("b_lineitem")
+    # hint forces sort-merge (at test scale Spark would broadcast); at
+    # real scale sort-merge is the default and the bucketing pays off
+    joined = spark.table("b_lineitem").hint("merge").join(
+        spark.table("b_orders"), F.col("l_orderkey") == F.col("o_orderkey")
+    )
+    try:
+        p = _plan(joined)
+        assert "SortMergeJoin" in p
+        assert "Exchange" not in p  # co-located: no shuffle on either side
+        n = joined.count()
+        assert n == li.count()
+    finally:
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_lineitem")

@@ -37,6 +37,12 @@ def minhash_signature(text_col: Column, num_hashes: int = 128, shingle_k: int = 
     (observed 0.28 and 0.88 for a true J of 0.58). Seeded rehashing is
     min-wise independent and costs one extra codegen'd hash per lane.
     """
+    # Lane i rehashes the shingle hash with an independent seed. Cheaper
+    # families were tried and rejected for bias: an affine (a*h+b) mod p
+    # with ANSI-safe small `a` never wraps the modulus, and the
+    # 2-universal g_i = h1 + i*h2 keeps i*h2 tiny next to h1's spread —
+    # in both, every lane's min collapses onto the same argmin shingle
+    # and the Jaccard estimate is wildly off (0.28 / 0.88 for true 0.58).
     base = F.transform(shingles(text_col, shingle_k), lambda s: F.xxhash64(s))
     # single fold computing all lane minima at once: `base` is referenced
     # exactly once (64 per-lane array_min(transform(base,...)) expressions
@@ -225,10 +231,21 @@ def ngram_jaccard_pairs(
     id_col: str = "doc_id",
     text_col: str = "text",
     n: int = 3,
+    hash_grams: bool = True,
 ) -> DataFrame:
     """Exact n-gram Jaccard for given candidate (id_a, id_b) pairs —
-    the verification stage downstream of any LSH candidate generator."""
-    grams = df.select(F.col(id_col).alias("id"), ngram_set(F.col(text_col), n).alias("grams"))
+    the verification stage downstream of any LSH candidate generator.
+
+    ``hash_grams=True`` replaces each n-gram string with its 64-bit
+    xxhash before the join: set sizes (and therefore Jaccard) are
+    unchanged up to a ~1e-13 collision probability, while the shuffled
+    arrays shrink from ~30 B/gram strings to 8 B longs and the
+    intersect/union compares become long equality — the shape that
+    matters when candidate pairs number in the billions."""
+    gram_expr = ngram_set(F.col(text_col), n)
+    if hash_grams:
+        gram_expr = F.array_distinct(F.transform(gram_expr, lambda g: F.xxhash64(g)))
+    grams = df.select(F.col(id_col).alias("id"), gram_expr.alias("grams"))
     return (
         pairs.join(grams.withColumnRenamed("id", "id_a").withColumnRenamed("grams", "grams_a"), "id_a")
         .join(grams.withColumnRenamed("id", "id_b").withColumnRenamed("grams", "grams_b"), "id_b")

@@ -64,6 +64,22 @@ def group_counts(df: DataFrame, group_col: str) -> DataFrame:
     return df.groupBy(group_col).agg(F.count(F.lit(1)).alias("job_count"))
 
 
+def salted_group_counts(
+    df: DataFrame, group_col: str, *, salt_buckets: int = 32, salt_threshold: int | None = None
+) -> DataFrame:
+    """A7 under key skew: two-phase (salted) aggregation.
+
+    Phase 1 groups by (key, salt) — the hot key's rows spread over
+    ``salt_buckets`` reducers instead of melting one; phase 2 merges the
+    per-salt partials (tiny: |keys| * salt_buckets rows). Same result as
+    ``group_counts``, different shuffle shape. Use when one key holds
+    >~1% of a 100 TB table; for joins AQE's skew handling does this
+    automatically, but aggregations need it done by hand."""
+    salted = df.withColumn("__salt", F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(salt_buckets)))
+    partial = salted.groupBy(group_col, "__salt").agg(F.count(F.lit(1)).alias("__partial"))
+    return partial.groupBy(group_col).agg(F.sum("__partial").cast("long").alias("job_count"))
+
+
 def metric_value_union(df: DataFrame, metrics: list[tuple[str, Column]]) -> DataFrame:
     """U1: the monitor.sh UNION ALL shape (reference monitor.sh:19-39) —
     labelled scalar aggregates as (metric, value) text rows. Computed as

@@ -608,6 +608,26 @@ def q39_top_unshipped(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q40_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The LLM-training-data story end-to-end as ONE declarative plan:
+    exact dedup (md5 fingerprint, first-wins) -> quality gate -> keep
+    identified languages -> emit curation columns. Single pipeline =
+    single scan + one dedup shuffle; every stage is a codegen'd
+    expression, so Catalyst fuses the gates into the scan."""
+    from usajobs_etl_service_spark.operators.dedup import dedup_first_wins
+
+    docs = _t(spark, sf_dir, "documents")
+    fingerprinted = docs.withColumn("fp", TX.fingerprint_md5(F.col("text")))
+    deduped = dedup_first_wins(fingerprinted, ["fp"], "doc_id")
+    curated = (
+        deduped.withColumn("lang_pred", TX.lang_id(F.col("text")))
+        .withColumn("quality", TX.quality_score(F.col("text")))
+        .withColumn("tokens", TX.token_count_ws(F.col("text")))
+        .filter((F.col("quality") >= 0.5) & (F.col("lang_pred") != "und"))
+    )
+    return curated.select("doc_id", "lang_pred", "quality", "tokens")
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_job_statistics": q01_job_statistics,
     "q02_metric_union": q02_metric_union,
@@ -648,6 +668,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q37_rest_scan_pipeline": q37_rest_scan_pipeline,
     "q38_pricing_summary": q38_pricing_summary,
     "q39_top_unshipped": q39_top_unshipped,
+    "q40_corpus_curation": q40_corpus_curation,
 }
 
 
@@ -907,6 +928,51 @@ ORACLES: dict[str, str] = {
              'Not specified', CAST(NULL AS DATE), '')
         ) AS t(position_title, position_uri, position_location,
                position_remuneration, position_start_date, organization_name)
+    """,
+    "q40_corpus_curation": """
+        WITH dedup AS (
+            SELECT doc_id, text,
+                   row_number() OVER (PARTITION BY md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))
+                                      ORDER BY doc_id) AS rn
+            FROM documents
+        ),
+        feats AS (
+            SELECT doc_id, text,
+                   length(text) AS n_chars,
+                   len(list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '')) AS n_tokens,
+                   length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS n_alpha,
+                   length(regexp_replace(text, '[^0-9]', '', 'g')) AS n_digit,
+                   length(text) - length(regexp_replace(text, '\\s', '', 'g')) AS n_space,
+                   len(list_filter(string_split_regex(lower(text), '\\s+'),
+                       x -> x IN ('the','and','of','to','is','in','that','with'))) AS s_en,
+                   len(list_filter(string_split_regex(lower(text), '\\s+'),
+                       x -> x IN ('le','la','les','des','est','et','une','dans'))) AS s_fr,
+                   len(list_filter(string_split_regex(lower(text), '\\s+'),
+                       x -> x IN ('der','die','das','und','ist','nicht','ein','mit'))) AS s_de,
+                   len(list_filter(string_split_regex(lower(text), '\\s+'),
+                       x -> x IN ('el','los','las','es','una','que','para','con'))) AS s_es
+            FROM dedup WHERE rn = 1
+        ),
+        scored AS (
+            SELECT doc_id,
+                   CASE WHEN greatest(s_en, s_fr, s_de, s_es) = 0 THEN 'und'
+                        WHEN s_en = greatest(s_en, s_fr, s_de, s_es) THEN 'en'
+                        WHEN s_fr = greatest(s_en, s_fr, s_de, s_es) THEN 'fr'
+                        WHEN s_de = greatest(s_en, s_fr, s_de, s_es) THEN 'de'
+                        ELSE 'es'
+                   END AS lang_pred,
+                   round(
+                       least(CAST(n_tokens AS DOUBLE) / 20.0, 1.0) * 0.3
+                     + (CASE WHEN n_chars > 0 THEN CAST(n_alpha AS DOUBLE) / n_chars ELSE 0.0 END) * 0.3
+                     + (1 - least((CASE WHEN n_chars > 0 THEN CAST(n_digit AS DOUBLE) / n_chars ELSE 0.0 END) * 4, 1.0)) * 0.15
+                     + (1 - least((CASE WHEN n_chars > 0 THEN CAST(n_chars - n_alpha - n_digit - n_space AS DOUBLE) / n_chars ELSE 0.0 END) * 4, 1.0)) * 0.15
+                     + least(CAST(s_en AS DOUBLE) / 5.0, 1.0) * 0.1
+                   , 4) AS quality,
+                   n_tokens AS tokens
+            FROM feats
+        )
+        SELECT doc_id, lang_pred, quality, tokens FROM scored
+        WHERE quality >= 0.5 AND lang_pred <> 'und'
     """,
     "q38_pricing_summary": """
         SELECT l_returnflag, l_linestatus,

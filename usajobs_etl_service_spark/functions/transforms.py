@@ -66,10 +66,12 @@ def render_location(location_array: Column) -> Column:
 # ---------------------------------------------------------------------------
 
 def format_money(col: Column) -> Column:
-    """F13: Python ``f"{int(float(x)):,}"`` parity — truncate (not round)
-    then comma-group. ``format_number`` rounds half-up, so ``floor`` first
+    """F13: Python ``f"{int(float(x)):,}"`` parity — truncate TOWARD ZERO
+    (``int(float(-500.9))`` is -500; ``floor`` would give -501), then
+    comma-group. double->long cast truncates toward zero and
+    ``format_number(long, 0)`` groups without rounding
     (reference etl.py:330-334)."""
-    return F.format_number(F.floor(col.try_cast("double")), 0)
+    return F.format_number(col.try_cast("double").try_cast("long"), 0)
 
 
 def render_remuneration(remuneration_array: Column) -> Column:

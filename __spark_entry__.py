@@ -628,6 +628,38 @@ def q40_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return curated.select("doc_id", "lang_pred", "quality", "tokens")
 
 
+def q41_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming-surface semantics on the batch path: tumbling 1-day
+    event-time windows (same plan Structured Streaming runs with a
+    watermark — streaming/pipeline.windowed_event_counts)."""
+    from usajobs_etl_service_spark.streaming.pipeline import windowed_event_counts
+
+    events = _t(spark, sf_dir, "events")
+    out = windowed_event_counts(events, window_duration="1 day")
+    return out.select(
+        F.date_format("window_start", TS_FMT).alias("window_start"),
+        "event_type",
+        "n_events",
+        "sum_value",
+    )
+
+
+def q42_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows (30-min gap) per user — Spark's stateful
+    session_window vs a gaps-and-islands SQL oracle."""
+    from usajobs_etl_service_spark.streaming.pipeline import sessionize
+
+    events = _t(spark, sf_dir, "events")
+    out = sessionize(events, gap="30 minutes")
+    return out.select(
+        F.date_format("session_start", TS_FMT_US).alias("session_start"),
+        F.date_format("session_end", TS_FMT_US).alias("session_end"),
+        "user_id",
+        "n_events",
+        "sum_value",
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_job_statistics": q01_job_statistics,
     "q02_metric_union": q02_metric_union,
@@ -669,6 +701,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q38_pricing_summary": q38_pricing_summary,
     "q39_top_unshipped": q39_top_unshipped,
     "q40_corpus_curation": q40_corpus_curation,
+    "q41_windowed_counts": q41_windowed_counts,
+    "q42_sessionize": q42_sessionize,
 }
 
 
@@ -973,6 +1007,37 @@ ORACLES: dict[str, str] = {
         )
         SELECT doc_id, lang_pred, quality, tokens FROM scored
         WHERE quality >= 0.5 AND lang_pred <> 'und'
+    """,
+    "q41_windowed_counts": """
+        SELECT strftime(date_trunc('day', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+               event_type,
+               count(*) AS n_events,
+               round(sum(value), 2) AS sum_value
+        FROM events
+        GROUP BY date_trunc('day', ts), event_type
+    """,
+    "q42_sessionize": """
+        WITH marked AS (
+            SELECT user_id, ts, value,
+                   CASE WHEN lag(ts) OVER w IS NULL
+                             OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+                        THEN 1 ELSE 0 END AS new_session
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ),
+        islands AS (
+            SELECT user_id, ts, value,
+                   sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_no
+            FROM marked
+        )
+        SELECT strftime(min(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_start,
+               strftime(max(ts) + INTERVAL 30 MINUTE, '%Y-%m-%d %H:%M:%S.%f') AS session_end,
+               user_id,
+               count(*) AS n_events,
+               round(sum(value), 2) AS sum_value
+        FROM islands
+        GROUP BY user_id, session_no
     """,
     "q38_pricing_summary": """
         SELECT l_returnflag, l_linestatus,

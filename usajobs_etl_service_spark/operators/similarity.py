@@ -107,6 +107,10 @@ def ivf_build(
     w = Window.partitionBy(id_col).orderBy(F.col("csim").desc(), F.col("centroid_id").asc())
     assign = scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1).select(id_col, "centroid_id")
     index = df.join(assign, id_col).repartition("centroid_id")
+    # an IVF index is a build-once artifact: at scale, write it as a
+    # parquet table partitioned by centroid_id (probes then prune
+    # partitions) rather than caching — for a single in-session probe,
+    # lazy evaluation beats paying cache materialization up front.
     return index, cent
 
 

@@ -660,6 +660,42 @@ def q42_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q43_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL surface: scalar subquery in a predicate (orders above the
+    average price), through spark.sql over registered views."""
+    from usajobs_etl_service_spark.session import load_tables
+
+    load_tables(spark, sf_dir, ["orders"])
+    return spark.sql(
+        """
+        SELECT o_orderkey, round(o_totalprice, 2) AS o_totalprice
+        FROM orders
+        WHERE o_totalprice > (SELECT avg(o_totalprice) * 1.8 FROM orders)
+        """
+    )
+
+
+def q44_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A7 + HAVING: group counts filtered on the aggregate."""
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("n_orders"), F.round(F.sum("o_totalprice"), 2).alias("spend"))
+        .filter(F.col("n_orders") >= 15)
+    )
+
+
+def q45_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extension (multimodal): binary media columns -> Arrow-batched
+    feature extraction (deterministic fake codec). Rows-only: the codec
+    layer is a stub by design; plumbing is value-tested in
+    tests/test_multimodal.py."""
+    from usajobs_etl_service_spark.operators.multimodal import extract_image_features, synth_media
+
+    media = synth_media(spark, n=30)
+    return extract_image_features(media).select("media_id", "width", "height", "n_pixels")
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_job_statistics": q01_job_statistics,
     "q02_metric_union": q02_metric_union,
@@ -703,6 +739,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q40_corpus_curation": q40_corpus_curation,
     "q41_windowed_counts": q41_windowed_counts,
     "q42_sessionize": q42_sessionize,
+    "q43_scalar_subquery": q43_scalar_subquery,
+    "q44_having": q44_having,
+    "q45_multimodal_features": q45_multimodal_features,
 }
 
 
@@ -1039,6 +1078,16 @@ ORACLES: dict[str, str] = {
         FROM islands
         GROUP BY user_id, session_no
     """,
+    "q43_scalar_subquery": """
+        SELECT o_orderkey, round(o_totalprice, 2) AS o_totalprice
+        FROM orders
+        WHERE o_totalprice > (SELECT avg(o_totalprice) * 1.8 FROM orders)
+    """,
+    "q44_having": """
+        SELECT o_custkey, count(*) AS n_orders, round(sum(o_totalprice), 2) AS spend
+        FROM orders GROUP BY o_custkey HAVING count(*) >= 15
+    """,
+    # q45 (multimodal): rows-only — the codec layer is stubbed by design
     "q38_pricing_summary": """
         SELECT l_returnflag, l_linestatus,
                round(sum(l_quantity), 2) AS sum_qty,

@@ -49,6 +49,28 @@ def test_merge_broadcasts_batch(spark, sf_dir):
     assert "SortMergeJoin" not in p
 
 
+def test_merge_preserve_never_broadcasts_base(spark, sf_dir):
+    """With preserve_cols, everything broadcast must derive from the
+    (small) batch side — the base table only appears under scans and
+    semi-join probe sides, never as a broadcast build of its full key
+    projection."""
+    from usajobs_etl_service_spark.sinks.upsert import merge_upsert
+
+    orders = read_table(spark, sf_dir, "orders")
+    batch = orders.limit(10).withColumn("o_orderpriority", F.lit("X"))
+    merged = merge_upsert(
+        orders, batch, ["o_orderkey"], preserve_cols=["o_orderdate"], touch_cols=[]
+    )
+    p = _plan(merged)
+    # base rows: 1500; batch: 10. Every BroadcastExchange subtree must sit
+    # below a join whose other side is the full scan — cheap proxy: the
+    # plan has no SortMergeJoin and row counts stay correct.
+    assert "SortMergeJoin" not in p
+    assert merged.count() == orders.count()
+    row = merged.filter(F.col("o_orderkey") == batch.first()["o_orderkey"]).first()
+    assert row["o_orderpriority"] == "X"
+
+
 def test_dedup_single_shuffle(spark, sf_dir):
     from usajobs_etl_service_spark.operators.dedup import dedup_first_wins
 

@@ -59,7 +59,13 @@ def merge_upsert(
     touch_cols = touch_cols or []
 
     if preserve_cols:
-        keep = base.select(*key_cols, *[F.col(c).alias(f"__base_{c}") for c in preserve_cols])
+        # prune base to the batch's keys FIRST (broadcast semi-join on the
+        # small batch-key set), so what we later broadcast back is at most
+        # |batch| rows — never a projection of the 100 TB base table
+        keys_b = b.select(*key_cols)
+        keep = base.select(*key_cols, *[F.col(c).alias(f"__base_{c}") for c in preserve_cols]).join(
+            F.broadcast(keys_b) if broadcast_batch else keys_b, key_cols, "left_semi"
+        )
         b = b.join(F.broadcast(keep) if broadcast_batch else keep, key_cols, "left")
         for c in preserve_cols:
             b = b.withColumn(c, F.coalesce(F.col(f"__base_{c}"), F.col(c))).drop(f"__base_{c}")
@@ -84,11 +90,17 @@ def merge_metrics(
     a broadcast-able probe of base keys.
     """
     b = prepare_batch(batch, key_cols, order_col)
-    flags = b.select(*key_cols).join(
-        base.select(*key_cols).dropDuplicates(key_cols).withColumn("__matched", F.lit(1)),
-        key_cols,
-        "left",
+    keys_b = b.select(*key_cols)
+    # prune base keys to the batch's keys (broadcast semi on the small
+    # side) before the probe join — never materialize/shuffle the full
+    # base key set
+    matched_keys = (
+        base.select(*key_cols)
+        .join(F.broadcast(keys_b), key_cols, "left_semi")
+        .dropDuplicates(key_cols)
+        .withColumn("__matched", F.lit(1))
     )
+    flags = keys_b.join(F.broadcast(matched_keys), key_cols, "left")
     return flags.agg(
         F.count(F.when(F.col("__matched").isNull(), 1)).alias("inserted"),
         F.count(F.when(F.col("__matched").isNotNull(), 1)).alias("updated"),

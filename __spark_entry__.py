@@ -696,6 +696,17 @@ def q45_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_image_features(media).select("media_id", "width", "height", "n_pixels")
 
 
+def q46_native_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1-S3 as a native Python DataSource: spark.read.format with one
+    input partition per API page, fetched executor-side (mock
+    transport), flattened through the production S4 path. The oracle
+    reproduces the formulaic mock corpus with generate_series."""
+    from usajobs_etl_service_spark.sources.datasource import read_rest_jobs
+
+    flat = read_rest_jobs(spark, mode="mock", mock_total=1200, results_per_page=500)
+    return flat.select("position_title", "position_uri", "position_location", "position_remuneration")
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_job_statistics": q01_job_statistics,
     "q02_metric_union": q02_metric_union,
@@ -742,6 +753,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q43_scalar_subquery": q43_scalar_subquery,
     "q44_having": q44_having,
     "q45_multimodal_features": q45_multimodal_features,
+    "q46_native_datasource": q46_native_datasource,
 }
 
 
@@ -1088,6 +1100,13 @@ ORACLES: dict[str, str] = {
         FROM orders GROUP BY o_custkey HAVING count(*) >= 15
     """,
     # q45 (multimodal): rows-only — the codec layer is stubbed by design
+    "q46_native_datasource": """
+        SELECT 'Data Engineer ' || i AS position_title,
+               'https://www.usajobs.gov/job/42-' || i AS position_uri,
+               'City ' || (i % 10) || ', S' || (i % 5) || ', US' AS position_location,
+               '$' || format('{:,}', 80000 + i * 100) || '+ Per Year' AS position_remuneration
+        FROM generate_series(0, 1199) t(i)
+    """,
     "q38_pricing_summary": """
         SELECT l_returnflag, l_linestatus,
                round(sum(l_quantity), 2) AS sum_qty,

@@ -141,13 +141,7 @@ class JobPipeline:
         """etl_metadata run log (reference init.sql:73-80) as an
         append-only parquet table."""
         log_df = self.spark.createDataFrame(
-            [
-                (
-                    metrics.jobs_processed if hasattr(metrics, "jobs_processed") else metrics.jobs_loaded,
-                    metrics.status,
-                    "; ".join(metrics.errors) or None,
-                )
-            ],
+            [(metrics.jobs_loaded, metrics.status, "; ".join(metrics.errors) or None)],
             "jobs_processed int, status string, error_message string",
         ).select(
             F.current_timestamp().alias("last_run_at"),

@@ -134,13 +134,26 @@ def fingerprint_xx64(col: Column) -> Column:
     return F.xxhash64(normalized_text(col))
 
 
-def shingles(col: Column, k: int = 5) -> Column:
-    """Word k-gram shingles (array<string>) over normalized text — the
-    rolling-hash unit for MinHash / Jaccard near-dup."""
-    toks = F.split(normalized_text(col), _WS)
+def shingles_from_tokens(toks: Column, k: int = 5) -> Column:
+    """Word k-gram shingles from an ALREADY-MATERIALIZED token array
+    column. ``toks`` must be a plain column reference: expressions
+    referenced inside higher-order-function lambdas are re-evaluated
+    per array element (interpreted), so passing the tokenizer
+    expression here re-runs regex+split once per shingle — observed
+    ~18x slowdown. Project tokens into a column first."""
     n = F.size(toks)
     idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
     return F.when(
         n >= k,
         F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k))),
     ).otherwise(F.array(F.concat_ws(" ", toks)))
+
+
+def shingles(col: Column, k: int = 5) -> Column:
+    """Word k-gram shingles (array<string>) over normalized text — the
+    rolling-hash unit for MinHash / Jaccard near-dup.
+
+    NOTE: convenient single-expression form; in bulk paths prefer
+    projecting ``split(normalized_text(c), '\\s+')`` to a column and
+    calling ``shingles_from_tokens`` (see its docstring for why)."""
+    return shingles_from_tokens(F.split(normalized_text(col), _WS), k)

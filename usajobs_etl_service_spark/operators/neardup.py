@@ -204,6 +204,44 @@ def hamming64(a: Column, b: Column) -> Column:
     return F.bit_count(a.bitwiseXOR(b))
 
 
+def simhash_signatures_df(df: DataFrame, *, id_col: str, text_col: str) -> DataFrame:
+    """Batch form of ``simhash64``: explode tokens, 64 codegen'd ±1-sum
+    aggregates (one per bit), then fold the votes into the signature.
+    Identical values to the Column form; avoids the per-token 64-array
+    allocation of the fold (same lesson as minhash_signatures_df)."""
+    from functools import reduce
+
+    from usajobs_etl_service_spark.functions.text import tokens_ws
+
+    ex = df.select(F.col(id_col).alias("id"), F.explode(tokens_ws(F.lower(F.col(text_col)))).alias("t"))
+    hashed = ex.select("id", F.xxhash64("t").alias("h"))
+    # pack 4 per-bit ones-counters into each long (16-bit fields): 16
+    # sum aggregates instead of 64 cuts whole-stage-codegen compile time
+    # ~4x. Field capacity 65535 tokens/doc (plenty; documents are <<).
+    h = F.col("h")
+
+    def packed(g: int):
+        parts = [
+            F.shiftleft(F.shiftright(h, 4 * g + k).bitwiseAND(F.lit(1)).cast("long"), 16 * k)
+            for k in range(4)
+        ]
+        return reduce(lambda a, b: a + b, parts)
+
+    aggs = [F.sum(packed(g)).alias(f"p{g}") for g in range(16)]
+    votes = hashed.groupBy("id").agg(F.count(F.lit(1)).alias("n"), *aggs)
+    # bit j set iff ones_j > n/2  (votes_j = 2*ones_j - n > 0)
+    bit_exprs = []
+    for j in range(64):
+        g, k = divmod(j, 4)
+        ones = F.shiftright(F.col(f"p{g}"), 16 * k).bitwiseAND(F.lit(0xFFFF))
+        bit_exprs.append(
+            F.when(ones * 2 > F.col("n"), F.lit((1 << j) if j < 63 else -(1 << 63)).cast("long")).otherwise(
+                F.lit(0).cast("long")
+            )
+        )
+    return votes.select("id", reduce(lambda a, b: a.bitwiseOR(b), bit_exprs).alias("sig"))
+
+
 def simhash_near_dup_pairs(
     df: DataFrame,
     *,
@@ -214,7 +252,7 @@ def simhash_near_dup_pairs(
     """Candidate pairs via 4x16-bit band equality (any doc pair with
     Hamming distance <= 3 shares at least one exact band by pigeonhole
     when bands=4), then exact Hamming filter."""
-    sigs = df.select(F.col(id_col).alias("id"), simhash64(F.col(text_col)).alias("sig"))
+    sigs = simhash_signatures_df(df, id_col=id_col, text_col=text_col)
     banded = sigs.select(
         "id",
         "sig",

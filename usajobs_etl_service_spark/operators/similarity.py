@@ -110,8 +110,10 @@ def ivf_build(
     # an IVF index is a build-once artifact: at scale, write it as a
     # parquet table partitioned by centroid_id (probes then prune
     # partitions) rather than caching — for a single in-session probe,
-    # lazy evaluation beats paying cache materialization up front.
-    return index, cent
+    # lazy evaluation beats paying cache materialization up front. The
+    # centroid frame is C rows and feeds every downstream job (probe
+    # ranking AND the index's assignment cross-join) — cache that.
+    return index, cent.cache()
 
 
 def ivf_topk_cosine(

@@ -707,6 +707,25 @@ def q46_native_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
     return flat.select("position_title", "position_uri", "position_location", "position_remuneration")
 
 
+def q47_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom operator (as-of/point-in-time join): for every event, the
+    user's most recent signup at-or-before it. Implemented as
+    union+window (single shuffle, no range cross-join); oracle is
+    DuckDB's native ASOF LEFT JOIN."""
+    from usajobs_etl_service_spark.operators.asof import asof_join
+
+    events = _t(spark, sf_dir, "events")
+    signups = events.filter(F.col("event_type") == "signup").select(
+        "user_id", F.col("ts").alias("rts"), F.col("value").alias("signup_value")
+    )
+    out = asof_join(events, signups, on=["user_id"], left_ts="ts", right_ts="rts")
+    return out.select(
+        "event_id",
+        F.round("signup_value_asof", 3).alias("signup_value_asof"),
+        F.date_format("rts_asof", TS_FMT_US).alias("signup_ts"),
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_job_statistics": q01_job_statistics,
     "q02_metric_union": q02_metric_union,
@@ -754,6 +773,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q44_having": q44_having,
     "q45_multimodal_features": q45_multimodal_features,
     "q46_native_datasource": q46_native_datasource,
+    "q47_asof_join": q47_asof_join,
 }
 
 
@@ -1100,6 +1120,14 @@ ORACLES: dict[str, str] = {
         FROM orders GROUP BY o_custkey HAVING count(*) >= 15
     """,
     # q45 (multimodal): rows-only — the codec layer is stubbed by design
+    "q47_asof_join": """
+        SELECT e.event_id,
+               round(s.value, 3) AS signup_value_asof,
+               strftime(s.ts, '%Y-%m-%d %H:%M:%S.%f') AS signup_ts
+        FROM events e
+        ASOF LEFT JOIN (SELECT user_id, ts, value FROM events WHERE event_type = 'signup') s
+          ON e.user_id = s.user_id AND e.ts >= s.ts
+    """,
     "q46_native_datasource": """
         SELECT 'Data Engineer ' || i AS position_title,
                'https://www.usajobs.gov/job/42-' || i AS position_uri,

@@ -726,6 +726,46 @@ def q47_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q48_window_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window-function surface in one pass: lag, lead, rank,
+    dense_rank, and a 3-row moving average per user."""
+    from pyspark.sql import Window
+
+    events = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wr = Window.partitionBy("user_id").orderBy(F.round("value", 3).desc(), F.col("event_id").asc())
+    return events.select(
+        "event_id",
+        "user_id",
+        F.lag(F.round("value", 3)).over(w).alias("prev_value"),
+        F.lead(F.round("value", 3)).over(w).alias("next_value"),
+        F.rank().over(wr).alias("value_rank"),
+        F.dense_rank().over(wr).alias("value_dense_rank"),
+        F.round(F.avg("value").over(w.rowsBetween(-2, 0)), 3).alias("moving_avg_3"),
+    )
+
+
+def q49_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percentile aggregates: exact interpolated median/p90 per order
+    priority (Spark `percentile` == DuckDB `quantile_cont`)."""
+    orders = _t(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderpriority").agg(
+        F.round(F.percentile("o_totalprice", 0.5), 2).alias("median_price"),
+        F.round(F.percentile("o_totalprice", 0.9), 2).alias("p90_price"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+def q50_map_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map-type surface: parse the JSON props column into
+    map<string,int>, explode to key/value rows."""
+    events = _t(spark, sf_dir, "events")
+    parsed = events.select(
+        "event_id", F.from_json("props", "map<string,int>").alias("m")
+    )
+    return parsed.select("event_id", F.explode("m").alias("key", "val"))
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_job_statistics": q01_job_statistics,
     "q02_metric_union": q02_metric_union,
@@ -774,6 +814,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q45_multimodal_features": q45_multimodal_features,
     "q46_native_datasource": q46_native_datasource,
     "q47_asof_join": q47_asof_join,
+    "q48_window_suite": q48_window_suite,
+    "q49_percentiles": q49_percentiles,
+    "q50_map_ops": q50_map_ops,
 }
 
 
@@ -1134,6 +1177,29 @@ ORACLES: dict[str, str] = {
                'City ' || (i % 10) || ', S' || (i % 5) || ', US' AS position_location,
                '$' || format('{:,}', 80000 + i * 100) || '+ Per Year' AS position_remuneration
         FROM generate_series(0, 1199) t(i)
+    """,
+    "q48_window_suite": """
+        SELECT event_id, user_id,
+               lag(round(value, 3)) OVER w AS prev_value,
+               lead(round(value, 3)) OVER w AS next_value,
+               rank() OVER wr AS value_rank,
+               dense_rank() OVER wr AS value_dense_rank,
+               round(avg(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                      ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 3) AS moving_avg_3
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id),
+               wr AS (PARTITION BY user_id ORDER BY round(value, 3) DESC, event_id ASC)
+    """,
+    "q49_percentiles": """
+        SELECT o_orderpriority,
+               round(quantile_cont(o_totalprice, 0.5), 2) AS median_price,
+               round(quantile_cont(o_totalprice, 0.9), 2) AS p90_price,
+               count(*) AS n
+        FROM orders GROUP BY o_orderpriority
+    """,
+    "q50_map_ops": """
+        SELECT event_id, 'k' AS key, CAST(json_extract(props, '$.k') AS INTEGER) AS val
+        FROM events
     """,
     "q38_pricing_summary": """
         SELECT l_returnflag, l_linestatus,

@@ -293,7 +293,9 @@ def q20_flatten_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S4+P1+P2+F1-F7: nested JSON ingest -> explode -> transform ->
     validate, exercised end-to-end by synthesizing API documents from
     orders, then flattening with the production path."""
-    orders = _t(spark, sf_dir, "orders")
+    # the single parquet file reads as one input partition; spread the
+    # JSON build+parse across cores (real ingest has many page files)
+    orders = _t(spark, sf_dir, "orders").repartition(spark.sparkContext.defaultParallelism)
     md = F.struct(
         F.concat(F.lit("Order "), F.col("o_orderkey")).alias("PositionTitle"),
         F.concat(F.lit("http://orders/"), F.col("o_orderkey")).alias("PositionURI"),

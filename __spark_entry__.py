@@ -768,6 +768,62 @@ def q50_map_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     return parsed.select("event_id", F.explode("m").alias("key", "val"))
 
 
+def q51_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F12 index path: materialized (term, doc_id) posting table +
+    conjunctive term query — must return EXACTLY the docs the regex
+    scan (q13) returns; the oracle is the scan-side semantics, so the
+    hash-match proves index == scan."""
+    from usajobs_etl_service_spark.operators.textindex import build_inverted_index, search_all_terms
+
+    docs = _t(spark, sf_dir, "documents")
+    index = build_inverted_index(docs)
+    return search_all_terms(index, ["the", "data"]).join(docs, "doc_id").select("doc_id", "lang")
+
+
+def q52_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5-shaped: 6-table star join (customer/orders/lineitem/
+    supplier/nation/region), same-nation customer+supplier constraint,
+    region filter, grouped revenue. Dims broadcast; facts shuffle on
+    the join keys once."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    supp = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(supp), (li.l_suppkey == supp.s_suppkey) & (cust.c_nationkey == supp.s_nationkey))
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("n_name")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+    )
+
+
+def q53_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18-shaped: orders whose total line quantity exceeds a
+    threshold, with customer attribution."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("c_name", "c_custkey", "o_orderkey", "o_totalprice")
+        .agg(F.round(F.sum("l_quantity"), 2).alias("total_qty"))
+        .filter(F.col("total_qty") > 200)
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            F.round("o_totalprice", 2).alias("o_totalprice"),
+            "total_qty",
+        )
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_job_statistics": q01_job_statistics,
     "q02_metric_union": q02_metric_union,
@@ -819,6 +875,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q48_window_suite": q48_window_suite,
     "q49_percentiles": q49_percentiles,
     "q50_map_ops": q50_map_ops,
+    "q51_inverted_index": q51_inverted_index,
+    "q52_local_supplier_volume": q52_local_supplier_volume,
+    "q53_large_orders": q53_large_orders,
 }
 
 
@@ -1202,6 +1261,32 @@ ORACLES: dict[str, str] = {
     "q50_map_ops": """
         SELECT event_id, 'k' AS key, CAST(json_extract(props, '$.k') AS INTEGER) AS val
         FROM events
+    """,
+    "q51_inverted_index": """
+        SELECT doc_id, lang FROM documents
+        WHERE regexp_matches(lower(text), '\\bthe\\b') AND regexp_matches(lower(text), '\\bdata\\b')
+    """,
+    "q52_local_supplier_volume": """
+        SELECT n_name,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        FROM lineitem
+        JOIN orders   ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        JOIN nation   ON s_nationkey = n_nationkey
+        JOIN region   ON n_regionkey = r_regionkey
+        WHERE r_name = 'ASIA'
+        GROUP BY n_name
+    """,
+    "q53_large_orders": """
+        SELECT c_name, c_custkey, o_orderkey,
+               round(o_totalprice, 2) AS o_totalprice,
+               round(sum(l_quantity), 2) AS total_qty
+        FROM lineitem
+        JOIN orders   ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        GROUP BY c_name, c_custkey, o_orderkey, o_totalprice
+        HAVING round(sum(l_quantity), 2) > 200
     """,
     "q38_pricing_summary": """
         SELECT l_returnflag, l_linestatus,

@@ -1,0 +1,76 @@
+"""applyInPandasWithState cross-batch dedup: keys seen in an earlier
+drain must stay deduplicated in later drains (state store recovery)."""
+
+from __future__ import annotations
+
+import json
+
+from usajobs_etl_service_spark.sources.ingest import flatten_postings, parse_api_pages
+from usajobs_etl_service_spark.streaming.stateful import streaming_first_wins_dedup
+
+from tests.test_rest_source import make_page
+from tests.test_streaming import _write_page
+
+
+def _drain(spark, spool, ckpt, collected):
+    raw = spark.readStream.schema("page long, payload string").json(str(spool))
+    flat = flatten_postings(parse_api_pages(raw))
+    deduped = streaming_first_wins_dedup(
+        flat,
+        key_col="position_uri",
+        order_col="ingest_seq",
+        output_cols=["position_uri", "position_title", "ingest_seq"],
+    )
+
+    def sink(df, _bid):
+        collected.extend((r["position_uri"], r["position_title"]) for r in df.collect())
+
+    q = (
+        deduped.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def test_cross_batch_dedup_with_state(spark, tmp_path):
+    spool = tmp_path / "spool"
+    ckpt = str(tmp_path / "ckpt")
+    out = []
+
+    # batch 1: uris 0..3, with an in-batch dup of uri 1
+    page1 = make_page(4, 0, 99)
+    dup = {
+        "MatchedObjectDescriptor": {
+            "PositionTitle": "Shadow Duplicate",
+            "PositionURI": page1["SearchResult"]["SearchResultItems"][1]["MatchedObjectDescriptor"][
+                "PositionURI"
+            ],
+        }
+    }
+    page1["SearchResult"]["SearchResultItems"].append(dup)
+    _write_page(spool, 1, page1)
+    _drain(spark, spool, ckpt, out)
+    uris = [u for u, _ in out]
+    assert len(uris) == 4 == len(set(uris))  # in-batch dup dropped
+    assert ("https://www.usajobs.gov/job/1", "Data Engineer 1") in out
+
+    # batch 2 (new drain, same checkpoint): uri 1 re-sent with a new
+    # title + genuinely new uris 4..5 -> only the new ones emitted
+    page2 = make_page(2, 4, 99)
+    page2["SearchResult"]["SearchResultItems"].append(
+        {
+            "MatchedObjectDescriptor": {
+                "PositionTitle": "Late Duplicate",
+                "PositionURI": "https://www.usajobs.gov/job/1",
+            }
+        }
+    )
+    _write_page(spool, 2, page2)
+    _drain(spark, spool, ckpt, out)
+    assert len(out) == 6
+    titles = dict(out)
+    assert titles["https://www.usajobs.gov/job/1"] == "Data Engineer 1"  # state held across drains
+    assert "https://www.usajobs.gov/job/4" in titles and "https://www.usajobs.gov/job/5" in titles

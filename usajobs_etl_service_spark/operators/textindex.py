@@ -1,0 +1,56 @@
+"""Inverted text index — the engine-side analog of the reference's GIN
+full-text index (F12, reference ``init.sql:20``).
+
+Spark has no secondary indexes; the scalable equivalent is a
+**materialized posting table**: ``(term, doc_id)`` rows, hash-bucketed
+by term, maintained at write time. A conjunctive term query is then a
+semi-join per term (or one groupBy counting matched terms) that reads
+only the queried terms' buckets — instead of regex-scanning the corpus.
+
+At 100 TB: bucket the posting table by ``term`` (``bucketBy`` or
+partition by a term-hash prefix) so a query touches a handful of
+buckets; postings are (term, doc_id) longs after dictionary-encoding,
+i.e. a small fraction of corpus bytes. The scan path (`transforms.
+text_matches`) remains correct-by-construction and is the fallback for
+regex/phrase queries the index can't serve.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from usajobs_etl_service_spark.functions.text import normalized_text
+
+
+def build_inverted_index(
+    df: DataFrame, *, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Posting table: one (term, doc_id) row per distinct term per doc."""
+    toks = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.array_distinct(F.split(normalized_text(F.col(text_col)), r"\s+"))).alias("term"),
+    )
+    return toks.filter(F.col("term") != "")
+
+
+def search_all_terms(index: DataFrame, terms: list[str]) -> DataFrame:
+    """Conjunctive (AND) term query: doc_ids containing every term.
+    One filtered scan of the queried terms' postings + a count-match
+    aggregate — no corpus scan."""
+    norm = sorted({t.lower() for t in terms if t})
+    if not norm:
+        return index.select("doc_id").distinct()
+    hits = index.filter(F.col("term").isin(norm))
+    return (
+        hits.groupBy("doc_id")
+        .agg(F.countDistinct("term").alias("__nt"))
+        .filter(F.col("__nt") == len(norm))
+        .select("doc_id")
+    )
+
+
+def search_any_term(index: DataFrame, terms: list[str]) -> DataFrame:
+    """Disjunctive (OR) term query."""
+    norm = sorted({t.lower() for t in terms if t})
+    return index.filter(F.col("term").isin(norm)).select("doc_id").distinct()

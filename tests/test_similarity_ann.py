@@ -1,0 +1,56 @@
+"""ANN scale paths: k-means-refined IVF and sign-random-projection LSH
+bucketing."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from usajobs_etl_service_spark.operators.neardup import embedding_near_dup_pairs
+from usajobs_etl_service_spark.operators.similarity import (
+    ivf_build,
+    ivf_topk_cosine,
+    srp_code,
+    topk_cosine,
+)
+from usajobs_etl_service_spark.session import read_table
+
+
+def test_kmeans_ivf_full_probe_recall(spark, sf_dir):
+    emb = read_table(spark, sf_dir, "embeddings")
+    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    rest = emb.filter(F.col("vec_id") != 0)
+    exact = {r["vec_id"] for r in topk_cosine(rest, qvec, k=10).collect()}
+    index, cents = ivf_build(rest, n_centroids=8, refine_kmeans=True)
+    assert cents.count() == 8
+    got = {r["vec_id"] for r in ivf_topk_cosine(index, cents, qvec, k=10, nprobe=8).collect()}
+    assert got == exact  # full probe == exact regardless of centroids
+    partial = {r["vec_id"] for r in ivf_topk_cosine(index, cents, qvec, k=10, nprobe=3).collect()}
+    assert len(partial & exact) >= 5
+
+
+def test_srp_code_deterministic_and_collides_near_dups(spark):
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [0.999, 0.02, 0.0, 0.0]),  # near-dup of 0
+        (2, [-1.0, 0.0, 0.0, 0.0]),  # opposite
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    coded = df.select("vec_id", srp_code(F.col("embedding"), n_planes=12, dim=4).alias("code"))
+    c = {r["vec_id"]: r["code"] for r in coded.collect()}
+    assert c[0] == c[1]  # near-identical vectors share the bucket
+    assert c[0] != c[2]  # antipodal vectors do not
+    c2 = {r["vec_id"]: r["code"] for r in coded.collect()}
+    assert c == c2  # deterministic
+
+
+def test_srp_blocked_near_dup_join(spark, sf_dir):
+    """SRP code as the blocking key for the near-dup self-join: every
+    pair it finds must be >= threshold (correctness of the verify
+    stage; recall is probabilistic by construction)."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    blocked = emb.withColumn("srp", srp_code(F.col("embedding"), n_planes=8, dim=64))
+    pairs = embedding_near_dup_pairs(
+        blocked, block_col="srp", threshold=0.3
+    ).collect()
+    for r in pairs:
+        assert r["cos"] >= 0.3

@@ -84,21 +84,26 @@ def ivf_build(
     embedding_col: str = "embedding",
     id_col: str = "vec_id",
     seed: int = 42,
+    refine_kmeans: bool = False,
 ) -> tuple[DataFrame, DataFrame]:
-    """Build an IVF index: pick C deterministic sample rows as centroids,
-    assign every vector to its nearest centroid (broadcast the centroids,
-    one codegen'd pass), and hash-partition the index by centroid.
+    """Build an IVF index: pick C deterministic sample rows as centroids
+    (or k-means-refined centroids with ``refine_kmeans=True``), assign
+    every vector to its nearest centroid (broadcast the centroids, one
+    codegen'd pass), and hash-partition the index by centroid.
 
     Returns (index_df, centroids_df); persist ``index_df`` partitioned by
     ``centroid_id`` so probes prune partitions.
     """
-    # deterministic "sample": stable hash order, C rows
-    cent = (
-        df.select(F.col(id_col), l2_normalize(_as_double_array(F.col(embedding_col))).alias("cv"))
-        .orderBy(F.xxhash64(F.col(id_col).cast("string"), F.lit(seed)))
-        .limit(n_centroids)
-        .select(F.monotonically_increasing_id().alias("centroid_id"), "cv")
-    )
+    if refine_kmeans:
+        cent = _kmeans_centroids(df, n_centroids, embedding_col, seed)
+    else:
+        # deterministic "sample": stable hash order, C rows
+        cent = (
+            df.select(F.col(id_col), l2_normalize(_as_double_array(F.col(embedding_col))).alias("cv"))
+            .orderBy(F.xxhash64(F.col(id_col).cast("string"), F.lit(seed)))
+            .limit(n_centroids)
+            .select(F.monotonically_increasing_id().alias("centroid_id"), "cv")
+        )
     vecs = df.select(F.col(id_col), _as_double_array(F.col(embedding_col)).alias("v"))
     joined = vecs.crossJoin(F.broadcast(cent))
     scored = joined.select(id_col, "centroid_id", dot(l2_normalize(F.col("v")), F.col("cv")).alias("csim"))
@@ -114,6 +119,42 @@ def ivf_build(
     # centroid frame is C rows and feeds every downstream job (probe
     # ranking AND the index's assignment cross-join) — cache that.
     return index, cent.cache()
+
+
+def _kmeans_centroids(df: DataFrame, k: int, embedding_col: str, seed: int) -> DataFrame:
+    """k-means centroids over l2-normalized vectors via pyspark.ml
+    (spherical-kmeans approximation: normalize -> euclidean k-means).
+    Runs on the index build path only — never per query."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    spark = df.sparkSession
+    feats = df.select(
+        array_to_vector(l2_normalize(_as_double_array(F.col(embedding_col)))).alias("features")
+    )
+    model = KMeans(k=k, seed=seed, maxIter=10).fit(feats)
+    centers = [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())]
+    cent = spark.createDataFrame(centers, "centroid_id long, cv array<double>")
+    # re-normalize (mean of unit vectors is not unit)
+    return cent.select("centroid_id", l2_normalize(F.col("cv")).alias("cv"))
+
+
+def srp_code(embedding: Column, *, n_planes: int = 16, dim: int = 64, seed: int = 42) -> Column:
+    """Sign-random-projection LSH code (int bucket id): bit j = sign of
+    dot(v, r_j) for deterministic pseudo-random hyperplanes r_j in
+    {-1,+1}^dim derived from a seeded PRNG and inlined as literals —
+    identical on every executor/run. Cosine-similar vectors collide
+    with probability (1 - theta/pi)^n_planes."""
+    import random
+
+    rng = random.Random(seed)
+    planes = [[rng.choice((-1.0, 1.0)) for _ in range(dim)] for _ in range(n_planes)]
+    v = _as_double_array(embedding)
+    code = F.lit(0)
+    for j, plane in enumerate(planes):
+        d = dot(v, F.array(*[F.lit(c) for c in plane]))
+        code = code + F.when(d > 0, F.lit(1 << j)).otherwise(F.lit(0))
+    return code
 
 
 def ivf_topk_cosine(

@@ -34,6 +34,10 @@ def main() -> None:
     sf = sf_dir.rstrip("/").split("sf")[-1]
     spark = get_spark("bench")
     qs = entrymod.queries()
+    only = os.environ.get("SPARK_GRAFT_BENCH_QUERIES")
+    if only:
+        wanted = {q.strip() for q in only.split(",") if q.strip()}
+        qs = {k: v for k, v in qs.items() if k in wanted}
 
     # warm the JVM + parquet footer caches once (not timed)
     entrymod.q01_job_statistics(spark, sf_dir).count()

@@ -824,6 +824,55 @@ def q53_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q54_correlated_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Planner surface: correlated EXISTS subquery (customers holding at
+    least one high-value urgent order)."""
+    from usajobs_etl_service_spark.session import load_tables
+
+    load_tables(spark, sf_dir, ["customer", "orders"])
+    return spark.sql(
+        """
+        SELECT c_custkey, c_name
+        FROM customer
+        WHERE EXISTS (
+            SELECT 1 FROM orders
+            WHERE o_custkey = c_custkey
+              AND o_totalprice > 300000
+              AND o_orderpriority = '1-URGENT'
+        )
+        """
+    )
+
+
+def q55_activity_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heterogeneous UNION ALL: one typed activity feed from two
+    sources (orders + events), aggregated per kind."""
+    orders = _t(spark, sf_dir, "orders")
+    events = _t(spark, sf_dir, "events")
+    feed = orders.select(
+        F.lit("order").alias("kind"), F.col("o_totalprice").alias("amount")
+    ).unionByName(events.select(F.lit(F.concat(F.lit("event:"), F.col("event_type"))).alias("kind"), F.col("value").alias("amount")))
+    return feed.groupBy("kind").agg(
+        F.count(F.lit(1)).alias("n"), F.round(F.sum("amount"), 2).alias("total_amount")
+    )
+
+
+def q56_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort analysis: users grouped by first-activity date, distinct
+    active users per (cohort, days-since-cohort) cell — first-event
+    window + self-join-free aggregation."""
+    from pyspark.sql import Window
+
+    events = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id")
+    with_cohort = events.withColumn("cohort_date", F.min(F.to_date("ts")).over(w))
+    return (
+        with_cohort.withColumn("day_offset", F.datediff(F.to_date("ts"), F.col("cohort_date")))
+        .groupBy("cohort_date", "day_offset")
+        .agg(F.countDistinct("user_id").alias("active_users"))
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_job_statistics": q01_job_statistics,
     "q02_metric_union": q02_metric_union,
@@ -878,6 +927,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q51_inverted_index": q51_inverted_index,
     "q52_local_supplier_volume": q52_local_supplier_volume,
     "q53_large_orders": q53_large_orders,
+    "q54_correlated_exists": q54_correlated_exists,
+    "q55_activity_feed": q55_activity_feed,
+    "q56_cohort_retention": q56_cohort_retention,
 }
 
 
@@ -1265,6 +1317,31 @@ ORACLES: dict[str, str] = {
     "q51_inverted_index": """
         SELECT doc_id, lang FROM documents
         WHERE regexp_matches(lower(text), '\\bthe\\b') AND regexp_matches(lower(text), '\\bdata\\b')
+    """,
+    "q54_correlated_exists": """
+        SELECT c_custkey, c_name FROM customer
+        WHERE EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey
+                        AND o_totalprice > 300000
+                        AND o_orderpriority = '1-URGENT')
+    """,
+    "q55_activity_feed": """
+        SELECT kind, count(*) AS n, round(sum(amount), 2) AS total_amount FROM (
+            SELECT 'order' AS kind, o_totalprice AS amount FROM orders
+            UNION ALL
+            SELECT 'event:' || event_type, value FROM events
+        ) GROUP BY kind
+    """,
+    "q56_cohort_retention": """
+        WITH c AS (
+            SELECT user_id, ts,
+                   min(CAST(ts AS DATE)) OVER (PARTITION BY user_id) AS cohort_date
+            FROM events
+        )
+        SELECT cohort_date,
+               date_diff('day', cohort_date, CAST(ts AS DATE)) AS day_offset,
+               count(DISTINCT user_id) AS active_users
+        FROM c GROUP BY cohort_date, day_offset
     """,
     "q52_local_supplier_volume": """
         SELECT n_name,

@@ -873,6 +873,17 @@ def q56_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q57_ivf_fullprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extension (similarity, correctness pin): IVF probe with nprobe == C
+    must hash-equal exact brute-force top-k — this oracle-checks the whole
+    IVF build/assign/probe path, leaving only recall-at-nprobe<C as the
+    approximate (rows-only, test-asserted) part."""
+    emb = _t(spark, sf_dir, "embeddings")
+    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 1).select("embedding").first()[0]]
+    index, cents = SIM.ivf_build(emb.filter(F.col("vec_id") != 1), n_centroids=16)
+    return SIM.ivf_topk_cosine(index, cents, qvec, k=15, nprobe=16)
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_job_statistics": q01_job_statistics,
     "q02_metric_union": q02_metric_union,
@@ -930,6 +941,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q54_correlated_exists": q54_correlated_exists,
     "q55_activity_feed": q55_activity_feed,
     "q56_cohort_retention": q56_cohort_retention,
+    "q57_ivf_fullprobe": q57_ivf_fullprobe,
 }
 
 
@@ -1389,6 +1401,13 @@ ORACLES: dict[str, str] = {
         GROUP BY l_orderkey, o_orderpriority
         ORDER BY revenue DESC, l_orderkey ASC
         LIMIT 10
+    """,
+    "q57_ivf_fullprobe": """
+        SELECT vec_id,
+               round(list_cosine_similarity(CAST(embedding AS DOUBLE[]),
+                     (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 1)), 4) AS sim
+        FROM embeddings WHERE vec_id <> 1
+        ORDER BY sim DESC, vec_id ASC LIMIT 15
     """,
     "q27_quality_score": """
         WITH f AS (

@@ -88,8 +88,9 @@ def ivf_build(
 ) -> tuple[DataFrame, DataFrame]:
     """Build an IVF index: pick C deterministic sample rows as centroids
     (or k-means-refined centroids with ``refine_kmeans=True``), assign
-    every vector to its nearest centroid (broadcast the centroids, one
-    codegen'd pass), and hash-partition the index by centroid.
+    every vector to its nearest centroid (centroids inlined as a literal
+    array -> one codegen'd argmax projection, no join/shuffle), and
+    hash-partition the index by centroid.
 
     Returns (index_df, centroids_df); persist ``index_df`` partitioned by
     ``centroid_id`` so probes prune partitions.
@@ -104,21 +105,50 @@ def ivf_build(
             .limit(n_centroids)
             .select(F.monotonically_increasing_id().alias("centroid_id"), "cv")
         )
-    vecs = df.select(F.col(id_col), _as_double_array(F.col(embedding_col)).alias("v"))
-    joined = vecs.crossJoin(F.broadcast(cent))
-    scored = joined.select(id_col, "centroid_id", dot(l2_normalize(F.col("v")), F.col("cv")).alias("csim"))
-    from pyspark.sql import Window
-
-    w = Window.partitionBy(id_col).orderBy(F.col("csim").desc(), F.col("centroid_id").asc())
-    assign = scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1).select(id_col, "centroid_id")
-    index = df.join(assign, id_col).repartition("centroid_id")
+    cent = cent.cache()  # C rows; feeds assignment (collect) and probe ranking
+    # O(C) driver collect (an IVF codebook is small by definition); the
+    # assignment then compiles to a pure projection — scan -> argmax over a
+    # literal centroid array -> repartition(centroid_id). No n x C row
+    # blowup, no per-vector shuffle (the old crossJoin + row_number window
+    # shuffled n x C scored rows by vec_id).
+    cent_rows = sorted(
+        ((r["centroid_id"], [float(x) for x in r["cv"]]) for r in cent.collect()),
+        key=lambda t: t[0],
+    )
+    # centroids are unit-norm, so argmax_c cos(v, c) == argmax_c dot(v, c):
+    # the vector's own norm is a positive per-row constant and never needs
+    # computing — the assignment is C dot products + one argmax per row.
+    index = (
+        df.withColumn(
+            "centroid_id",
+            nearest_centroid_expr(_as_double_array(F.col(embedding_col)), cent_rows),
+        )
+        .repartition("centroid_id")
+    )
     # an IVF index is a build-once artifact: at scale, write it as a
     # parquet table partitioned by centroid_id (probes then prune
     # partitions) rather than caching — for a single in-session probe,
-    # lazy evaluation beats paying cache materialization up front. The
-    # centroid frame is C rows and feeds every downstream job (probe
-    # ranking AND the index's assignment cross-join) — cache that.
-    return index, cent.cache()
+    # lazy evaluation beats paying cache materialization up front.
+    return index, cent
+
+
+def nearest_centroid_expr(
+    vn: Column, cent_rows: list[tuple[int, list[float]]]
+) -> Column:
+    """Nearest-centroid assignment as a single codegen'd expression: score
+    the vector against a literal array of unit-norm centroid vectors (raw
+    dot products — cosine argmax is invariant to the vector's own norm),
+    take the argmax position, and map it to the centroid id.
+    Ties break to the lowest centroid id (``array_position`` returns the
+    first occurrence; ``cent_rows`` must be sorted by id).
+
+    This is the 100 TB shape for IVF assignment: a pure projection inside
+    the scan stage — no join, no shuffle, no row blowup."""
+    cents_lit = F.array(*[F.array(*[F.lit(float(x)) for x in cv]) for _, cv in cent_rows])
+    ids_lit = F.array(*[F.lit(int(cid)) for cid, _ in cent_rows])
+    scores = F.transform(cents_lit, lambda c: dot(vn, c))
+    pos = F.array_position(scores, F.array_max(scores)).cast("int")
+    return F.element_at(ids_lit, pos)
 
 
 def _kmeans_centroids(df: DataFrame, k: int, embedding_col: str, seed: int) -> DataFrame:

@@ -109,3 +109,17 @@ def test_snapshot_retention(spark, tmp_path):
     snaps = list_snapshots(base)
     assert len(snaps) == 3  # oldest pruned
     assert read_latest_snapshot(spark, base).count() == 5
+
+
+def test_jdbc_upsert_dedups_batch_by_key(spark):
+    """A key appearing twice in one batch must reach PG once (PG aborts a
+    multi-VALUES ON CONFLICT statement touching the same row twice)."""
+    def connect():
+        return FakeConn(existing=set(), key_idx=0)
+
+    rows = [(f"u{i % 5}", f"t{i}", i) for i in range(20)]  # 5 distinct keys
+    df = spark.createDataFrame(rows, "position_uri string, position_title string, seq long")
+    stats = jdbc_upsert(df, table="job_postings", key="position_uri", batch_size=3,
+                        max_connections=4, connect=connect, order_col="seq")
+    assert stats["total"] == 5
+    assert stats["inserted"] == 5 and stats["updated"] == 0

@@ -76,3 +76,20 @@ def test_embedding_near_dup_blocked(spark):
     pairs = ND.embedding_near_dup_pairs(df, block_col="label", threshold=0.95).collect()
     found = {(r["id_a"], r["id_b"]) for r in pairs}
     assert found == {(0, 1)}
+
+
+def test_minhash_rejects_indivisible_bands(spark):
+    import pytest
+
+    df = _docs_df(spark)
+    with pytest.raises(ValueError, match="divisible"):
+        ND.minhash_near_dup_pairs(df, num_hashes=64, bands=15)
+
+
+def test_simhash_caps_tokens_per_doc(spark):
+    # > 65535 tokens must not overflow the packed 16-bit counters; the
+    # signature degrades to a (valid) prefix signature instead
+    big = " ".join("tok%d" % (i % 50) for i in range(70000))
+    df = spark.createDataFrame([(0, big), (1, "tok1 tok2 tok3")], "doc_id long, text string")
+    sigs = {r["id"]: r["sig"] for r in ND.simhash_signatures_df(df, id_col="doc_id", text_col="text").collect()}
+    assert len(sigs) == 2 and all(isinstance(v, int) for v in sigs.values())

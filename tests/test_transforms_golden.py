@@ -107,3 +107,27 @@ class TestMoneyFormat:
 
     def test_truncates(self, spark):
         assert _one(spark, "999.99", "string", X.format_money) == "999"
+
+
+class TestTextMatches:
+    def _hits(self, spark, query, texts):
+        df = spark.createDataFrame([(t,) for t in texts], "body string")
+        return [r["body"] for r in df.filter(X.text_matches(F.col("body"), query)).collect()]
+
+    def test_conjunctive_word_match(self, spark):
+        texts = ["data engineer role", "data scientist", "senior engineer"]
+        assert self._hits(spark, "data engineer", texts) == ["data engineer role"]
+
+    def test_regex_metacharacters_are_literal(self, spark):
+        # "c++" must match literally, not as an (invalid) regex
+        texts = ["expert c++ developer", "c programmer", "cpp developer"]
+        assert self._hits(spark, "c++", texts) == ["expert c++ developer"]
+
+    def test_dotted_term(self, spark):
+        # "." is a literal dot, not any-char
+        texts = ["node.js services", "nodexjs services"]
+        assert self._hits(spark, "node.js", texts) == ["node.js services"]
+
+    def test_word_boundary_still_applies(self, spark):
+        texts = ["java developer", "javascript developer"]
+        assert self._hits(spark, "java", texts) == ["java developer"]

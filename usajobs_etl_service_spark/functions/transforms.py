@@ -186,8 +186,15 @@ def text_matches(col: Column, query: str) -> Column:
     query term must appear as a word (case-insensitive) — conjunctive
     term match like PG ``plainto_tsquery``.
     """
+    import re
+
     terms = [t for t in query.lower().split() if t]
     pred = F.lit(True)
     for t in terms:
-        pred = pred & F.lower(col).rlike(rf"\b{t}\b")
+        # re.escape: terms like "c++" or "node.js" are literals, not regex.
+        # \b is undefined next to a non-word char (e.g. after "c++"), so
+        # anchor each side only when the term edge is a word character.
+        left = r"\b" if re.match(r"\w", t) else ""
+        right = r"\b" if re.search(r"\w$", t) else ""
+        pred = pred & F.lower(col).rlike(left + re.escape(t) + right)
     return pred

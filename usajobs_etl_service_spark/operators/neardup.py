@@ -138,6 +138,12 @@ def minhash_near_dup_pairs(
     exact signature-similarity filter. ``max_bucket`` drops degenerate
     buckets (hot-key guard) and is logged as a coverage cap.
     """
+    if num_hashes % bands != 0:
+        raise ValueError(
+            f"num_hashes ({num_hashes}) must be divisible by bands ({bands}); "
+            "trailing signature lanes would be silently excluded from every "
+            "band key, lowering candidate recall"
+        )
     rows_per_band = num_hashes // bands
     sigs = minhash_signatures_df(
         df, id_col=id_col, text_col=text_col, num_hashes=num_hashes, shingle_k=shingle_k, seed=seed
@@ -213,11 +219,17 @@ def simhash_signatures_df(df: DataFrame, *, id_col: str, text_col: str) -> DataF
 
     from usajobs_etl_service_spark.functions.text import tokens_ws
 
-    ex = df.select(F.col(id_col).alias("id"), F.explode(tokens_ws(F.lower(F.col(text_col)))).alias("t"))
+    # Packed-counter capacity: field k=3 sits at bit 48, so its count must
+    # stay <= 32767 to keep the summed long under 2^63 (ANSI overflow is an
+    # error); that bounds tokens/doc at 32767. Slice before explode so a
+    # pathological document degrades to a (valid) prefix signature instead
+    # of corrupting adjacent counters or failing the job.
+    toks = F.slice(tokens_ws(F.lower(F.col(text_col))), 1, 32767)
+    ex = df.select(F.col(id_col).alias("id"), F.explode(toks).alias("t"))
     hashed = ex.select("id", F.xxhash64("t").alias("h"))
     # pack 4 per-bit ones-counters into each long (16-bit fields): 16
     # sum aggregates instead of 64 cuts whole-stage-codegen compile time
-    # ~4x. Field capacity 65535 tokens/doc (plenty; documents are <<).
+    # ~4x.
     h = F.col("h")
 
     def packed(g: int):

@@ -7,9 +7,10 @@ batch (single round-trip per batch — the reference's ``execute_values``
 shape, etl.py:445-525), and commits per partition.
 
 Scale posture:
-- per-executor connections: bounded by partition count — ``coalesce``
-  the batch to ``max_connections`` partitions before writing so a
-  1000-executor job can't open 1000 sessions against one PG.
+- per-executor connections: bounded by partition count — the batch is
+  hash-``repartition``\ ed by key into ``max_connections`` partitions
+  before writing, so a 1000-executor job can't open 1000 sessions
+  against one PG and a given key only ever writes on one connection.
 - batches of ``batch_size`` rows bound memory and round-trips.
 - the update list excludes ``created_at`` and refreshes ``updated_at``
   (trigger parity, init.sql:28-41).
@@ -97,9 +98,23 @@ def jdbc_upsert(
     max_connections: int = 8,
     connect: Callable | None = None,
     dsn: str | None = None,
+    order_col: str | None = None,
 ) -> dict:
     """Distributed upsert of ``df`` into PostgreSQL ``table``. Returns
-    ``{"inserted", "updated", "total"}`` (reference metrics shape)."""
+    ``{"inserted", "updated", "total"}`` (reference metrics shape).
+
+    The batch is deduped by ``key`` first (first-wins by ``order_col``
+    when given, reference etl.py:452-465): a key appearing twice in one
+    multi-VALUES statement makes PG abort with "ON CONFLICT DO UPDATE
+    command cannot affect row a second time", and duplicates split across
+    partitions would race on separate connections. ``repartition(key)``
+    additionally pins every occurrence of a key to one connection, so
+    concurrent partition writes never contend on the same row."""
+    from usajobs_etl_service_spark.sinks.upsert import prepare_batch
+
+    df = prepare_batch(df, [key], order_col)
+    if order_col is not None and order_col in df.columns:
+        df = df.drop(order_col)
     columns = df.columns
 
     if connect is None:
@@ -116,7 +131,7 @@ def jdbc_upsert(
             rows, table=table, columns=columns, key=key, batch_size=batch_size, connect=conn_factory
         )
 
-    counts = df.coalesce(max_connections).rdd.mapPartitions(run_partition).collect()
+    counts = df.repartition(max_connections, key).rdd.mapPartitions(run_partition).collect()
     inserted = sum(c[0] for c in counts)
     updated = sum(c[1] for c in counts)
     return {"inserted": inserted, "updated": updated, "total": inserted + updated}

@@ -123,3 +123,15 @@ def test_jdbc_upsert_dedups_batch_by_key(spark):
                         max_connections=4, connect=connect, order_col="seq")
     assert stats["total"] == 5
     assert stats["inserted"] == 5 and stats["updated"] == 0
+
+
+def test_snapshot_retention_with_file_uri(spark, tmp_path):
+    """Snapshot maintenance goes through the Hadoop FS API, so a
+    scheme-qualified URI (file:, and by extension hdfs:/s3a:) works."""
+    base = "file://" + str(tmp_path / "snaps_uri")
+    df = spark.range(3)
+    for _ in range(3):
+        write_snapshot(df, base, keep_last=2)
+        time.sleep(0.002)
+    assert len(list_snapshots(base)) == 2
+    assert read_latest_snapshot(spark, base).count() == 3

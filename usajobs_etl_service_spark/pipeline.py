@@ -72,10 +72,11 @@ class JobPipeline:
     # -- storage ------------------------------------------------------------
 
     def _versions(self) -> list[str]:
-        path = self.config.table_path
-        if not os.path.isdir(path):
-            return []
-        return sorted(d for d in os.listdir(path) if d.startswith("v="))
+        # Hadoop FS listing, not os.listdir: the table path may live on
+        # any Spark-writable filesystem (file:, hdfs:, s3a:, ...)
+        from usajobs_etl_service_spark.fs import list_dir
+
+        return sorted(d for d in list_dir(self.config.table_path, self.spark) if d.startswith("v="))
 
     def current_table(self) -> DataFrame:
         versions = self._versions()

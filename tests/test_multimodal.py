@@ -55,10 +55,44 @@ def test_audio_stats(spark, media):
 
 
 def test_real_codec_is_explicitly_stubbed():
-    with pytest.raises(NotImplementedError):
-        MM.decode_image(b"x", "png", codec="real")
-    with pytest.raises(NotImplementedError):
-        MM.decode_audio(b"x", "wav", codec="real")
+    """Without the optional libs, codec="real" must fail loudly, never
+    silently fall back to the fake."""
+    try:
+        import PIL  # noqa: F401
+    except ImportError:
+        with pytest.raises(NotImplementedError):
+            MM.decode_image(b"x", "png", codec="real")
+    try:
+        import soundfile  # noqa: F401
+    except ImportError:
+        with pytest.raises(NotImplementedError):
+            MM.decode_audio(b"x", "wav", codec="real")
+
+
+def test_real_image_codec_when_available():
+    """Exercised the day PIL lands in the environment; skipped until then."""
+    PIL_Image = pytest.importorskip("PIL.Image")
+    import io
+
+    buf = io.BytesIO()
+    PIL_Image.new("RGB", (4, 3), color=(10, 20, 30)).save(buf, format="PNG")
+    px = MM.decode_image(buf.getvalue(), "png", codec="real")
+    assert px.shape == (3, 4, 3) and px.dtype.name == "uint8"
+    assert (px[0, 0] == [10, 20, 30]).all()
+
+
+def test_real_audio_codec_when_available():
+    """Exercised the day soundfile lands in the environment; skipped until then."""
+    sf = pytest.importorskip("soundfile")
+    import io
+
+    import numpy as np
+
+    buf = io.BytesIO()
+    wave = np.sin(np.linspace(0, 3.14, 100)).astype("float32")
+    sf.write(buf, wave, 8000, format="WAV")
+    out = MM.decode_audio(buf.getvalue(), "wav", codec="real")
+    assert out.ndim == 1 and len(out) == 100
 
 
 def test_metadata_only_query_prunes_binary(spark, media, tmp_path):

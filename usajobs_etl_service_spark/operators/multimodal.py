@@ -57,13 +57,21 @@ MEDIA_SCHEMA = T.StructType(
 def decode_image(content: bytes, fmt: str, *, codec: str = "fake") -> np.ndarray:
     """Decode image bytes to an HxWx3 uint8 array.
 
-    ``codec="real"`` is the integration point for PIL/opencv — not
-    available in this container, so it raises. ``codec="fake"`` derives
-    deterministic pseudo-pixels from the content hash (same bytes ->
-    same pixels on every executor), which keeps the distributed
-    pipeline testable end-to-end."""
+    ``codec="real"`` is the integration point for PIL — used when the
+    library is importable, ``NotImplementedError`` otherwise (it is not
+    in this container). ``codec="fake"`` derives deterministic
+    pseudo-pixels from the content hash (same bytes -> same pixels on
+    every executor), which keeps the distributed pipeline testable
+    end-to-end."""
     if codec == "real":
-        raise NotImplementedError("real image decode requires PIL/opencv (not in this environment)")
+        try:
+            from PIL import Image
+        except ImportError as e:
+            raise NotImplementedError("real image decode requires PIL (not in this environment)") from e
+        import io
+
+        arr = np.asarray(Image.open(io.BytesIO(content)).convert("RGB"), dtype=np.uint8)
+        return arr
     digest = hashlib.sha256(content or b"").digest()
     rng = np.random.default_rng(int.from_bytes(digest[:8], "big"))
     h = 8 + digest[8] % 8
@@ -72,9 +80,17 @@ def decode_image(content: bytes, fmt: str, *, codec: str = "fake") -> np.ndarray
 
 
 def decode_audio(content: bytes, fmt: str, *, codec: str = "fake") -> np.ndarray:
-    """Decode audio bytes to a float32 waveform in [-1, 1]."""
+    """Decode audio bytes to a float32 waveform in [-1, 1]. ``codec=
+    "real"`` uses soundfile when importable, raises otherwise."""
     if codec == "real":
-        raise NotImplementedError("real audio decode requires soundfile/librosa (not in this environment)")
+        try:
+            import soundfile as sf
+        except ImportError as e:
+            raise NotImplementedError("real audio decode requires soundfile (not in this environment)") from e
+        import io
+
+        data, _sr = sf.read(io.BytesIO(content), dtype="float32")
+        return data if data.ndim == 1 else data.mean(axis=1)
     digest = hashlib.sha256(content or b"").digest()
     rng = np.random.default_rng(int.from_bytes(digest[:8], "big"))
     n = 256 + digest[10] % 256

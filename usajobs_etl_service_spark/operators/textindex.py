@@ -34,6 +34,20 @@ def build_inverted_index(
     return toks.filter(F.col("term") != "")
 
 
+def write_posting_table(index: DataFrame, path: str, *, n_files: int = 32) -> None:
+    """Materialize the posting table: repartitioned by term (all of a
+    term's postings co-located in one file) with a parquet bloom filter
+    on ``term`` — terms are unsorted within files, so min/max stats
+    can't prune a term probe; the bloom skips non-matching row groups
+    (~500x fewer rows read at 2M rows: tools/bloom_pruning_demo.py)."""
+    (
+        index.repartition(n_files, "term")
+        .write.option("parquet.bloom.filter.enabled#term", "true")
+        .mode("overwrite")
+        .parquet(path)
+    )
+
+
 def search_all_terms(index: DataFrame, terms: list[str]) -> DataFrame:
     """Conjunctive (AND) term query: doc_ids containing every term.
     One filtered scan of the queried terms' postings + a count-match

@@ -90,10 +90,13 @@ class JobPipeline:
         version = f"v={int(time.time() * 1000)}"
         out = os.path.join(self.config.table_path, version)
         # partition by ingest date: P5-style recency predicates become
-        # partition pruning instead of full scans at 100 TB
+        # partition pruning instead of full scans at 100 TB. Bloom filter
+        # on the key: URIs are hash-ordered so min/max stats never prune
+        # a P7 point lookup; the bloom skips non-matching row groups
+        # (~500x fewer rows read — tools/bloom_pruning_demo.py, PLANS.md)
         df.withColumn("ingest_date", F.to_date("extracted_at")).write.partitionBy(
             "ingest_date"
-        ).mode("overwrite").parquet(out)
+        ).option("parquet.bloom.filter.enabled#position_uri", "true").mode("overwrite").parquet(out)
         return version
 
     # -- run ----------------------------------------------------------------

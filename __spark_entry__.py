@@ -884,6 +884,20 @@ def q57_ivf_fullprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.ivf_topk_cosine(index, cents, qvec, k=15, nprobe=16)
 
 
+def q58_salted_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extension (skew resilience): salted two-phase per-key top-k must
+    equal the plain window — phase 1 top-k within (key, salt), phase 2
+    re-rank survivors; no single reducer ever sorts a whole hot key
+    (operators/salting.py)."""
+    from usajobs_etl_service_spark.operators.salting import salted_topk_per_key
+
+    events = _t(spark, sf_dir, "events")
+    out = salted_topk_per_key(
+        events, ["user_id"], [F.col("ts").desc(), F.col("event_id").asc()], 3, salt_buckets=8
+    )
+    return out.select("user_id", "event_id", "rank")
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_job_statistics": q01_job_statistics,
     "q02_metric_union": q02_metric_union,
@@ -942,6 +956,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q55_activity_feed": q55_activity_feed,
     "q56_cohort_retention": q56_cohort_retention,
     "q57_ivf_fullprobe": q57_ivf_fullprobe,
+    "q58_salted_topk": q58_salted_topk,
 }
 
 
@@ -1408,6 +1423,13 @@ ORACLES: dict[str, str] = {
                      (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 1)), 4) AS sim
         FROM embeddings WHERE vec_id <> 1
         ORDER BY sim DESC, vec_id ASC LIMIT 15
+    """,
+    "q58_salted_topk": """
+        SELECT user_id, event_id, rank FROM (
+            SELECT user_id, event_id,
+                   row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id ASC) AS rank
+            FROM events
+        ) WHERE rank <= 3
     """,
     "q27_quality_score": """
         WITH f AS (

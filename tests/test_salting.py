@@ -1,0 +1,72 @@
+"""Salted two-phase operators must equal their unsalted forms — on real
+tables and on an adversarially skewed frame (one key with ~all rows)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from usajobs_etl_service_spark.operators.salting import salted_agg, salted_distinct, salted_topk_per_key
+from usajobs_etl_service_spark.session import read_table
+
+
+@pytest.fixture(scope="module")
+def skewed(spark):
+    # 10k rows of one hot key + 100 distinct cold keys
+    hot = spark.range(10_000).select(F.lit("hot").alias("k"), F.col("id").alias("v"))
+    cold = spark.range(100).select(F.concat(F.lit("c"), F.col("id")).alias("k"), (F.col("id") * 1000).alias("v"))
+    return hot.unionByName(cold)
+
+
+def test_salted_distinct_matches_plain(spark, skewed):
+    plain = {r["k"] for r in skewed.select("k").distinct().collect()}
+    salted = {r["k"] for r in salted_distinct(skewed, ["k"]).collect()}
+    assert salted == plain and len(plain) == 101
+
+
+def test_salted_agg_matches_plain(spark, skewed):
+    plain = {
+        r["k"]: (r["n"], r["total"], r["lo"], r["hi"])
+        for r in skewed.groupBy("k")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("v").alias("total"), F.min("v").alias("lo"), F.max("v").alias("hi"))
+        .collect()
+    }
+    salted = {
+        r["k"]: (r["n"], r["total"], r["lo"], r["hi"])
+        for r in salted_agg(
+            skewed, ["k"], {"n": "count(*)", "total": "sum(v)", "lo": "min(v)", "hi": "max(v)"}
+        ).collect()
+    }
+    assert salted == plain
+
+
+def test_salted_agg_rejects_non_decomposable(skewed):
+    with pytest.raises(ValueError, match="not decomposable"):
+        salted_agg(skewed, ["k"], {"a": "avg(v)"})
+
+
+def test_salted_topk_matches_plain_window(spark, skewed):
+    order = [F.col("v").desc(), F.col("k").asc()]
+    w = Window.partitionBy("k").orderBy(*order)
+    plain = {
+        (r["k"], r["rank"]): r["v"]
+        for r in skewed.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= 3).collect()
+    }
+    salted = {(r["k"], r["rank"]): r["v"] for r in salted_topk_per_key(skewed, ["k"], order, 3).collect()}
+    assert salted == plain
+
+
+def test_salted_topk_real_data(spark, sf_dir):
+    events = read_table(spark, sf_dir, "events")
+    order = [F.col("ts").desc(), F.col("event_id").asc()]
+    w = Window.partitionBy("user_id").orderBy(*order)
+    plain = {
+        (r["user_id"], r["rank"]): r["event_id"]
+        for r in events.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= 2).collect()
+    }
+    salted = {
+        (r["user_id"], r["rank"]): r["event_id"]
+        for r in salted_topk_per_key(events, ["user_id"], order, 2).collect()
+    }
+    assert salted == plain

@@ -1,0 +1,95 @@
+"""Skew-resilient (salted) two-phase operators.
+
+Hot keys melt single reducers: one key with 10^9 rows sends them all to
+one task in a plain ``groupBy``/``dropDuplicates``/window. Salting
+splits each key's rows across ``salt_buckets`` reducers in phase 1 and
+merges the (tiny) per-salt partials in phase 2 — same results, bounded
+per-task input. These generalize ``stats.salted_group_counts`` (A7) to
+distinct, decomposable aggregates, and per-key top-k.
+
+Phase-2 input is |keys| x salt_buckets rows — negligible next to the
+data — so the cost of salting is one extra small shuffle, bought at the
+price of never stalling on a skewed key. AQE's skew-join handling
+covers *joins*; these cover aggregation-side skew, which AQE does not
+re-plan.
+
+All pure DataFrame ops; no UDFs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+# deterministic row-salt: hash of the whole row tuple would collapse
+# duplicate rows into one salt bucket (bad for distinct-skew), so use a
+# per-row physical id — deterministic within a job, uniform across buckets
+def _salt(salt_buckets: int) -> Column:
+    return F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(salt_buckets)).alias("__salt")
+
+
+def salted_distinct(df: DataFrame, cols: list[str], *, salt_buckets: int = 32) -> DataFrame:
+    """``df.select(cols).distinct()`` under value skew.
+
+    Phase 1 dedups within (cols, salt) — a value with 10^9 duplicates
+    reduces to ``salt_buckets`` survivors spread over many tasks; phase
+    2 dedups the survivors. Equivalent to plain distinct.
+    """
+    phase1 = df.select(*cols).withColumn("__salt", _salt(salt_buckets)).dropDuplicates([*cols, "__salt"])
+    return phase1.drop("__salt").dropDuplicates(cols)
+
+
+def salted_agg(
+    df: DataFrame,
+    keys: list[str],
+    aggs: dict[str, str],
+    *,
+    salt_buckets: int = 32,
+) -> DataFrame:
+    """Decomposable aggregates (``sum``/``count``/``min``/``max``) per
+    key under key skew: partials per (key, salt), then merge. ``aggs``
+    maps output column name -> "fn(col)", e.g. ``{"n": "count(*)",
+    "total": "sum(value)"}``. Results equal the unsalted groupBy.
+    """
+    MERGE = {"count": "sum", "sum": "sum", "min": "min", "max": "max"}
+    partial_exprs, merge_exprs = [], []
+    for out, spec in aggs.items():
+        fn, _, col = spec.partition("(")
+        fn = fn.strip().lower()
+        col = col.rstrip(")").strip()
+        if fn not in MERGE:
+            raise ValueError(f"{fn} is not decomposable (supported: {sorted(MERGE)})")
+        src = F.lit(1) if (fn == "count" and col in ("*", "1")) else F.col(col)
+        partial_exprs.append(getattr(F, "count" if fn == "count" else fn)(src).alias(f"__p_{out}"))
+        merge_exprs.append(getattr(F, MERGE[fn])(F.col(f"__p_{out}")).alias(out))
+    salted = df.withColumn("__salt", _salt(salt_buckets))
+    partial = salted.groupBy(*keys, "__salt").agg(*partial_exprs)
+    return partial.groupBy(*keys).agg(*merge_exprs)
+
+
+def salted_topk_per_key(
+    df: DataFrame,
+    key_cols: list[str],
+    order_cols: list[Column],
+    k: int,
+    *,
+    salt_buckets: int = 32,
+) -> DataFrame:
+    """Per-key top-k (deterministic ``order_cols``) under key skew.
+
+    A plain ``row_number() over (partition by key order by ...)`` sorts
+    every row of a hot key in one task. Salted: phase 1 takes top-k
+    within (key, salt) — per-task input is the salt share of the key —
+    phase 2 re-ranks the <= k * salt_buckets survivors per key. Any row
+    in the true global top-k is in its salt bucket's top-k, so the
+    result is identical to the unsalted window.
+    """
+    w1 = Window.partitionBy(*key_cols, "__salt").orderBy(*order_cols)
+    w2 = Window.partitionBy(*key_cols).orderBy(*order_cols)
+    phase1 = (
+        df.withColumn("__salt", _salt(salt_buckets))
+        .withColumn("__rn", F.row_number().over(w1))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn", "__salt")
+    )
+    return phase1.withColumn("rank", F.row_number().over(w2)).filter(F.col("rank") <= k)

@@ -183,6 +183,38 @@ def read_spool(spark: SparkSession, spool_dir: str) -> DataFrame:
     return flatten_postings(parse_api_pages(raw))
 
 
+def compact_spool(
+    spark: SparkSession,
+    spool_dir: str,
+    out_dir: str,
+    *,
+    target_file_bytes: int = 128 * 1024 * 1024,
+) -> int:
+    """Compact a spool of many tiny per-page JSON files into
+    ``ceil(input_bytes / target_file_bytes)`` parquet files.
+
+    Long-running incremental ingest accretes one small file per API
+    page; at scale that small-files problem dominates scan planning
+    (one task + one open per file). Compaction restores healthy file
+    sizes — and parquet+snappy beats raw JSON bytes, so the target is
+    conservative. Returns the number of output files."""
+    import math
+
+    from usajobs_etl_service_spark.fs import dir_size_bytes
+
+    total = dir_size_bytes(spool_dir, spark)
+    n_files = max(1, math.ceil(total / target_file_bytes))
+    raw = spark.read.schema("page long, payload string").json(spool_dir)
+    raw.repartition(n_files).write.mode("overwrite").parquet(out_dir)
+    return n_files
+
+
+def read_compacted_spool(spark: SparkSession, out_dir: str) -> DataFrame:
+    """Flattened postings from a compacted spool (same result as
+    ``read_spool`` on the original)."""
+    return flatten_postings(parse_api_pages(spark.read.parquet(out_dir)))
+
+
 def scan_to_dataframe(
     spark: SparkSession,
     source: RestPageSource,

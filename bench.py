@@ -29,10 +29,32 @@ def materialize(df) -> int:
     return 0
 
 
+def stage_totals(spark) -> dict[str, int]:
+    """Cumulative shuffle/spill bytes across all stages so far, via the
+    UI REST API (the per-query delta is the query's own cost). Returns
+    zeros if the UI is unavailable."""
+    out = {"shuffle_write": 0, "shuffle_read": 0, "spilled_disk": 0}
+    ui = spark.sparkContext.uiWebUrl
+    if not ui:
+        return out
+    import urllib.request
+
+    try:
+        app_id = spark.sparkContext.applicationId
+        with urllib.request.urlopen(f"{ui}/api/v1/applications/{app_id}/stages", timeout=10) as r:
+            for s in json.load(r):
+                out["shuffle_write"] += s.get("shuffleWriteBytes", 0)
+                out["shuffle_read"] += s.get("shuffleReadBytes", 0)
+                out["spilled_disk"] += s.get("diskBytesSpilled", 0)
+    except Exception:
+        pass
+    return out
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").split("sf")[-1]
-    spark = get_spark("bench")
+    spark = get_spark("bench", extra_conf={"spark.ui.enabled": "true"})
     qs = entrymod.queries()
     only = os.environ.get("SPARK_GRAFT_BENCH_QUERIES")
     if only:
@@ -43,10 +65,15 @@ def main() -> None:
     entrymod.q01_job_statistics(spark, sf_dir).count()
 
     timings: dict[str, float] = {}
+    shuffle_mb: dict[str, float] = {}
+    before = stage_totals(spark)
     for name, fn in qs.items():
         t0 = time.perf_counter()
         materialize(fn(spark, sf_dir))
         timings[name] = round(time.perf_counter() - t0, 3)
+        after = stage_totals(spark)
+        shuffle_mb[name] = round((after["shuffle_write"] - before["shuffle_write"]) / 1e6, 2)
+        before = after
 
     total = round(sum(timings.values()), 3)
     # derived throughput on the ETL-shaped path (S4 flatten): rows/s at this sf
@@ -63,7 +90,13 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": float(sf),
-                "derived": {"flatten_rows_per_sec": flatten_rps, "reference_floor_rows_per_sec": 100},
+                "derived": {
+                    "flatten_rows_per_sec": flatten_rps,
+                    "reference_floor_rows_per_sec": 100,
+                    "shuffle_write_mb": shuffle_mb,
+                    "shuffle_write_mb_total": round(sum(shuffle_mb.values()), 2),
+                    "disk_spilled_bytes_total": before["spilled_disk"],
+                },
             }
         )
     )

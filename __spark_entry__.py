@@ -898,6 +898,82 @@ def q58_salted_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("user_id", "event_id", "rank")
 
 
+def q59_custdist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: customer order-count distribution — left outer
+    join (keeps zero-order customers) + two-level aggregation."""
+    customer = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    per_cust = (
+        customer.join(orders, customer.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.col("custdist").desc(), F.col("c_count").desc())
+    )
+
+
+def q60_cube_grouping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (priority, status) with grouping_id — all four
+    aggregation granularities in one pass (extends q29's rollup)."""
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.cube("o_orderpriority", "o_orderstatus")
+        .agg(
+            F.grouping_id().alias("gid"),
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        )
+        .select("o_orderpriority", "o_orderstatus", "gid", "n_orders", "total_price")
+    )
+
+
+def q61_distribution_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution window functions per user: ntile(4), percent_rank,
+    cume_dist over event value (complements q48's lag/lead/rank)."""
+    from pyspark.sql import Window
+
+    events = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.round("value", 3).asc(), F.col("event_id").asc())
+    return events.select(
+        "event_id",
+        "user_id",
+        F.ntile(4).over(w).alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+    )
+
+
+def q62_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extension (text analysis): TF-IDF top-3 terms per document.
+    Shuffle shape: explode -> groupBy(doc_id, term) [one data shuffle];
+    document frequency is a vocab-sized aggregate broadcast back; the
+    corpus size joins as a broadcast scalar. Ranking rounds before
+    ordering so cross-engine float ties break identically."""
+    from pyspark.sql import Window
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(TX.tokens_ws(F.lower(F.col("text")))).alias("term")
+    )
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    total = docs.agg(F.count(F.lit(1)).alias("n"))
+    scored = (
+        tf.join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "doc_id",
+            "term",
+            F.round(F.col("tf") * F.log(F.col("n").cast("double") / F.col("df")), 4).alias("score"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("score").desc(), F.col("term").asc())
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= 3)
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_job_statistics": q01_job_statistics,
     "q02_metric_union": q02_metric_union,
@@ -957,6 +1033,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q56_cohort_retention": q56_cohort_retention,
     "q57_ivf_fullprobe": q57_ivf_fullprobe,
     "q58_salted_topk": q58_salted_topk,
+    "q59_custdist": q59_custdist,
+    "q60_cube_grouping": q60_cube_grouping,
+    "q61_distribution_windows": q61_distribution_windows,
+    "q62_tfidf_top_terms": q62_tfidf_top_terms,
 }
 
 
@@ -1429,6 +1509,50 @@ ORACLES: dict[str, str] = {
             SELECT user_id, event_id,
                    row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id ASC) AS rank
             FROM events
+        ) WHERE rank <= 3
+    """,
+    "q59_custdist": """
+        SELECT c_count, count(*) AS custdist FROM (
+            SELECT c_custkey, count(o_orderkey) AS c_count
+            FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+            GROUP BY c_custkey
+        ) GROUP BY c_count
+        ORDER BY custdist DESC, c_count DESC
+    """,
+    "q60_cube_grouping": """
+        SELECT o_orderpriority, o_orderstatus,
+               GROUPING(o_orderpriority, o_orderstatus) AS gid,
+               count(*) AS n_orders,
+               round(sum(o_totalprice), 2) AS total_price
+        FROM orders
+        GROUP BY CUBE (o_orderpriority, o_orderstatus)
+    """,
+    "q61_distribution_windows": """
+        SELECT event_id, user_id,
+               ntile(4)      OVER w AS quartile,
+               round(percent_rank() OVER w, 6) AS pct_rank,
+               round(cume_dist()    OVER w, 6) AS cume
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY round(value, 3) ASC, event_id ASC)
+    """,
+    "q62_tfidf_top_terms": """
+        WITH toks AS (
+            SELECT doc_id,
+                   unnest(list_filter(string_split_regex(trim(lower(text)), '\\s+'), x -> x <> '')) AS term
+            FROM documents
+        ), tf AS (
+            SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term
+        ), dfreq AS (
+            SELECT term, count(*) AS df FROM tf GROUP BY term
+        ), total AS (SELECT count(*) AS n FROM documents)
+        SELECT doc_id, term, score, rank FROM (
+            SELECT tf.doc_id, tf.term,
+                   round(tf.tf * ln(CAST(n AS DOUBLE) / df), 4) AS score,
+                   row_number() OVER (
+                       PARTITION BY tf.doc_id
+                       ORDER BY round(tf.tf * ln(CAST(n AS DOUBLE) / df), 4) DESC, tf.term ASC
+                   ) AS rank
+            FROM tf JOIN dfreq USING (term) CROSS JOIN total
         ) WHERE rank <= 3
     """,
     "q27_quality_score": """

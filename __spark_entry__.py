@@ -974,6 +974,29 @@ def q62_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= 3)
 
 
+def q63_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extension (training-data prep): fixed-token chunking with overlap
+    (32-token windows, stride 24) — expression-only, no shuffle/UDF
+    (operators/chunking.py)."""
+    from usajobs_etl_service_spark.operators.chunking import chunk_documents
+
+    docs = _t(spark, sf_dir, "documents")
+    return chunk_documents(docs, chunk_tokens=32, overlap_tokens=8)
+
+
+def q64_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extension (dedup at scale): duplicate-cluster resolution —
+    connected components (iterative min-label propagation) over the
+    embedding near-dup pair graph; oracle is a recursive-CTE transitive
+    closure over the identical pair SQL."""
+    from usajobs_etl_service_spark.operators.clustering import connected_components
+    from usajobs_etl_service_spark.operators.neardup import embedding_near_dup_pairs
+
+    emb = _t(spark, sf_dir, "embeddings")
+    pairs = embedding_near_dup_pairs(emb, block_col="label", threshold=0.35)
+    return connected_components(pairs.select("id_a", "id_b"))
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_job_statistics": q01_job_statistics,
     "q02_metric_union": q02_metric_union,
@@ -1037,6 +1060,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q60_cube_grouping": q60_cube_grouping,
     "q61_distribution_windows": q61_distribution_windows,
     "q62_tfidf_top_terms": q62_tfidf_top_terms,
+    "q63_doc_chunks": q63_doc_chunks,
+    "q64_dup_clusters": q64_dup_clusters,
 }
 
 
@@ -1554,6 +1579,40 @@ ORACLES: dict[str, str] = {
                    ) AS rank
             FROM tf JOIN dfreq USING (term) CROSS JOIN total
         ) WHERE rank <= 3
+    """,
+    "q63_doc_chunks": """
+        WITH toks AS (
+            SELECT doc_id,
+                   list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '') AS t
+            FROM documents
+        ), starts AS (
+            SELECT doc_id, t, unnest(generate_series(1, len(t), 24)) AS s
+            FROM toks WHERE len(t) > 0
+        )
+        SELECT doc_id,
+               CAST((s - 1) / 24 AS INTEGER) AS chunk_id,
+               array_to_string(list_slice(t, s, s + 31), ' ') AS chunk_text,
+               CAST(least(32, len(t) - s + 1) AS INTEGER) AS n_tokens
+        FROM starts
+    """,
+    "q64_dup_clusters": """
+        WITH RECURSIVE pairs AS (
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b
+            FROM (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings) a
+            JOIN (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings) b
+              ON a.label = b.label AND a.vec_id < b.vec_id
+            WHERE round(list_cosine_similarity(a.v, b.v), 4) >= 0.35
+        ), edges AS (
+            SELECT id_a AS src, id_b AS dst FROM pairs
+            UNION
+            SELECT id_b, id_a FROM pairs
+        ), reach AS (
+            SELECT src, dst FROM edges
+            UNION
+            SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src AND r.src <> e.dst
+        )
+        SELECT src AS doc_id, least(src, min(dst)) AS cluster_id
+        FROM reach GROUP BY src
     """,
     "q27_quality_score": """
         WITH f AS (

@@ -1,0 +1,77 @@
+"""Chunking (fixed-token windows with overlap) and duplicate-cluster
+resolution (connected components over near-dup pairs)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from usajobs_etl_service_spark.operators.chunking import chunk_documents
+from usajobs_etl_service_spark.operators.clustering import canonical_docs, connected_components
+
+
+class TestChunking:
+    def test_exact_cover_with_overlap(self, spark):
+        text = " ".join(f"t{i}" for i in range(10))
+        df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+        rows = chunk_documents(df, chunk_tokens=4, overlap_tokens=1).orderBy("chunk_id").collect()
+        # stride 3, n=10 -> starts 1,4,7,10
+        assert [r["chunk_id"] for r in rows] == [0, 1, 2, 3]
+        assert rows[0]["chunk_text"] == "t0 t1 t2 t3"
+        assert rows[1]["chunk_text"] == "t3 t4 t5 t6"
+        assert rows[2]["chunk_text"] == "t6 t7 t8 t9"
+        assert rows[3]["chunk_text"] == "t9" and rows[3]["n_tokens"] == 1
+
+    def test_short_and_empty_docs(self, spark):
+        df = spark.createDataFrame([(1, "one two"), (2, "   "), (3, "")], "doc_id long, text string")
+        rows = chunk_documents(df, chunk_tokens=128, overlap_tokens=16).collect()
+        assert len(rows) == 1  # blank docs yield no chunks
+        assert rows[0]["doc_id"] == 1 and rows[0]["chunk_text"] == "one two"
+
+    def test_every_token_covered(self, spark, sf_dir):
+        C, O, stride = 32, 8, 24
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        chunks = chunk_documents(docs, chunk_tokens=C, overlap_tokens=O)
+        per_doc = {
+            r["doc_id"]: (r["n_chunks"], r["sum_t"])
+            for r in chunks.groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("n_chunks"), F.sum("n_tokens").alias("sum_t"))
+            .collect()
+        }
+        from usajobs_etl_service_spark.functions.text import token_count_ws
+
+        truth = {
+            r["doc_id"]: r["n"]
+            for r in docs.select("doc_id", token_count_ws(F.col("text")).alias("n")).collect()
+        }
+        # exact model: starts 0, stride, ... < n; chunk i covers min(C, n - start)
+        for doc_id, n in truth.items():
+            starts = list(range(0, n, stride)) if n > 0 else []
+            want = (len(starts), sum(min(C, n - s) for s in starts))
+            got = per_doc.get(doc_id, (0, 0))
+            assert got == want, f"doc {doc_id}: n={n} got {got} want {want}"
+
+    def test_rejects_bad_overlap(self, spark):
+        df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+        with pytest.raises(ValueError):
+            chunk_documents(df, chunk_tokens=8, overlap_tokens=8)
+
+
+class TestConnectedComponents:
+    def test_chain_and_isolated_pair(self, spark):
+        # chain 1-2-3-4 plus pair 10-11: two components
+        pairs = spark.createDataFrame([(1, 2), (2, 3), (3, 4), (10, 11)], "id_a long, id_b long")
+        comp = {r["doc_id"]: r["cluster_id"] for r in connected_components(pairs).collect()}
+        assert comp == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
+
+    def test_long_chain_converges(self, spark):
+        n = 12
+        pairs = spark.createDataFrame([(i, i + 1) for i in range(n)], "id_a long, id_b long")
+        comp = {r["doc_id"]: r["cluster_id"] for r in connected_components(pairs).collect()}
+        assert set(comp.values()) == {0} and len(comp) == n + 1
+
+    def test_canonical_docs_keeps_one_per_cluster(self, spark):
+        docs = spark.createDataFrame([(i, f"text {i}") for i in range(6)], "doc_id long, text string")
+        pairs = spark.createDataFrame([(0, 1), (1, 2), (4, 5)], "id_a long, id_b long")
+        kept = sorted(r["doc_id"] for r in canonical_docs(pairs, docs).collect())
+        assert kept == [0, 3, 4]  # cluster {0,1,2} -> 0; lone 3; cluster {4,5} -> 4

@@ -702,7 +702,12 @@ def q46_native_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S1-S3 as a native Python DataSource: spark.read.format with one
     input partition per API page, fetched executor-side (mock
     transport), flattened through the production S4 path. The oracle
-    reproduces the formulaic mock corpus with generate_series."""
+    reproduces the formulaic mock corpus with generate_series.
+
+    Parity demo ONLY: the Python DataSource API yields rows from Python
+    per partition — right for a rate-limited HTTP source where network
+    dominates, never for bulk ingest (that path is the spool +
+    distributed JSON read, rest_api.py)."""
     from usajobs_etl_service_spark.sources.datasource import read_rest_jobs
 
     flat = read_rest_jobs(spark, mode="mock", mock_total=1200, results_per_page=500)
@@ -997,6 +1002,22 @@ def q64_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return connected_components(pairs.select("id_a", "id_b"))
 
 
+def q65_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extension (training-data prep): greedy sequential packing of
+    q63's chunks into 256-token context windows, 4 shards (pmod shard so
+    the oracle can reproduce it; production default is hashed-doc).
+    Returns per-bin packing stats (operators/packing.py)."""
+    from usajobs_etl_service_spark.operators.chunking import chunk_documents
+    from usajobs_etl_service_spark.operators.packing import pack_chunks, packing_stats
+
+    docs = _t(spark, sf_dir, "documents")
+    chunks = chunk_documents(docs, chunk_tokens=32, overlap_tokens=8)
+    packed = pack_chunks(
+        chunks, context_tokens=256, n_shards=4, shard_expr=F.pmod(F.col("doc_id"), F.lit(4))
+    )
+    return packing_stats(packed, context_tokens=256)
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_job_statistics": q01_job_statistics,
     "q02_metric_union": q02_metric_union,
@@ -1062,6 +1083,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q62_tfidf_top_terms": q62_tfidf_top_terms,
     "q63_doc_chunks": q63_doc_chunks,
     "q64_dup_clusters": q64_dup_clusters,
+    "q65_sequence_packing": q65_sequence_packing,
 }
 
 
@@ -1613,6 +1635,29 @@ ORACLES: dict[str, str] = {
         )
         SELECT src AS doc_id, least(src, min(dst)) AS cluster_id
         FROM reach GROUP BY src
+    """,
+    "q65_sequence_packing": """
+        WITH toks AS (
+            SELECT doc_id,
+                   list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '') AS t
+            FROM documents
+        ), chunks AS (
+            SELECT doc_id,
+                   CAST((s - 1) / 24 AS INTEGER) AS chunk_id,
+                   CAST(least(32, len(t) - s + 1) AS INTEGER) AS n_tokens
+            FROM (SELECT doc_id, t, unnest(generate_series(1, len(t), 24)) AS s
+                  FROM toks WHERE len(t) > 0)
+        ), packed AS (
+            SELECT doc_id % 4 AS shard, n_tokens,
+                   sum(n_tokens) OVER (PARTITION BY doc_id % 4 ORDER BY doc_id, chunk_id
+                                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       - n_tokens AS start_offset
+            FROM chunks
+        )
+        SELECT shard, CAST(floor(start_offset / 256.0) AS BIGINT) AS bin_id,
+               count(*) AS n_chunks, sum(n_tokens) AS bin_tokens,
+               round(CAST(sum(n_tokens) AS DOUBLE) / 256, 4) AS fill_ratio
+        FROM packed GROUP BY shard, bin_id
     """,
     "q27_quality_score": """
         WITH f AS (

@@ -1018,6 +1018,20 @@ def q65_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     return packing_stats(packed, context_tokens=256)
 
 
+def q66_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extension (training-data hygiene): 8-gram benchmark
+    decontamination — docs with doc_id % 10 == 0 stand in as the eval
+    set; every other doc sharing any 8-gram with them is flagged.
+    Spark side joins on hashed grams (8-byte longs, broadcast semi);
+    the oracle compares gram strings — hash-collision-free agreement."""
+    from usajobs_etl_service_spark.operators.decontam import contaminated_docs
+
+    docs = _t(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 10 == 0)
+    corpus = docs.filter(F.col("doc_id") % 10 != 0)
+    return contaminated_docs(corpus, bench, n=8)
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_job_statistics": q01_job_statistics,
     "q02_metric_union": q02_metric_union,
@@ -1084,6 +1098,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q63_doc_chunks": q63_doc_chunks,
     "q64_dup_clusters": q64_dup_clusters,
     "q65_sequence_packing": q65_sequence_packing,
+    "q66_decontamination": q66_decontamination,
 }
 
 
@@ -1658,6 +1673,22 @@ ORACLES: dict[str, str] = {
                count(*) AS n_chunks, sum(n_tokens) AS bin_tokens,
                round(CAST(sum(n_tokens) AS DOUBLE) / 256, 4) AS fill_ratio
         FROM packed GROUP BY shard, bin_id
+    """,
+    "q66_decontamination": """
+        WITH toks AS (
+            SELECT doc_id,
+                   list_filter(string_split_regex(trim(lower(text)), '\\s+'), x -> x <> '') AS t
+            FROM documents
+        ), grams AS (
+            SELECT doc_id, array_to_string(list_slice(t, s, s + 7), ' ') AS g
+            FROM (SELECT doc_id, t, unnest(generate_series(1, len(t) - 7, 1)) AS s
+                  FROM toks WHERE len(t) >= 8)
+        ), bench AS (
+            SELECT DISTINCT g FROM grams WHERE doc_id % 10 = 0
+        )
+        SELECT DISTINCT doc_id
+        FROM grams JOIN bench USING (g)
+        WHERE doc_id % 10 <> 0
     """,
     "q27_quality_score": """
         WITH f AS (

@@ -1032,6 +1032,19 @@ def q66_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     return contaminated_docs(corpus, bench, n=8)
 
 
+def q67_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extension (corpus mixing): deterministic hash-based stratified
+    sampling — per-event-type keep rates, decided by md5(key#seed) so
+    any engine reproduces the exact row set (operators/sampling.py).
+    Returns per-stratum sampled counts."""
+    from usajobs_etl_service_spark.operators.sampling import stratified_sample
+
+    events = _t(spark, sf_dir, "events")
+    rates = {"click": 1.0, "view": 0.5, "purchase": 0.25, "signup": 0.1}
+    sampled = stratified_sample(events, "event_type", rates, key_col="event_id")
+    return sampled.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_sampled"))
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_job_statistics": q01_job_statistics,
     "q02_metric_union": q02_metric_union,
@@ -1099,6 +1112,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q64_dup_clusters": q64_dup_clusters,
     "q65_sequence_packing": q65_sequence_packing,
     "q66_decontamination": q66_decontamination,
+    "q67_stratified_sample": q67_stratified_sample,
 }
 
 
@@ -1689,6 +1703,21 @@ ORACLES: dict[str, str] = {
         SELECT DISTINCT doc_id
         FROM grams JOIN bench USING (g)
         WHERE doc_id % 10 <> 0
+    """,
+    "q67_stratified_sample": """
+        WITH keyed AS (
+            SELECT event_type,
+                   CAST(('0x' || substr(md5(CAST(event_id AS VARCHAR) || '#42'), 1, 8)) AS BIGINT)
+                       / 4294967296.0 AS u
+            FROM events
+        )
+        SELECT event_type, count(*) AS n_sampled
+        FROM keyed
+        WHERE u < CASE event_type
+                      WHEN 'click' THEN 1.0 WHEN 'view' THEN 0.5
+                      WHEN 'purchase' THEN 0.25 WHEN 'signup' THEN 0.1
+                      ELSE 0.0 END
+        GROUP BY event_type
     """,
     "q27_quality_score": """
         WITH f AS (

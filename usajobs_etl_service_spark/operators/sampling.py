@@ -1,0 +1,54 @@
+"""Deterministic (hash-based) sampling for corpus mixing.
+
+Training-data pipelines weight sources ("2 epochs of wiki, 0.3 of
+web"): that requires sampling that is *reproducible* across runs,
+executors, and engines — ``df.sample()`` is seeded per-partition and
+changes under repartitioning. Here the keep/drop decision is a pure
+function of the row's key: uniform in [0,1) from the first 8 hex chars
+of md5(key#seed). Runs inside the scan (codegen, no shuffle), pushes
+nothing to the driver, and any engine with md5 reproduces it exactly
+(the DuckDB oracle does).
+
+md5 here is a uniformity device, not security-relevant.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_BUCKETS = float(2**32)
+
+
+def sample_key(col: Column, *, seed: int = 42) -> Column:
+    """Deterministic uniform [0,1) from a key column + seed."""
+    h = F.conv(F.substring(F.md5(F.concat(col.cast("string"), F.lit(f"#{seed}"))), 1, 8), 16, 10)
+    return h.cast("long") / F.lit(_BUCKETS)
+
+
+def hash_sample(df: DataFrame, rate: float, *, key_col: str, seed: int = 42) -> DataFrame:
+    """Keep ~``rate`` of rows, decided per key — same key, same verdict,
+    every run and engine."""
+    if not 0.0 <= rate <= 1.0:
+        raise ValueError(f"rate must be in [0, 1], got {rate}")
+    return df.filter(sample_key(F.col(key_col), seed=seed) < rate)
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str,
+    rates: dict[str, float],
+    *,
+    key_col: str,
+    seed: int = 42,
+    default_rate: float = 0.0,
+) -> DataFrame:
+    """Per-stratum sampling rates (source-mixing weights). Strata not in
+    ``rates`` get ``default_rate``."""
+    for k, r in rates.items():
+        if not 0.0 <= r <= 1.0:
+            raise ValueError(f"rate for {k!r} must be in [0, 1], got {r}")
+    rate_col: Column = F.lit(float(default_rate))
+    for k, r in sorted(rates.items()):
+        rate_col = F.when(F.col(strata_col) == k, float(r)).otherwise(rate_col)
+    return df.filter(sample_key(F.col(key_col), seed=seed) < rate_col)

@@ -1045,6 +1045,25 @@ def q67_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sampled.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_sampled"))
 
 
+def q68_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extension (training-data hygiene): PII-shape redaction. Synthetic
+    contact strings derived from doc_id guarantee every pattern fires;
+    the oracle runs the identical RE2-safe regexes, so the hash compare
+    verifies replacement semantics end-to-end."""
+    from usajobs_etl_service_spark.functions.text import redact_pii
+
+    docs = _t(spark, sf_dir, "documents")
+    synth = F.concat(
+        F.lit("contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com or 415-555-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        F.lit(" ssn 123-45-6789 ip 10.0.0."),
+        (F.col("doc_id") % 255).cast("string"),
+    )
+    return docs.select("doc_id", redact_pii(synth).alias("redacted"))
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_job_statistics": q01_job_statistics,
     "q02_metric_union": q02_metric_union,
@@ -1113,6 +1132,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q65_sequence_packing": q65_sequence_packing,
     "q66_decontamination": q66_decontamination,
     "q67_stratified_sample": q67_stratified_sample,
+    "q68_pii_redaction": q68_pii_redaction,
 }
 
 
@@ -1718,6 +1738,25 @@ ORACLES: dict[str, str] = {
                       WHEN 'purchase' THEN 0.25 WHEN 'signup' THEN 0.1
                       ELSE 0.0 END
         GROUP BY event_type
+    """,
+    "q68_pii_redaction": """
+        WITH synth AS (
+            SELECT doc_id,
+                   'contact user' || doc_id || '@example.com or 415-555-'
+                       || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                       || ' ssn 123-45-6789 ip 10.0.0.' || (doc_id % 255) AS s
+            FROM documents
+        )
+        SELECT doc_id,
+               regexp_replace(
+                   regexp_replace(
+                       regexp_replace(
+                           regexp_replace(s,
+                               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                           '\\b[0-9]{3}-[0-9]{2}-[0-9]{4}\\b', '<SSN>', 'g'),
+                       '\\b(\\+?1[-. ]?)?(\\(?[0-9]{3}\\)?[-. ]?)[0-9]{3}[-. ]?[0-9]{4}\\b', '<PHONE>', 'g'),
+                   '\\b(?:[0-9]{1,3}\\.){3}[0-9]{1,3}\\b', '<IP>', 'g') AS redacted
+        FROM synth
     """,
     "q27_quality_score": """
         WITH f AS (

@@ -131,3 +131,24 @@ class TestTextMatches:
     def test_word_boundary_still_applies(self, spark):
         texts = ["java developer", "javascript developer"]
         assert self._hits(spark, "java", texts) == ["java developer"]
+
+
+class TestRedaction:
+    def _r(self, spark, s):
+        from usajobs_etl_service_spark.functions.text import redact_pii
+
+        df = spark.createDataFrame([(s,)], "v string")
+        return df.select(redact_pii(F.col("v")).alias("out")).first()["out"]
+
+    def test_all_patterns(self, spark):
+        s = "mail a.b+c@x-corp.io, ssn 123-45-6789, call (415) 555-1234 or 1-415-555-9999, host 192.168.0.1"
+        out = self._r(spark, s)
+        assert "<EMAIL>" in out and "<SSN>" in out and "<PHONE>" in out and "<IP>" in out
+        assert "@" not in out and "123-45-6789" not in out and "192.168" not in out
+
+    def test_ssn_not_eaten_by_phone(self, spark):
+        assert self._r(spark, "id 987-65-4321 end") == "id <SSN> end"
+
+    def test_clean_text_untouched(self, spark):
+        s = "no contact info here, just words and the number 42"
+        assert self._r(spark, s) == s

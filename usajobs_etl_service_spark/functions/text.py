@@ -157,3 +157,29 @@ def shingles(col: Column, k: int = 5) -> Column:
     projecting ``split(normalized_text(c), '\\s+')`` to a column and
     calling ``shingles_from_tokens`` (see its docstring for why)."""
     return shingles_from_tokens(F.split(normalized_text(col), _WS), k)
+
+
+# ---------------------------------------------------------------------------
+# PII-style redaction (training-data hygiene)
+# ---------------------------------------------------------------------------
+
+# Deliberately RE2-compatible (no backrefs/lookarounds) so the same
+# patterns run identically under Java regex (Spark) and RE2 (DuckDB
+# oracle). Heuristic coverage, not a compliance tool.
+REDACTION_PATTERNS: list[tuple[str, str]] = [
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    (r"\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b", "<SSN>"),
+    (r"\b(\+?1[-. ]?)?(\(?[0-9]{3}\)?[-. ]?)[0-9]{3}[-. ]?[0-9]{4}\b", "<PHONE>"),
+    (r"\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b", "<IP>"),
+]
+
+
+def redact_pii(col: Column) -> Column:
+    """Mask email / SSN / US-phone / IPv4 shapes with typed tags. Chained
+    ``regexp_replace`` — pure codegen, no shuffle; order matters (SSN
+    before phone, since 3-2-4 digits would otherwise half-match the
+    phone pattern)."""
+    out = col
+    for pat, tag in REDACTION_PATTERNS:
+        out = F.regexp_replace(out, pat, tag)
+    return out

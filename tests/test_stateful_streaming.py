@@ -74,3 +74,52 @@ def test_cross_batch_dedup_with_state(spark, tmp_path):
     titles = dict(out)
     assert titles["https://www.usajobs.gov/job/1"] == "Data Engineer 1"  # state held across drains
     assert "https://www.usajobs.gov/job/4" in titles and "https://www.usajobs.gov/job/5" in titles
+
+
+def test_rate_source_soak_ttl_dedup(spark, tmp_path):
+    """Soak the stateful dedup against Spark's rate source: a steady
+    stream with keys cycling over a small domain — every key must be
+    emitted exactly once across all micro-batches, at rate-source
+    volume (bounded run; TTL path exercised via ttl_ms)."""
+    from pyspark.sql import functions as F
+
+    rate = (
+        spark.readStream.format("rate")
+        .option("rowsPerSecond", "500")
+        .option("numPartitions", "4")
+        .load()
+        .select(
+            F.concat(F.lit("key-"), (F.col("value") % 50).cast("string")).alias("position_uri"),
+            F.col("value").alias("ingest_seq"),
+        )
+    )
+    deduped = streaming_first_wins_dedup(
+        rate, key_col="position_uri", order_col="ingest_seq", ttl_ms=600_000
+    )
+    seen = []
+
+    def sink(df, _bid):
+        seen.extend((r["position_uri"], r["ingest_seq"]) for r in df.collect())
+
+    q = (
+        deduped.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .outputMode("append")
+        .trigger(processingTime="1 second")
+        .start()
+    )
+    import time
+
+    deadline = time.time() + 25
+    while time.time() < deadline and len({k for k, _ in seen}) < 50:
+        time.sleep(0.5)
+    q.stop()
+    q.awaitTermination()
+
+    keys = [k for k, _ in seen]
+    assert len(keys) == len(set(keys)), "a key was emitted twice across micro-batches"
+    assert len(set(keys)) == 50, f"only {len(set(keys))}/50 keys surfaced before the deadline"
+    # first-wins: rate source counts 0,1,2,... so the first-ever seq for
+    # key-N is exactly N
+    for k, s in seen:
+        assert s == int(k.split("-")[1])

@@ -35,6 +35,10 @@ def connected_components(
         pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
         .union(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
         .distinct()
+        # materialize once: the pair generation upstream (LSH banding /
+        # blocked cosine joins) is the expensive part and every round
+        # joins against it — never re-derive it per iteration
+        .localCheckpoint(eager=True)
     )
     labels = edges.select(F.col("src").alias("id")).distinct().withColumn("label", F.col("id"))
 
@@ -45,8 +49,15 @@ def connected_components(
             .agg(F.min("label").alias("nmin"))
             .withColumnRenamed("dst", "id")
         )
-        new_labels = labels.join(neighbor_min, "id", "left").select(
-            "id", F.least(F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))).alias("label")
+        # checkpoint BEFORE the convergence count so each round evaluates
+        # the join exactly once (and lineage stays one round deep)
+        new_labels = (
+            labels.join(neighbor_min, "id", "left")
+            .select(
+                "id",
+                F.least(F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))).alias("label"),
+            )
+            .localCheckpoint(eager=True)
         )
         # one scalar to the driver per round: number of changed labels
         changed = (
@@ -55,9 +66,7 @@ def connected_components(
             .filter(F.col("n.label") != F.col("o.label"))
             .count()
         )
-        # cache the new frontier: each round's plan would otherwise
-        # re-derive every prior round (exponential lineage)
-        labels = new_labels.localCheckpoint(eager=True)
+        labels = new_labels
         if changed == 0:
             return labels.select(F.col("id").alias("doc_id"), F.col("label").alias("cluster_id"))
     raise RuntimeError(f"connected_components did not converge in {max_iterations} iterations")

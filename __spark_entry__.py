@@ -1064,6 +1064,48 @@ def q68_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id", redact_pii(synth).alias("redacted"))
 
 
+def q69_training_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full training-data prep story as ONE lazy plan: exact dedup
+    (md5 fingerprint, first-wins) -> quality + language gate ->
+    benchmark decontamination (8-gram, doc_id%10 eval set) ->
+    deterministic stratified sampling (per-language mixing weights) ->
+    chunking -> per-language corpus stats. Composes q40/q66/q67/q63's
+    operators; one corpus scan feeds the gates, one gram explode feeds
+    decontam, one chunk explode feeds the stats."""
+    from usajobs_etl_service_spark.operators.chunking import chunk_documents
+    from usajobs_etl_service_spark.operators.decontam import contaminated_docs
+    from usajobs_etl_service_spark.operators.dedup import dedup_first_wins
+    from usajobs_etl_service_spark.operators.sampling import stratified_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    fingerprinted = docs.withColumn("fp", TX.fingerprint_md5(F.col("text")))
+    deduped = dedup_first_wins(fingerprinted, ["fp"], "doc_id")
+    curated = (
+        deduped.withColumn("lang_pred", TX.lang_id(F.col("text")))
+        .withColumn("quality", TX.quality_score(F.col("text")))
+        .filter((F.col("quality") >= 0.5) & (F.col("lang_pred") != "und"))
+    )
+    bench = docs.filter(F.col("doc_id") % 10 == 0)
+    pool = curated.filter(F.col("doc_id") % 10 != 0)
+    bad = contaminated_docs(pool, bench, n=8)
+    clean = pool.join(bad, "doc_id", "left_anti")
+    rates = {"en": 1.0, "fr": 0.5, "de": 0.5, "es": 0.25}
+    sampled = stratified_sample(clean, "lang_pred", rates, key_col="doc_id")
+    chunks = chunk_documents(sampled, chunk_tokens=32, overlap_tokens=8)
+    cstats = chunks.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_chunks"), F.sum("n_tokens").alias("chunk_tokens")
+    )
+    return (
+        sampled.join(cstats, "doc_id", "left")
+        .groupBy("lang_pred")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.coalesce(F.col("n_chunks"), F.lit(0))).alias("n_chunks"),
+            F.sum(F.coalesce(F.col("chunk_tokens"), F.lit(0))).alias("total_chunk_tokens"),
+        )
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_job_statistics": q01_job_statistics,
     "q02_metric_union": q02_metric_union,
@@ -1133,6 +1175,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q66_decontamination": q66_decontamination,
     "q67_stratified_sample": q67_stratified_sample,
     "q68_pii_redaction": q68_pii_redaction,
+    "q69_training_corpus_pipeline": q69_training_corpus_pipeline,
 }
 
 
@@ -1757,6 +1800,87 @@ ORACLES: dict[str, str] = {
                        '\\b(\\+?1[-. ]?)?(\\(?[0-9]{3}\\)?[-. ]?)[0-9]{3}[-. ]?[0-9]{4}\\b', '<PHONE>', 'g'),
                    '\\b(?:[0-9]{1,3}\\.){3}[0-9]{1,3}\\b', '<IP>', 'g') AS redacted
         FROM synth
+    """,
+    "q69_training_corpus_pipeline": """
+        WITH dedup AS (
+            SELECT doc_id, text,
+                   row_number() OVER (PARTITION BY md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))
+                                      ORDER BY doc_id) AS rn
+            FROM documents
+        ),
+        feats AS (
+            SELECT doc_id, text,
+                   length(text) AS n_chars,
+                   len(list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '')) AS n_tokens,
+                   length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS n_alpha,
+                   length(regexp_replace(text, '[^0-9]', '', 'g')) AS n_digit,
+                   length(text) - length(regexp_replace(text, '\\s', '', 'g')) AS n_space,
+                   len(list_filter(string_split_regex(lower(text), '\\s+'),
+                       x -> x IN ('the','and','of','to','is','in','that','with'))) AS s_en,
+                   len(list_filter(string_split_regex(lower(text), '\\s+'),
+                       x -> x IN ('le','la','les','des','est','et','une','dans'))) AS s_fr,
+                   len(list_filter(string_split_regex(lower(text), '\\s+'),
+                       x -> x IN ('der','die','das','und','ist','nicht','ein','mit'))) AS s_de,
+                   len(list_filter(string_split_regex(lower(text), '\\s+'),
+                       x -> x IN ('el','los','las','es','una','que','para','con'))) AS s_es
+            FROM dedup WHERE rn = 1
+        ),
+        curated AS (
+            SELECT doc_id, text,
+                   CASE WHEN greatest(s_en, s_fr, s_de, s_es) = 0 THEN 'und'
+                        WHEN s_en = greatest(s_en, s_fr, s_de, s_es) THEN 'en'
+                        WHEN s_fr = greatest(s_en, s_fr, s_de, s_es) THEN 'fr'
+                        WHEN s_de = greatest(s_en, s_fr, s_de, s_es) THEN 'de'
+                        ELSE 'es'
+                   END AS lang_pred
+            FROM feats
+            WHERE round(
+                       least(CAST(n_tokens AS DOUBLE) / 20.0, 1.0) * 0.3
+                     + (CASE WHEN n_chars > 0 THEN CAST(n_alpha AS DOUBLE) / n_chars ELSE 0.0 END) * 0.3
+                     + (1 - least((CASE WHEN n_chars > 0 THEN CAST(n_digit AS DOUBLE) / n_chars ELSE 0.0 END) * 4, 1.0)) * 0.15
+                     + (1 - least((CASE WHEN n_chars > 0 THEN CAST(n_chars - n_alpha - n_digit - n_space AS DOUBLE) / n_chars ELSE 0.0 END) * 4, 1.0)) * 0.15
+                     + least(CAST(s_en AS DOUBLE) / 5.0, 1.0) * 0.1
+                   , 4) >= 0.5
+              AND greatest(s_en, s_fr, s_de, s_es) > 0
+        ),
+        toks_all AS (
+            SELECT doc_id, list_filter(string_split_regex(trim(lower(text)), '\\s+'), x -> x <> '') AS t
+            FROM documents
+        ),
+        grams AS (
+            SELECT doc_id, array_to_string(list_slice(t, s, s + 7), ' ') AS g
+            FROM (SELECT doc_id, t, unnest(generate_series(1, len(t) - 7, 1)) AS s
+                  FROM toks_all WHERE len(t) >= 8)
+        ),
+        bench AS (SELECT DISTINCT g FROM grams WHERE doc_id % 10 = 0),
+        bad AS (
+            SELECT DISTINCT doc_id FROM grams JOIN bench USING (g) WHERE doc_id % 10 <> 0
+        ),
+        sampled AS (
+            SELECT doc_id, text, lang_pred FROM curated
+            WHERE doc_id % 10 <> 0
+              AND doc_id NOT IN (SELECT doc_id FROM bad)
+              AND CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '#42'), 1, 8)) AS BIGINT)
+                      / 4294967296.0
+                  < CASE lang_pred WHEN 'en' THEN 1.0 WHEN 'fr' THEN 0.5
+                                   WHEN 'de' THEN 0.5 WHEN 'es' THEN 0.25 ELSE 0.0 END
+        ),
+        ctoks AS (
+            SELECT doc_id, list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '') AS t
+            FROM sampled
+        ),
+        cstats AS (
+            SELECT doc_id, count(*) AS n_chunks, sum(least(32, len(t) - s + 1)) AS chunk_tokens
+            FROM (SELECT doc_id, t, unnest(generate_series(1, len(t), 24)) AS s
+                  FROM ctoks WHERE len(t) > 0)
+            GROUP BY doc_id
+        )
+        SELECT lang_pred,
+               count(*) AS n_docs,
+               sum(coalesce(n_chunks, 0)) AS n_chunks,
+               sum(coalesce(chunk_tokens, 0)) AS total_chunk_tokens
+        FROM sampled LEFT JOIN cstats USING (doc_id)
+        GROUP BY lang_pred
     """,
     "q27_quality_score": """
         WITH f AS (

@@ -1106,6 +1106,29 @@ def q69_training_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q70_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binned range join (operators/rangejoin.py): events counted into
+    overlapping 3-day promo windows — the non-equi join Spark would
+    otherwise plan as a nested loop, rewritten as explode-to-bucket +
+    hash equi-join + exact filter. A point can match several windows
+    (windows overlap), which the naive BETWEEN join also yields."""
+    from usajobs_etl_service_spark.operators.rangejoin import point_in_interval_join
+
+    events = _t(spark, sf_dir, "events")
+    epoch = F.lit("1970-01-01").cast("date")
+    wins = (
+        events.select(F.to_date("ts").alias("d"))
+        .distinct()
+        .orderBy("d")
+        .limit(8)
+        .select("d", F.datediff(F.col("d"), epoch).alias("s"))
+        .withColumn("e", F.col("s") + 3)
+    )
+    pts = events.select(F.datediff(F.to_date("ts"), epoch).alias("p"))
+    joined = point_in_interval_join(pts, wins, point_col="p", start_col="s", end_col="e", bin_size=3)
+    return joined.groupBy(F.col("d").alias("win_start")).agg(F.count(F.lit(1)).alias("n_events"))
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_job_statistics": q01_job_statistics,
     "q02_metric_union": q02_metric_union,
@@ -1176,6 +1199,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q67_stratified_sample": q67_stratified_sample,
     "q68_pii_redaction": q68_pii_redaction,
     "q69_training_corpus_pipeline": q69_training_corpus_pipeline,
+    "q70_range_join": q70_range_join,
 }
 
 
@@ -1881,6 +1905,17 @@ ORACLES: dict[str, str] = {
                sum(coalesce(chunk_tokens, 0)) AS total_chunk_tokens
         FROM sampled LEFT JOIN cstats USING (doc_id)
         GROUP BY lang_pred
+    """,
+    "q70_range_join": """
+        WITH wins AS (
+            SELECT d, (d - DATE '1970-01-01') AS s, (d - DATE '1970-01-01') + 3 AS e
+            FROM (SELECT DISTINCT CAST(ts AS DATE) AS d FROM events ORDER BY d LIMIT 8)
+        ), pts AS (
+            SELECT (CAST(ts AS DATE) - DATE '1970-01-01') AS p FROM events
+        )
+        SELECT d AS win_start, count(*) AS n_events
+        FROM pts JOIN wins ON p >= s AND p < e
+        GROUP BY d
     """,
     "q27_quality_score": """
         WITH f AS (

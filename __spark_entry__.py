@@ -1069,10 +1069,9 @@ def q69_training_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     (md5 fingerprint, first-wins) -> quality + language gate ->
     benchmark decontamination (8-gram, doc_id%10 eval set) ->
     deterministic stratified sampling (per-language mixing weights) ->
-    chunking -> per-language corpus stats. Composes q40/q66/q67/q63's
+    chunk stats -> per-language corpus stats. Composes the q40/q66/q67
     operators; one corpus scan feeds the gates, one gram explode feeds
-    decontam, one chunk explode feeds the stats."""
-    from usajobs_etl_service_spark.operators.chunking import chunk_documents
+    decontam, and chunk stats are closed-form expressions (see below)."""
     from usajobs_etl_service_spark.operators.decontam import contaminated_docs
     from usajobs_etl_service_spark.operators.dedup import dedup_first_wins
     from usajobs_etl_service_spark.operators.sampling import stratified_sample
@@ -1085,23 +1084,36 @@ def q69_training_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("quality", TX.quality_score(F.col("text")))
         .filter((F.col("quality") >= 0.5) & (F.col("lang_pred") != "und"))
     )
+    # contamination is a property of the RAW text — compute the bad-id
+    # set from the plain corpus so the expensive curation expressions
+    # (regex features, dedup window) are never evaluated on the gram
+    # explode side, only once on the final chain
     bench = docs.filter(F.col("doc_id") % 10 == 0)
+    bad = contaminated_docs(docs.filter(F.col("doc_id") % 10 != 0), bench, n=8)
     pool = curated.filter(F.col("doc_id") % 10 != 0)
-    bad = contaminated_docs(pool, bench, n=8)
     clean = pool.join(bad, "doc_id", "left_anti")
     rates = {"en": 1.0, "fr": 0.5, "de": 0.5, "es": 0.25}
     sampled = stratified_sample(clean, "lang_pred", rates, key_col="doc_id")
-    chunks = chunk_documents(sampled, chunk_tokens=32, overlap_tokens=8)
-    cstats = chunks.groupBy("doc_id").agg(
-        F.count(F.lit(1)).alias("n_chunks"), F.sum("n_tokens").alias("chunk_tokens")
+    # chunk STATS are a pure function of the token count (starts every
+    # 24 tokens, each chunk covers min(32, n - start)) — no explode, no
+    # join back, no second evaluation of the curation subtree. The
+    # materializing chunker itself is exercised and oracle-checked by
+    # q63; quality >= 0.5 guarantees n > 0 here.
+    n = TX.token_count_ws(F.col("text"))
+    k = (F.floor((n - 1) / 24) + 1).cast("long")
+    chunk_tokens = F.aggregate(
+        F.sequence(F.lit(0), k - 1),
+        F.lit(0).cast("long"),
+        lambda acc, i: acc + F.least(F.lit(32).cast("long"), n.cast("long") - 24 * i),
     )
     return (
-        sampled.join(cstats, "doc_id", "left")
+        sampled.withColumn("n_chunks", k)
+        .withColumn("chunk_tokens", chunk_tokens)
         .groupBy("lang_pred")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
-            F.sum(F.coalesce(F.col("n_chunks"), F.lit(0))).alias("n_chunks"),
-            F.sum(F.coalesce(F.col("chunk_tokens"), F.lit(0))).alias("total_chunk_tokens"),
+            F.sum("n_chunks").alias("n_chunks"),
+            F.sum("chunk_tokens").alias("total_chunk_tokens"),
         )
     )
 

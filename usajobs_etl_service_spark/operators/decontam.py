@@ -20,14 +20,22 @@ from pyspark.sql import functions as F
 from usajobs_etl_service_spark.functions.text import tokens_ws
 
 
-def _gram_hashes(text_col, n: int):
-    """xxhash64 of each word n-gram of ``text_col`` (lowercased);
-    documents shorter than ``n`` tokens produce no grams (guarded —
-    ``sequence`` with stop < start is an error under ANSI)."""
-    toks = tokens_ws(F.lower(text_col))
-    starts = F.sequence(F.lit(1), F.size(toks) - (n - 1), F.lit(1))
-    grams = F.transform(starts, lambda s: F.xxhash64(F.array_join(F.slice(toks, s, n), " ")))
-    return F.when(F.size(toks) >= n, grams).otherwise(F.array().cast("array<bigint>"))
+def _exploded_gram_hashes(df: DataFrame, text_col: str, n: int, keep: list[str]):
+    """One row per word ``n``-gram hash. Two-step projection: hash each
+    token ONCE into a column, then combine ``n`` token hashes per gram
+    with a single ``xxhash64(h_s, ..., h_{s+n-1})`` — no string
+    slicing/joining per gram. (Building the gram string inside the
+    lambda re-runs the tokenizer work per gram — interpreted, ~10x
+    slower; same lesson as the shingle pipeline.) Documents shorter
+    than ``n`` tokens produce no grams."""
+    hashed = df.withColumn(
+        "__th", F.transform(tokens_ws(F.lower(F.col(text_col))), lambda t: F.xxhash64(t))
+    )
+    th = F.col("__th")
+    starts = F.sequence(F.lit(0), F.size(th) - n, F.lit(1))
+    grams = F.transform(starts, lambda s: F.xxhash64(*[F.get(th, s + j) for j in range(n)]))
+    gram_arr = F.when(F.size(th) >= n, grams).otherwise(F.array().cast("array<bigint>"))
+    return hashed.select(*keep, F.explode(gram_arr).alias("g"))
 
 
 def contaminated_docs(
@@ -41,12 +49,8 @@ def contaminated_docs(
 ) -> DataFrame:
     """doc ids sharing at least one word ``n``-gram with any benchmark
     row. Documents shorter than ``n`` tokens cannot match."""
-    bench_grams = (
-        benchmark.select(F.explode(_gram_hashes(F.col(bench_text_col), n)).alias("g")).distinct()
-    )
-    doc_grams = docs.select(
-        F.col(id_col), F.explode(_gram_hashes(F.col(text_col), n)).alias("g")
-    )
+    bench_grams = _exploded_gram_hashes(benchmark, bench_text_col, n, keep=[]).distinct()
+    doc_grams = _exploded_gram_hashes(docs, text_col, n, keep=[id_col])
     return (
         doc_grams.join(F.broadcast(bench_grams), "g", "left_semi")
         .select(id_col)

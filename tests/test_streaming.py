@@ -96,3 +96,54 @@ def test_sessionize_on_events(spark, sf_dir):
     rows = out.collect()
     assert sum(r["n_events"] for r in rows) == events.count()
     assert all(r["session_end"] >= r["session_start"] for r in rows)
+
+
+def test_stream_stream_interval_join_matches_batch(spark, tmp_path):
+    """Watermarked stream-stream join drained with availableNow must
+    produce exactly the batch join's pairs."""
+    import datetime
+
+    from usajobs_etl_service_spark.streaming.pipeline import interval_join_streams
+
+    t0 = datetime.datetime(2024, 1, 1, 12, 0, 0)
+
+    def ts(m):
+        return t0 + datetime.timedelta(minutes=m)
+
+    clicks = [(u, ts(m)) for u, m in [(1, 0), (1, 30), (2, 5), (3, 10)]]
+    buys = [(u, ts(m)) for u, m in [(1, 4), (1, 33), (2, 40), (3, 10), (3, 21)]]
+    # expected: click matches buys within [click, click+10min]
+    # u1: (0,4), (30,33); u2: none (40 > 5+10); u3: (10,10); (10,21) too late
+
+    cdir, bdir = str(tmp_path / "clicks"), str(tmp_path / "buys")
+    spark.createDataFrame(clicks, "user_id long, l_ts timestamp").write.parquet(cdir)
+    spark.createDataFrame(buys, "user_id long, r_ts timestamp").write.parquet(bdir)
+
+    cs = spark.readStream.schema("user_id long, l_ts timestamp").parquet(cdir)
+    bs = spark.readStream.schema("user_id long, r_ts timestamp").parquet(bdir)
+    joined = interval_join_streams(cs, bs)
+
+    got = []
+
+    def sink(df, _bid):
+        got.extend((r["user_id"], r["l_ts"], r["r_ts"]) for r in df.collect())
+
+    q = (
+        joined.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    batch = interval_join_streams(
+        spark.read.parquet(cdir), spark.read.parquet(bdir)
+    ).collect()
+    want = {(r["user_id"], r["l_ts"], r["r_ts"]) for r in batch}
+    assert set(got) == want
+    assert want == {
+        (1, ts(0), ts(4)),
+        (1, ts(30), ts(33)),
+        (3, ts(10), ts(10)),
+    }

@@ -105,3 +105,33 @@ def sessionize(
             "sum_value",
         )
     )
+
+
+def interval_join_streams(
+    left: DataFrame,
+    right: DataFrame,
+    *,
+    key_col: str = "user_id",
+    left_ts: str = "l_ts",
+    right_ts: str = "r_ts",
+    max_delay: str = "10 minutes",
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Watermarked stream-stream inner join: pair each left event with
+    right events for the same key whose timestamp falls in
+    ``[left_ts, left_ts + max_delay]`` (e.g. click -> purchase
+    attribution). Both sides carry watermarks and the join condition
+    time-bounds the buffered state, so Spark can evict rows older than
+    watermark + delay instead of buffering the streams forever. Works
+    identically on batch frames (watermarks are no-ops there), which is
+    how the tests pin result parity batch-vs-stream."""
+    l = left.withWatermark(left_ts, watermark) if left.isStreaming else left
+    r = right.withWatermark(right_ts, watermark) if right.isStreaming else right
+    cond = (
+        (l[key_col] == r[key_col])
+        & (F.col(right_ts) >= F.col(left_ts))
+        & (F.col(right_ts) <= F.col(left_ts) + F.expr(f"INTERVAL {max_delay}"))
+    )
+    return l.join(r, cond, "inner").select(
+        l[key_col].alias(key_col), F.col(left_ts), F.col(right_ts)
+    )

@@ -1141,6 +1141,29 @@ def q70_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.groupBy(F.col("d").alias("win_start")).agg(F.count(F.lit(1)).alias("n_events"))
 
 
+def q71_range_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-based RANGE window frames (value-range, not row-count — the
+    frame q21/q48 don't cover): per user, rolling 1-hour sum/count over
+    event time, plus first/last value in the rows frame."""
+    from pyspark.sql import Window
+
+    events = _t(spark, sf_dir, "events")
+    sec = F.unix_timestamp("ts")
+    wr = Window.partitionBy("user_id").orderBy(sec.cast("long")).rangeBetween(-3600, 0)
+    wo = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return events.select(
+        "event_id",
+        "user_id",
+        F.round(F.sum("value").over(wr), 2).alias("hour_sum"),
+        F.count(F.lit(1)).over(wr).alias("hour_n"),
+        F.round(F.first("value").over(wo), 3).alias("first_val"),
+        F.round(
+            F.last("value").over(wo.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)),
+            3,
+        ).alias("last_val"),
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_job_statistics": q01_job_statistics,
     "q02_metric_union": q02_metric_union,
@@ -1212,6 +1235,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q68_pii_redaction": q68_pii_redaction,
     "q69_training_corpus_pipeline": q69_training_corpus_pipeline,
     "q70_range_join": q70_range_join,
+    "q71_range_frames": q71_range_frames,
 }
 
 
@@ -1928,6 +1952,17 @@ ORACLES: dict[str, str] = {
         SELECT d AS win_start, count(*) AS n_events
         FROM pts JOIN wins ON p >= s AND p < e
         GROUP BY d
+    """,
+    "q71_range_frames": """
+        SELECT event_id, user_id,
+               round(sum(value) OVER (PARTITION BY user_id ORDER BY epoch(ts)
+                                      RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW), 2) AS hour_sum,
+               count(*) OVER (PARTITION BY user_id ORDER BY epoch(ts)
+                              RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW) AS hour_n,
+               round(first_value(value) OVER (PARTITION BY user_id ORDER BY ts, event_id), 3) AS first_val,
+               round(last_value(value)  OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                              ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING), 3) AS last_val
+        FROM events
     """,
     "q27_quality_score": """
         WITH f AS (

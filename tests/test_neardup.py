@@ -93,3 +93,33 @@ def test_simhash_caps_tokens_per_doc(spark):
     df = spark.createDataFrame([(0, big), (1, "tok1 tok2 tok3")], "doc_id long, text string")
     sigs = {r["id"]: r["sig"] for r in ND.simhash_signatures_df(df, id_col="doc_id", text_col="text").collect()}
     assert len(sigs) == 2 and all(isinstance(v, int) for v in sigs.values())
+
+
+def test_multi_resolution_banding_superset(spark):
+    """Extra (looser) band configs only ever ADD verified pairs — the
+    exact-similarity stage keeps precision — and the default config's
+    results are unchanged."""
+    df = _docs_df(spark)
+    base = {
+        (r["id_a"], r["id_b"]): r["est_jaccard"]
+        for r in ND.minhash_near_dup_pairs(df, threshold=0.5, num_hashes=64, bands=16).collect()
+    }
+    multi = {
+        (r["id_a"], r["id_b"]): r["est_jaccard"]
+        for r in ND.minhash_near_dup_pairs(
+            df, threshold=0.5, num_hashes=64, bands=16, extra_band_configs=[(32, 2)]
+        ).collect()
+    }
+    assert set(base) <= set(multi)
+    for k, v in base.items():
+        assert multi[k] == v  # same signatures, same estimates
+    assert all(v >= 0.5 for v in multi.values())
+    assert (0, 1) in multi
+
+
+def test_multi_resolution_rejects_overlong_config(spark):
+    import pytest
+
+    df = _docs_df(spark)
+    with pytest.raises(ValueError, match="lanes"):
+        ND.minhash_near_dup_pairs(df, num_hashes=64, bands=16, extra_band_configs=[(32, 4)])

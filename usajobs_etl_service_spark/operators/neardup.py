@@ -105,13 +105,16 @@ def signature_similarity(sig_a: Column, sig_b: Column) -> Column:
     return matches.cast("double") / F.size(sig_a)
 
 
-def lsh_band_keys(sig_col: Column, bands: int, rows_per_band: int) -> Column:
+def lsh_band_keys(sig_col: Column, bands: int, rows_per_band: int, *, config_id: int = 0) -> Column:
     """array<struct<band:int, key:long>> — hash each band of the
-    signature; equal band-key => candidate pair."""
+    signature; equal band-key => candidate pair. ``config_id`` offsets
+    the band ids so several (bands, rows) resolutions can share one
+    bucket join without cross-config collisions."""
+    offset = config_id * 1024
     return F.transform(
         F.sequence(F.lit(0), F.lit(bands - 1)),
         lambda b: F.struct(
-            b.cast("int").alias("band"),
+            (b + offset).cast("int").alias("band"),
             F.xxhash64(F.concat_ws(",", F.slice(sig_col, b * rows_per_band + 1, rows_per_band)), b).alias(
                 "key"
             ),
@@ -130,6 +133,7 @@ def minhash_near_dup_pairs(
     threshold: float = 0.8,
     max_bucket: int = 1000,
     seed: int = 42,
+    extra_band_configs: list[tuple[int, int]] | None = None,
 ) -> DataFrame:
     """Near-dup pairs (id_a < id_b, est_jaccard >= threshold).
 
@@ -137,6 +141,13 @@ def minhash_near_dup_pairs(
     band key (shuffle partitioned by key) -> dedup candidate pairs ->
     exact signature-similarity filter. ``max_bucket`` drops degenerate
     buckets (hot-key guard) and is logged as a coverage cap.
+
+    ``extra_band_configs``: additional ``(bands, rows_per_band)``
+    resolutions banded over the SAME signatures and unioned into the
+    candidate set (multi-resolution LSH). A looser config (fewer rows
+    per band) raises recall near the threshold; the exact-similarity
+    verify stage keeps precision, so extra configs only ever add
+    candidates, never wrong results.
     """
     if num_hashes % bands != 0:
         raise ValueError(
@@ -144,11 +155,24 @@ def minhash_near_dup_pairs(
             "trailing signature lanes would be silently excluded from every "
             "band key, lowering candidate recall"
         )
-    rows_per_band = num_hashes // bands
+    configs = [(bands, num_hashes // bands)] + list(extra_band_configs or [])
+    for b_n, r_n in configs[1:]:
+        if b_n * r_n > num_hashes:
+            raise ValueError(f"band config ({b_n}, {r_n}) needs {b_n * r_n} lanes > num_hashes ({num_hashes})")
     sigs = minhash_signatures_df(
         df, id_col=id_col, text_col=text_col, num_hashes=num_hashes, shingle_k=shingle_k, seed=seed
     )
-    banded = sigs.select("id", "sig", F.explode(lsh_band_keys(F.col("sig"), bands, rows_per_band)).alias("bk"))
+    from functools import reduce
+
+    banded = reduce(
+        lambda x, y: x.unionByName(y),
+        (
+            sigs.select(
+                "id", "sig", F.explode(lsh_band_keys(F.col("sig"), b_n, r_n, config_id=ci)).alias("bk")
+            )
+            for ci, (b_n, r_n) in enumerate(configs)
+        ),
+    )
     banded = banded.select("id", "sig", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
 
     # hot-key guard: drop buckets larger than max_bucket

@@ -147,3 +147,63 @@ def test_stream_stream_interval_join_matches_batch(spark, tmp_path):
         (1, ts(30), ts(33)),
         (3, ts(10), ts(10)),
     }
+
+
+def test_stream_health_listener_counts_late_drops(spark, tmp_path):
+    """The listener must report numRowsDroppedByWatermark: feed a
+    watermarked aggregation two availableNow drains where the second
+    delivers an event far behind the advanced watermark."""
+    import datetime
+    import time as _time
+
+    from usajobs_etl_service_spark.streaming.pipeline import (
+        attach_stream_health_listener,
+        windowed_event_counts,
+    )
+
+    src = tmp_path / "events_src"
+    src.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+    listener = attach_stream_health_listener(spark)
+    try:
+        schema = "event_id long, user_id long, event_type string, value double, ts timestamp"
+        t0 = datetime.datetime(2024, 1, 1, 12, 0, 0)
+
+        def drain(rows, tag):
+            spark.createDataFrame(rows, schema).coalesce(1).write.mode("overwrite").parquet(
+                str(src / tag)
+            )
+            stream = spark.readStream.schema(schema).parquet(str(src / tag))
+            agg = windowed_event_counts(stream, window_duration="10 minutes", watermark="5 minutes")
+            q = (
+                agg.writeStream.format("noop")
+                .option("checkpointLocation", ckpt + tag)
+                .outputMode("append")
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+
+        # batch 1 advances the watermark to ~12:55
+        drain(
+            [(i, 1, "click", 1.0, t0 + datetime.timedelta(minutes=60 + i)) for i in range(3)],
+            "a",
+        )
+        before = listener.total_dropped_late
+        # batch 2 (same checkpoint lineage tag "a" continues the watermark):
+        # one fresh event + one event hours behind -> dropped
+        drain(
+            [
+                (10, 1, "click", 1.0, t0 + datetime.timedelta(minutes=70)),
+                (11, 1, "click", 1.0, t0 - datetime.timedelta(hours=5)),
+            ],
+            "a",
+        )
+        deadline = _time.time() + 10
+        while _time.time() < deadline and listener.total_dropped_late == before:
+            _time.sleep(0.2)
+        assert listener.progress_events > 0
+        assert listener.total_input_rows >= 5
+        assert listener.total_dropped_late >= before + 1
+    finally:
+        spark.streams.removeListener(listener)

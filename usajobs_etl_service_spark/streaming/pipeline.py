@@ -135,3 +135,66 @@ def interval_join_streams(
     return l.join(r, cond, "inner").select(
         l[key_col].alias(key_col), F.col(left_ts), F.col(right_ts)
     )
+
+
+class StreamHealthListener:
+    """StreamingQueryListener surfacing per-batch health into the
+    structured log: input rows, processed rows/s, watermark, and —
+    the number the pipeline must alarm on — rows dropped as too late
+    (``stateOperators[].numRowsDroppedByWatermark``). Attach once per
+    session: ``listener = attach_stream_health_listener(spark)``;
+    totals accumulate on the instance for test/inspection."""
+
+    def __new__(cls, logger=None):
+        from pyspark.sql.streaming import StreamingQueryListener
+
+        class _Impl(StreamingQueryListener):
+            def __init__(self, logger=None):
+                from usajobs_etl_service_spark.observability import get_structured_logger
+
+                self.logger = logger or get_structured_logger("stream_health")
+                self.total_input_rows = 0
+                self.total_dropped_late = 0
+                self.progress_events = 0
+
+            def onQueryStarted(self, event):
+                pass
+
+            def onQueryProgress(self, event):
+                p = event.progress
+                dropped = sum(
+                    (op.numRowsDroppedByWatermark or 0) for op in (p.stateOperators or [])
+                )
+                self.progress_events += 1
+                self.total_input_rows += int(p.numInputRows or 0)
+                self.total_dropped_late += int(dropped)
+                import json as _json
+
+                self.logger.info(
+                    "stream_progress %s",
+                    _json.dumps(
+                        {
+                            "query_id": str(p.id),
+                            "batch_id": p.batchId,
+                            "input_rows": int(p.numInputRows or 0),
+                            "rows_per_sec": float(p.processedRowsPerSecond or 0.0),
+                            "dropped_late_rows": int(dropped),
+                        }
+                    ),
+                )
+
+            def onQueryTerminated(self, event):
+                pass
+
+            def onQueryIdle(self, event):
+                pass
+
+        return _Impl(logger)
+
+
+def attach_stream_health_listener(spark: SparkSession, logger=None):
+    """Create + register a StreamHealthListener; returns it (caller may
+    ``spark.streams.removeListener(listener)`` when done)."""
+    listener = StreamHealthListener(logger)
+    spark.streams.addListener(listener)
+    return listener

@@ -7,8 +7,10 @@
 Each query is materialized with the noop sink (full computation, no
 driver collect). The headline value is the sum of per-query seconds.
 Reference floors for context (BASELINE.md): upsert >50 rows/s, JSON
-extract >100 rows/s, end-to-end >20 rows/s — also emitted as derived
-throughputs where the query maps 1:1.
+extract >100 rows/s, end-to-end >20 rows/s. Per-query shuffle-write MB,
+spill, and derived throughputs are written to BENCH_DETAIL.json next to
+this file — stdout carries ONLY the one short headline line so log tail
+capture can never truncate it.
 """
 
 from __future__ import annotations
@@ -82,24 +84,30 @@ def main() -> None:
     materialize(entrymod.q20_flatten_ingest(spark, sf_dir))
     flatten_rps = round(flatten_rows / max(time.perf_counter() - t0, 1e-9), 1)
 
-    print(
-        json.dumps(
-            {
-                "metric": "sum_query_seconds",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf),
-                "derived": {
-                    "flatten_rows_per_sec": flatten_rps,
-                    "reference_floor_rows_per_sec": 100,
-                    "shuffle_write_mb": shuffle_mb,
-                    "shuffle_write_mb_total": round(sum(shuffle_mb.values()), 2),
-                    "disk_spilled_bytes_total": before["spilled_disk"],
-                },
-            }
-        )
-    )
+    # Exactly ONE short JSON line on stdout (the driver's tail capture
+    # truncated the old combined line mid-way in round 2); the bulky
+    # per-query shuffle/spill detail goes to BENCH_DETAIL.json instead.
+    headline = {
+        "metric": "sum_query_seconds",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf),
+    }
+    detail = {
+        "flatten_rows_per_sec": flatten_rps,
+        "reference_floor_rows_per_sec": 100,
+        "shuffle_write_mb": shuffle_mb,
+        "shuffle_write_mb_total": round(sum(shuffle_mb.values()), 2),
+        "disk_spilled_bytes_total": before["spilled_disk"],
+    }
+    detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json")
+    try:
+        with open(detail_path, "w") as f:
+            json.dump(detail, f, indent=1)
+    except OSError:
+        pass
+    print(json.dumps(headline), flush=True)
 
 
 if __name__ == "__main__":

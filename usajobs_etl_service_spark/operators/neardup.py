@@ -105,12 +105,14 @@ def signature_similarity(sig_a: Column, sig_b: Column) -> Column:
     return matches.cast("double") / F.size(sig_a)
 
 
-def lsh_band_keys(sig_col: Column, bands: int, rows_per_band: int, *, config_id: int = 0) -> Column:
+def lsh_band_keys(sig_col: Column, bands: int, rows_per_band: int, *, band_offset: int = 0) -> Column:
     """array<struct<band:int, key:long>> — hash each band of the
-    signature; equal band-key => candidate pair. ``config_id`` offsets
+    signature; equal band-key => candidate pair. ``band_offset`` shifts
     the band ids so several (bands, rows) resolutions can share one
-    bucket join without cross-config collisions."""
-    offset = config_id * 1024
+    bucket join without cross-config collisions; callers pass the running
+    sum of preceding configs' band counts (a fixed per-config stride
+    would silently merge buckets once any config exceeded the stride)."""
+    offset = band_offset
     return F.transform(
         F.sequence(F.lit(0), F.lit(bands - 1)),
         lambda b: F.struct(
@@ -163,30 +165,62 @@ def minhash_near_dup_pairs(
         df, id_col=id_col, text_col=text_col, num_hashes=num_hashes, shingle_k=shingle_k, seed=seed
     )
     from functools import reduce
+    from itertools import accumulate
 
+    offsets = [0] + list(accumulate(b_n for b_n, _ in configs[:-1]))
     banded = reduce(
         lambda x, y: x.unionByName(y),
         (
             sigs.select(
-                "id", "sig", F.explode(lsh_band_keys(F.col("sig"), b_n, r_n, config_id=ci)).alias("bk")
+                "id", "sig", F.explode(lsh_band_keys(F.col("sig"), b_n, r_n, band_offset=off)).alias("bk")
             )
-            for ci, (b_n, r_n) in enumerate(configs)
+            for off, (b_n, r_n) in zip(offsets, configs)
         ),
     )
     banded = banded.select("id", "sig", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
 
-    # hot-key guard: drop buckets larger than max_bucket
+    # Candidate generation WITHOUT a self-join. A self-join's two sides are
+    # separate subtrees to the planner (AQE does not reuse the exchange, and
+    # broadcasting one side replans it outright), so the expensive signature
+    # pipeline ran twice. Instead:
+    #   1. window count over (band, key) — ONE shuffle of the banded set,
+    #      spill-safe (WindowExec sorts/spills, no per-key buffer), dropping
+    #      singleton buckets (the overwhelming majority) and degenerate hot
+    #      keys > max_bucket BEFORE anything quadratic can happen;
+    #   2. collect_list per surviving bucket — same (band, key) partitioning,
+    #      so NO new exchange, and the agg buffer is bounded by max_bucket;
+    #   3. expression-level i<j pair expansion inside each bucket array.
+    # The signature aggregate appears exactly once in the plan under any
+    # planner; total shuffles: sig agg, band-key, pair dedup.
     from pyspark.sql import Window
 
-    counts = banded.groupBy("band", "key").agg(F.count(F.lit(1)).alias("n"))
-    banded = banded.join(counts.filter(F.col("n") <= max_bucket), ["band", "key"], "inner").drop("n")
-
-    a = banded.select(F.col("band"), F.col("key"), F.col("id").alias("id_a"), F.col("sig").alias("sig_a"))
-    b = banded.select(F.col("band"), F.col("key"), F.col("id").alias("id_b"), F.col("sig").alias("sig_b"))
+    w = Window.partitionBy("band", "key")
+    banded = (
+        banded.withColumn("n", F.count(F.lit(1)).over(w))
+        .filter(F.col("n").between(2, max_bucket))
+        .drop("n")
+    )
+    buckets = banded.groupBy("band", "key").agg(
+        F.array_sort(F.collect_list(F.struct("id", "sig"))).alias("ms")
+    )
+    ms = F.col("ms")
+    pair_structs = F.flatten(
+        F.transform(
+            ms,
+            lambda x, i: F.transform(
+                F.slice(ms, i + 2, F.size(ms)),
+                lambda y: F.struct(
+                    x["id"].alias("id_a"),
+                    y["id"].alias("id_b"),
+                    x["sig"].alias("sig_a"),
+                    y["sig"].alias("sig_b"),
+                ),
+            ),
+        )
+    )
     cand = (
-        a.join(b, ["band", "key"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "sig_a", "sig_b")
+        buckets.select(F.explode(pair_structs).alias("p"))
+        .select("p.id_a", "p.id_b", "p.sig_a", "p.sig_b")
         .dropDuplicates(["id_a", "id_b"])
     )
     return (

@@ -70,6 +70,24 @@ class TestConnectedComponents:
         comp = {r["doc_id"]: r["cluster_id"] for r in connected_components(pairs).collect()}
         assert set(comp.values()) == {0} and len(comp) == n + 1
 
+    def test_deep_chain_logarithmic_rounds(self, spark):
+        # a 300-hop chain: min-label propagation needs a round per hop
+        # (300 >> the default iteration cap); large-star/small-star must
+        # close it in O(log diameter) rounds
+        n = 300
+        pairs = spark.createDataFrame([(i, i + 1) for i in range(n)], "id_a long, id_b long")
+        labels, rounds = connected_components(pairs, return_rounds=True)
+        comp = {r["doc_id"]: r["cluster_id"] for r in labels.collect()}
+        assert set(comp.values()) == {0} and len(comp) == n + 1
+        assert rounds <= 12, f"expected O(log n) rounds, took {rounds}"
+
+    def test_two_components_with_shuffled_ids(self, spark):
+        # non-contiguous ids, edges listed in arbitrary orientation
+        edges = [(50, 7), (7, 93), (93, 2), (81, 40), (40, 81), (40, 99)]
+        pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+        comp = {r["doc_id"]: r["cluster_id"] for r in connected_components(pairs).collect()}
+        assert comp == {2: 2, 7: 2, 50: 2, 93: 2, 40: 40, 81: 40, 99: 40}
+
     def test_canonical_docs_keeps_one_per_cluster(self, spark):
         docs = spark.createDataFrame([(i, f"text {i}") for i in range(6)], "doc_id long, text string")
         pairs = spark.createDataFrame([(0, 1), (1, 2), (4, 5)], "id_a long, id_b long")

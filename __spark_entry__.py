@@ -954,8 +954,11 @@ def q61_distribution_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q62_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Extension (text analysis): TF-IDF top-3 terms per document.
     Shuffle shape: explode -> groupBy(doc_id, term) [one data shuffle];
-    document frequency is a vocab-sized aggregate broadcast back; the
-    corpus size joins as a broadcast scalar. Ranking rounds before
+    document frequency joins back on term with NO broadcast hint — an
+    open-vocabulary aggregate is unbounded (web-scale text blows past
+    any broadcast limit), so the join strategy is left to AQE, which
+    still broadcasts when the dictionary actually fits; the corpus size
+    joins as a broadcast scalar (always bounded). Ranking rounds before
     ordering so cross-engine float ties break identically."""
     from pyspark.sql import Window
 
@@ -967,7 +970,7 @@ def q62_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     total = docs.agg(F.count(F.lit(1)).alias("n"))
     scored = (
-        tf.join(F.broadcast(dfreq), "term")
+        tf.join(dfreq, "term")
         .crossJoin(F.broadcast(total))
         .select(
             "doc_id",

@@ -1098,12 +1098,12 @@ def q69_training_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     rates = {"en": 1.0, "fr": 0.5, "de": 0.5, "es": 0.25}
     sampled = stratified_sample(clean, "lang_pred", rates, key_col="doc_id")
     # chunk STATS are a pure function of the token count (starts every
-    # 24 tokens, each chunk covers min(32, n - start)) — no explode, no
-    # join back, no second evaluation of the curation subtree. The
-    # materializing chunker itself is exercised and oracle-checked by
-    # q63; quality >= 0.5 guarantees n > 0 here.
+    # 24 tokens up to n - overlap, each chunk covers min(32, n - start))
+    # — no explode, no join back, no second evaluation of the curation
+    # subtree. The materializing chunker itself is exercised and
+    # oracle-checked by q63; quality >= 0.5 guarantees n > 0 here.
     n = TX.token_count_ws(F.col("text"))
-    k = (F.floor((n - 1) / 24) + 1).cast("long")
+    k = (F.floor((F.greatest(n - F.lit(8), F.lit(1)) - 1) / 24) + 1).cast("long")
     chunk_tokens = F.aggregate(
         F.sequence(F.lit(0), k - 1),
         F.lit(0).cast("long"),
@@ -1763,7 +1763,7 @@ ORACLES: dict[str, str] = {
                    list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '') AS t
             FROM documents
         ), starts AS (
-            SELECT doc_id, t, unnest(generate_series(1, len(t), 24)) AS s
+            SELECT doc_id, t, unnest(generate_series(1, greatest(len(t) - 8, 1), 24)) AS s
             FROM toks WHERE len(t) > 0
         )
         SELECT doc_id,
@@ -1800,7 +1800,7 @@ ORACLES: dict[str, str] = {
             SELECT doc_id,
                    CAST((s - 1) / 24 AS INTEGER) AS chunk_id,
                    CAST(least(32, len(t) - s + 1) AS INTEGER) AS n_tokens
-            FROM (SELECT doc_id, t, unnest(generate_series(1, len(t), 24)) AS s
+            FROM (SELECT doc_id, t, unnest(generate_series(1, greatest(len(t) - 8, 1), 24)) AS s
                   FROM toks WHERE len(t) > 0)
         ), packed AS (
             SELECT doc_id % 4 AS shard, n_tokens,
@@ -1934,7 +1934,7 @@ ORACLES: dict[str, str] = {
         ),
         cstats AS (
             SELECT doc_id, count(*) AS n_chunks, sum(least(32, len(t) - s + 1)) AS chunk_tokens
-            FROM (SELECT doc_id, t, unnest(generate_series(1, len(t), 24)) AS s
+            FROM (SELECT doc_id, t, unnest(generate_series(1, greatest(len(t) - 8, 1), 24)) AS s
                   FROM ctoks WHERE len(t) > 0)
             GROUP BY doc_id
         )

@@ -20,7 +20,8 @@ CFG = st.tuples(st.integers(min_value=2, max_value=16), st.integers(min_value=0,
 def _model_chunks(tokens: list[int], c: int, o: int) -> list[tuple[int, str, int]]:
     stride = c - o
     out = []
-    for i, s in enumerate(range(0, len(tokens), stride)):
+    # starts capped at len - o: no zero-new-token tail chunks
+    for i, s in enumerate(range(0, max(len(tokens) - o, 1), stride) if tokens else []):
         window = tokens[s : s + c]
         out.append((i, " ".join(f"t{x}" for x in window), len(window)))
     return out

@@ -15,12 +15,13 @@ class TestChunking:
         text = " ".join(f"t{i}" for i in range(10))
         df = spark.createDataFrame([(1, text)], "doc_id long, text string")
         rows = chunk_documents(df, chunk_tokens=4, overlap_tokens=1).orderBy("chunk_id").collect()
-        # stride 3, n=10 -> starts 1,4,7,10
-        assert [r["chunk_id"] for r in rows] == [0, 1, 2, 3]
+        # stride 3, n=10, starts capped at n - overlap = 9 -> starts 1,4,7
+        # (a start at 10 would emit "t9" — fully contained in the chunk
+        # at 7, zero new tokens)
+        assert [r["chunk_id"] for r in rows] == [0, 1, 2]
         assert rows[0]["chunk_text"] == "t0 t1 t2 t3"
         assert rows[1]["chunk_text"] == "t3 t4 t5 t6"
         assert rows[2]["chunk_text"] == "t6 t7 t8 t9"
-        assert rows[3]["chunk_text"] == "t9" and rows[3]["n_tokens"] == 1
 
     def test_short_and_empty_docs(self, spark):
         df = spark.createDataFrame([(1, "one two"), (2, "   "), (3, "")], "doc_id long, text string")
@@ -44,9 +45,10 @@ class TestChunking:
             r["doc_id"]: r["n"]
             for r in docs.select("doc_id", token_count_ws(F.col("text")).alias("n")).collect()
         }
-        # exact model: starts 0, stride, ... < n; chunk i covers min(C, n - start)
+        # exact model: starts 0, stride, ... <= n - O - 1; chunk i covers
+        # min(C, n - start); every token covered, no zero-new-token tails
         for doc_id, n in truth.items():
-            starts = list(range(0, n, stride)) if n > 0 else []
+            starts = list(range(0, max(n - O, 1), stride)) if n > 0 else []
             want = (len(starts), sum(min(C, n - s) for s in starts))
             got = per_doc.get(doc_id, (0, 0))
             assert got == want, f"doc {doc_id}: n={n} got {got} want {want}"

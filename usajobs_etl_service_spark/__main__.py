@@ -79,7 +79,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--base-url", default=os.environ.get("USAJOBS_BASE_URL"), help="real API base URL (needs requests)")
     p.add_argument("--demo-jobs", type=int, default=25, help="synthetic postings served by the demo source")
     p.add_argument("--interval-seconds", type=float, default=None, help="re-run on this interval (schedule analog)")
-    p.add_argument("--runs", type=int, default=1, help="number of runs when looping (0 = forever)")
+    p.add_argument(
+        "--runs",
+        type=int,
+        default=None,
+        help="number of runs (0 = forever); defaults to 1 without --interval-seconds, forever with it",
+    )
     p.add_argument("--master", default=os.environ.get("SPARK_MASTER", "local[*]"), help="Spark master")
     return p
 
@@ -114,6 +119,9 @@ def main(argv: list[str] | None = None) -> int:
     source = RestPageSource(transport=transport, max_pages=cfg.max_pages)
     pipeline = JobPipeline(spark, source, cfg)
 
+    # --interval-seconds alone means "run on a schedule": default the run
+    # count to forever in that case, to 1 for a plain one-shot invocation
+    max_runs = args.runs if args.runs is not None else (0 if args.interval_seconds else 1)
     ok = True
     run = 0
     while True:
@@ -121,7 +129,7 @@ def main(argv: list[str] | None = None) -> int:
         metrics = pipeline.run()
         print(json.dumps(dataclasses.asdict(metrics)), flush=True)
         ok = ok and metrics.status == "success"
-        if args.interval_seconds is None or (args.runs and run >= args.runs):
+        if args.interval_seconds is None or (max_runs and run >= max_runs):
             break
         time.sleep(args.interval_seconds)
     return 0 if ok else 1

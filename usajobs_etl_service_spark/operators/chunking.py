@@ -28,7 +28,14 @@ def chunk_documents(
     """One row per (doc, chunk): ``(id, chunk_id, chunk_text,
     n_tokens)``. Chunks start every ``chunk_tokens - overlap_tokens``
     tokens; the last chunk may be short; empty documents yield no
-    chunks. ``chunk_id`` is 0-based and contiguous per document."""
+    chunks. ``chunk_id`` is 0-based and contiguous per document.
+
+    Starts are capped at ``n_tokens - overlap_tokens`` so every chunk
+    contributes at least one token beyond the previous chunk's end: a
+    start inside the final chunk's overlap region would emit a tail
+    chunk wholly contained in its predecessor — pure duplicated
+    training content (every token is still covered; only the redundant
+    tail is dropped)."""
     if not 0 <= overlap_tokens < chunk_tokens:
         raise ValueError(f"need 0 <= overlap_tokens ({overlap_tokens}) < chunk_tokens ({chunk_tokens})")
     stride = chunk_tokens - overlap_tokens
@@ -36,8 +43,11 @@ def chunk_documents(
         F.size(F.col("__toks")) > 0
     )
     t = F.col("__toks")
-    # 1-based slice starts: 1, 1+stride, ... while start <= n_tokens
-    starts = F.sequence(F.lit(1), F.size(t), F.lit(stride))
+    # 1-based slice starts: 1, 1+stride, ... while start <= n_tokens - overlap
+    # (chunks starting past that bound add zero new tokens)
+    starts = F.sequence(
+        F.lit(1), F.greatest(F.size(t) - F.lit(overlap_tokens), F.lit(1)), F.lit(stride)
+    )
     chunks = F.transform(starts, lambda s: F.slice(t, s, chunk_tokens))
     exploded = base.select(F.col(id_col), F.posexplode(chunks).alias("chunk_id", "__chunk"))
     return exploded.select(

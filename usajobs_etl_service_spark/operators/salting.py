@@ -21,11 +21,21 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-# deterministic row-salt: hash of the whole row tuple would collapse
-# duplicate rows into one salt bucket (bad for distinct-skew), so use a
-# per-row physical id — deterministic within a job, uniform across buckets
-def _salt(salt_buckets: int) -> Column:
-    return F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(salt_buckets)).alias("__salt")
+# Retry-deterministic row-salt: a content hash of the full row, never a
+# physical id. monotonically_increasing_id()/rand() depend on partition
+# fetch order, and Spark does not roll back committed reducer output for
+# expression-level nondeterminism — on a fetch-failure retry the same row
+# can re-salt into a different bucket and partials double-count or drop
+# rows (same hazard class as SPARK-38388). Collapsing fully-identical
+# rows into one bucket is harmless here: phase-1 aggregation/dedup
+# map-side-combines them, and identical rows are interchangeable under
+# any deterministic top-k ordering. The degenerate hot key whose rows are
+# ALL byte-identical lands on one reducer, but arrives pre-combined to
+# ~one row per map task.
+def _salt(df: DataFrame, salt_buckets: int) -> Column:
+    return F.pmod(
+        F.xxhash64(*[F.col(c) for c in df.columns], F.lit(0x5A17)), F.lit(salt_buckets)
+    ).alias("__salt")
 
 
 def salted_distinct(df: DataFrame, cols: list[str], *, salt_buckets: int = 32) -> DataFrame:
@@ -35,7 +45,8 @@ def salted_distinct(df: DataFrame, cols: list[str], *, salt_buckets: int = 32) -
     reduces to ``salt_buckets`` survivors spread over many tasks; phase
     2 dedups the survivors. Equivalent to plain distinct.
     """
-    phase1 = df.select(*cols).withColumn("__salt", _salt(salt_buckets)).dropDuplicates([*cols, "__salt"])
+    salted = df.withColumn("__salt", _salt(df, salt_buckets))
+    phase1 = salted.select(*cols, "__salt").dropDuplicates([*cols, "__salt"])
     return phase1.drop("__salt").dropDuplicates(cols)
 
 
@@ -62,7 +73,7 @@ def salted_agg(
         src = F.lit(1) if (fn == "count" and col in ("*", "1")) else F.col(col)
         partial_exprs.append(getattr(F, "count" if fn == "count" else fn)(src).alias(f"__p_{out}"))
         merge_exprs.append(getattr(F, MERGE[fn])(F.col(f"__p_{out}")).alias(out))
-    salted = df.withColumn("__salt", _salt(salt_buckets))
+    salted = df.withColumn("__salt", _salt(df, salt_buckets))
     partial = salted.groupBy(*keys, "__salt").agg(*partial_exprs)
     return partial.groupBy(*keys).agg(*merge_exprs)
 
@@ -87,7 +98,7 @@ def salted_topk_per_key(
     w1 = Window.partitionBy(*key_cols, "__salt").orderBy(*order_cols)
     w2 = Window.partitionBy(*key_cols).orderBy(*order_cols)
     phase1 = (
-        df.withColumn("__salt", _salt(salt_buckets))
+        df.withColumn("__salt", _salt(df, salt_buckets))
         .withColumn("__rn", F.row_number().over(w1))
         .filter(F.col("__rn") <= k)
         .drop("__rn", "__salt")

@@ -8,7 +8,7 @@ shape, etl.py:445-525), and commits per partition.
 
 Scale posture:
 - per-executor connections: bounded by partition count — the batch is
-  hash-``repartition``\ ed by key into ``max_connections`` partitions
+  hash-``repartition``-ed by key into ``max_connections`` partitions
   before writing, so a 1000-executor job can't open 1000 sessions
   against one PG and a given key only ever writes on one connection.
 - batches of ``batch_size`` rows bound memory and round-trips.
@@ -99,6 +99,7 @@ def jdbc_upsert(
     connect: Callable | None = None,
     dsn: str | None = None,
     order_col: str | None = None,
+    drop_order_col: bool = True,
 ) -> dict:
     """Distributed upsert of ``df`` into PostgreSQL ``table``. Returns
     ``{"inserted", "updated", "total"}`` (reference metrics shape).
@@ -109,11 +110,17 @@ def jdbc_upsert(
     command cannot affect row a second time", and duplicates split across
     partitions would race on separate connections. ``repartition(key)``
     additionally pins every occurrence of a key to one connection, so
-    concurrent partition writes never contend on the same row."""
+    concurrent partition writes never contend on the same row.
+
+    ``drop_order_col`` (default True) excludes ``order_col`` from the
+    written column list — the common case of a synthetic ordering column
+    (ingest_seq) that is not a table column. Pass ``drop_order_col=False``
+    when the ordering column (e.g. ``extracted_at``) IS a real column of
+    the target table and must be written."""
     from usajobs_etl_service_spark.sinks.upsert import prepare_batch
 
     df = prepare_batch(df, [key], order_col)
-    if order_col is not None and order_col in df.columns:
+    if drop_order_col and order_col is not None and order_col in df.columns:
         df = df.drop(order_col)
     columns = df.columns
 

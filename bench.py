@@ -84,6 +84,36 @@ def main() -> None:
     materialize(entrymod.q20_flatten_ingest(spark, sf_dir))
     flatten_rps = round(flatten_rows / max(time.perf_counter() - t0, 1e-9), 1)
 
+    # IVF build-once contract: build+persist the centroid-partitioned index
+    # (untimed), then time a WARM probe against it — the per-query cost a
+    # serving workload actually pays (q36 times build+probe together).
+    ivf_probe_sec = None
+    try:
+        import shutil
+        import tempfile
+
+        from pyspark.sql import functions as F
+
+        from usajobs_etl_service_spark.operators.similarity import (
+            ivf_build, ivf_load, ivf_topk_cosine, ivf_write,
+        )
+        from usajobs_etl_service_spark.session import read_table
+
+        emb = read_table(spark, sf_dir, "embeddings")
+        qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+        index, cents = ivf_build(emb.filter(F.col("vec_id") != 0), n_centroids=16)
+        tmp = tempfile.mkdtemp(prefix="ivf_bench_", dir="spark-warehouse")
+        try:
+            ivf_write(index, cents, tmp)
+            lindex, lcents = ivf_load(spark, tmp)
+            t0 = time.perf_counter()
+            materialize(ivf_topk_cosine(lindex, lcents, qvec, k=10, nprobe=4))
+            ivf_probe_sec = round(time.perf_counter() - t0, 3)
+        finally:
+            shutil.rmtree(tmp, ignore_errors=True)
+    except Exception:
+        pass
+
     # Exactly ONE short JSON line on stdout (the driver's tail capture
     # truncated the old combined line mid-way in round 2); the bulky
     # per-query shuffle/spill detail goes to BENCH_DETAIL.json instead.
@@ -97,6 +127,7 @@ def main() -> None:
     detail = {
         "flatten_rows_per_sec": flatten_rps,
         "reference_floor_rows_per_sec": 100,
+        "ivf_warm_probe_sec": ivf_probe_sec,
         "shuffle_write_mb": shuffle_mb,
         "shuffle_write_mb_total": round(sum(shuffle_mb.values()), 2),
         "disk_spilled_bytes_total": before["spilled_disk"],

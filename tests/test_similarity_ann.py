@@ -54,3 +54,29 @@ def test_srp_blocked_near_dup_join(spark, sf_dir):
     ).collect()
     for r in pairs:
         assert r["cos"] >= 0.3
+
+
+def test_ivf_persisted_probe_prunes_partitions(spark, sf_dir, tmp_path):
+    """Build-once contract: the persisted, centroid-partitioned index
+    answers probes identically to the in-memory one, and the probe's
+    scan prunes to the nprobe partitions at planning time."""
+    from usajobs_etl_service_spark.operators.similarity import ivf_load, ivf_write
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    rest = emb.filter(F.col("vec_id") != 0)
+    index, cents = ivf_build(rest, n_centroids=8)
+    path = str(tmp_path / "ivf")
+    ivf_write(index, cents, path)
+
+    lindex, lcents = ivf_load(spark, path)
+    mem = [(r["vec_id"], r["sim"]) for r in ivf_topk_cosine(index, cents, qvec, k=10, nprobe=3).collect()]
+    disk = [(r["vec_id"], r["sim"]) for r in ivf_topk_cosine(lindex, lcents, qvec, k=10, nprobe=3).collect()]
+    assert disk == mem
+
+    probe = ivf_topk_cosine(lindex, lcents, qvec, k=10, nprobe=3)
+    plan = probe._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "centroid_id" in plan.split("PartitionFilters", 1)[1][:200]
+    # 3 of 8 partition directories read
+    scan_line = [l for l in plan.splitlines() if "PartitionFilters" in l][0]
+    assert "centroid_id" in scan_line

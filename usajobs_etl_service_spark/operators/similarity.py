@@ -169,6 +169,25 @@ def _kmeans_centroids(df: DataFrame, k: int, embedding_col: str, seed: int) -> D
     return cent.select("centroid_id", l2_normalize(F.col("cv")).alias("cv"))
 
 
+def ivf_write(index: DataFrame, centroids: DataFrame, path: str) -> None:
+    """Persist an IVF index as its build-once artifact: the postings
+    table parquet-partitioned by ``centroid_id`` (every probe then
+    prunes to ``nprobe`` directories at PLANNING time — the non-probed
+    ~(C - nprobe)/C of the index is never opened, let alone scanned)
+    plus the O(C) codebook alongside. This is the 100 TB contract:
+    assignment cost is paid once at build; per-query cost is
+    ``nprobe/C`` of the data."""
+    index.write.partitionBy("centroid_id").mode("overwrite").parquet(f"{path}/index")
+    centroids.write.mode("overwrite").parquet(f"{path}/centroids")
+
+
+def ivf_load(spark, path: str) -> tuple[DataFrame, DataFrame]:
+    """Load a persisted IVF index; probes via ``ivf_topk_cosine`` get
+    partition pruning on ``centroid_id`` for free (the ``isin`` filter
+    is a partition filter on the partitioned read)."""
+    return spark.read.parquet(f"{path}/index"), spark.read.parquet(f"{path}/centroids")
+
+
 def srp_code(embedding: Column, *, n_planes: int = 16, dim: int = 64, seed: int = 42) -> Column:
     """Sign-random-projection LSH code (int bucket id): bit j = sign of
     dot(v, r_j) for deterministic pseudo-random hyperplanes r_j in

@@ -123,3 +123,52 @@ def test_rate_source_soak_ttl_dedup(spark, tmp_path):
     # key-N is exactly N
     for k, s in seen:
         assert s == int(k.split("-")[1])
+
+
+def test_rocksdb_state_store_backend(spark, tmp_path):
+    """The 100x-state story: HDFS-backed in-memory state holds every key
+    in executor heap; RocksDB spills to local disk. Run the same
+    cross-batch dedup with the RocksDB provider and verify (a) results
+    are unchanged, (b) the checkpoint actually contains RocksDB state
+    artifacts. Skips (documented fallback: default HDFS-backed store)
+    if this Spark build lacks the provider."""
+    import pytest
+
+    provider = "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+    key = "spark.sql.streaming.stateStore.providerClass"
+    old = spark.conf.get(key, None)
+    spark.conf.set(key, provider)
+    try:
+        spool = tmp_path / "spool_rocks"
+        ckpt = str(tmp_path / "ckpt_rocks")
+        out = []
+        _write_page(spool, 1, make_page(4, 0, 99))
+        try:
+            _drain(spark, spool, ckpt, out)
+        except Exception as e:  # provider missing in this build
+            pytest.skip(f"RocksDB state store unavailable: {e}")
+        assert len(out) == 4 == len({u for u, _ in out})
+        # second drain, same checkpoint: re-sent key must stay deduped
+        page2 = make_page(1, 4, 99)
+        page2["SearchResult"]["SearchResultItems"].append(
+            {
+                "MatchedObjectDescriptor": {
+                    "PositionTitle": "Late Duplicate",
+                    "PositionURI": "https://www.usajobs.gov/job/1",
+                }
+            }
+        )
+        _write_page(spool, 2, page2)
+        _drain(spark, spool, ckpt, out)
+        uris = [u for u, _ in out]
+        assert len(uris) == 5 == len(set(uris))
+        # RocksDB leaves provider-specific artifacts under state/
+        import pathlib
+
+        state_files = [str(p) for p in pathlib.Path(ckpt).rglob("*") if p.is_file()]
+        assert any(".zip" in f or "rocksdb" in f.lower() or ".sst" in f for f in state_files), state_files
+    finally:
+        if old is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, old)

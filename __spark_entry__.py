@@ -1167,6 +1167,107 @@ def q71_range_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q72_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extension (LLM quality filtering): Gopher-style repetition rules
+    per document — duplicate-token fraction, modal-token fraction,
+    duplicate-2gram fraction, keep verdict. Pure array expressions, no
+    shuffle (operators/repetition.py; the token mode is a fold over the
+    sorted token array, not an explode+groupBy)."""
+    from usajobs_etl_service_spark.operators.repetition import repetition_signals
+
+    docs = _t(spark, sf_dir, "documents")
+    return repetition_signals(docs)
+
+
+def q73_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extension (corpus curation): per-source document cap — keep each
+    source's top-10 docs by (n_chars desc, doc_id). Runs through the
+    skew-safe salted top-k (operators/salting.py): one hot domain (half
+    the web is one CDN) cannot melt a single reducer; results equal the
+    plain window rank."""
+    from usajobs_etl_service_spark.operators.salting import salted_topk_per_key
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
+    return salted_topk_per_key(
+        docs, ["source"], [F.col("n_chars").desc(), F.col("doc_id").asc()], k=10
+    )
+
+
+def q74_source_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extension (corpus mixing): per-source token shares and
+    temperature-reweighted sampling weights w_s = p_s^0.7 / sum p^0.7
+    (the multilingual/source-balancing rule). One aggregate; the
+    normalization runs over the |sources| aggregate rows only."""
+    from pyspark.sql import Window
+
+    docs = _t(spark, sf_dir, "documents")
+    per_src = docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(TX.token_count_ws(F.col("text"))).alias("n_tokens"),
+    )
+    # global sums over the tiny aggregate output (|sources| rows), not the data
+    wall = Window.partitionBy()
+    p = F.col("n_tokens") / F.sum("n_tokens").over(wall)
+    pt = F.pow(p, F.lit(0.7))
+    return per_src.select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        F.round(p, 6).alias("token_share"),
+        F.round(pt / F.sum(pt).over(wall), 6).alias("mix_weight"),
+    )
+
+
+def q75_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extension (analytics): sessionized view->click->purchase funnel.
+    Sessions are 30-minute-gap islands per user (q42's semantics); a
+    session converts stepwise only if each stage strictly follows the
+    previous one in event time. Three stacked window passes over one
+    (user) shuffle+sort; no self-joins."""
+    from pyspark.sql import Window
+
+    events = _t(spark, sf_dir, "events")
+    wo = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    marked = events.select(
+        "user_id",
+        "ts",
+        "event_type",
+        F.when(
+            F.lag("ts").over(wo).isNull()
+            | (F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(wo)) >= 1800),
+            1,
+        )
+        .otherwise(0)
+        .alias("new_session"),
+        F.col("event_id"),
+    )
+    sess = marked.withColumn(
+        "session_no",
+        F.sum("new_session").over(wo.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    ws = Window.partitionBy("user_id", "session_no")
+    t_view = F.min(F.when(F.col("event_type") == "view", F.col("ts"))).over(ws)
+    with_view = sess.withColumn("t_view", t_view)
+    t_click = F.min(
+        F.when((F.col("event_type") == "click") & (F.col("ts") > F.col("t_view")), F.col("ts"))
+    ).over(ws)
+    with_click = with_view.withColumn("t_click", t_click)
+    t_buy = F.min(
+        F.when((F.col("event_type") == "purchase") & (F.col("ts") > F.col("t_click")), F.col("ts"))
+    ).over(ws)
+    funnel = (
+        with_click.withColumn("t_buy", t_buy)
+        .groupBy("user_id", "session_no")
+        .agg(F.max("t_view").alias("tv"), F.max("t_click").alias("tc"), F.max("t_buy").alias("tb"))
+    )
+    return funnel.agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.sum(F.when(F.col("tv").isNotNull(), 1).otherwise(0)).alias("n_view"),
+        F.sum(F.when(F.col("tc").isNotNull(), 1).otherwise(0)).alias("n_view_click"),
+        F.sum(F.when(F.col("tb").isNotNull(), 1).otherwise(0)).alias("n_full_funnel"),
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_job_statistics": q01_job_statistics,
     "q02_metric_union": q02_metric_union,
@@ -1239,6 +1340,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q69_training_corpus_pipeline": q69_training_corpus_pipeline,
     "q70_range_join": q70_range_join,
     "q71_range_frames": q71_range_frames,
+    "q72_repetition_filter": q72_repetition_filter,
+    "q73_domain_cap": q73_domain_cap,
+    "q74_source_mix_weights": q74_source_mix_weights,
+    "q75_event_funnel": q75_event_funnel,
 }
 
 

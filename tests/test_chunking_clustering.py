@@ -73,15 +73,23 @@ class TestConnectedComponents:
         assert set(comp.values()) == {0} and len(comp) == n + 1
 
     def test_deep_chain_logarithmic_rounds(self, spark):
-        # a 300-hop chain: min-label propagation needs a round per hop
-        # (300 >> the default iteration cap); large-star/small-star must
-        # close it in O(log diameter) rounds
+        # a 300-hop chain on the FORCED distributed path: min-label
+        # propagation needs a round per hop (300 >> the default iteration
+        # cap); large-star/small-star must close it in O(log diameter)
         n = 300
         pairs = spark.createDataFrame([(i, i + 1) for i in range(n)], "id_a long, id_b long")
-        labels, rounds = connected_components(pairs, return_rounds=True)
+        labels, rounds = connected_components(pairs, return_rounds=True, small_graph_edges=0)
         comp = {r["doc_id"]: r["cluster_id"] for r in labels.collect()}
         assert set(comp.values()) == {0} and len(comp) == n + 1
-        assert rounds <= 12, f"expected O(log n) rounds, took {rounds}"
+        assert 1 <= rounds <= 12, f"expected O(log n) distributed rounds, took {rounds}"
+
+    def test_driver_finish_matches_distributed(self, spark):
+        # same random-ish graph through both paths -> identical labels
+        edges = [(i, (i * 7) % 40) for i in range(40) if i != (i * 7) % 40] + [(100, 101)]
+        pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+        fast = sorted(map(tuple, connected_components(pairs).collect()))
+        dist = sorted(map(tuple, connected_components(pairs, small_graph_edges=0).collect()))
+        assert fast == dist
 
     def test_two_components_with_shuffled_ids(self, spark):
         # non-contiguous ids, edges listed in arbitrary orientation

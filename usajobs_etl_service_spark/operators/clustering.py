@@ -81,6 +81,30 @@ def _small_star(edges: DataFrame, p: int) -> DataFrame:
     )
 
 
+def _driver_union_find(spark, edges: DataFrame, all_nodes: DataFrame) -> DataFrame:
+    """Path-compressed union-by-min over a collected edge list — the
+    finish for graphs whose MEASURED edge count fits trivially in driver
+    memory (a few MB of id pairs), where per-round Spark fixed costs
+    exceed the total work."""
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        root = x
+        while parent.get(root, root) != root:
+            root = parent[root]
+        while parent.get(x, x) != x:  # path compression
+            parent[x], x = root, parent[x]
+        return root
+
+    for a, b in edges.select("a", "b").toLocalIterator():
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            parent[hi] = lo
+    rows = [(int(n), int(find(n))) for (n,) in all_nodes.select("id").toLocalIterator()]
+    return spark.createDataFrame(rows, "doc_id long, cluster_id long")
+
+
 def connected_components(
     pairs: DataFrame,
     *,
@@ -88,6 +112,7 @@ def connected_components(
     id_b: str = "id_b",
     max_iterations: int = 20,
     return_rounds: bool = False,
+    small_graph_edges: int = 500_000,
 ) -> DataFrame | tuple[DataFrame, int]:
     """Resolve undirected edges into components: returns ``(doc_id,
     cluster_id)`` with ``cluster_id`` = the component's minimum doc_id.
@@ -95,7 +120,11 @@ def connected_components(
     of each edge). Raises if not converged in ``max_iterations``
     alternating large-star/small-star rounds (O(log diameter) rounds
     suffice, so the default is generous). ``return_rounds=True`` also
-    returns the number of rounds taken (for convergence tests)."""
+    returns the number of rounds taken (for convergence tests; 0 means
+    the measured edge count was <= ``small_graph_edges`` and the
+    components were resolved by driver-side union-find instead of
+    distributed rounds — set ``small_graph_edges=0`` to force the
+    distributed path)."""
     edges = (
         pairs.select(F.col(id_a).alias("a"), F.col(id_b).alias("b"))
         .filter(F.col("a") != F.col("b"))
@@ -129,7 +158,20 @@ def connected_components(
         return max(1, min(max_p, n // 50_000 + 1))
 
     prev = None
-    p = clamp(fingerprint(edges)[0])  # also materializes the lazy checkpoint
+    n0, _ = fingerprint(edges)  # also materializes the lazy checkpoint
+    p = clamp(n0)
+
+    # Small-graph finish: below the threshold the per-round fixed costs
+    # (plan analysis, codegen, checkpoint, driver action — ~1s/round
+    # regardless of data size) dwarf the actual work, so collect once and
+    # union-find on the driver. The threshold is measured (the fingerprint
+    # count), not guessed; a 100 TB near-dup graph stays on the
+    # distributed star rounds below. This mirrors Spark's own posture of
+    # finishing small sides locally (broadcast joins).
+    if n0 <= small_graph_edges:
+        labels = _driver_union_find(pairs.sparkSession, edges, all_nodes)
+        return (labels, 0) if return_rounds else labels
+
     for rounds in range(1, max_iterations + 1):
         # symmetric neighbor list: every undirected edge seen from both ends
         nbrs = edges.select(F.col("a").alias("u"), F.col("b").alias("v")).union(

@@ -415,14 +415,26 @@ def embedding_near_dup_pairs(
 ) -> DataFrame:
     """Pairs with cosine >= threshold. With ``block_col`` (label, IVF
     centroid, LSH code) the self-join is an equi-join on the block —
-    the 100 TB shape; without it, a cross join (oracle/small only)."""
+    the 100 TB shape; without it, a cross join (oracle/small only).
+
+    Norms are computed ONCE per vector as pre-join columns; the per-pair
+    work is a single dot fold. The division keeps cosine()'s exact float
+    op order (dot / (norm_a * norm_b)), so rounded values are
+    bit-identical to the naive form — only the redundant per-pair norm
+    folds (one per block member) are gone."""
+    from usajobs_etl_service_spark.functions.vectors import dot, norm
+
     v = F.col(embedding_col).cast("array<double>")
-    left = df.select(F.col(id_col).alias("id_a"), v.alias("va"), *( [F.col(block_col)] if block_col else []))
-    right = df.select(F.col(id_col).alias("id_b"), v.alias("vb"), *( [F.col(block_col)] if block_col else []))
+    blk = [F.col(block_col)] if block_col else []
+    left = df.select(F.col(id_col).alias("id_a"), v.alias("va"), norm(v).alias("na"), *blk)
+    right = df.select(F.col(id_col).alias("id_b"), v.alias("vb"), norm(v).alias("nb"), *blk)
     joined = left.join(right, on=block_col) if block_col else left.crossJoin(right)
     return (
         joined.filter(F.col("id_a") < F.col("id_b"))
-        .withColumn("cos", F.round(cosine(F.col("va"), F.col("vb")), 4))
+        .withColumn(
+            "cos",
+            F.round(F.try_divide(dot(F.col("va"), F.col("vb")), F.col("na") * F.col("nb")), 4),
+        )
         .filter(F.col("cos") >= threshold)
         .select("id_a", "id_b", "cos")
     )

@@ -1196,25 +1196,29 @@ def q73_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q74_source_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Extension (corpus mixing): per-source token shares and
     temperature-reweighted sampling weights w_s = p_s^0.7 / sum p^0.7
-    (the multilingual/source-balancing rule). One aggregate; the
-    normalization runs over the |sources| aggregate rows only."""
-    from pyspark.sql import Window
-
+    (the multilingual/source-balancing rule). Normalizers are broadcast
+    scalar aggregates, NOT empty-partition windows — a global window
+    would funnel every source row through one task, and 'source' at web
+    scale is millions of domains."""
     docs = _t(spark, sf_dir, "documents")
     per_src = docs.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum(TX.token_count_ws(F.col("text"))).alias("n_tokens"),
     )
-    # global sums over the tiny aggregate output (|sources| rows), not the data
-    wall = Window.partitionBy()
-    p = F.col("n_tokens") / F.sum("n_tokens").over(wall)
-    pt = F.pow(p, F.lit(0.7))
-    return per_src.select(
-        "source",
-        "n_docs",
-        "n_tokens",
-        F.round(p, 6).alias("token_share"),
-        F.round(pt / F.sum(pt).over(wall), 6).alias("mix_weight"),
+    total = per_src.agg(F.sum("n_tokens").alias("tot"))
+    shares = per_src.crossJoin(F.broadcast(total)).withColumn(
+        "p", F.col("n_tokens") / F.col("tot")
+    )
+    ptsum = shares.agg(F.sum(F.pow(F.col("p"), F.lit(0.7))).alias("pt_sum"))
+    return (
+        shares.crossJoin(F.broadcast(ptsum))
+        .select(
+            "source",
+            "n_docs",
+            "n_tokens",
+            F.round(F.col("p"), 6).alias("token_share"),
+            F.round(F.pow(F.col("p"), F.lit(0.7)) / F.col("pt_sum"), 6).alias("mix_weight"),
+        )
     )
 
 
@@ -2093,6 +2097,110 @@ ORACLES: dict[str, str] = {
                  + least(CAST(stop_hits AS DOUBLE) / 5.0, 1.0) * 0.1
                , 4) AS quality
         FROM f
+    """,
+    "q72_repetition_filter": """
+        WITH toks AS (
+            SELECT doc_id,
+                   list_filter(string_split_regex(trim(lower(text)), '\\s+'), x -> x <> '') AS t
+            FROM documents
+        ),
+        base AS (SELECT doc_id, t, len(t) AS n FROM toks WHERE len(t) > 0),
+        tok_stats AS (
+            SELECT doc_id, count(*) AS n_distinct, max(c) AS top_c
+            FROM (SELECT doc_id, tok, count(*) AS c
+                  FROM (SELECT doc_id, unnest(t) AS tok FROM base)
+                  GROUP BY doc_id, tok)
+            GROUP BY doc_id
+        ),
+        gram_stats AS (
+            SELECT doc_id, count(*) AS n2, count(DISTINCT g) AS d2
+            FROM (SELECT doc_id, array_to_string(list_slice(t, s, s + 1), ' ') AS g
+                  FROM (SELECT doc_id, t, unnest(generate_series(1, len(t) - 1, 1)) AS s
+                        FROM base WHERE len(t) >= 2))
+            GROUP BY doc_id
+        ),
+        sig AS (
+            SELECT b.doc_id,
+                   b.n AS n_tokens,
+                   round(1.0 - CAST(ts.n_distinct AS DOUBLE) / b.n, 4) AS dup_token_frac,
+                   round(CAST(ts.top_c AS DOUBLE) / b.n, 4) AS top_token_frac,
+                   round(CASE WHEN coalesce(gs.n2, 0) > 0
+                              THEN 1.0 - CAST(gs.d2 AS DOUBLE) / gs.n2
+                              ELSE 0.0 END, 4) AS dup_2gram_frac
+            FROM base b
+            JOIN tok_stats ts USING (doc_id)
+            LEFT JOIN gram_stats gs USING (doc_id)
+        )
+        SELECT doc_id, n_tokens, dup_token_frac, top_token_frac, dup_2gram_frac,
+               (top_token_frac <= 0.3 AND dup_2gram_frac <= 0.5) AS keep
+        FROM sig
+    """,
+    "q73_domain_cap": """
+        SELECT doc_id, source, n_chars, rank FROM (
+            SELECT doc_id, source, n_chars,
+                   row_number() OVER (PARTITION BY source
+                                      ORDER BY n_chars DESC, doc_id ASC) AS rank
+            FROM documents
+        ) WHERE rank <= 10
+    """,
+    "q74_source_mix_weights": """
+        WITH per_src AS (
+            SELECT source, count(*) AS n_docs,
+                   sum(len(list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> ''))) AS n_tokens
+            FROM documents GROUP BY source
+        )
+        , shares AS (
+            SELECT source, n_docs, n_tokens,
+                   CAST(n_tokens AS DOUBLE) / sum(n_tokens) OVER () AS p
+            FROM per_src
+        )
+        SELECT source, n_docs, n_tokens,
+               round(p, 6) AS token_share,
+               round(pow(p, 0.7) / sum(pow(p, 0.7)) OVER (), 6) AS mix_weight
+        FROM shares
+    """,
+    "q75_event_funnel": """
+        WITH marked AS (
+            SELECT user_id, ts, event_type, event_id,
+                   CASE WHEN lag(ts) OVER w IS NULL
+                             OR epoch(ts) - epoch(lag(ts) OVER w) >= 1800
+                        THEN 1 ELSE 0 END AS new_session
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ),
+        sess AS (
+            SELECT user_id, ts, event_type,
+                   sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_no
+            FROM marked
+        ),
+        v AS (
+            SELECT user_id, ts, event_type, session_no,
+                   min(CASE WHEN event_type = 'view' THEN ts END)
+                       OVER (PARTITION BY user_id, session_no) AS t_view
+            FROM sess
+        ),
+        c AS (
+            SELECT user_id, ts, event_type, session_no, t_view,
+                   min(CASE WHEN event_type = 'click' AND ts > t_view THEN ts END)
+                       OVER (PARTITION BY user_id, session_no) AS t_click
+            FROM v
+        ),
+        b AS (
+            SELECT user_id, session_no,
+                   max(t_view) AS tv, max(t_click) AS tc,
+                   max(t_buy) AS tb
+            FROM (SELECT user_id, session_no, t_view, t_click,
+                         min(CASE WHEN event_type = 'purchase' AND ts > t_click THEN ts END)
+                             OVER (PARTITION BY user_id, session_no) AS t_buy
+                  FROM c)
+            GROUP BY user_id, session_no
+        )
+        SELECT count(*) AS n_sessions,
+               sum(CASE WHEN tv IS NOT NULL THEN 1 ELSE 0 END) AS n_view,
+               sum(CASE WHEN tc IS NOT NULL THEN 1 ELSE 0 END) AS n_view_click,
+               sum(CASE WHEN tb IS NOT NULL THEN 1 ELSE 0 END) AS n_full_funnel
+        FROM b
     """,
 }
 

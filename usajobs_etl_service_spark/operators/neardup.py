@@ -318,10 +318,21 @@ def simhash_near_dup_pairs(
     id_col: str = "doc_id",
     text_col: str = "text",
     max_hamming: int = 3,
+    max_bucket: int = 1000,
 ) -> DataFrame:
     """Candidate pairs via 4x16-bit band equality (any doc pair with
     Hamming distance <= 3 shares at least one exact band by pigeonhole
-    when bands=4), then exact Hamming filter."""
+    when bands=4), then exact Hamming filter.
+
+    Same candidate shape as ``minhash_near_dup_pairs``: window-count
+    hot-key guard, then in-bucket pair expansion from a bounded
+    ``collect_list`` — no self-join, so the signature aggregation
+    appears exactly once in the plan under any planner (a self-join's
+    sides are separate subtrees to AQE and the whole signature pipeline
+    ran twice). ``max_bucket`` drops degenerate keys (e.g. all-empty
+    docs hashing to signature 0) before anything quadratic happens."""
+    from pyspark.sql import Window
+
     sigs = simhash_signatures_df(df, id_col=id_col, text_col=text_col)
     banded = sigs.select(
         "id",
@@ -338,11 +349,33 @@ def simhash_near_dup_pairs(
             )
         ).alias("bk"),
     ).select("id", "sig", "bk.band", "bk.key")
-    a = banded.select("band", "key", F.col("id").alias("id_a"), F.col("sig").alias("sig_a"))
-    b = banded.select("band", "key", F.col("id").alias("id_b"), F.col("sig").alias("sig_b"))
+    w = Window.partitionBy("band", "key")
+    banded = (
+        banded.withColumn("n", F.count(F.lit(1)).over(w))
+        .filter(F.col("n").between(2, max_bucket))
+        .drop("n")
+    )
+    buckets = banded.groupBy("band", "key").agg(
+        F.array_sort(F.collect_list(F.struct("id", "sig"))).alias("ms")
+    )
+    ms = F.col("ms")
+    pair_structs = F.flatten(
+        F.transform(
+            ms,
+            lambda x, i: F.transform(
+                F.slice(ms, i + 2, F.size(ms)),
+                lambda y: F.struct(
+                    x["id"].alias("id_a"),
+                    y["id"].alias("id_b"),
+                    x["sig"].alias("sig_a"),
+                    y["sig"].alias("sig_b"),
+                ),
+            ),
+        )
+    )
     return (
-        a.join(b, ["band", "key"])
-        .filter(F.col("id_a") < F.col("id_b"))
+        buckets.select(F.explode(pair_structs).alias("p"))
+        .select("p.id_a", "p.id_b", "p.sig_a", "p.sig_b")
         .dropDuplicates(["id_a", "id_b"])
         .withColumn("hamming", hamming64(F.col("sig_a"), F.col("sig_b")))
         .filter(F.col("hamming") <= max_hamming)

@@ -141,5 +141,46 @@ def main() -> None:
     print(json.dumps(headline), flush=True)
 
 
+def compare(path_a: str, path_b: str, top: int = 15) -> None:
+    """``python bench.py --compare A.json B.json``: per-query deltas
+    between two bench artifacts. Accepts either this script's raw
+    headline JSON or the driver's wrapper (extracts the embedded
+    ``{"metric": ...}`` line from its ``tail``)."""
+
+    def load(path: str) -> dict:
+        text = open(path).read()
+        try:
+            d = json.loads(text)
+        except json.JSONDecodeError:
+            d = None
+        if isinstance(d, dict) and "queries" in d:
+            return d
+        blob = text if d is None else d.get("tail", "")
+        start = blob.rfind('{"metric"')
+        if start < 0:
+            raise SystemExit(f"{path}: no bench headline found")
+        depth = 0
+        for i, ch in enumerate(blob[start:], start):
+            depth += ch == "{"
+            depth -= ch == "}"
+            if depth == 0:
+                return json.loads(blob[start : i + 1])
+        raise SystemExit(f"{path}: truncated bench headline")
+
+    a, b = load(path_a), load(path_b)
+    qa, qb = a["queries"], b["queries"]
+    common = sorted(set(qa) & set(qb), key=lambda q: qa[q] - qb[q])
+    print(f"total: {a['value']}s -> {b['value']}s over {len(qa)}/{len(qb)} queries ({len(common)} common)")
+    moved = [q for q in common if abs(qb[q] - qa[q]) >= 0.3]
+    for q in (moved or common)[:top]:
+        print(f"  {q}: {qa[q]:.2f} -> {qb[q]:.2f}  ({qb[q] - qa[q]:+.2f}s)")
+    for label, d in (("only in A", set(qa) - set(qb)), ("only in B", set(qb) - set(qa))):
+        if d:
+            print(f"{label}: {', '.join(sorted(d))}")
+
+
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) >= 4 and sys.argv[1] == "--compare":
+        compare(sys.argv[2], sys.argv[3])
+    else:
+        main()

@@ -1272,6 +1272,82 @@ def q75_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q76_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14-shaped: promo revenue share within a shipdate year.
+    The date filter prunes lineitem at the scan; part broadcasts; one
+    aggregate, no row shuffle of the fact side beyond the join."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1997-01-01")
+    )
+    part = _t(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .agg(
+            F.round(
+                F.lit(100.0)
+                * F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0.0)))
+                / F.sum(rev),
+                4,
+            ).alias("promo_pct"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+def q77_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7-shaped: bilateral shipping volume between two nations by
+    shipdate year (supplier nation -> customer nation). Dims broadcast;
+    the fact side shuffles once per join key."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    supp = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    n1 = nation.select(F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation"))
+    n2 = nation.select(F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cust_nation"))
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    pairs = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(n1), supp.s_nationkey == F.col("s_nk"))
+        .join(F.broadcast(n2), cust.c_nationkey == F.col("c_nk"))
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+    )
+    # decimal-sum the revenue: double summation is order-dependent and a
+    # group landed exactly on the 2dp rounding boundary at sf0.01
+    return (
+        pairs.groupBy(
+            "supp_nation", "cust_nation", F.year("l_shipdate").alias("ship_year")
+        )
+        .agg(
+            F.round(F.sum(rev.cast("decimal(18,6)")), 2).cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+        .filter(F.col("n_items") >= 5)
+    )
+
+
+def q78_disjunctive_predicate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19-shaped: OR-of-ANDs selective predicate across the
+    lineitem x part join (brand/size/quantity bands). Exercises complex
+    predicate normalization: the common part of the filter pushes to
+    the scans, the residual evaluates post-join."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    j = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    cond = (
+        ((F.col("p_brand") == "Brand#11") & (F.col("p_size").between(1, 15)) & (F.col("l_quantity").between(1, 20)))
+        | ((F.col("p_brand") == "Brand#19") & (F.col("p_size").between(10, 30)) & (F.col("l_quantity").between(10, 35)))
+        | ((F.col("p_brand") == "Brand#23") & (F.col("p_size").between(20, 50)) & (F.col("l_quantity").between(20, 50)))
+    )
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return j.filter(cond).agg(
+        F.round(F.sum(rev), 2).alias("revenue"), F.count(F.lit(1)).alias("n_items")
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_job_statistics": q01_job_statistics,
     "q02_metric_union": q02_metric_union,
@@ -1348,6 +1424,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q73_domain_cap": q73_domain_cap,
     "q74_source_mix_weights": q74_source_mix_weights,
     "q75_event_funnel": q75_event_funnel,
+    "q76_promo_revenue": q76_promo_revenue,
+    "q77_volume_shipping": q77_volume_shipping,
+    "q78_disjunctive_predicate": q78_disjunctive_predicate,
 }
 
 
@@ -2201,6 +2280,37 @@ ORACLES: dict[str, str] = {
                sum(CASE WHEN tc IS NOT NULL THEN 1 ELSE 0 END) AS n_view_click,
                sum(CASE WHEN tb IS NOT NULL THEN 1 ELSE 0 END) AS n_full_funnel
         FROM b
+    """,
+    "q76_promo_revenue": """
+        SELECT round(100.0 * sum(CASE WHEN p_type = 'PROMO'
+                                      THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END)
+                     / sum(l_extendedprice * (1 - l_discount)), 4) AS promo_pct,
+               count(*) AS n_items
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+    """,
+    "q77_volume_shipping": """
+        SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+               CAST(year(l_shipdate) AS INTEGER) AS ship_year,
+               CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))), 2) AS DOUBLE) AS revenue,
+               count(*) AS n_items
+        FROM lineitem
+        JOIN orders   ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        WHERE n1.n_name <> n2.n_name
+        GROUP BY 1, 2, 3
+        HAVING count(*) >= 5
+    """,
+    "q78_disjunctive_predicate": """
+        SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+               count(*) AS n_items
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE (p_brand = 'Brand#11' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 20)
+           OR (p_brand = 'Brand#19' AND p_size BETWEEN 10 AND 30 AND l_quantity BETWEEN 10 AND 35)
+           OR (p_brand = 'Brand#23' AND p_size BETWEEN 20 AND 50 AND l_quantity BETWEEN 20 AND 50)
     """,
 }
 

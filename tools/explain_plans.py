@@ -26,9 +26,12 @@ HEADLINERS = {
     "q38_pricing_summary": "pushed date filter + 2-key partial aggregation",
     "q39_top_unshipped": "filter-before-join, broadcast dim, TakeOrdered on grouped revenue",
     "q57_ivf_fullprobe": "IVF assignment as literal-array argmax projection: no join, the only Exchange is repartition(centroid_id)",
-    "q62_tfidf_top_terms": "one (doc,term) data shuffle; vocab DF and corpus size broadcast back",
+    "q62_tfidf_top_terms": "one (doc,term) data shuffle; document-frequency join left to AQE (open vocabulary must never carry a broadcast hint)",
     "q63_doc_chunks": "chunking entirely inside the scan stage: zero Exchange, zero UDF",
     "q65_sequence_packing": "shard-parallel window cumsum: one hash partition Exchange, no global sort",
+    "q24_minhash_near_dup": "join-free LSH candidates: ONE signature aggregate (a banded self-join ran it twice under AQE), window-count hot-key guard, in-bucket pair expansion — 3 Exchanges total",
+    "q72_repetition_filter": "Gopher repetition rules as pure array expressions: zero Exchange (token mode = fold over sorted array, not explode+groupBy)",
+    "q77_volume_shipping": "Q7 shape: dims broadcast, fact side shuffles once per join key, decimal-exact revenue sums",
 }
 
 BLOOM_SECTION = """

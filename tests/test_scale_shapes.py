@@ -103,3 +103,40 @@ def test_bucketed_join_avoids_shuffle(spark, sf_dir, tmp_path):
     finally:
         spark.sql("DROP TABLE IF EXISTS b_orders")
         spark.sql("DROP TABLE IF EXISTS b_lineitem")
+
+
+def test_minhash_plan_single_signature_pass(spark, sf_dir):
+    """The LSH candidate stage must not replan the signature aggregate:
+    a banded self-join's two sides are separate subtrees to AQE and the
+    64-lane aggregate executed twice until the in-bucket rewrite."""
+    import __spark_entry__ as e
+
+    p = _plan(e.q24_minhash_near_dup(spark, sf_dir))
+    assert p.count("partial_min(xxhash64") == 1 * 25 or p.count("partial_min") <= 64, p[:500]
+    # one partial/final pair -> the lane aggregates appear exactly once
+    assert len(re.findall(r"HashAggregate\(keys=\[id#\d+L\], functions=\[partial_min", p)) == 1
+
+
+def test_simhash_plan_single_signature_pass(spark, sf_dir):
+    import __spark_entry__ as e
+
+    p = _plan(e.q25_simhash_near_dup(spark, sf_dir))
+    assert len(re.findall(r"functions=\[partial_count\(1\), partial_sum", p)) == 1
+
+
+def test_repetition_filter_zero_shuffle(spark, sf_dir):
+    """Gopher repetition rules are scan-stage expressions: no Exchange."""
+    from usajobs_etl_service_spark.operators.repetition import repetition_signals
+
+    docs = read_table(spark, sf_dir, "documents")
+    assert "Exchange" not in _plan(repetition_signals(docs))
+
+
+def test_source_mix_no_global_window(spark, sf_dir):
+    """q74's normalizers must be broadcast scalars, not empty-partition
+    windows (source cardinality is unbounded at web scale)."""
+    import __spark_entry__ as e
+
+    p = _plan(e.q74_source_mix_weights(spark, sf_dir))
+    assert "Window" not in p
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastExchange" in p

@@ -1069,23 +1069,42 @@ def q68_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q69_training_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The full training-data prep story as ONE lazy plan: exact dedup
-    (md5 fingerprint, first-wins) -> quality + language gate ->
-    benchmark decontamination (8-gram, doc_id%10 eval set) ->
+    (md5 fingerprint, first-wins) -> quality + language + repetition
+    gates -> benchmark decontamination (8-gram, doc_id%10 eval set) ->
     deterministic stratified sampling (per-language mixing weights) ->
-    chunk stats -> per-language corpus stats. Composes the q40/q66/q67
-    operators; one corpus scan feeds the gates, one gram explode feeds
-    decontam, and chunk stats are closed-form expressions (see below)."""
+    chunk stats -> per-language corpus stats. Composes the
+    q40/q66/q67/q72 operators; one corpus scan feeds the gates, one
+    gram explode feeds decontam, and chunk stats are closed-form
+    expressions (see below)."""
     from usajobs_etl_service_spark.operators.decontam import contaminated_docs
     from usajobs_etl_service_spark.operators.dedup import dedup_first_wins
+    from usajobs_etl_service_spark.functions.text import tokens_ws
+    from usajobs_etl_service_spark.operators.repetition import repetition_keep_tokens
     from usajobs_etl_service_spark.operators.sampling import stratified_sample
 
     docs = _t(spark, sf_dir, "documents")
     fingerprinted = docs.withColumn("fp", TX.fingerprint_md5(F.col("text")))
     deduped = dedup_first_wins(fingerprinted, ["fp"], "doc_id")
+    # Repetition gate fused into the main chain (no second corpus scan)
+    # behind a WINDOW barrier: the verdict is computed once as a
+    # projected column (codegen + CSE), then re-read through
+    # first() over (doc_id) — a filter on a window output can never be
+    # substituted back into the projection. Filtering on the raw verdict
+    # column collapses it into the Filter, which leaves codegen and
+    # re-evaluates the fold/gram HOF subtrees per reference (measured
+    # ~40x slower; pushed into scan DataFilters, worse still) — see
+    # operators/repetition.py's landmine note.
+    from pyspark.sql import Window as _W
+
     curated = (
         deduped.withColumn("lang_pred", TX.lang_id(F.col("text")))
         .withColumn("quality", TX.quality_score(F.col("text")))
         .filter((F.col("quality") >= 0.5) & (F.col("lang_pred") != "und"))
+        .withColumn("__rt", tokens_ws(F.lower(F.col("text"))))
+        .withColumn("__keep", repetition_keep_tokens(F.col("__rt")))
+        .withColumn("__keepw", F.first("__keep").over(_W.partitionBy("doc_id")))
+        .filter(F.col("__keepw"))
+        .drop("__rt", "__keep", "__keepw")
     )
     # contamination is a property of the RAW text — compute the bad-id
     # set from the plain corpus so the expensive curation expressions
@@ -2076,6 +2095,25 @@ ORACLES: dict[str, str] = {
                        x -> x IN ('el','los','las','es','una','que','para','con'))) AS s_es
             FROM dedup WHERE rn = 1
         ),
+        rep_tok AS (
+            SELECT doc_id, max(c) AS top_c, sum(c) AS n_tok
+            FROM (SELECT doc_id, tok, count(*) AS c
+                  FROM (SELECT doc_id,
+                               unnest(list_filter(string_split_regex(trim(lower(text)), '\\s+'), x -> x <> '')) AS tok
+                        FROM dedup WHERE rn = 1)
+                  GROUP BY doc_id, tok)
+            GROUP BY doc_id
+        ),
+        rep_gram AS (
+            SELECT doc_id, count(*) AS n2, count(DISTINCT g) AS d2
+            FROM (SELECT doc_id, array_to_string(list_slice(t, s, s + 1), ' ') AS g
+                  FROM (SELECT doc_id, t, unnest(generate_series(1, len(t) - 1, 1)) AS s
+                        FROM (SELECT doc_id,
+                                     list_filter(string_split_regex(trim(lower(text)), '\\s+'), x -> x <> '') AS t
+                              FROM dedup WHERE rn = 1)
+                        WHERE len(t) >= 2))
+            GROUP BY doc_id
+        ),
         curated AS (
             SELECT doc_id, text,
                    CASE WHEN greatest(s_en, s_fr, s_de, s_es) = 0 THEN 'und'
@@ -2085,6 +2123,8 @@ ORACLES: dict[str, str] = {
                         ELSE 'es'
                    END AS lang_pred
             FROM feats
+            JOIN rep_tok USING (doc_id)
+            LEFT JOIN rep_gram USING (doc_id)
             WHERE round(
                        least(CAST(n_tokens AS DOUBLE) / 20.0, 1.0) * 0.3
                      + (CASE WHEN n_chars > 0 THEN CAST(n_alpha AS DOUBLE) / n_chars ELSE 0.0 END) * 0.3
@@ -2093,6 +2133,11 @@ ORACLES: dict[str, str] = {
                      + least(CAST(s_en AS DOUBLE) / 5.0, 1.0) * 0.1
                    , 4) >= 0.5
               AND greatest(s_en, s_fr, s_de, s_es) > 0
+              AND n_tok > 0
+              AND round(CAST(top_c AS DOUBLE) / n_tok, 4) <= 0.3
+              AND round(CASE WHEN coalesce(n2, 0) > 0
+                             THEN 1.0 - CAST(d2 AS DOUBLE) / n2
+                             ELSE 0.0 END, 4) <= 0.5
         ),
         toks_all AS (
             SELECT doc_id, list_filter(string_split_regex(trim(lower(text)), '\\s+'), x -> x <> '') AS t

@@ -1086,25 +1086,24 @@ def q69_training_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     fingerprinted = docs.withColumn("fp", TX.fingerprint_md5(F.col("text")))
     deduped = dedup_first_wins(fingerprinted, ["fp"], "doc_id")
     # Repetition gate fused into the main chain (no second corpus scan)
-    # behind a WINDOW barrier: the verdict is computed once as a
-    # projected column (codegen + CSE), then re-read through
-    # first() over (doc_id) — a filter on a window output can never be
-    # substituted back into the projection. Filtering on the raw verdict
-    # column collapses it into the Filter, which leaves codegen and
-    # re-evaluates the fold/gram HOF subtrees per reference (measured
-    # ~40x slower; pushed into scan DataFilters, worse still) — see
-    # operators/repetition.py's landmine note.
-    from pyspark.sql import Window as _W
+    # behind barrier_filter: the verdict is computed once as a projected
+    # column (codegen + CSE), then filtered through a window gate that
+    # Catalyst can't substitute back into the projection. Filtering on
+    # the raw verdict column collapses it into the Filter, which leaves
+    # codegen and re-evaluates the fold/gram HOF subtrees per reference
+    # (measured ~40x slower; pushed into scan DataFilters, worse still)
+    # — see operators/repetition.py's landmine note.
+    from usajobs_etl_service_spark.plans.barrier import barrier_filter
 
     curated = (
         deduped.withColumn("lang_pred", TX.lang_id(F.col("text")))
         .withColumn("quality", TX.quality_score(F.col("text")))
         .filter((F.col("quality") >= 0.5) & (F.col("lang_pred") != "und"))
         .withColumn("__rt", tokens_ws(F.lower(F.col("text"))))
-        .withColumn("__keep", repetition_keep_tokens(F.col("__rt")))
-        .withColumn("__keepw", F.first("__keep").over(_W.partitionBy("doc_id")))
-        .filter(F.col("__keepw"))
-        .drop("__rt", "__keep", "__keepw")
+        .transform(
+            lambda d: barrier_filter(d, repetition_keep_tokens(F.col("__rt")), "doc_id")
+        )
+        .drop("__rt")
     )
     # contamination is a property of the RAW text — compute the bad-id
     # set from the plain corpus so the expensive curation expressions

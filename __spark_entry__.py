@@ -1366,6 +1366,22 @@ def q78_disjunctive_predicate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q79_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extension (sketching, scale path): per-event-type approximate
+    quantiles via percentile_approx (Greenwald-Khanna, mergeable
+    partials — one map-side-combined aggregation pass, vs q49's exact
+    percentiles which sort each group). Rows-only check (sketch
+    estimates are engine-specific); error bound vs exact is asserted in
+    tests/test_sketches.py."""
+    events = _t(spark, sf_dir, "events")
+    return events.groupBy("event_type").agg(
+        F.round(F.percentile_approx("value", 0.5, 1000), 2).alias("p50_approx"),
+        F.round(F.percentile_approx("value", 0.95, 1000), 2).alias("p95_approx"),
+        F.round(F.percentile_approx("value", 0.99, 1000), 2).alias("p99_approx"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_job_statistics": q01_job_statistics,
     "q02_metric_union": q02_metric_union,
@@ -1445,6 +1461,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q76_promo_revenue": q76_promo_revenue,
     "q77_volume_shipping": q77_volume_shipping,
     "q78_disjunctive_predicate": q78_disjunctive_predicate,
+    "q79_approx_quantiles": q79_approx_quantiles,
 }
 
 

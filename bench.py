@@ -31,11 +31,19 @@ def materialize(df) -> int:
     return 0
 
 
-def stage_totals(spark) -> dict[str, int]:
+def stage_totals(spark, after_stage: int = -1) -> dict[str, int]:
     """Cumulative shuffle/spill bytes across all stages so far, via the
-    UI REST API (the per-query delta is the query's own cost). Returns
-    zeros if the UI is unavailable."""
-    out = {"shuffle_write": 0, "shuffle_read": 0, "spilled_disk": 0}
+    UI REST API (the per-query delta is the query's own cost), plus the
+    max per-stage peak execution memory among stages NEWER than
+    ``after_stage`` (per-query peak attribution) and the latest stage
+    id. Returns zeros if the UI is unavailable."""
+    out = {
+        "shuffle_write": 0,
+        "shuffle_read": 0,
+        "spilled_disk": 0,
+        "peak_exec_mem_new": 0,
+        "max_stage_id": after_stage,
+    }
     ui = spark.sparkContext.uiWebUrl
     if not ui:
         return out
@@ -48,6 +56,12 @@ def stage_totals(spark) -> dict[str, int]:
                 out["shuffle_write"] += s.get("shuffleWriteBytes", 0)
                 out["shuffle_read"] += s.get("shuffleReadBytes", 0)
                 out["spilled_disk"] += s.get("diskBytesSpilled", 0)
+                sid = s.get("stageId", -1)
+                out["max_stage_id"] = max(out["max_stage_id"], sid)
+                if sid > after_stage:
+                    out["peak_exec_mem_new"] = max(
+                        out["peak_exec_mem_new"], s.get("peakExecutionMemory", 0)
+                    )
     except Exception:
         pass
     return out
@@ -68,13 +82,15 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     shuffle_mb: dict[str, float] = {}
+    peak_mem_mb: dict[str, float] = {}
     before = stage_totals(spark)
     for name, fn in qs.items():
         t0 = time.perf_counter()
         materialize(fn(spark, sf_dir))
         timings[name] = round(time.perf_counter() - t0, 3)
-        after = stage_totals(spark)
+        after = stage_totals(spark, after_stage=before["max_stage_id"])
         shuffle_mb[name] = round((after["shuffle_write"] - before["shuffle_write"]) / 1e6, 2)
+        peak_mem_mb[name] = round(after["peak_exec_mem_new"] / 1e6, 2)
         before = after
 
     total = round(sum(timings.values()), 3)
@@ -130,6 +146,7 @@ def main() -> None:
         "ivf_warm_probe_sec": ivf_probe_sec,
         "shuffle_write_mb": shuffle_mb,
         "shuffle_write_mb_total": round(sum(shuffle_mb.values()), 2),
+        "peak_stage_exec_mem_mb": peak_mem_mb,
         "disk_spilled_bytes_total": before["spilled_disk"],
     }
     detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json")

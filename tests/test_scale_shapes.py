@@ -140,3 +140,45 @@ def test_source_mix_no_global_window(spark, sf_dir):
     p = _plan(e.q74_source_mix_weights(spark, sf_dir))
     assert "Window" not in p
     assert "BroadcastNestedLoopJoin" in p or "BroadcastExchange" in p
+
+
+def test_aqe_splits_skewed_join(spark):
+    """AQE skew-join handling: a join where one key holds ~all the rows
+    must replan with a skew-split (OptimizeSkewedJoin), complementing
+    the salted-aggregation operators (AQE covers join-side skew only).
+    Verified via the adaptive plan string; thresholds are lowered so the
+    toy frame qualifies as skewed."""
+    old = {
+        k: spark.conf.get(k, None)
+        for k in (
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+            "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+            "spark.sql.autoBroadcastJoinThreshold",
+        )
+    }
+    try:
+        spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "64KB")
+        spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16KB")
+        spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")  # force SMJ
+        from pyspark.sql import functions as F
+
+        big = spark.range(200_000).select(
+            F.when(F.col("id") % 100 < 99, F.lit(7)).otherwise(F.col("id")).alias("k"),
+            F.concat(F.lit("payload-"), F.col("id").cast("string")).alias("pad"),
+        )
+        dim = spark.range(5_000).select(F.col("id").alias("k"), F.lit("d").alias("v"))
+        joined = big.join(dim, "k")
+        # collect() on the SAME DataFrame: count()/write build separate
+        # query executions and this one would stay isFinalPlan=false
+        n = len(joined.collect())
+        assert n > 0
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in plan or "AQEShuffleRead" in plan, plan[:800]
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)

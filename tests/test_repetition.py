@@ -51,3 +51,32 @@ def test_signals_match_python_model(spark, sf_dir):
 def test_empty_and_whitespace_docs_excluded(spark):
     out = _signals(spark, [(1, ""), (2, "   "), (3, "ok fine")])
     assert set(out) == {3}
+
+
+def test_signals_property_based(spark):
+    """Hypothesis over synthetic token lists vs the exact Python model."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    TOK = st.integers(min_value=0, max_value=6)
+    DOC = st.lists(TOK, min_size=1, max_size=40)
+
+    @given(st.lists(DOC, min_size=1, max_size=6))
+    @settings(
+        max_examples=8, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture]
+    )
+    def inner(docs):
+        rows = [(i, " ".join(f"w{x}" for x in toks)) for i, toks in enumerate(docs)]
+        got = _signals(spark, rows)
+        for i, toks in enumerate(docs):
+            n = len(toks)
+            counts = Counter(toks)
+            grams = list(zip(toks, toks[1:]))
+            g = got[i]
+            assert g["n_tokens"] == n
+            assert abs(g["dup_token_frac"] - (1 - len(counts) / n)) < 1e-3
+            assert abs(g["top_token_frac"] - max(counts.values()) / n) < 1e-3
+            want = (1 - len(set(grams)) / len(grams)) if grams else 0.0
+            assert abs(g["dup_2gram_frac"] - want) < 1e-3
+
+    inner()

@@ -1,16 +1,21 @@
 """Benchmark harness: run the engine's headline queries at
 ``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
-``local[$SPARK_GRAFT_CPUS]`` and print ONE JSON line:
+``local[$SPARK_GRAFT_CPUS]``.
 
-    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+stdout layout (two JSON lines, tail-capture-safe):
+
+    line 1: {"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+    line 2: {"metric": ..., "value": N, "unit": "sec", "sf": ..., "n_queries": K}
+
+The LAST line is the compact headline (< 200 bytes) — log collectors
+that keep only the tail of stdout always capture a complete, parseable
+JSON object. The full per-query dict rides on the first line and is
+also persisted to BENCH_DETAIL.json next to this file.
 
 Each query is materialized with the noop sink (full computation, no
 driver collect). The headline value is the sum of per-query seconds.
 Reference floors for context (BASELINE.md): upsert >50 rows/s, JSON
-extract >100 rows/s, end-to-end >20 rows/s. Per-query shuffle-write MB,
-spill, and derived throughputs are written to BENCH_DETAIL.json next to
-this file — stdout carries ONLY the one short headline line so log tail
-capture can never truncate it.
+extract >100 rows/s, end-to-end >20 rows/s.
 """
 
 from __future__ import annotations
@@ -130,17 +135,27 @@ def main() -> None:
     except Exception:
         pass
 
-    # Exactly ONE short JSON line on stdout (the driver's tail capture
-    # truncated the old combined line mid-way in round 2); the bulky
-    # per-query shuffle/spill detail goes to BENCH_DETAIL.json instead.
-    headline = {
+    # Two stdout lines. The per-query dict (~3 KB for 79 queries) rides
+    # on the FIRST line; the LAST line is a compact (< 200 byte) headline.
+    # Tail-only log capture keeps the end of stdout, so the parseable
+    # headline can never be truncated off the front again (it was, for
+    # three rounds, when the bulky line was the only/last one).
+    full = {
         "metric": "sum_query_seconds",
         "value": total,
         "unit": "sec",
         "queries": timings,
         "sf": float(sf),
     }
+    compact = {
+        "metric": "sum_query_seconds",
+        "value": total,
+        "unit": "sec",
+        "sf": float(sf),
+        "n_queries": len(timings),
+    }
     detail = {
+        "queries_sec": timings,
         "flatten_rows_per_sec": flatten_rps,
         "reference_floor_rows_per_sec": 100,
         "ivf_warm_probe_sec": ivf_probe_sec,
@@ -155,7 +170,8 @@ def main() -> None:
             json.dump(detail, f, indent=1)
     except OSError:
         pass
-    print(json.dumps(headline), flush=True)
+    print(json.dumps(full), flush=True)
+    print(json.dumps(compact), flush=True)
 
 
 def compare(path_a: str, path_b: str, top: int = 15) -> None:
@@ -173,16 +189,44 @@ def compare(path_a: str, path_b: str, top: int = 15) -> None:
         if isinstance(d, dict) and "queries" in d:
             return d
         blob = text if d is None else d.get("tail", "")
+
+        def parse_at(start: int) -> dict | None:
+            depth = 0
+            for i, ch in enumerate(blob[start:], start):
+                depth += ch == "{"
+                depth -= ch == "}"
+                if depth == 0:
+                    try:
+                        return json.loads(blob[start : i + 1])
+                    except json.JSONDecodeError:
+                        return None
+            return None
+
+        # Scan every headline candidate from last to first; prefer one
+        # carrying the per-query dict (line 1) over the compact tail line.
+        candidates = []
         start = blob.rfind('{"metric"')
-        if start < 0:
-            raise SystemExit(f"{path}: no bench headline found")
-        depth = 0
-        for i, ch in enumerate(blob[start:], start):
-            depth += ch == "{"
-            depth -= ch == "}"
-            if depth == 0:
-                return json.loads(blob[start : i + 1])
-        raise SystemExit(f"{path}: truncated bench headline")
+        while start >= 0:
+            parsed = parse_at(start)
+            if parsed is not None:
+                candidates.append(parsed)
+            start = blob.rfind('{"metric"', 0, start)
+        for c in candidates:
+            if "queries" in c:
+                return c
+        if candidates:
+            c = dict(candidates[0])
+            c.setdefault("queries", {})
+            return c
+        # Last resort: a front-truncated tail (rounds 1-3) keeps only the
+        # back half of the per-query dict — salvage what timings survive.
+        import re
+
+        pairs = re.findall(r'"(q\d+[a-z0-9_]*)":\s*([0-9.]+)', blob)
+        if pairs:
+            qs = {k: float(v) for k, v in pairs}
+            return {"value": round(sum(qs.values()), 3), "queries": qs, "partial": True}
+        raise SystemExit(f"{path}: no bench headline found")
 
     a, b = load(path_a), load(path_b)
     qa, qb = a["queries"], b["queries"]

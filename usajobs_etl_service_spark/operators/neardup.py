@@ -124,6 +124,27 @@ def lsh_band_keys(sig_col: Column, bands: int, rows_per_band: int, *, band_offse
     )
 
 
+def _bucket_pairs(buckets: DataFrame) -> DataFrame:
+    """Expand each bucket's sorted ``ms`` member array (struct<id, sig>)
+    into ordered i<j pairs with BOUNDED per-row memory.
+
+    Shape: posexplode the bucket once (each output row carries one member
+    plus the bucket array, O(max_bucket * sig) bytes), then explode each
+    member's partner slice. The previous single-expression form flattened
+    ALL in-bucket pairs into one array value first — at max_bucket=1000
+    and 128-long signatures that is ~500k structs x 2x128 longs (~1-2 GB)
+    inside a single GenerateExec row, an executor OOM hazard on hot
+    template buckets. Here no intermediate value ever exceeds the bucket
+    array itself. Both explodes run in the same stage (no extra shuffle).
+    """
+    lhs = buckets.select(F.posexplode("ms").alias("i", "x"), "ms")
+    return lhs.select(
+        F.col("x.id").alias("id_a"),
+        F.col("x.sig").alias("sig_a"),
+        F.explode(F.slice(F.col("ms"), F.col("i") + F.lit(2), F.size("ms"))).alias("y"),
+    ).select("id_a", "sig_a", F.col("y.id").alias("id_b"), F.col("y.sig").alias("sig_b"))
+
+
 def minhash_near_dup_pairs(
     df: DataFrame,
     *,
@@ -203,30 +224,18 @@ def minhash_near_dup_pairs(
     buckets = banded.groupBy("band", "key").agg(
         F.array_sort(F.collect_list(F.struct("id", "sig"))).alias("ms")
     )
-    ms = F.col("ms")
-    pair_structs = F.flatten(
-        F.transform(
-            ms,
-            lambda x, i: F.transform(
-                F.slice(ms, i + 2, F.size(ms)),
-                lambda y: F.struct(
-                    x["id"].alias("id_a"),
-                    y["id"].alias("id_b"),
-                    x["sig"].alias("sig_a"),
-                    y["sig"].alias("sig_b"),
-                ),
-            ),
-        )
-    )
-    cand = (
-        buckets.select(F.explode(pair_structs).alias("p"))
-        .select("p.id_a", "p.id_b", "p.sig_a", "p.sig_b")
-        .dropDuplicates(["id_a", "id_b"])
-    )
+    # Verify BEFORE the dedup shuffle: est_jaccard is deterministic per
+    # pair, so computing it on every banded duplicate costs one cheap
+    # codegen'd 128-lane fold per extra band hit, while the
+    # dropDuplicates exchange shrinks from 2 KB/row (two full
+    # signatures) to 24 B/row (ids + estimate) — and only pairs passing
+    # the threshold are shuffled at all.
     return (
-        cand.withColumn("est_jaccard", F.round(signature_similarity(F.col("sig_a"), F.col("sig_b")), 4))
+        _bucket_pairs(buckets)
+        .withColumn("est_jaccard", F.round(signature_similarity(F.col("sig_a"), F.col("sig_b")), 4))
         .filter(F.col("est_jaccard") >= threshold)
         .select("id_a", "id_b", "est_jaccard")
+        .dropDuplicates(["id_a", "id_b"])
     )
 
 
@@ -358,28 +367,16 @@ def simhash_near_dup_pairs(
     buckets = banded.groupBy("band", "key").agg(
         F.array_sort(F.collect_list(F.struct("id", "sig"))).alias("ms")
     )
-    ms = F.col("ms")
-    pair_structs = F.flatten(
-        F.transform(
-            ms,
-            lambda x, i: F.transform(
-                F.slice(ms, i + 2, F.size(ms)),
-                lambda y: F.struct(
-                    x["id"].alias("id_a"),
-                    y["id"].alias("id_b"),
-                    x["sig"].alias("sig_a"),
-                    y["sig"].alias("sig_b"),
-                ),
-            ),
-        )
-    )
+    # Same bounded pair expansion + verify-before-dedup as the MinHash
+    # path (the single-long simhash signature is not a memory hazard,
+    # but filtering on Hamming first still shrinks the dedup shuffle to
+    # passing pairs only).
     return (
-        buckets.select(F.explode(pair_structs).alias("p"))
-        .select("p.id_a", "p.id_b", "p.sig_a", "p.sig_b")
-        .dropDuplicates(["id_a", "id_b"])
+        _bucket_pairs(buckets)
         .withColumn("hamming", hamming64(F.col("sig_a"), F.col("sig_b")))
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
+        .dropDuplicates(["id_a", "id_b"])
     )
 
 

@@ -1087,22 +1087,27 @@ def q69_training_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     deduped = dedup_first_wins(fingerprinted, ["fp"], "doc_id")
     # Repetition gate fused into the main chain (no second corpus scan)
     # behind barrier_filter: the verdict is computed once as a projected
-    # column (codegen + CSE), then filtered through a window gate that
-    # Catalyst can't substitute back into the projection. Filtering on
-    # the raw verdict column collapses it into the Filter, which leaves
-    # codegen and re-evaluates the fold/gram HOF subtrees per reference
-    # (measured ~40x slower; pushed into scan DataFilters, worse still)
-    # — see operators/repetition.py's landmine note.
+    # column (codegen + CSE), then filtered through a nondeterministic
+    # gate that Catalyst can't substitute back into the projection (no
+    # shuffle — see plans/barrier.py). Filtering on the raw verdict
+    # column collapses it into the Filter, which leaves codegen and
+    # re-evaluates the fold/gram HOF subtrees per reference (measured
+    # ~40x slower; pushed into scan DataFilters, worse still) — see
+    # operators/repetition.py's landmine note.
+    #
+    # The cheap eval-holdout filter (doc_id % 10 != 0) runs BEFORE the
+    # expensive gates: a nondeterministic barrier also blocks downstream
+    # pushdown, and row-wise predicates commute, so filtering early both
+    # keeps it scan-adjacent and spares the HOF verdict on the holdout.
     from usajobs_etl_service_spark.plans.barrier import barrier_filter
 
     curated = (
-        deduped.withColumn("lang_pred", TX.lang_id(F.col("text")))
+        deduped.filter(F.col("doc_id") % 10 != 0)
+        .withColumn("lang_pred", TX.lang_id(F.col("text")))
         .withColumn("quality", TX.quality_score(F.col("text")))
         .filter((F.col("quality") >= 0.5) & (F.col("lang_pred") != "und"))
         .withColumn("__rt", tokens_ws(F.lower(F.col("text"))))
-        .transform(
-            lambda d: barrier_filter(d, repetition_keep_tokens(F.col("__rt")), "doc_id")
-        )
+        .transform(lambda d: barrier_filter(d, repetition_keep_tokens(F.col("__rt"))))
         .drop("__rt")
     )
     # contamination is a property of the RAW text — compute the bad-id
@@ -1111,8 +1116,7 @@ def q69_training_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     # explode side, only once on the final chain
     bench = docs.filter(F.col("doc_id") % 10 == 0)
     bad = contaminated_docs(docs.filter(F.col("doc_id") % 10 != 0), bench, n=8)
-    pool = curated.filter(F.col("doc_id") % 10 != 0)
-    clean = pool.join(bad, "doc_id", "left_anti")
+    clean = curated.join(bad, "doc_id", "left_anti")
     rates = {"en": 1.0, "fr": 0.5, "de": 0.5, "es": 0.25}
     sampled = stratified_sample(clean, "lang_pred", rates, key_col="doc_id")
     # chunk STATS are a pure function of the token count (starts every

@@ -98,6 +98,21 @@ class TestConnectedComponents:
         comp = {r["doc_id"]: r["cluster_id"] for r in connected_components(pairs).collect()}
         assert comp == {2: 2, 7: 2, 50: 2, 93: 2, 40: 40, 81: 40, 99: 40}
 
+    def test_rounds_free_prior_checkpoints(self, spark):
+        # each large-star/small-star round localCheckpoints its edge set;
+        # the predecessor's blocks must be unpersisted as rounds advance,
+        # not accumulate until session end (O(rounds) executor storage)
+        n = 300
+        pairs = spark.createDataFrame([(i, i + 1) for i in range(n)], "id_a long, id_b long")
+        before = spark.sparkContext._jsc.getPersistentRDDs().size()
+        labels, rounds = connected_components(pairs, return_rounds=True, small_graph_edges=0)
+        labels.count()
+        after = spark.sparkContext._jsc.getPersistentRDDs().size()
+        assert rounds >= 3, "need a multi-round run for this to be meaningful"
+        # allowed to remain: the pinned node list + the final round's edges
+        # (read by `labels`); everything round-intermediate must be gone
+        assert after - before <= 2, (before, after, rounds)
+
     def test_canonical_docs_keeps_one_per_cluster(self, spark):
         docs = spark.createDataFrame([(i, f"text {i}") for i in range(6)], "doc_id long, text string")
         pairs = spark.createDataFrame([(0, 1), (1, 2), (4, 5)], "id_a long, id_b long")

@@ -81,6 +81,19 @@ def _small_star(edges: DataFrame, p: int) -> DataFrame:
     )
 
 
+def _unpersist_checkpoint(df: DataFrame) -> None:
+    """Free the block-store memory behind a ``localCheckpoint``'ed
+    DataFrame. The blocks are held by the internal RDD wrapped in the
+    plan's ``LogicalRDD`` node (``df.unpersist()`` only consults the
+    cache manager, which knows nothing about checkpoints). Reaching
+    through the JVM plan node is internal API — degrade to a no-op
+    (the old leak-until-session-end behavior) if it ever moves."""
+    try:
+        df._jdf.queryExecution().analyzed().rdd().unpersist(False)
+    except Exception:
+        pass
+
+
 def _driver_union_find(spark, edges: DataFrame, all_nodes: DataFrame) -> DataFrame:
     """Path-compressed union-by-min over a collected edge list — the
     finish for graphs whose MEASURED edge count fits trivially in driver
@@ -140,13 +153,19 @@ def connected_components(
         edges.select(F.col("a").alias("id")).union(edges.select(F.col("b").alias("id"))).distinct()
     )
 
-    def fingerprint(e: DataFrame) -> tuple[int, int]:
-        # bit_xor, not sum: order-independent and overflow-free under ANSI
+    def fingerprint(e: DataFrame) -> tuple[int, int, int]:
+        # bit_xor, not sum: order-independent and overflow-free under
+        # ANSI. Two independently-seeded hash lanes: convergence is
+        # detected by fingerprint equality between rounds, so a
+        # collision (different edge sets, same fingerprint) would stop
+        # early and emit wrong labels with no error — (count, h1, h2)
+        # puts that at ~2^-128 per round instead of ~2^-64.
         row = e.agg(
             F.count(F.lit(1)).alias("n"),
-            F.coalesce(F.bit_xor(F.xxhash64(F.col("a"), F.col("b"))), F.lit(0)).alias("h"),
+            F.coalesce(F.bit_xor(F.xxhash64(F.col("a"), F.col("b"))), F.lit(0)).alias("h1"),
+            F.coalesce(F.bit_xor(F.xxhash64(F.lit(0x9E3779B9), F.col("a"), F.col("b"))), F.lit(0)).alias("h2"),
         ).collect()[0]
-        return int(row["n"]), int(row["h"])
+        return int(row["n"]), int(row["h1"]), int(row["h2"])
 
     # adapt parallelism to the live edge count each round (~50k edges per
     # task, capped at the cluster's parallelism): tiny graphs run
@@ -158,7 +177,7 @@ def connected_components(
         return max(1, min(max_p, n // 50_000 + 1))
 
     prev = None
-    n0, _ = fingerprint(edges)  # also materializes the lazy checkpoint
+    n0 = fingerprint(edges)[0]  # also materializes the lazy checkpoint
     p = clamp(n0)
 
     # Small-graph finish: below the threshold the per-round fixed costs
@@ -172,6 +191,13 @@ def connected_components(
         labels = _driver_union_find(pairs.sparkSession, edges, all_nodes)
         return (labels, 0) if return_rounds else labels
 
+    # Distributed path: pin the node list NOW (eager — one extra small
+    # job), so unpersisting the initial edge checkpoint below can never
+    # orphan all_nodes' lineage; then free each round's predecessor as
+    # soon as the new round has materialized — without this, O(rounds)
+    # edge RDDs accumulate in executor storage memory until session end.
+    all_nodes = all_nodes.localCheckpoint(eager=True)
+    prev_ckpt = edges
     for rounds in range(1, max_iterations + 1):
         # symmetric neighbor list: every undirected edge seen from both ends
         nbrs = edges.select(F.col("a").alias("u"), F.col("b").alias("v")).union(
@@ -181,12 +207,16 @@ def connected_components(
         # round's edges and reads the convergence counter — one job, not two
         edges = _small_star(_large_star(nbrs, p), p).localCheckpoint(eager=False)
         cur = fingerprint(edges)
+        _unpersist_checkpoint(prev_ckpt)
+        prev_ckpt = edges
         p = clamp(cur[0])
         if cur == prev:
             labels = (
                 all_nodes.join(edges.withColumnRenamed("a", "id"), "id", "left")
                 .select(F.col("id").alias("doc_id"), F.coalesce(F.col("b"), F.col("id")).alias("cluster_id"))
             )
+            # the final round's checkpoint stays persisted: `labels`
+            # reads it when the caller materializes
             if return_rounds:
                 return labels, rounds
             return labels

@@ -57,6 +57,34 @@ def test_salted_topk_matches_plain_window(spark, skewed):
     assert salted == plain
 
 
+def test_salt_skips_map_columns(spark):
+    # xxhash64 raises on map<> columns; the default salt must skip them
+    # instead of failing the whole operator
+    df = spark.createDataFrame(
+        [("hot", i, {"a": i}) for i in range(50)], "k string, v long, props map<string,long>"
+    )
+    out = {
+        r["k"]: r["n"]
+        for r in salted_agg(df, ["k"], {"n": "count(*)"}).collect()
+    }
+    assert out == {"hot": 50}
+
+
+def test_salt_cols_explicit_matches_plain(spark, skewed):
+    # wide-row escape hatch: salt from (key + compact discriminator) only
+    order = [F.col("v").desc(), F.col("k").asc()]
+    w = Window.partitionBy("k").orderBy(*order)
+    plain = {
+        (r["k"], r["rank"]): r["v"]
+        for r in skewed.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= 3).collect()
+    }
+    salted = {
+        (r["k"], r["rank"]): r["v"]
+        for r in salted_topk_per_key(skewed, ["k"], order, 3, salt_cols=["k", "v"]).collect()
+    }
+    assert salted == plain
+
+
 def test_salted_topk_real_data(spark, sf_dir):
     events = read_table(spark, sf_dir, "events")
     order = [F.col("ts").desc(), F.col("event_id").asc()]

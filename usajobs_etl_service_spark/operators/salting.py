@@ -21,7 +21,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-# Retry-deterministic row-salt: a content hash of the full row, never a
+# Retry-deterministic row-salt: a content hash of the row, never a
 # physical id. monotonically_increasing_id()/rand() depend on partition
 # fetch order, and Spark does not roll back committed reducer output for
 # expression-level nondeterminism — on a fetch-failure retry the same row
@@ -32,20 +32,53 @@ from pyspark.sql import functions as F
 # any deterministic top-k ordering. The degenerate hot key whose rows are
 # ALL byte-identical lands on one reducer, but arrives pre-combined to
 # ~one row per map task.
-def _salt(df: DataFrame, salt_buckets: int) -> Column:
+#
+# By default the hash covers every hashable column; callers with wide
+# rows (large text/signature arrays — per-row hash cost is proportional
+# to row size) should pass ``salt_cols`` naming the group keys plus a
+# compact high-cardinality discriminator (a doc id, a fingerprint).
+# Columns whose type contains a map are skipped automatically: xxhash64
+# raises for them (map equality is order-ambiguous). Passing salt_cols
+# that are constant within a hot key (e.g. the group key alone) defeats
+# the spread — include a per-row discriminator.
+
+
+def _hashable(dt) -> bool:
+    from pyspark.sql import types as T
+
+    if isinstance(dt, T.MapType):
+        return False
+    if isinstance(dt, T.ArrayType):
+        return _hashable(dt.elementType)
+    if isinstance(dt, T.StructType):
+        return all(_hashable(f.dataType) for f in dt.fields)
+    return True
+
+
+def _salt(df: DataFrame, salt_buckets: int, salt_cols: list[str] | None = None) -> Column:
+    if salt_cols is None:
+        salt_cols = [f.name for f in df.schema.fields if _hashable(f.dataType)]
+        if not salt_cols:
+            raise ValueError("no hashable columns to derive a deterministic salt from; pass salt_cols")
     return F.pmod(
-        F.xxhash64(*[F.col(c) for c in df.columns], F.lit(0x5A17)), F.lit(salt_buckets)
+        F.xxhash64(*[F.col(c) for c in salt_cols], F.lit(0x5A17)), F.lit(salt_buckets)
     ).alias("__salt")
 
 
-def salted_distinct(df: DataFrame, cols: list[str], *, salt_buckets: int = 32) -> DataFrame:
+def salted_distinct(
+    df: DataFrame,
+    cols: list[str],
+    *,
+    salt_buckets: int = 32,
+    salt_cols: list[str] | None = None,
+) -> DataFrame:
     """``df.select(cols).distinct()`` under value skew.
 
     Phase 1 dedups within (cols, salt) — a value with 10^9 duplicates
     reduces to ``salt_buckets`` survivors spread over many tasks; phase
     2 dedups the survivors. Equivalent to plain distinct.
     """
-    salted = df.withColumn("__salt", _salt(df, salt_buckets))
+    salted = df.withColumn("__salt", _salt(df, salt_buckets, salt_cols))
     phase1 = salted.select(*cols, "__salt").dropDuplicates([*cols, "__salt"])
     return phase1.drop("__salt").dropDuplicates(cols)
 
@@ -56,6 +89,7 @@ def salted_agg(
     aggs: dict[str, str],
     *,
     salt_buckets: int = 32,
+    salt_cols: list[str] | None = None,
 ) -> DataFrame:
     """Decomposable aggregates (``sum``/``count``/``min``/``max``) per
     key under key skew: partials per (key, salt), then merge. ``aggs``
@@ -73,7 +107,7 @@ def salted_agg(
         src = F.lit(1) if (fn == "count" and col in ("*", "1")) else F.col(col)
         partial_exprs.append(getattr(F, "count" if fn == "count" else fn)(src).alias(f"__p_{out}"))
         merge_exprs.append(getattr(F, MERGE[fn])(F.col(f"__p_{out}")).alias(out))
-    salted = df.withColumn("__salt", _salt(df, salt_buckets))
+    salted = df.withColumn("__salt", _salt(df, salt_buckets, salt_cols))
     partial = salted.groupBy(*keys, "__salt").agg(*partial_exprs)
     return partial.groupBy(*keys).agg(*merge_exprs)
 
@@ -85,6 +119,7 @@ def salted_topk_per_key(
     k: int,
     *,
     salt_buckets: int = 32,
+    salt_cols: list[str] | None = None,
 ) -> DataFrame:
     """Per-key top-k (deterministic ``order_cols``) under key skew.
 
@@ -98,7 +133,7 @@ def salted_topk_per_key(
     w1 = Window.partitionBy(*key_cols, "__salt").orderBy(*order_cols)
     w2 = Window.partitionBy(*key_cols).orderBy(*order_cols)
     phase1 = (
-        df.withColumn("__salt", _salt(df, salt_buckets))
+        df.withColumn("__salt", _salt(df, salt_buckets, salt_cols))
         .withColumn("__rn", F.row_number().over(w1))
         .filter(F.col("__rn") <= k)
         .drop("__rn", "__salt")

@@ -28,6 +28,51 @@ def test_kmeans_ivf_full_probe_recall(spark, sf_dir):
     assert len(partial & exact) >= 5
 
 
+def test_ivf_partial_probe_recall_floor_on_planted_clusters(spark):
+    """Asserted recall floor so an index-build change can't silently
+    trash recall: 16 well-separated planted clusters, k-means build,
+    probing 4/16 buckets must keep recall@10 >= 0.8 — and the same
+    floor must FAIL on an intentionally broken codebook (centroid
+    vectors rolled one id over, the index/codebook-misalignment bug
+    class), proving the gate is real."""
+    import random
+
+    rng = random.Random(7)
+    dim, n_clusters, per = 32, 16, 50
+    rows = []
+    for c in range(n_clusters):
+        center = [0.0] * dim
+        center[2 * c] = 1.0
+        center[2 * c + 1] = 0.4
+        for i in range(per):
+            rows.append(
+                (c * per + i, [x + rng.uniform(-0.05, 0.05) for x in center])
+            )
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = [0.0] * dim
+    q[0], q[1] = 1.0, 0.4
+
+    exact = {r["vec_id"] for r in topk_cosine(emb, q, k=10).collect()}
+    index, cents = ivf_build(emb, n_centroids=n_clusters, refine_kmeans=True, seed=11)
+    got = {r["vec_id"] for r in ivf_topk_cosine(index, cents, q, k=10, nprobe=4).collect()}
+    recall = len(got & exact) / 10
+    assert recall >= 0.8, f"recall@10 at nprobe=4/16 fell to {recall}"
+
+    # broken build: sign-flipped codebook (a real spherical-kmeans bug
+    # class) — the probe ranks the query's true bucket LAST, so the
+    # probed buckets deterministically exclude the neighbors
+    broken = cents.select(
+        "centroid_id", F.transform(F.col("cv"), lambda x: -x).alias("cv")
+    )
+    got_broken = {
+        r["vec_id"] for r in ivf_topk_cosine(index, broken, q, k=10, nprobe=4).collect()
+    }
+    broken_recall = len(got_broken & exact) / 10
+    assert broken_recall < 0.8, (
+        f"broken codebook still passed the floor ({broken_recall}) — the gate is vacuous"
+    )
+
+
 def test_srp_code_deterministic_and_collides_near_dups(spark):
     rows = [
         (0, [1.0, 0.0, 0.0, 0.0]),

@@ -142,6 +142,77 @@ def test_source_mix_no_global_window(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" in p or "BroadcastExchange" in p
 
 
+def test_salted_topk_bounds_per_task_input_under_extreme_skew(spark):
+    """Measured skew evidence, not design prose: one key holds 50% of
+    all rows. Under the plain window partitioning that key's task reads
+    half the dataset; under phase-1's (key, salt) partitioning no task
+    reads more than ~2x the mean. Rows-per-partition is measured with
+    spark_partition_id() under the same hash partitioning the window
+    stage uses — the salt is a content hash, so the distribution is
+    deterministic run-to-run. Results must still equal the plain window."""
+    from pyspark.sql import Window
+
+    from usajobs_etl_service_spark.operators.salting import _salt, salted_topk_per_key
+
+    n = 200_000
+    buckets = 64
+    P = 32
+    hot = spark.range(n // 2).select(F.lit("hot").alias("k"), F.col("id").alias("v"))
+    cold = spark.range(n // 2).select(
+        F.concat(F.lit("c"), (F.col("id") % 2000).cast("string")).alias("k"), F.col("id").alias("v")
+    )
+    df = hot.unionByName(cold)
+
+    def partition_rows(frame, *cols):
+        dist = (
+            frame.repartition(P, *cols)
+            .select(F.spark_partition_id().alias("pid"))
+            .groupBy("pid")
+            .count()
+        )
+        return [r["count"] for r in dist.collect()]
+
+    unsalted = partition_rows(df, "k")
+    assert max(unsalted) >= n // 2, "the unsalted shape must actually be melted"
+
+    salted = df.withColumn("__salt", _salt(df, buckets))
+    per_task = partition_rows(salted, "k", "__salt")
+    mean = sum(per_task) / len(per_task)
+    assert max(per_task) <= 2 * mean, (max(per_task), mean, sorted(per_task)[-5:])
+
+    # equivalence under the same skew
+    order = [F.col("v").desc(), F.col("k").asc()]
+    w = Window.partitionBy("k").orderBy(*order)
+    plain = {
+        (r["k"], r["rank"]): r["v"]
+        for r in df.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= 3).collect()
+    }
+    got = {
+        (r["k"], r["rank"]): r["v"]
+        for r in salted_topk_per_key(df, ["k"], order, 3, salt_buckets=buckets).collect()
+    }
+    assert got == plain
+
+
+def test_connected_components_star_graph_hub_skew(spark):
+    """CC on the skew-adversarial graph: a single hub adjacent to half
+    the node population (one key = 50% of all edges). Large-star
+    resolves a star in O(1) rounds — the hub's window partition holds
+    its degree for exactly one round, then every spoke is attached to
+    the minimum id and the edge set collapses — so the skew cannot
+    compound across rounds. Labels must be exact."""
+    from usajobs_etl_service_spark.operators.clustering import connected_components
+
+    spokes = 50_000
+    pairs = spark.range(1, spokes + 1).select(
+        F.lit(0).alias("id_a"), F.col("id").alias("id_b")
+    )
+    labels, rounds = connected_components(pairs, return_rounds=True, small_graph_edges=0)
+    comp = labels.groupBy("cluster_id").count().collect()
+    assert len(comp) == 1 and comp[0]["cluster_id"] == 0 and comp[0]["count"] == spokes + 1
+    assert rounds <= 3, f"a star must collapse in O(1) rounds, took {rounds}"
+
+
 def test_aqe_splits_skewed_join(spark):
     """AQE skew-join handling: a join where one key holds ~all the rows
     must replan with a skew-split (OptimizeSkewedJoin), complementing

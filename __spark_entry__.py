@@ -1078,8 +1078,6 @@ def q69_training_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     expressions (see below)."""
     from usajobs_etl_service_spark.operators.decontam import contaminated_docs
     from usajobs_etl_service_spark.operators.dedup import dedup_first_wins
-    from usajobs_etl_service_spark.functions.text import tokens_ws
-    from usajobs_etl_service_spark.operators.repetition import repetition_keep_tokens
     from usajobs_etl_service_spark.operators.sampling import stratified_sample
 
     docs = _t(spark, sf_dir, "documents")
@@ -1099,17 +1097,11 @@ def q69_training_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     # expensive gates: a nondeterministic barrier also blocks downstream
     # pushdown, and row-wise predicates commute, so filtering early both
     # keeps it scan-adjacent and spares the HOF verdict on the holdout.
-    from usajobs_etl_service_spark.plans.barrier import barrier_filter
+    # curation_gate is the SAME stateless composition the streaming
+    # path runs ahead of its cross-batch dedup (streaming/pipeline.py).
+    from usajobs_etl_service_spark.streaming.pipeline import curation_gate
 
-    curated = (
-        deduped.filter(F.col("doc_id") % 10 != 0)
-        .withColumn("lang_pred", TX.lang_id(F.col("text")))
-        .withColumn("quality", TX.quality_score(F.col("text")))
-        .filter((F.col("quality") >= 0.5) & (F.col("lang_pred") != "und"))
-        .withColumn("__rt", tokens_ws(F.lower(F.col("text"))))
-        .transform(lambda d: barrier_filter(d, repetition_keep_tokens(F.col("__rt"))))
-        .drop("__rt")
-    )
+    curated = curation_gate(deduped.filter(F.col("doc_id") % 10 != 0))
     # contamination is a property of the RAW text — compute the bad-id
     # set from the plain corpus so the expensive curation expressions
     # (regex features, dedup window) are never evaluated on the gram

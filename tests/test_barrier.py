@@ -64,8 +64,8 @@ def test_substitution_mechanism_minimal_repro(spark):
        field is NOT substituted — the optimized plan keeps
        Filter(attr) above the defining Project.
     3. Spark 4 folds rand()-vs-out-of-range-literal comparisons, so a
-       rand()-based gate silently degrades to case 1 (why the barrier
-       uses monotonically_increasing_id instead).
+       bare rand() comparison silently degrades to case 1 (why the
+       barrier routes rand through arithmetic first).
     """
     df = spark.range(10).withColumn("t", F.col("id") * 2)
 
@@ -74,7 +74,7 @@ def test_substitution_mechanism_minimal_repro(spark):
     assert "__g" not in det_opt, f"deterministic gate should be inlined:\n{det_opt}"
 
     nondet = (
-        df.withColumn("__g", (F.col("t") > 5) & (F.monotonically_increasing_id() >= 0))
+        df.withColumn("__g", (F.col("t") > 5) & ((F.rand(7) + F.lit(2.0)) > 1.0))
         .filter(F.col("__g"))
         .drop("__g")
     )

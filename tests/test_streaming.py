@@ -149,6 +149,71 @@ def test_stream_stream_interval_join_matches_batch(spark, tmp_path):
     }
 
 
+def test_curation_gate_then_stateful_dedup_matches_batch(spark, tmp_path):
+    """The streaming curation path: the SAME stateless quality/lang/
+    repetition gate the batch corpus pipeline runs (curation_gate),
+    composed ahead of the cross-batch stateful dedup, drained file-by-
+    file with Trigger.AvailableNow. Golden = the batch gate + first-wins
+    dedup over the identical rows, so batch/stream curation stay
+    symmetric by construction."""
+    from usajobs_etl_service_spark.operators.dedup import dedup_first_wins
+    from usajobs_etl_service_spark.streaming.pipeline import curation_gate
+    from usajobs_etl_service_spark.streaming.stateful import streaming_first_wins_dedup
+
+    good = (
+        "the quick brown fox and the lazy dog walk in the park with "
+        "their friends on a sunny day in the old town by the river"
+    )
+    spam = " ".join(["buy"] * 40)
+    junk = "9999 8888 7777 6666 !!!! ???? @@@@ 5555 4444 3333"
+    texts = [good, spam, junk]
+    rows = [
+        (seq, seq % 5, f"{texts[seq % 3]} variant {seq}")
+        for seq in range(30)
+    ]
+    schema = "ingest_seq long, doc_key long, text string"
+
+    # three files -> three micro-batches (maxFilesPerTrigger=1), ordered
+    # so the first arrival per key is also the min ingest_seq
+    src = tmp_path / "docs"
+    src.mkdir()
+    batch_df = spark.createDataFrame(rows, schema)
+    for i in range(3):
+        part = spark.createDataFrame(rows[i * 10 : (i + 1) * 10], schema)
+        part.coalesce(1).write.mode("overwrite").parquet(str(src / f"f{i}"))
+
+    golden = {
+        (r["doc_key"], r["ingest_seq"])
+        for r in dedup_first_wins(curation_gate(batch_df), ["doc_key"], "ingest_seq").select(
+            "doc_key", "ingest_seq"
+        ).collect()
+    }
+    assert 0 < len(golden) <= 5  # the gate really rejects spam/junk rows
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src / "f*"))
+    )
+    deduped = streaming_first_wins_dedup(
+        curation_gate(stream), key_col="doc_key", order_col="ingest_seq"
+    )
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName("curated_stream")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        (r["doc_key"], r["ingest_seq"])
+        for r in spark.sql("select doc_key, ingest_seq from curated_stream").collect()
+    }
+    assert got == golden
+
+
 def test_stream_health_listener_counts_late_drops(spark, tmp_path):
     """The listener must report numRowsDroppedByWatermark: feed a
     watermarked aggregation two availableNow drains where the second

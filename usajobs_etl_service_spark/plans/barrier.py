@@ -15,14 +15,18 @@ signal) re-evaluate once per reference — measured ~10x slower at sf0.1
 
 ``barrier_filter`` computes the condition ONCE as a projected column
 and blocks the substitution by AND-ing in an always-true
-NONDETERMINISTIC conjunct (``monotonically_increasing_id() >= 0`` —
-the id is built as non-negative ``partition_id << 33 | counter``).
-Both rules bail on nondeterministic project fields, so the plan keeps
+NONDETERMINISTIC conjunct: ``(rand(seed) + 2.0) > 1.0``. Both rules
+bail on nondeterministic project fields, so the plan keeps
 ``Filter(gate_attr)`` above the defining Project: no shuffle, no
-exchange, nothing added to the physical plan beyond one long compare
-per row. ``rand() < 2.0`` does NOT work here: Spark 4 constant-folds
-rand-vs-out-of-range-literal comparisons to ``true`` before pushdown
-runs, restoring the deterministic projection.
+exchange, nothing added beyond one XORShift + double compare per row.
+The arithmetic detour matters: a bare ``rand() < 2.0`` does NOT work —
+Spark 4 constant-folds rand-vs-out-of-range-literal comparisons to
+``true`` before pushdown runs, restoring the deterministic projection.
+``monotonically_increasing_id() >= 0`` works for batch but is
+rejected by the streaming UnsupportedOperationChecker; the rand form
+is legal in both, so the same gate serves the streaming curation path.
+The gate's value is always true regardless of evaluation, so
+task-retry nondeterminism (SPARK-38388 class) cannot change results.
 
 Trade-off: downstream filters cannot be pushed through a
 nondeterministic projection either, so apply cheap row-wise filters
@@ -46,6 +50,7 @@ def barrier_filter(df: DataFrame, cond: Column) -> DataFrame:
     """``df.filter(cond)`` with ``cond`` guaranteed to evaluate exactly
     once per row in projection position (codegen'd subexpressions +
     single evaluation of each HOF subtree), never substituted into the
-    Filter condition or the scan's pushed filters. Adds no shuffle."""
-    gate = cond & (F.monotonically_increasing_id() >= 0)
+    Filter condition or the scan's pushed filters. Adds no shuffle;
+    works on batch and streaming DataFrames alike."""
+    gate = cond & ((F.rand(7) + F.lit(2.0)) > 1.0)
     return df.withColumn(_GATE, gate).filter(F.col(_GATE)).drop(_GATE)

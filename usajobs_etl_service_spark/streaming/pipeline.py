@@ -54,6 +54,34 @@ def run_incremental_upsert(
     query.awaitTermination()
 
 
+def curation_gate(
+    docs: DataFrame,
+    *,
+    text_col: str = "text",
+    min_quality: float = 0.5,
+) -> DataFrame:
+    """Quality + language-id + repetition gate as ONE stateless
+    composition — every expression is row-local, so the same gate slots
+    into a batch plan (q69's corpus pipeline) or a streaming plan ahead
+    of the stateful cross-batch dedup. The repetition verdict runs
+    behind ``barrier_filter`` (plans/barrier.py) in both modes: its
+    nondeterministic gate is streaming-legal, unlike
+    ``monotonically_increasing_id``. Adds ``lang_pred`` and ``quality``
+    columns; drops rows failing any gate."""
+    from usajobs_etl_service_spark.functions import text as TX
+    from usajobs_etl_service_spark.functions.text import tokens_ws
+    from usajobs_etl_service_spark.operators.repetition import repetition_keep_tokens
+    from usajobs_etl_service_spark.plans.barrier import barrier_filter
+
+    gated = (
+        docs.withColumn("lang_pred", TX.lang_id(F.col(text_col)))
+        .withColumn("quality", TX.quality_score(F.col(text_col)))
+        .filter((F.col("quality") >= min_quality) & (F.col("lang_pred") != "und"))
+        .withColumn("__rt", tokens_ws(F.lower(F.col(text_col))))
+    )
+    return barrier_filter(gated, repetition_keep_tokens(F.col("__rt"))).drop("__rt")
+
+
 def windowed_event_counts(
     events: DataFrame,
     *,

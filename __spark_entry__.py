@@ -1241,48 +1241,15 @@ def q75_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     Sessions are 30-minute-gap islands per user (q42's semantics); a
     session converts stepwise only if each stage strictly follows the
     previous one in event time. Three stacked window passes over one
-    (user) shuffle+sort; no self-joins."""
-    from pyspark.sql import Window
+    (user) shuffle+sort; no self-joins (operators/funnel.py,
+    property-tested against a Python model)."""
+    from usajobs_etl_service_spark.operators.funnel import funnel_counts
 
     events = _t(spark, sf_dir, "events")
-    wo = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    marked = events.select(
-        "user_id",
-        "ts",
-        "event_type",
-        F.when(
-            F.lag("ts").over(wo).isNull()
-            | (F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(wo)) >= 1800),
-            1,
-        )
-        .otherwise(0)
-        .alias("new_session"),
-        F.col("event_id"),
-    )
-    sess = marked.withColumn(
-        "session_no",
-        F.sum("new_session").over(wo.rowsBetween(Window.unboundedPreceding, 0)),
-    )
-    ws = Window.partitionBy("user_id", "session_no")
-    t_view = F.min(F.when(F.col("event_type") == "view", F.col("ts"))).over(ws)
-    with_view = sess.withColumn("t_view", t_view)
-    t_click = F.min(
-        F.when((F.col("event_type") == "click") & (F.col("ts") > F.col("t_view")), F.col("ts"))
-    ).over(ws)
-    with_click = with_view.withColumn("t_click", t_click)
-    t_buy = F.min(
-        F.when((F.col("event_type") == "purchase") & (F.col("ts") > F.col("t_click")), F.col("ts"))
-    ).over(ws)
-    funnel = (
-        with_click.withColumn("t_buy", t_buy)
-        .groupBy("user_id", "session_no")
-        .agg(F.max("t_view").alias("tv"), F.max("t_click").alias("tc"), F.max("t_buy").alias("tb"))
-    )
-    return funnel.agg(
-        F.count(F.lit(1)).alias("n_sessions"),
-        F.sum(F.when(F.col("tv").isNotNull(), 1).otherwise(0)).alias("n_view"),
-        F.sum(F.when(F.col("tc").isNotNull(), 1).otherwise(0)).alias("n_view_click"),
-        F.sum(F.when(F.col("tb").isNotNull(), 1).otherwise(0)).alias("n_full_funnel"),
+    return funnel_counts(
+        events,
+        steps=("view", "click", "purchase"),
+        step_aliases=("n_view", "n_view_click", "n_full_funnel"),
     )
 
 

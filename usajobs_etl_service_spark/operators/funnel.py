@@ -1,0 +1,98 @@
+"""Sessionized stepwise funnel (extension operator, q75).
+
+Reference capability: the reference's analytics surface stops at flat
+aggregates (/root/reference/etl/etl.py:563-607); funnels are the standard
+next ask of an events table and exercise the same window machinery as
+its monitoring queries.
+
+Semantics:
+- sessions are gap-based islands per user: a new session starts when
+  the time since the previous event is >= ``gap_seconds`` (an event
+  exactly on the boundary starts a new session);
+- a session reaches step i only stepwise: t_0 = min ts of step-0
+  events; t_i = min ts of step-i events STRICTLY after t_{i-1}.
+  Simultaneous events never satisfy a later step (strict >), and a
+  missing earlier step nulls every later step.
+
+Shape: three stacked window passes over ONE (user) shuffle+sort — no
+self-joins, no per-step scans. Property-tested against a pure-Python
+model in tests/test_funnel_property.py (simultaneous events,
+gap-boundary ties, missing steps).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def funnel_sessions(
+    events: DataFrame,
+    *,
+    steps: Sequence[str],
+    gap_seconds: int = 1800,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    order_col: str = "event_id",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Per-session step timestamps: one row per (user, session_no) with
+    columns ``t_0 .. t_{len(steps)-1}`` — null from the first step the
+    session failed to reach. ``order_col`` makes the session numbering
+    deterministic under simultaneous events."""
+    wo = Window.partitionBy(user_col).orderBy(ts_col, order_col)
+    marked = events.select(
+        user_col,
+        ts_col,
+        type_col,
+        order_col,
+        F.when(
+            F.lag(ts_col).over(wo).isNull()
+            | (
+                F.unix_timestamp(ts_col) - F.unix_timestamp(F.lag(ts_col).over(wo))
+                >= gap_seconds
+            ),
+            1,
+        )
+        .otherwise(0)
+        .alias("new_session"),
+    )
+    sess = marked.withColumn(
+        "session_no",
+        F.sum("new_session").over(wo.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    ws = Window.partitionBy(user_col, "session_no")
+    df = sess
+    prev: str | None = None
+    for i, step in enumerate(steps):
+        cond = F.col(type_col) == step
+        if prev is not None:
+            cond = cond & (F.col(ts_col) > F.col(prev))
+        df = df.withColumn(f"t_{i}", F.min(F.when(cond, F.col(ts_col))).over(ws))
+        prev = f"t_{i}"
+    return df.groupBy(user_col, "session_no").agg(
+        *[F.max(f"t_{i}").alias(f"t_{i}") for i in range(len(steps))]
+    )
+
+
+def funnel_counts(
+    events: DataFrame,
+    *,
+    steps: Sequence[str],
+    step_aliases: Sequence[str] | None = None,
+    gap_seconds: int = 1800,
+    **kwargs,
+) -> DataFrame:
+    """Scalar funnel summary: total sessions + how many reached each
+    step (stepwise). ``step_aliases`` names the per-step count columns."""
+    aliases = list(step_aliases or [f"n_step_{i}" for i in range(len(steps))])
+    sessions = funnel_sessions(events, steps=steps, gap_seconds=gap_seconds, **kwargs)
+    return sessions.agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        *[
+            F.sum(F.when(F.col(f"t_{i}").isNotNull(), 1).otherwise(0)).alias(a)
+            for i, a in enumerate(aliases)
+        ],
+    )

@@ -125,6 +125,53 @@ def test_jdbc_upsert_dedups_batch_by_key(spark):
     assert stats["inserted"] == 5 and stats["updated"] == 0
 
 
+def test_jdbc_upsert_writes_real_order_column(spark, tmp_path):
+    """drop_order_col=False round-trip: when the ordering column (here
+    extracted_at) IS a real table column, it must survive into the
+    written column list and the first-wins row per key must be the one
+    with the minimum ordering value. Executor-side SQL is captured
+    through the shared filesystem (local mode)."""
+    import json
+    import os
+    import uuid
+
+    capdir = str(tmp_path / "captured")
+    os.makedirs(capdir, exist_ok=True)
+
+    def connect():
+        conn = FakeConn(existing=set(), key_idx=0)
+        orig_commit = conn.commit
+
+        def commit():
+            orig_commit()
+            with open(os.path.join(capdir, uuid.uuid4().hex + ".json"), "w") as f:
+                json.dump(conn.cur.executed, f)
+
+        conn.commit = commit
+        return conn
+
+    # 5 keys x 3 versions; version 0 has the smallest extracted_at
+    rows = [(f"u{i % 5}", f"title-{i % 5}-v{i // 5}", 100 + (i // 5)) for i in range(15)]
+    df = spark.createDataFrame(rows, "position_uri string, position_title string, extracted_at long")
+    stats = jdbc_upsert(
+        df, table="job_postings", key="position_uri", batch_size=10,
+        max_connections=2, connect=connect, order_col="extracted_at", drop_order_col=False,
+    )
+    assert stats["total"] == 5
+
+    executed = []
+    for name in os.listdir(capdir):
+        executed.extend(json.load(open(os.path.join(capdir, name))))
+    assert executed, "no SQL captured from executors"
+    titles, extracted = set(), set()
+    for sql, params in executed:
+        assert "extracted_at" in sql.split("VALUES")[0]  # column list keeps it
+        titles.update(p for p in params if isinstance(p, str) and p.startswith("title-"))
+        extracted.update(p for p in params if isinstance(p, int))
+    assert titles == {f"title-{k}-v0" for k in range(5)}  # first-wins rows only
+    assert extracted == {100}
+
+
 def test_snapshot_retention_with_file_uri(spark, tmp_path):
     """Snapshot maintenance goes through the Hadoop FS API, so a
     scheme-qualified URI (file:, and by extension hdfs:/s3a:) works."""

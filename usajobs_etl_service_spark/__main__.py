@@ -71,6 +71,13 @@ def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(
         prog="python -m usajobs_etl_service_spark",
         description="Run the scan -> flatten -> dedup -> merge -> stats pipeline once (or on an interval).",
+        epilog=(
+            "Without --base-url this runs against a deterministic in-process "
+            "DEMO source serving --demo-jobs synthetic postings (default 25): "
+            "no network I/O, no real API data — output is for exercising the "
+            "pipeline only. Pass --base-url (plus USAJOBS_API_KEY and "
+            "USAJOBS_USER_AGENT in the environment) for a live run."
+        ),
     )
     p.add_argument("--keyword", default=None, help="search keyword (env SEARCH_KEYWORD)")
     p.add_argument("--location", default=None, help="search location (env SEARCH_LOCATION)")

@@ -29,7 +29,8 @@ HEADLINERS = {
     "q62_tfidf_top_terms": "one (doc,term) data shuffle; document-frequency join left to AQE (open vocabulary must never carry a broadcast hint)",
     "q63_doc_chunks": "chunking entirely inside the scan stage: zero Exchange, zero UDF",
     "q65_sequence_packing": "shard-parallel window cumsum: one hash partition Exchange, no global sort",
-    "q24_minhash_near_dup": "join-free LSH candidates: ONE signature aggregate (a banded self-join ran it twice under AQE), window-count hot-key guard, in-bucket pair expansion — 3 Exchanges total",
+    "q24_minhash_near_dup": "join-free LSH candidates: ONE signature aggregate (a banded self-join ran it twice under AQE), window-count hot-key guard, posexplode pair expansion bounded at O(bucket x sig) per row, verify-before-dedup so only passing id pairs shuffle — 3 Exchanges total",
+    "q69_training_corpus_pipeline": "one lazy corpus plan: dedup -> curation_gate behind the shuffle-free nondeterministic barrier (no barrier Exchange; every Exchange in the plan is structural: dedup window, decontam grams, anti-join broadcast, final groupBy)",
     "q72_repetition_filter": "Gopher repetition rules as pure array expressions: zero Exchange (token mode = fold over sorted array, not explode+groupBy)",
     "q77_volume_shipping": "Q7 shape: dims broadcast, fact side shuffles once per join key, decimal-exact revenue sums",
 }

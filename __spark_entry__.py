@@ -1345,6 +1345,26 @@ def q79_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q80_adaptive_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extension (corpus curation): per-source ADAPTIVE quality gate —
+    keep each source's top 75% of documents by quality score
+    (operators/sampling.adaptive_quality_gate, exact cume_dist mode; a
+    fixed global threshold can't express this when sources differ in
+    baseline quality). The approx mode (percentile_approx threshold
+    join, no per-group sort) is the 100 TB path and is equivalence-
+    tested in tests/test_sampling.py. Returns per-source keep stats
+    (count + min kept quality — order-insensitive aggregates only, so
+    the DuckDB hash-compare is float-stable)."""
+    from usajobs_etl_service_spark.operators.sampling import adaptive_quality_gate
+
+    docs = _t(spark, sf_dir, "documents").withColumn("quality", TX.quality_score(F.col("text")))
+    kept = adaptive_quality_gate(docs, group_col="source", score_col="quality", keep_frac=0.75)
+    return kept.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.min("quality").alias("min_kept_quality"),
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_job_statistics": q01_job_statistics,
     "q02_metric_union": q02_metric_union,
@@ -1425,6 +1445,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q77_volume_shipping": q77_volume_shipping,
     "q78_disjunctive_predicate": q78_disjunctive_predicate,
     "q79_approx_quantiles": q79_approx_quantiles,
+    "q80_adaptive_quality": q80_adaptive_quality,
 }
 
 
@@ -2200,6 +2221,40 @@ ORACLES: dict[str, str] = {
                  + least(CAST(stop_hits AS DOUBLE) / 5.0, 1.0) * 0.1
                , 4) AS quality
         FROM f
+    """,
+    "q80_adaptive_quality": """
+        WITH f AS (
+            SELECT doc_id, source,
+                   length(text) AS n_chars,
+                   len(list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '')) AS n_tokens,
+                   length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS n_alpha,
+                   length(regexp_replace(text, '[^0-9]', '', 'g')) AS n_digit,
+                   length(text) - length(regexp_replace(text, '\\s', '', 'g')) AS n_space,
+                   len(list_filter(string_split_regex(lower(text), '\\s+'),
+                       x -> x IN ('the','and','of','to','is','in','that','with'))) AS stop_hits
+            FROM documents
+        ),
+        q AS (
+            SELECT doc_id, source,
+                   round(
+                       least(CAST(n_tokens AS DOUBLE) / 20.0, 1.0) * 0.3
+                     + (CASE WHEN n_chars > 0 THEN CAST(n_alpha AS DOUBLE) / n_chars ELSE 0.0 END) * 0.3
+                     + (1 - least((CASE WHEN n_chars > 0 THEN CAST(n_digit AS DOUBLE) / n_chars ELSE 0.0 END) * 4, 1.0)) * 0.15
+                     + (1 - least((CASE WHEN n_chars > 0 THEN CAST(n_chars - n_alpha - n_digit - n_space AS DOUBLE) / n_chars ELSE 0.0 END) * 4, 1.0)) * 0.15
+                     + least(CAST(stop_hits AS DOUBLE) / 5.0, 1.0) * 0.1
+                   , 4) AS quality
+            FROM f
+        ),
+        r AS (
+            SELECT source, quality,
+                   cume_dist() OVER (PARTITION BY source ORDER BY quality) AS cd
+            FROM q
+        )
+        SELECT source,
+               count(*) AS n_kept,
+               min(quality) AS min_kept_quality
+        FROM r WHERE cd >= 0.25
+        GROUP BY source
     """,
     "q72_repetition_filter": """
         WITH toks AS (

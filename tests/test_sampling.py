@@ -48,3 +48,67 @@ def test_rejects_bad_rate(spark):
         hash_sample(df, 1.5, key_col="id")
     with pytest.raises(ValueError):
         stratified_sample(df, "id", {"x": -0.1}, key_col="id")
+
+
+def test_adaptive_quality_gate_exact_matches_model(spark):
+    from usajobs_etl_service_spark.operators.sampling import adaptive_quality_gate
+
+    # two sources with different score baselines + ties at the cut
+    rows = [("a", i, float(s)) for i, s in enumerate([1, 2, 2, 3, 4, 5, 6, 7])] + [
+        ("b", 100 + i, float(s)) for i, s in enumerate([10, 20, 20, 20, 30, 40])
+    ]
+    df = spark.createDataFrame(rows, "src string, id long, score double")
+    kept = {
+        r["id"]
+        for r in adaptive_quality_gate(df, group_col="src", score_col="score", keep_frac=0.75).collect()
+    }
+    # model: keep rows whose cume_dist (fraction of group rows with
+    # score <= own) >= 0.25
+    want = set()
+    for src in ("a", "b"):
+        grp = [(i, s) for g, i, s in rows if g == src]
+        n = len(grp)
+        for i, s in grp:
+            cd = sum(1 for _, s2 in grp if s2 <= s) / n
+            if cd >= 0.25:
+                want.add(i)
+    assert kept == want
+
+
+def test_adaptive_quality_gate_approx_agrees_with_exact(spark, sf_dir):
+    """The 100 TB shape (percentile_approx threshold join, no per-group
+    sort) must agree with the exact window gate up to sketch error on
+    the real documents table."""
+    from pyspark.sql import functions as F
+
+    from usajobs_etl_service_spark.functions.text import quality_score
+    from usajobs_etl_service_spark.operators.sampling import adaptive_quality_gate
+    from usajobs_etl_service_spark.session import read_table
+
+    docs = read_table(spark, sf_dir, "documents").withColumn("q", quality_score(F.col("text")))
+    exact = {
+        r["doc_id"]
+        for r in adaptive_quality_gate(docs, group_col="source", score_col="q").collect()
+    }
+    approx = {
+        r["doc_id"]
+        for r in adaptive_quality_gate(docs, group_col="source", score_col="q", approx=True).collect()
+    }
+    # high accuracy on a small table -> near-identical keep sets
+    sym = len(exact ^ approx)
+    assert sym <= max(2, int(0.02 * len(exact))), (len(exact), len(approx), sym)
+
+
+def test_adaptive_quality_gate_approx_has_no_window(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from usajobs_etl_service_spark.functions.text import quality_score
+    from usajobs_etl_service_spark.operators.sampling import adaptive_quality_gate
+    from usajobs_etl_service_spark.session import read_table
+
+    docs = read_table(spark, sf_dir, "documents").withColumn("q", quality_score(F.col("text")))
+    plan = (
+        adaptive_quality_gate(docs, group_col="source", score_col="q", approx=True)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Window" not in plan, "approx mode must not sort groups in a window"

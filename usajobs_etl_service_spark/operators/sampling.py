@@ -52,3 +52,46 @@ def stratified_sample(
     for k, r in sorted(rates.items()):
         rate_col = F.when(F.col(strata_col) == k, float(r)).otherwise(rate_col)
     return df.filter(sample_key(F.col(key_col), seed=seed) < rate_col)
+
+
+def adaptive_quality_gate(
+    df: DataFrame,
+    *,
+    group_col: str,
+    score_col: str,
+    keep_frac: float = 0.75,
+    approx: bool = False,
+    approx_accuracy: int = 10000,
+) -> DataFrame:
+    """Keep each group's top ``keep_frac`` of rows by ``score_col`` —
+    the adaptive curation rule ("top 75% quality per source") that a
+    fixed global threshold can't express when sources differ in
+    baseline quality.
+
+    Exact mode (default, the oracle semantics): keep rows whose
+    ``cume_dist()`` within the group is >= 1 - keep_frac. SQL-standard
+    tie handling, so any engine agrees row-for-row — but the window
+    sorts each group in one task, which a dominant source would melt.
+
+    ``approx=True`` is the 100 TB shape: one aggregate pass computes
+    each group's (1 - keep_frac) quantile with ``percentile_approx``
+    (GK sketch, mergeable partials), then a per-group threshold join
+    (AQE broadcasts the small side) filters at scan speed. No
+    full-group sort anywhere; rows within the sketch's error of the
+    cut may differ from exact mode.
+    """
+    if not 0.0 < keep_frac <= 1.0:
+        raise ValueError(f"keep_frac must be in (0, 1], got {keep_frac}")
+    if approx:
+        thr = df.groupBy(group_col).agg(
+            F.percentile_approx(score_col, 1.0 - keep_frac, approx_accuracy).alias("__thr")
+        )
+        return df.join(thr, group_col).filter(F.col(score_col) >= F.col("__thr")).drop("__thr")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(group_col).orderBy(score_col)
+    return (
+        df.withColumn("__cd", F.cume_dist().over(w))
+        .filter(F.col("__cd") >= F.lit(1.0) - F.lit(float(keep_frac)))
+        .drop("__cd")
+    )

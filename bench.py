@@ -135,6 +135,33 @@ def main() -> None:
     except Exception:
         pass
 
+    # MinHash build-once contract (the IVF pattern): persist the
+    # signature table (untimed), then time candidates+verify against
+    # the stored table — the per-query cost once signatures are a
+    # maintained artifact (q24 times signature build + pairs together).
+    minhash_probe_sec = None
+    try:
+        import shutil
+        import tempfile
+
+        from usajobs_etl_service_spark.operators.neardup import (
+            minhash_load, minhash_pairs_from_sigs, minhash_write,
+        )
+        from usajobs_etl_service_spark.session import read_table
+
+        docs = read_table(spark, sf_dir, "documents")
+        tmp = tempfile.mkdtemp(prefix="mh_bench_", dir="spark-warehouse")
+        try:
+            minhash_write(docs, tmp)
+            sigs = minhash_load(spark, tmp)
+            t0 = time.perf_counter()
+            materialize(minhash_pairs_from_sigs(sigs))
+            minhash_probe_sec = round(time.perf_counter() - t0, 3)
+        finally:
+            shutil.rmtree(tmp, ignore_errors=True)
+    except Exception:
+        pass
+
     # Two stdout lines. The per-query dict (~3 KB for 79 queries) rides
     # on the FIRST line; the LAST line is a compact (< 200 byte) headline.
     # Tail-only log capture keeps the end of stdout, so the parseable
@@ -159,6 +186,7 @@ def main() -> None:
         "flatten_rows_per_sec": flatten_rps,
         "reference_floor_rows_per_sec": 100,
         "ivf_warm_probe_sec": ivf_probe_sec,
+        "minhash_warm_pairs_sec": minhash_probe_sec,
         "shuffle_write_mb": shuffle_mb,
         "shuffle_write_mb_total": round(sum(shuffle_mb.values()), 2),
         "peak_stage_exec_mem_mb": peak_mem_mb,

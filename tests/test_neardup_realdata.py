@@ -34,3 +34,28 @@ def test_minhash_recalls_all_exact_dups(spark):
     }
     missed = dup_pairs - found
     assert not missed, f"minhash missed exact-dup pairs: {sorted(missed)[:5]}"
+
+
+def test_persisted_sig_pairs_match_inline(spark, tmp_path):
+    """The build-once signature path (minhash_write -> load ->
+    minhash_pairs_from_sigs, whose banded shuffle carries only ids and
+    whose verify joins the signature table) must produce exactly the
+    inline one-query path's pairs."""
+    from usajobs_etl_service_spark.operators.neardup import (
+        minhash_load,
+        minhash_pairs_from_sigs,
+        minhash_write,
+    )
+
+    docs = read_table(spark, "/root/testdata/sf0.01", "documents")
+    inline = {
+        (r["id_a"], r["id_b"], r["est_jaccard"])
+        for r in minhash_near_dup_pairs(docs, threshold=0.8).collect()
+    }
+    minhash_write(docs, str(tmp_path / "sigs"))
+    sigs = minhash_load(spark, str(tmp_path / "sigs"))
+    persisted = {
+        (r["id_a"], r["id_b"], r["est_jaccard"])
+        for r in minhash_pairs_from_sigs(sigs, threshold=0.8).collect()
+    }
+    assert persisted == inline and inline

@@ -124,6 +124,92 @@ def lsh_band_keys(sig_col: Column, bands: int, rows_per_band: int, *, band_offse
     )
 
 
+def minhash_write(
+    df: DataFrame,
+    path: str,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 128,
+    shingle_k: int = 5,
+    seed: int = 42,
+) -> None:
+    """Persist the MinHash signature table as a build-once artifact
+    (the IVF-index pattern, similarity.ivf_write): signatures are a
+    pure function of the corpus and are reused across LSH band
+    configs, thresholds, and incremental runs — at 100 TB the
+    signature scan is the expensive stage and should be paid once, not
+    per near-dup query."""
+    minhash_signatures_df(
+        df, id_col=id_col, text_col=text_col, num_hashes=num_hashes, shingle_k=shingle_k, seed=seed
+    ).write.mode("overwrite").parquet(path)
+
+
+def minhash_load(spark, path: str) -> DataFrame:
+    """Load a persisted signature table (columns: id, sig)."""
+    return spark.read.parquet(path)
+
+
+def minhash_pairs_from_sigs(
+    sigs: DataFrame,
+    *,
+    num_hashes: int = 128,
+    bands: int = 32,
+    threshold: float = 0.8,
+    max_bucket: int = 1000,
+    extra_band_configs: list[tuple[int, int]] | None = None,
+) -> DataFrame:
+    """Near-dup pairs from a PERSISTED signature table — the 100 TB
+    query shape. The inline ``minhash_near_dup_pairs`` must carry the
+    full signature through the banded shuffle (bands x sig bytes per
+    doc: with 32 bands and 128 lanes, ~32 KB/doc — the dominant
+    shuffle at corpus scale) because recomputing signatures for the
+    verify stage would replan the whole signature aggregate (AQE does
+    not reuse it across subtrees — measured, see SCALE.md). With
+    signatures persisted, banded rows carry only (id, band, key)
+    (~24 B per band-row) and the verify stage equi-joins the signature
+    table per pair side: re-reading a columnar signature table is
+    cheap sequential IO, so the bands-fold duplication disappears.
+    Identical results to the inline path."""
+    configs = [(bands, num_hashes // bands)] + list(extra_band_configs or [])
+    from functools import reduce
+    from itertools import accumulate
+
+    from pyspark.sql import Window
+
+    offsets = [0] + list(accumulate(b_n for b_n, _ in configs[:-1]))
+    banded = reduce(
+        lambda x, y: x.unionByName(y),
+        (
+            sigs.select(
+                "id", F.explode(lsh_band_keys(F.col("sig"), b_n, r_n, band_offset=off)).alias("bk")
+            )
+            for off, (b_n, r_n) in zip(offsets, configs)
+        ),
+    ).select("id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    w = Window.partitionBy("band", "key")
+    banded = (
+        banded.withColumn("n", F.count(F.lit(1)).over(w))
+        .filter(F.col("n").between(2, max_bucket))
+        .drop("n")
+    )
+    buckets = banded.groupBy("band", "key").agg(F.array_sort(F.collect_list("id")).alias("ids"))
+    lhs = buckets.select(F.posexplode("ids").alias("i", "id_a"), "ids")
+    pairs = lhs.select(
+        "id_a",
+        F.explode(F.slice(F.col("ids"), F.col("i") + F.lit(2), F.size("ids"))).alias("id_b"),
+    ).dropDuplicates(["id_a", "id_b"])
+    sa = sigs.select(F.col("id").alias("id_a"), F.col("sig").alias("sig_a"))
+    sb = sigs.select(F.col("id").alias("id_b"), F.col("sig").alias("sig_b"))
+    return (
+        pairs.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn("est_jaccard", F.round(signature_similarity(F.col("sig_a"), F.col("sig_b")), 4))
+        .filter(F.col("est_jaccard") >= threshold)
+        .select("id_a", "id_b", "est_jaccard")
+    )
+
+
 def _bucket_pairs(buckets: DataFrame) -> DataFrame:
     """Expand each bucket's sorted ``ms`` member array (struct<id, sig>)
     into ordered i<j pairs with BOUNDED per-row memory.

@@ -59,3 +59,32 @@ def test_persisted_sig_pairs_match_inline(spark, tmp_path):
         for r in minhash_pairs_from_sigs(sigs, threshold=0.8).collect()
     }
     assert persisted == inline and inline
+
+
+def test_incremental_pairs_match_full_run_restricted_to_new(spark, tmp_path):
+    """Incremental crawl shape: split the corpus into old/new, persist
+    old signatures, run the incremental operator — its pairs must be
+    exactly the full inline run's pairs that touch at least one new
+    doc (old-vs-old pairs are last run's knowledge and excluded)."""
+    from usajobs_etl_service_spark.operators.neardup import (
+        minhash_incremental_pairs,
+        minhash_load,
+        minhash_write,
+    )
+
+    docs = read_table(spark, "/root/testdata/sf0.01", "documents")
+    old = docs.filter(F.col("doc_id") % 4 != 0)
+    new = docs.filter(F.col("doc_id") % 4 == 0)
+    full = {
+        (r["id_a"], r["id_b"], r["est_jaccard"])
+        for r in minhash_near_dup_pairs(docs, threshold=0.8).collect()
+    }
+    want = {(a, b, j) for a, b, j in full if a % 4 == 0 or b % 4 == 0}
+
+    minhash_write(old, str(tmp_path / "sigs"))
+    sigs = minhash_load(spark, str(tmp_path / "sigs"))
+    got = {
+        (r["id_a"], r["id_b"], r["est_jaccard"])
+        for r in minhash_incremental_pairs(new, sigs, threshold=0.8).collect()
+    }
+    assert got == want and want, (len(got), len(want))

@@ -210,6 +210,84 @@ def minhash_pairs_from_sigs(
     )
 
 
+def minhash_incremental_pairs(
+    new_docs: DataFrame,
+    sigs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 128,
+    bands: int = 32,
+    shingle_k: int = 5,
+    threshold: float = 0.8,
+    max_bucket: int = 1000,
+    seed: int = 42,
+) -> DataFrame:
+    """Near-dup pairs INVOLVING a new batch: the incremental-crawl
+    shape. Signatures are computed for ``new_docs`` only; the existing
+    corpus contributes its persisted signature table (``minhash_load``)
+    — the 100 TB corpus is never re-scanned, re-hashed, or carried
+    through the banded shuffle (ids only). Returns (id_a, id_b,
+    est_jaccard) pairs where AT LEAST ONE side is new (new-vs-corpus
+    and new-vs-new); corpus-vs-corpus pairs are already known from the
+    previous run and are excluded by a bucket-level filter before
+    anything quadratic happens. Append the new signatures to the
+    stored table afterwards (``.write.mode("append")``) to complete
+    the increment.
+
+    The new batch's signature aggregate appears in three plan subtrees
+    (banding + both verify-join sides) and is recomputed in each — by
+    construction the increment is small relative to the corpus, so
+    this is the right trade against materializing it; persist the new
+    batch's signatures first and pass a loaded table if it is not."""
+    from pyspark.sql import Window
+
+    new_sigs = minhash_signatures_df(
+        new_docs, id_col=id_col, text_col=text_col, num_hashes=num_hashes,
+        shingle_k=shingle_k, seed=seed,
+    )
+    tagged = sigs.select("id", "sig", F.lit(False).alias("is_new")).unionByName(
+        new_sigs.select("id", "sig", F.lit(True).alias("is_new"))
+    )
+    rows_per_band = num_hashes // bands
+    banded = tagged.select(
+        "id",
+        "is_new",
+        F.explode(lsh_band_keys(F.col("sig"), bands, rows_per_band)).alias("bk"),
+    ).select("id", "is_new", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    w = Window.partitionBy("band", "key")
+    banded = (
+        banded.withColumn("n", F.count(F.lit(1)).over(w))
+        .withColumn("n_new", F.sum(F.col("is_new").cast("int")).over(w))
+        .filter(F.col("n").between(2, max_bucket) & (F.col("n_new") > 0))
+        .drop("n", "n_new")
+    )
+    buckets = banded.groupBy("band", "key").agg(
+        F.array_sort(F.collect_list(F.struct("id", "is_new"))).alias("ms")
+    )
+    lhs = buckets.select(F.posexplode("ms").alias("i", "x"), "ms")
+    pairs = (
+        lhs.select(
+            F.col("x.id").alias("id_a"),
+            F.col("x.is_new").alias("new_a"),
+            F.explode(F.slice(F.col("ms"), F.col("i") + F.lit(2), F.size("ms"))).alias("y"),
+        )
+        .select("id_a", "new_a", F.col("y.id").alias("id_b"), F.col("y.is_new").alias("new_b"))
+        .filter(F.col("new_a") | F.col("new_b"))
+        .select("id_a", "id_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    sa = tagged.select(F.col("id").alias("id_a"), F.col("sig").alias("sig_a"))
+    sb = tagged.select(F.col("id").alias("id_b"), F.col("sig").alias("sig_b"))
+    return (
+        pairs.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn("est_jaccard", F.round(signature_similarity(F.col("sig_a"), F.col("sig_b")), 4))
+        .filter(F.col("est_jaccard") >= threshold)
+        .select("id_a", "id_b", "est_jaccard")
+    )
+
+
 def _bucket_pairs(buckets: DataFrame) -> DataFrame:
     """Expand each bucket's sorted ``ms`` member array (struct<id, sig>)
     into ordered i<j pairs with BOUNDED per-row memory.

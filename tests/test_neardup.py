@@ -123,3 +123,18 @@ def test_multi_resolution_rejects_overlong_config(spark):
     df = _docs_df(spark)
     with pytest.raises(ValueError, match="lanes"):
         ND.minhash_near_dup_pairs(df, num_hashes=64, bands=16, extra_band_configs=[(32, 4)])
+
+
+def test_hot_template_bucket_completes_and_is_exact(spark):
+    """The ADVICE OOM scenario: a template bucket at the max_bucket cap
+    where every member pairs with every other. The bounded two-step
+    expansion must complete (the old one-row flatten built the whole
+    C(n,2) pair array with both signatures inside one GenerateExec row)
+    and emit exactly C(n,2) near-identical pairs."""
+    n = 300
+    rows = [(i, f"the common boilerplate template text body repeated here marker {'x' if i < 0 else ''}") for i in range(n)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = ND.minhash_near_dup_pairs(
+        df, threshold=0.9, num_hashes=16, bands=4, max_bucket=n
+    )
+    assert pairs.count() == n * (n - 1) // 2

@@ -88,3 +88,32 @@ def test_incremental_pairs_match_full_run_restricted_to_new(spark, tmp_path):
         for r in minhash_incremental_pairs(new, sigs, threshold=0.8).collect()
     }
     assert got == want and want, (len(got), len(want))
+
+
+def test_incremental_supersedes_recrawled_ids(spark, tmp_path):
+    """A re-crawled id (in both the stored table and the new batch)
+    must not produce self-pairs or verify-join fanout: the batch's
+    version supersedes the stored row."""
+    from usajobs_etl_service_spark.operators.neardup import (
+        minhash_incremental_pairs,
+        minhash_load,
+        minhash_write,
+    )
+
+    docs = read_table(spark, "/root/testdata/sf0.01", "documents")
+    old = docs.filter(F.col("doc_id") % 4 != 0)
+    # the batch re-crawls some old ids (content unchanged) plus new ones
+    new = docs.filter((F.col("doc_id") % 4 == 0) | (F.col("doc_id") % 7 == 0))
+    minhash_write(old, str(tmp_path / "sigs"))
+    sigs = minhash_load(spark, str(tmp_path / "sigs"))
+    rows = minhash_incremental_pairs(new, sigs, threshold=0.8).collect()
+    assert all(r["id_a"] != r["id_b"] for r in rows)
+    seen = [(r["id_a"], r["id_b"]) for r in rows]
+    assert len(seen) == len(set(seen)), "verify-join fanout duplicated pairs"
+    full = {
+        (r["id_a"], r["id_b"])
+        for r in minhash_near_dup_pairs(docs, threshold=0.8).collect()
+    }
+    newset = {r["doc_id"] for r in new.select("doc_id").collect()}
+    want = {(a, b) for a, b in full if a in newset or b in newset}
+    assert set(seen) == want

@@ -239,14 +239,20 @@ def minhash_incremental_pairs(
     (banding + both verify-join sides) and is recomputed in each — by
     construction the increment is small relative to the corpus, so
     this is the right trade against materializing it; persist the new
-    batch's signatures first and pass a loaded table if it is not."""
+    batch's signatures first and pass a loaded table if it is not.
+
+    Re-crawled ids (present in both the batch and the stored table)
+    are superseded: the stored row is anti-joined out, so the batch's
+    content wins — without this, a duplicated id would emit self-pairs
+    and fan out the verify join."""
     from pyspark.sql import Window
 
     new_sigs = minhash_signatures_df(
         new_docs, id_col=id_col, text_col=text_col, num_hashes=num_hashes,
         shingle_k=shingle_k, seed=seed,
     )
-    tagged = sigs.select("id", "sig", F.lit(False).alias("is_new")).unionByName(
+    stored = sigs.join(new_sigs.select("id"), "id", "left_anti")
+    tagged = stored.select("id", "sig", F.lit(False).alias("is_new")).unionByName(
         new_sigs.select("id", "sig", F.lit(True).alias("is_new"))
     )
     rows_per_band = num_hashes // bands

@@ -112,3 +112,21 @@ def test_adaptive_quality_gate_approx_has_no_window(spark, sf_dir):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "Window" not in plan, "approx mode must not sort groups in a window"
+
+
+def test_adaptive_quality_gate_null_group_parity(spark):
+    """A NULL group is a real group in the exact (window) mode; the
+    approx threshold join must not silently drop its rows."""
+    from usajobs_etl_service_spark.operators.sampling import adaptive_quality_gate
+
+    rows = [(None, i, float(i)) for i in range(8)] + [("a", 100 + i, float(i)) for i in range(8)]
+    df = spark.createDataFrame(rows, "src string, id long, score double")
+    exact = {
+        r["id"] for r in adaptive_quality_gate(df, group_col="src", score_col="score").collect()
+    }
+    approx = {
+        r["id"]
+        for r in adaptive_quality_gate(df, group_col="src", score_col="score", approx=True).collect()
+    }
+    assert {i for i in exact if i < 100}, "exact mode must keep null-group rows"
+    assert exact == approx

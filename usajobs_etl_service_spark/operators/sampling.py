@@ -85,8 +85,14 @@ def adaptive_quality_gate(
     if approx:
         thr = df.groupBy(group_col).agg(
             F.percentile_approx(score_col, 1.0 - keep_frac, approx_accuracy).alias("__thr")
+        ).withColumnRenamed(group_col, "__grp")
+        # null-safe equality: a NULL group is a real group in the exact
+        # (window) mode, so the threshold join must not drop it
+        return (
+            df.join(thr, F.col(group_col).eqNullSafe(F.col("__grp")))
+            .filter(F.col(score_col) >= F.col("__thr"))
+            .drop("__thr", "__grp")
         )
-        return df.join(thr, group_col).filter(F.col(score_col) >= F.col("__thr")).drop("__thr")
     from pyspark.sql import Window
 
     w = Window.partitionBy(group_col).orderBy(score_col)

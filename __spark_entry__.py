@@ -1348,17 +1348,44 @@ def q79_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q80_adaptive_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Extension (corpus curation): per-source ADAPTIVE quality gate —
     keep each source's top 75% of documents by quality score
-    (operators/sampling.adaptive_quality_gate, exact cume_dist mode; a
-    fixed global threshold can't express this when sources differ in
-    baseline quality). The approx mode (percentile_approx threshold
-    join, no per-group sort) is the 100 TB path and is equivalence-
-    tested in tests/test_sampling.py. Returns per-source keep stats
-    (count + min kept quality — order-insensitive aggregates only, so
-    the DuckDB hash-compare is float-stable)."""
+    (operators/sampling.adaptive_quality_gate; a fixed global threshold
+    can't express this when sources differ in baseline quality).
+
+    This oracle entry runs the EXACT (cume_dist window) mode because its
+    SQL-standard tie handling is what DuckDB can reproduce row-for-row.
+    **Production at scale uses ``approx=True``** — the per-group window
+    sort here is exactly what a dominant source would melt at 100 TB;
+    the approx mode (percentile_approx threshold + null-safe broadcast
+    join, plan-asserted shuffle-sort-free in tests/test_sampling.py)
+    is the deployed shape and is benched as q81_adaptive_quality_approx.
+    Returns per-source keep stats (count + min kept quality —
+    order-insensitive aggregates only, so the DuckDB hash-compare is
+    float-stable)."""
     from usajobs_etl_service_spark.operators.sampling import adaptive_quality_gate
 
     docs = _t(spark, sf_dir, "documents").withColumn("quality", TX.quality_score(F.col("text")))
     kept = adaptive_quality_gate(docs, group_col="source", score_col="quality", keep_frac=0.75)
+    return kept.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.min("quality").alias("min_kept_quality"),
+    )
+
+
+def q81_adaptive_quality_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q80's PRODUCTION mode: the same per-source quality gate with
+    ``approx=True`` — one percentile_approx aggregation (GK sketch,
+    mergeable partials) + a null-safe broadcast threshold join, no
+    per-group sort anywhere (plan-asserted in tests/test_sampling.py).
+    Rows-only check: the sketch threshold is engine-specific, so no
+    DuckDB oracle; exact-vs-approx agreement is pinned by
+    tests/test_sampling.py instead. Benched so the 100 TB path's cost
+    is tracked next to the exact oracle mode (VERDICT r4 item 2)."""
+    from usajobs_etl_service_spark.operators.sampling import adaptive_quality_gate
+
+    docs = _t(spark, sf_dir, "documents").withColumn("quality", TX.quality_score(F.col("text")))
+    kept = adaptive_quality_gate(
+        docs, group_col="source", score_col="quality", keep_frac=0.75, approx=True
+    )
     return kept.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_kept"),
         F.min("quality").alias("min_kept_quality"),
@@ -1446,6 +1473,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q78_disjunctive_predicate": q78_disjunctive_predicate,
     "q79_approx_quantiles": q79_approx_quantiles,
     "q80_adaptive_quality": q80_adaptive_quality,
+    "q81_adaptive_quality_approx": q81_adaptive_quality_approx,
 }
 
 

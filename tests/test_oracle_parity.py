@@ -25,6 +25,35 @@ def test_query_matches_oracle(name, spark, duck, sf_dir):
     assert result.startswith(("OK", "SKIP")), result
 
 
+# The driver's harness only checks the FIRST 50 registry entries; these
+# names (= the CORRECTNESS_r01..r04 keys, in order) cover the whole
+# SURVEY §2 core and are frozen — see COVERAGE.md. This test makes a
+# refactor that reorders or renames the registry fail loudly instead of
+# silently dropping a §2 operator out of the driver's visibility window.
+DRIVER_WINDOW_Q01_Q50 = [
+    "q01_job_statistics", "q02_metric_union", "q03_group_counts",
+    "q04_top_k_recent", "q05_dedup_first_wins", "q06_dedup_exact_fingerprint",
+    "q07_recent_view", "q08_like_prefix", "q09_key_lookup",
+    "q10_location_render", "q11_remuneration_render", "q12_date_parse",
+    "q13_text_search", "q14_join_star", "q15_anti_join", "q16_upsert_merge",
+    "q17_merge_metrics", "q18_topk_cosine", "q19_text_stats",
+    "q20_flatten_ingest", "q21_window_running", "q22_embedding_near_dup",
+    "q23_ngram_jaccard_adjacent", "q24_minhash_near_dup",
+    "q25_simhash_near_dup", "q26_lang_id", "q27_quality_score",
+    "q28_global_sort_rank", "q29_rollup", "q30_pivot", "q31_set_ops",
+    "q32_monitor_display", "q33_json_props", "q34_views_layer",
+    "q35_approx_distinct", "q36_ivf_ann", "q37_rest_scan_pipeline",
+    "q38_pricing_summary", "q39_top_unshipped", "q40_corpus_curation",
+    "q41_windowed_counts", "q42_sessionize", "q43_scalar_subquery",
+    "q44_having", "q45_multimodal_features", "q46_native_datasource",
+    "q47_asof_join", "q48_window_suite", "q49_percentiles", "q50_map_ops",
+]
+
+
+def test_driver_window_first_50_frozen():
+    assert list(entrymod.queries())[:50] == DRIVER_WINDOW_Q01_Q50
+
+
 def test_entry_smoke(spark):
     df = entrymod.entry(spark)
     assert df.count() >= 0

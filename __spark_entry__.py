@@ -1376,15 +1376,23 @@ def q81_adaptive_quality_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``approx=True`` — one percentile_approx aggregation (GK sketch,
     mergeable partials) + a null-safe broadcast threshold join, no
     per-group sort anywhere (plan-asserted in tests/test_sampling.py).
-    Rows-only check: the sketch threshold is engine-specific, so no
-    DuckDB oracle; exact-vs-approx agreement is pinned by
-    tests/test_sampling.py instead. Benched so the 100 TB path's cost
-    is tracked next to the exact oracle mode (VERDICT r4 item 2)."""
+    Thresholds are estimated from a 10% deterministic hash sample
+    (threshold_sample): the quality expression is the dominant scan
+    cost, and without sampling the approx mode pays it twice (threshold
+    agg + gating filter) — ~2x the exact mode at bench sf even though
+    its shape wins at scale. Sampling cuts the threshold pass to ~scan
+    cost; the estimate tightens exactly where this mode matters (large
+    groups). Rows-only check: the sketch/sample threshold is
+    engine-specific, so no DuckDB oracle; exact-vs-approx agreement is
+    pinned by tests/test_sampling.py instead. Benched so the 100 TB
+    path's cost is tracked next to the exact oracle mode (VERDICT r4
+    item 2)."""
     from usajobs_etl_service_spark.operators.sampling import adaptive_quality_gate
 
     docs = _t(spark, sf_dir, "documents").withColumn("quality", TX.quality_score(F.col("text")))
     kept = adaptive_quality_gate(
-        docs, group_col="source", score_col="quality", keep_frac=0.75, approx=True
+        docs, group_col="source", score_col="quality", keep_frac=0.75, approx=True,
+        threshold_sample=0.1, sample_key_col="doc_id",
     )
     return kept.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_kept"),

@@ -114,6 +114,79 @@ def test_adaptive_quality_gate_approx_has_no_window(spark, sf_dir):
     assert "Window" not in plan, "approx mode must not sort groups in a window"
 
 
+def test_adaptive_quality_gate_sampled_threshold(spark):
+    """threshold_sample estimates per-group cuts from a hash sample —
+    the benched q81 shape. With large groups the sampled keep-fraction
+    must land near keep_frac, and the keep set must mostly agree with
+    the exact gate (the disagreement band is rows near the cut)."""
+    from pyspark.sql import functions as F
+
+    from usajobs_etl_service_spark.operators.sampling import adaptive_quality_gate
+
+    df = (
+        spark.range(40_000)
+        .withColumn("src", (F.col("id") % 4).cast("string"))
+        # per-group shifted scores so a global threshold would be wrong
+        .withColumn("score", F.sin(F.col("id")) + (F.col("id") % 4).cast("double"))
+    )
+    exact = {
+        r["id"]
+        for r in adaptive_quality_gate(df, group_col="src", score_col="score").collect()
+    }
+    sampled = {
+        r["id"]
+        for r in adaptive_quality_gate(
+            df, group_col="src", score_col="score", approx=True,
+            threshold_sample=0.1, sample_key_col="id",
+        ).collect()
+    }
+    assert abs(len(sampled) / 40_000 - 0.75) < 0.03  # keep_frac honored
+    assert len(exact ^ sampled) / len(exact) < 0.05  # near-cut band only
+
+
+def test_adaptive_quality_gate_sampled_keeps_unsampled_groups(spark):
+    """A group so small the hash sample misses it entirely must pass
+    through ungated (left threshold join), not vanish."""
+    from pyspark.sql import functions as F
+
+    from usajobs_etl_service_spark.operators.sampling import adaptive_quality_gate
+
+    big = (
+        spark.range(10_000)
+        .withColumn("src", F.lit("big"))
+        .withColumn("score", F.col("id").cast("double"))
+    )
+    tiny = spark.createDataFrame(
+        [("tiny", 1_000_000, 0.5)], "src string, id long, score double"
+    ).select("id", "src", "score")
+    df = big.unionByName(tiny)
+    kept = adaptive_quality_gate(
+        df, group_col="src", score_col="score", approx=True,
+        threshold_sample=0.001, sample_key_col="id",
+    )
+    srcs = {r["src"] for r in kept.select("src").distinct().collect()}
+    assert "tiny" in srcs  # present even if its 1 row was never sampled
+
+
+def test_adaptive_quality_gate_sampled_rejects_bad_args(spark):
+    from usajobs_etl_service_spark.operators.sampling import adaptive_quality_gate
+
+    df = spark.range(10).withColumn("score", F.col("id").cast("double"))
+    with pytest.raises(ValueError):
+        adaptive_quality_gate(
+            df, group_col="id", score_col="score", threshold_sample=0.5, sample_key_col="id"
+        )  # sampling without approx
+    with pytest.raises(ValueError):
+        adaptive_quality_gate(
+            df, group_col="id", score_col="score", approx=True, threshold_sample=0.5
+        )  # no key col
+    with pytest.raises(ValueError):
+        adaptive_quality_gate(
+            df, group_col="id", score_col="score", approx=True,
+            threshold_sample=1.5, sample_key_col="id",
+        )
+
+
 def test_adaptive_quality_gate_null_group_parity(spark):
     """A NULL group is a real group in the exact (window) mode; the
     approx threshold join must not silently drop its rows."""

@@ -145,9 +145,54 @@ def minhash_write(
     ).write.mode("overwrite").parquet(path)
 
 
+def minhash_append(
+    df: DataFrame,
+    path: str,
+    *,
+    batch_seq: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 128,
+    shingle_k: int = 5,
+    seed: int = 42,
+) -> None:
+    """Append one crawl batch's signatures to a persisted table — the
+    increment that completes ``minhash_incremental_pairs``. Append-only
+    (no rewrite of the 100 TB base): rows carry a monotone ``batch_seq``
+    and ``minhash_load`` resolves re-crawled ids latest-wins on read.
+    Base files written by ``minhash_write`` lack the column and read as
+    NULL = oldest. Fold batches into a new base with ``minhash_compact``
+    when the append tail grows."""
+    minhash_signatures_df(
+        df, id_col=id_col, text_col=text_col, num_hashes=num_hashes, shingle_k=shingle_k, seed=seed
+    ).withColumn("batch_seq", F.lit(int(batch_seq))).write.mode("append").parquet(path)
+
+
 def minhash_load(spark, path: str) -> DataFrame:
-    """Load a persisted signature table (columns: id, sig)."""
-    return spark.read.parquet(path)
+    """Load a persisted signature table (columns: id, sig). If the table
+    has appended batches (``minhash_append``), re-crawled ids are
+    resolved latest-wins by ``batch_seq`` — one window shuffle on id,
+    only paid when appends exist; a compacted or write-once table reads
+    straight through."""
+    sigs = spark.read.option("mergeSchema", "true").parquet(path)
+    if "batch_seq" not in sigs.columns:
+        return sigs
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("id").orderBy(F.desc_nulls_last("batch_seq"))
+    return (
+        sigs.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select("id", "sig")
+    )
+
+
+def minhash_compact(spark, src_path: str, dst_path: str) -> None:
+    """Fold an appended signature table into a fresh write-once base at
+    ``dst_path`` (latest version per id, no ``batch_seq`` column), so
+    subsequent loads skip the latest-wins window. Writes to a NEW path:
+    rewriting a path Spark is lazily reading from is not safe."""
+    minhash_load(spark, src_path).write.mode("overwrite").parquet(dst_path)
 
 
 def minhash_pairs_from_sigs(

@@ -62,6 +62,8 @@ def adaptive_quality_gate(
     keep_frac: float = 0.75,
     approx: bool = False,
     approx_accuracy: int = 10000,
+    threshold_sample: float | None = None,
+    sample_key_col: str | None = None,
 ) -> DataFrame:
     """Keep each group's top ``keep_frac`` of rows by ``score_col`` —
     the adaptive curation rule ("top 75% quality per source") that a
@@ -79,18 +81,45 @@ def adaptive_quality_gate(
     (AQE broadcasts the small side) filters at scan speed. No
     full-group sort anywhere; rows within the sketch's error of the
     cut may differ from exact mode.
+
+    ``threshold_sample`` (approx mode only, requires ``sample_key_col``)
+    estimates the thresholds from a deterministic hash sample of that
+    rate instead of the full table. The gate's scoring expression is
+    often the dominant scan cost (e.g. a token-fold quality score);
+    without sampling the approx mode pays it twice — once in the
+    threshold aggregate, once in the gating filter — so it benches ~2x
+    the exact mode at small sf even though its *shape* wins at scale.
+    A 10% sample cuts the threshold pass to ~scan cost while the
+    estimate stays tight wherever groups are large — which is exactly
+    the regime the approx mode exists for (a sampled quantile's error
+    shrinks as group size grows; at corpus scale a 10% sample is still
+    millions of rows per source). Leave it None for small tables or
+    when the sketch must see every row.
     """
     if not 0.0 < keep_frac <= 1.0:
         raise ValueError(f"keep_frac must be in (0, 1], got {keep_frac}")
+    if threshold_sample is not None:
+        if not approx:
+            raise ValueError("threshold_sample requires approx=True")
+        if sample_key_col is None:
+            raise ValueError("threshold_sample requires sample_key_col")
+        if not 0.0 < threshold_sample <= 1.0:
+            raise ValueError(f"threshold_sample must be in (0, 1], got {threshold_sample}")
     if approx:
-        thr = df.groupBy(group_col).agg(
+        thr_src = df
+        if threshold_sample is not None:
+            thr_src = hash_sample(df, threshold_sample, key_col=sample_key_col)
+        thr = thr_src.groupBy(group_col).agg(
             F.percentile_approx(score_col, 1.0 - keep_frac, approx_accuracy).alias("__thr")
         ).withColumnRenamed(group_col, "__grp")
         # null-safe equality: a NULL group is a real group in the exact
-        # (window) mode, so the threshold join must not drop it
+        # (window) mode, so the threshold join must not drop it. LEFT
+        # join: a group with no threshold row (not represented in the
+        # sample, or an all-null score column) passes ungated rather
+        # than vanishing — the exact mode keeps such groups too.
         return (
-            df.join(thr, F.col(group_col).eqNullSafe(F.col("__grp")))
-            .filter(F.col(score_col) >= F.col("__thr"))
+            df.join(thr, F.col(group_col).eqNullSafe(F.col("__grp")), "left")
+            .filter(F.col("__thr").isNull() | (F.col(score_col) >= F.col("__thr")))
             .drop("__thr", "__grp")
         )
     from pyspark.sql import Window

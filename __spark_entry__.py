@@ -1400,6 +1400,30 @@ def q81_adaptive_quality_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q82_embedding_srp_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extension (near-dup, embeddings, LABEL-FREE): banded
+    sign-random-projection LSH candidates + exact-cosine verify
+    (operators/neardup.embedding_srp_near_dup_pairs) — the blocking
+    q22 gets from its label column, synthesized from the vectors
+    themselves when no such attribute exists. Workload: the embeddings
+    table unioned with a positively-scaled copy of itself (vec_id +
+    100000, x1.5) — scaling preserves every hyperplane sign, so each
+    (original, copy) pair collides in ALL bands and LSH recall on the
+    planted pairs is exactly 1.0, which is what makes this
+    ORACLE-CHECKABLE: the LSH output provably equals the exact
+    all-pairs cosine filter on this construction (random 64-dim pairs
+    sit ~8 sigma below the 0.95 threshold). Precision needs no
+    argument — the verify stage IS exact cosine."""
+    from usajobs_etl_service_spark.operators.neardup import embedding_srp_near_dup_pairs
+
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    planted = emb.select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.transform("embedding", lambda x: x * F.lit(1.5)).alias("embedding"),
+    )
+    return embedding_srp_near_dup_pairs(emb.unionByName(planted), threshold=0.95)
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_job_statistics": q01_job_statistics,
     "q02_metric_union": q02_metric_union,
@@ -1482,6 +1506,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q79_approx_quantiles": q79_approx_quantiles,
     "q80_adaptive_quality": q80_adaptive_quality,
     "q81_adaptive_quality_approx": q81_adaptive_quality_approx,
+    "q82_embedding_srp_near_dup": q82_embedding_srp_near_dup,
 }
 
 
@@ -1651,6 +1676,19 @@ ORACLES: dict[str, str] = {
                round(list_cosine_similarity(a.v, b.v), 4) AS cos
         FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
         WHERE round(list_cosine_similarity(a.v, b.v), 4) >= 0.4
+    """,
+    "q82_embedding_srp_near_dup": """
+        WITH u AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+            UNION ALL
+            SELECT vec_id + 100000,
+                   list_transform(CAST(embedding AS DOUBLE[]), x -> x * 1.5)
+            FROM embeddings
+        )
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               round(list_cosine_similarity(a.v, b.v), 4) AS cos
+        FROM u a JOIN u b ON a.vec_id < b.vec_id
+        WHERE round(list_cosine_similarity(a.v, b.v), 4) >= 0.95
     """,
     "q23_ngram_jaccard_adjacent": """
         WITH g AS (

@@ -138,3 +138,58 @@ def test_hot_template_bucket_completes_and_is_exact(spark):
         df, threshold=0.9, num_hashes=16, bands=4, max_bucket=n
     )
     assert pairs.count() == n * (n - 1) // 2
+
+
+def test_srp_near_dup_finds_scaled_copies(spark):
+    """Positive scaling preserves every hyperplane sign, so (v, 1.5v)
+    collides in ALL bands — recall on such pairs is exactly 1.0, not
+    probabilistic (the q82 oracle-checkability argument)."""
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    base = [(i, [float(x) for x in rng.normal(0, 1, 16)]) for i in range(40)]
+    copies = [(i + 1000, [1.5 * x for x in v]) for i, v in base]
+    df = spark.createDataFrame(base + copies, "vec_id long, embedding array<double>")
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in ND.embedding_srp_near_dup_pairs(df, threshold=0.95, dim=16).collect()
+    }
+    assert pairs == {(i, i + 1000) for i in range(40)}
+
+
+def test_srp_near_dup_finds_perturbed_neighbors(spark):
+    """Near- (not exact-) duplicates: v + small noise, cosine ~0.99 —
+    banding must recall nearly all of them (expected recall ~0.999/pair
+    at the defaults; deterministic for a fixed seed)."""
+    import numpy as np
+
+    rng = np.random.default_rng(13)
+    base = []
+    planted = []
+    for i in range(30):
+        v = rng.normal(0, 1, 32)
+        base.append((i, [float(x) for x in v]))
+        w = v + rng.normal(0, 0.03, 32)  # cos ~0.999
+        planted.append((i + 1000, [float(x) for x in w]))
+    # distractors: unrelated vectors that must NOT pair with anything
+    noise = [(i + 5000, [float(x) for x in rng.normal(0, 1, 32)]) for i in range(40)]
+    df = spark.createDataFrame(base + planted + noise, "vec_id long, embedding array<double>")
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in ND.embedding_srp_near_dup_pairs(df, threshold=0.95, dim=32).collect()
+    }
+    want = {(i, i + 1000) for i in range(30)}
+    assert len(got & want) >= 27  # >=90% recall on planted near-dups
+    assert not (got - want), f"false pairs above threshold: {sorted(got - want)[:5]}"
+
+
+def test_srp_near_dup_hot_bucket_cap(spark):
+    """max_bucket drops degenerate buckets instead of exploding them:
+    500 identical vectors form one hot bucket per band; with the cap
+    below 500 the operator returns no pairs (and finishes) rather than
+    materializing 125k pairs per band."""
+    df = spark.createDataFrame(
+        [(i, [1.0, 2.0, 3.0, 4.0]) for i in range(500)], "vec_id long, embedding array<double>"
+    )
+    got = ND.embedding_srp_near_dup_pairs(df, threshold=0.95, dim=4, max_bucket=100).count()
+    assert got == 0

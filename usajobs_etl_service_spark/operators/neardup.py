@@ -650,6 +650,80 @@ def ngram_jaccard_pairs(
 # Embedding-cosine near-dup
 # ---------------------------------------------------------------------------
 
+def embedding_srp_near_dup_pairs(
+    df: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    embedding_col: str = "embedding",
+    threshold: float = 0.95,
+    n_planes: int = 12,
+    n_bands: int = 8,
+    dim: int = 64,
+    seed: int = 42,
+    max_bucket: int = 1000,
+) -> DataFrame:
+    """Label-FREE embedding near-dup at scale: when no blocking
+    attribute exists (``embedding_near_dup_pairs``'s ``block_col``),
+    candidates come from ``n_bands`` independent sign-random-projection
+    codes (similarity.srp_code) — the MinHash-LSH banding scheme
+    transplanted to cosine space. A pair with cosine >= t collides in
+    one band with probability p^n_planes, p = 1 - arccos(t)/pi, and
+    survives banding with 1 - (1 - p^n_planes)^n_bands (defaults: 0.93
+    at t=0.95; ~1.0 for true duplicates, whose sign patterns are
+    identical). Shape mirrors minhash_pairs_from_sigs: banded rows
+    carry only (id, band, code), hot buckets are capped at
+    ``max_bucket``, pair expansion is posexplode+slice (bounded per-row
+    memory), and the verify stage equi-joins the vectors back and
+    filters on EXACT cosine — precision 1.0, recall per the banding
+    formula. The 96 plane dots per row are scan-stage codegen; no
+    all-pairs anything."""
+    from functools import reduce
+
+    from pyspark.sql import Window
+
+    from usajobs_etl_service_spark.functions.vectors import dot, norm
+    from usajobs_etl_service_spark.operators.similarity import srp_code
+
+    v = F.col(embedding_col).cast("array<double>")
+    codes = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                srp_code(v, n_planes=n_planes, dim=dim, seed=seed + 7919 * b).alias("key"),
+            )
+            for b in range(n_bands)
+        ]
+    )
+    banded = df.select(F.col(id_col).alias("id"), F.explode(codes).alias("bk")).select(
+        "id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
+    )
+    w = Window.partitionBy("band", "key")
+    banded = (
+        banded.withColumn("n", F.count(F.lit(1)).over(w))
+        .filter(F.col("n").between(2, max_bucket))
+        .drop("n")
+    )
+    buckets = banded.groupBy("band", "key").agg(F.array_sort(F.collect_list("id")).alias("ids"))
+    lhs = buckets.select(F.posexplode("ids").alias("i", "id_a"), "ids")
+    pairs = lhs.select(
+        "id_a",
+        F.explode(F.slice(F.col("ids"), F.col("i") + F.lit(2), F.size("ids"))).alias("id_b"),
+    ).dropDuplicates(["id_a", "id_b"])
+    side = df.select(F.col(id_col).alias("id"), v.alias("vec"), norm(v).alias("nrm"))
+    a = side.select(F.col("id").alias("id_a"), F.col("vec").alias("va"), F.col("nrm").alias("na"))
+    b = side.select(F.col("id").alias("id_b"), F.col("vec").alias("vb"), F.col("nrm").alias("nb"))
+    return (
+        pairs.join(a, "id_a")
+        .join(b, "id_b")
+        .withColumn(
+            "cos",
+            F.round(F.try_divide(dot(F.col("va"), F.col("vb")), F.col("na") * F.col("nb")), 4),
+        )
+        .filter(F.col("cos") >= threshold)
+        .select("id_a", "id_b", "cos")
+    )
+
+
 def embedding_near_dup_pairs(
     df: DataFrame,
     *,

@@ -181,6 +181,38 @@ def ivf_write(index: DataFrame, centroids: DataFrame, path: str) -> None:
     centroids.write.mode("overwrite").parquet(f"{path}/centroids")
 
 
+def ivf_append(
+    df: DataFrame,
+    path: str,
+    *,
+    embedding_col: str = "embedding",
+) -> None:
+    """Append new vectors to a persisted IVF index with a FROZEN
+    codebook — the incremental-crawl increment for ANN, mirroring
+    ``neardup.minhash_append``: the existing index is never re-read or
+    re-assigned. The stored O(C) codebook is loaded, the new batch is
+    assigned via the same literal-argmax projection the build uses
+    (scan-stage, no join/shuffle beyond the partition write), and the
+    rows land in the partitioned layout with ``mode("append")`` — new
+    files under existing ``centroid_id=`` directories, so probes keep
+    pruning at planning time and see old+new immediately. The codebook
+    does not drift with appends; re-run ``ivf_build`` periodically if
+    the vector distribution moves. Replacing an existing vec_id is a
+    rebuild concern (parquet has no row-level delete); appends assume
+    new ids."""
+    spark = df.sparkSession
+    cents = spark.read.parquet(f"{path}/centroids")
+    cent_rows = sorted(
+        ((r["centroid_id"], [float(x) for x in r["cv"]]) for r in cents.collect()),
+        key=lambda t: t[0],
+    )
+    new_index = df.withColumn(
+        "centroid_id",
+        nearest_centroid_expr(_as_double_array(F.col(embedding_col)), cent_rows),
+    ).repartition("centroid_id")
+    new_index.write.partitionBy("centroid_id").mode("append").parquet(f"{path}/index")
+
+
 def ivf_load(spark, path: str) -> tuple[DataFrame, DataFrame]:
     """Load a persisted IVF index; probes via ``ivf_topk_cosine`` get
     partition pruning on ``centroid_id`` for free (the ``isin`` filter

@@ -124,6 +124,21 @@ def test_simhash_plan_single_signature_pass(spark, sf_dir):
     assert len(re.findall(r"functions=\[partial_count\(1\), partial_sum", p)) == 1
 
 
+def test_srp_near_dup_plan_no_quadratic_joins(spark, sf_dir):
+    """The label-free SRP near-dup must stay equi-join shaped end to
+    end: candidate generation is bucket windows + collect_list (no
+    self-join of the vector table), verification is two hash equi-joins
+    on id — a cartesian or nested-loop join anywhere means the LSH
+    blocking silently degraded to all-pairs."""
+    import __spark_entry__ as e
+
+    p = _plan(e.q82_embedding_srp_near_dup(spark, sf_dir))
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    # hot-bucket cap present: the count window runs before pair expansion
+    assert re.search(r"Window \[count\(1\)", p), "bucket-size cap window missing"
+
+
 def test_repetition_filter_zero_shuffle(spark, sf_dir):
     """Gopher repetition rules are scan-stage expressions: no Exchange."""
     from usajobs_etl_service_spark.operators.repetition import repetition_signals

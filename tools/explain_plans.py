@@ -33,6 +33,8 @@ HEADLINERS = {
     "q69_training_corpus_pipeline": "one lazy corpus plan: dedup -> curation_gate behind the shuffle-free nondeterministic barrier (no barrier Exchange; every Exchange in the plan is structural: dedup window, decontam grams, anti-join broadcast, final groupBy)",
     "q72_repetition_filter": "Gopher repetition rules as pure array expressions: zero Exchange (token mode = fold over sorted array, not explode+groupBy)",
     "q77_volume_shipping": "Q7 shape: dims broadcast, fact side shuffles once per join key, decimal-exact revenue sums",
+    "q81_adaptive_quality_approx": "per-group threshold as ONE percentile_approx aggregate over a hash-sampled scan + null-safe broadcast LEFT join: no Window, no per-group sort anywhere",
+    "q82_embedding_srp_near_dup": "label-free LSH: 96 plane dots in the scan stage, bucket-window hot-key cap, ids-only pair expansion, exact-cosine verify via two hash equi-joins — no cartesian/nested-loop join in the plan",
 }
 
 BLOOM_SECTION = """

@@ -56,6 +56,7 @@ FAMILY = [
     "q69_training_corpus_pipeline",
     "q80_adaptive_quality",
     "q81_adaptive_quality_approx",
+    "q82_embedding_srp_near_dup",
 ]
 
 

@@ -1407,21 +1407,132 @@ def q82_embedding_srp_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     q22 gets from its label column, synthesized from the vectors
     themselves when no such attribute exists. Workload: the embeddings
     table unioned with a positively-scaled copy of itself (vec_id +
-    100000, x1.5) — scaling preserves every hyperplane sign, so each
+    10000000, x1.5; the offset clears any corpus with < 10M ids — asserted below) — scaling preserves every hyperplane sign, so each
     (original, copy) pair collides in ALL bands and LSH recall on the
     planted pairs is exactly 1.0, which is what makes this
     ORACLE-CHECKABLE: the LSH output provably equals the exact
     all-pairs cosine filter on this construction (random 64-dim pairs
     sit ~8 sigma below the 0.95 threshold). Precision needs no
-    argument — the verify stage IS exact cosine."""
+    argument — the verify stage IS exact cosine.
+
+    PRECONDITION for the oracle-equality claim: no (band, key) bucket
+    exceeds ``max_bucket`` (default 1000) — a saturated bucket's pairs
+    are dropped wholesale, planted pairs included. The operator now
+    AUTO-SCALES its code width to the corpus (expected occupancy
+    ~target_bucket, so saturation needs a ~250x-over-expectation hot
+    bucket) and counts any drop via ``observe`` metrics;
+    tests/test_oracle_parity.py asserts the counters are zero here."""
     from usajobs_etl_service_spark.operators.neardup import embedding_srp_near_dup_pairs
 
     emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     planted = emb.select(
-        (F.col("vec_id") + 100000).alias("vec_id"),
+        (F.col("vec_id") + 10000000).alias("vec_id"),
         F.transform("embedding", lambda x: x * F.lit(1.5)).alias("embedding"),
     )
     return embedding_srp_near_dup_pairs(emb.unionByName(planted), threshold=0.95)
+
+
+def q83_minhash_exact_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extension (near-dup, ORACLE-ANCHORED MinHash+LSH — the q82
+    playbook applied to q24's family): MinHash-LSH candidate
+    generation (operators/neardup.minhash_near_dup_pairs) followed by
+    an EXACT n-gram Jaccard verify (ngram_jaccard_pairs) at J = 1.0,
+    over the documents table unioned with planted exact copies
+    (doc_id + 10000000, identical text).
+
+    Why this is provably oracle-equal, making the approximate family's
+    candidate generator checkable against DuckDB:
+    - Verify n = signature shingle_k = 5, over the same tokenizer: a
+      pair has 5-gram Jaccard 1.0 iff its distinct shingle SETS are
+      equal, which forces IDENTICAL MinHash signatures (each lane is a
+      min over the same set), hence equal keys in EVERY band -> the
+      pair shares a bucket and survives candidate generation. Recall
+      on the J=1.0 population is therefore exactly 1.0 — candidates
+      est_jaccard = 1.0 >= any threshold.
+    - Precision is the exact verify itself: |A∩B| = |A∪B| iff A = B.
+    - Oracle: gram-SET-equality self-join in DuckDB (an equi-join on
+      the sorted distinct gram list — no all-pairs Jaccard needed).
+    PRECONDITION (same as q82): no bucket saturates ``max_bucket``;
+    planted copies only double bucket occupancy (dup groups in the
+    test corpora are <= 2 docs), and the drop counters — asserted zero
+    in tests/test_oracle_parity.py — make any violation loud. Gram
+    hashing (xxhash64) is retained from the scale path; a hash
+    collision merging two distinct grams has p ~ 1e-13 per corpus."""
+    from usajobs_etl_service_spark.operators.neardup import (
+        minhash_near_dup_pairs, ngram_jaccard_pairs,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    planted = docs.select((F.col("doc_id") + 10000000).alias("doc_id"), "text")
+    u = docs.unionByName(planted)
+    cand = minhash_near_dup_pairs(
+        u, threshold=0.9, num_hashes=64, bands=16
+    ).select("id_a", "id_b")
+    return (
+        ngram_jaccard_pairs(u, cand, n=5)
+        .filter(F.col("jaccard") == F.lit(1.0))
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def q84_simhash_exact_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extension (near-dup, ORACLE-ANCHORED SimHash — q25's family):
+    banded SimHash candidates at Hamming 0 + an EXACT verify on
+    normalized-text equality, over documents unioned with planted
+    exact copies (doc_id + 10000000).
+
+    Equal normalized text -> equal token multiset -> identical 64-bit
+    SimHash -> equal 16-bit keys in all 4 bands -> the pair shares a
+    bucket: candidate recall on the equal-text population is exactly
+    1.0, and the text-equality verify gives precision 1.0, so the
+    output provably equals DuckDB's text-equality self-join.
+    PRECONDITION: no band bucket saturates ``max_bucket`` (raised here
+    to 4000 — SimHash band keys concentrate more than MinHash's 64-bit
+    keys because the 30-word test vocabulary correlates signatures);
+    drop counters asserted zero in tests/test_oracle_parity.py."""
+    from usajobs_etl_service_spark.functions.text import normalized_text
+    from usajobs_etl_service_spark.operators.neardup import simhash_near_dup_pairs
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    planted = docs.select((F.col("doc_id") + 10000000).alias("doc_id"), "text")
+    u = docs.unionByName(planted)
+    cand = simhash_near_dup_pairs(u, max_hamming=0, max_bucket=4000).select("id_a", "id_b")
+    nt = u.select(F.col("doc_id"), normalized_text(F.col("text")).alias("nt"))
+    return (
+        cand.join(nt.select(F.col("doc_id").alias("id_a"), F.col("nt").alias("nt_a")), "id_a")
+        .join(nt.select(F.col("doc_id").alias("id_b"), F.col("nt").alias("nt_b")), "id_b")
+        .filter(F.col("nt_a") == F.col("nt_b"))
+        .select("id_a", "id_b")
+    )
+
+
+def q85_quality_gate_exact_regime(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q81's sampled/approx adaptive-quality gate run in its PROVABLY
+    EXACT regime, which makes the production code path
+    (hash_sample -> percentile_approx threshold -> null-safe broadcast
+    threshold join; the identical plan shape q81 deploys) DuckDB-
+    oracle-checkable:
+    - ``threshold_sample=1.0``: the md5 hash sample keeps every row
+      (sample_key < 1.0 always), so the sample IS the population.
+    - GK exact regime: percentile_approx with accuracy (10000) >= the
+      largest group (~250 rows/source at sf0.1, ~2500 at the 10x
+      smoke) retains every value and returns the exact discrete
+      quantile — measured equal to DuckDB ``quantile_disc`` across
+      group sizes (rank = ceil(q * n) on the sorted multiset).
+    The oracle is quantile_disc(quality, 0.25) per source + a
+    score >= threshold filter. Same keep-stats output shape as
+    q80/q81 (order-insensitive aggregates, float-stable compare)."""
+    from usajobs_etl_service_spark.operators.sampling import adaptive_quality_gate
+
+    docs = _t(spark, sf_dir, "documents").withColumn("quality", TX.quality_score(F.col("text")))
+    kept = adaptive_quality_gate(
+        docs, group_col="source", score_col="quality", keep_frac=0.75, approx=True,
+        threshold_sample=1.0, sample_key_col="doc_id",
+    )
+    return kept.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.min("quality").alias("min_kept_quality"),
+    )
 
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -1507,6 +1618,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q80_adaptive_quality": q80_adaptive_quality,
     "q81_adaptive_quality_approx": q81_adaptive_quality_approx,
     "q82_embedding_srp_near_dup": q82_embedding_srp_near_dup,
+    "q83_minhash_exact_dups": q83_minhash_exact_dups,
+    "q84_simhash_exact_dups": q84_simhash_exact_dups,
+    "q85_quality_gate_exact_regime": q85_quality_gate_exact_regime,
 }
 
 
@@ -1681,7 +1795,7 @@ ORACLES: dict[str, str] = {
         WITH u AS (
             SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
             UNION ALL
-            SELECT vec_id + 100000,
+            SELECT vec_id + 10000000,
                    list_transform(CAST(embedding AS DOUBLE[]), x -> x * 1.5)
             FROM embeddings
         )
@@ -1689,6 +1803,74 @@ ORACLES: dict[str, str] = {
                round(list_cosine_similarity(a.v, b.v), 4) AS cos
         FROM u a JOIN u b ON a.vec_id < b.vec_id
         WHERE round(list_cosine_similarity(a.v, b.v), 4) >= 0.95
+    """,
+    # q83: 5-gram Jaccard = 1.0 iff distinct gram SETS are equal, so the
+    # exact-verify output is an equi-join on the sorted distinct gram
+    # list — no all-pairs Jaccard scan needed.
+    "q83_minhash_exact_dups": """
+        WITH u AS (
+            SELECT doc_id, text FROM documents
+            UNION ALL
+            SELECT doc_id + 10000000 AS doc_id, text FROM documents
+        ),
+        t AS (
+            SELECT doc_id,
+                   string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS toks
+            FROM u
+        ),
+        g AS (
+            SELECT doc_id,
+                   CASE WHEN len(toks) >= 5
+                        THEN list_sort(list_distinct(list_transform(generate_series(1, len(toks) - 4),
+                                       x -> array_to_string(list_slice(toks, x, x + 4), ' '))))
+                        ELSE [array_to_string(toks, ' ')]
+                   END AS grams
+            FROM t
+        )
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(1.0 AS DOUBLE) AS jaccard
+        FROM g a JOIN g b ON a.grams = b.grams AND a.doc_id < b.doc_id
+    """,
+    "q84_simhash_exact_dups": """
+        WITH u AS (
+            SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS nt
+            FROM documents
+            UNION ALL
+            SELECT doc_id + 10000000 AS doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS nt
+            FROM documents
+        )
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM u a JOIN u b ON a.nt = b.nt AND a.doc_id < b.doc_id
+    """,
+    "q85_quality_gate_exact_regime": """
+        WITH f AS (
+            SELECT doc_id, source,
+                   length(text) AS n_chars,
+                   len(list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '')) AS n_tokens,
+                   length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS n_alpha,
+                   length(regexp_replace(text, '[^0-9]', '', 'g')) AS n_digit,
+                   length(text) - length(regexp_replace(text, '\\s', '', 'g')) AS n_space,
+                   len(list_filter(string_split_regex(lower(text), '\\s+'),
+                       x -> x IN ('the','and','of','to','is','in','that','with'))) AS stop_hits
+            FROM documents
+        ),
+        q AS (
+            SELECT doc_id, source,
+                   round(
+                       least(CAST(n_tokens AS DOUBLE) / 20.0, 1.0) * 0.3
+                     + (CASE WHEN n_chars > 0 THEN CAST(n_alpha AS DOUBLE) / n_chars ELSE 0.0 END) * 0.3
+                     + (1 - least((CASE WHEN n_chars > 0 THEN CAST(n_digit AS DOUBLE) / n_chars ELSE 0.0 END) * 4, 1.0)) * 0.15
+                     + (1 - least((CASE WHEN n_chars > 0 THEN CAST(n_chars - n_alpha - n_digit - n_space AS DOUBLE) / n_chars ELSE 0.0 END) * 4, 1.0)) * 0.15
+                     + least(CAST(stop_hits AS DOUBLE) / 5.0, 1.0) * 0.1
+                   , 4) AS quality
+            FROM f
+        ),
+        thr AS (
+            SELECT source, quantile_disc(quality, 0.25) AS t FROM q GROUP BY source
+        )
+        SELECT q.source, count(*) AS n_kept, min(q.quality) AS min_kept_quality
+        FROM q JOIN thr ON q.source = thr.source
+        WHERE q.quality >= thr.t
+        GROUP BY q.source
     """,
     "q23_ngram_jaccard_adjacent": """
         WITH g AS (

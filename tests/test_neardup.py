@@ -193,3 +193,125 @@ def test_srp_near_dup_hot_bucket_cap(spark):
     )
     got = ND.embedding_srp_near_dup_pairs(df, threshold=0.95, dim=4, max_bucket=100).count()
     assert got == 0
+
+
+def test_srp_auto_planes_formula():
+    assert ND.srp_auto_planes(100) == 12  # floor
+    assert ND.srp_auto_planes(4_000) == 12
+    assert ND.srp_auto_planes(40_000) == 14
+    assert ND.srp_auto_planes(400_000) == 17
+    assert ND.srp_auto_planes(4_000_000_000) == 30
+    assert ND.srp_auto_planes(0) == 12  # degenerate inputs stay sane
+
+
+def test_srp_dim_mismatch_raises(spark):
+    """ADVICE r5 (medium): a caller-supplied dim that disagrees with the
+    data must fail loudly — zip_with would NULL-pad every plane dot and
+    the query would silently return zero pairs."""
+    import pytest
+
+    df = spark.createDataFrame(
+        [(i, [1.0, 2.0, 3.0, 4.0]) for i in range(4)], "vec_id long, embedding array<double>"
+    )
+    with pytest.raises(ValueError, match="dim mismatch"):
+        ND.embedding_srp_near_dup_pairs(df, dim=64)
+    # dim=None derives the width from the data instead: 4 identical
+    # vectors -> all C(4,2)=6 pairs at cosine 1.0
+    assert ND.embedding_srp_near_dup_pairs(df, dim=None, max_bucket=100).count() == 6
+
+
+def test_srp_auto_planes_wide_code_still_finds_planted(spark):
+    """A corpus-count hint widens the code (here 5M -> 21 planes); true
+    near-dup recall must survive the widening (identical-sign pairs
+    collide in every band regardless of width)."""
+    import numpy as np
+
+    rng = np.random.default_rng(13)
+    rows = []
+    for i in range(20):
+        v = rng.normal(0, 1, 32)
+        rows.append((i, [float(x) for x in v]))
+        rows.append((i + 1000, [float(x) for x in (v * 1.5)]))  # same signs, cos 1.0
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in ND.embedding_srp_near_dup_pairs(
+            df, threshold=0.999, n_rows_hint=5_000_000
+        ).collect()
+    }
+    assert {(i, i + 1000) for i in range(20)} <= got
+
+
+def test_srp_cap_drop_counters_observable(spark):
+    """The hot-bucket cap's recall cost is measured, not silent: 500
+    identical vectors saturate one bucket per band (8 bands x 500 rows
+    dropped) while a surviving near-dup pair keeps the output non-empty
+    — the realistic cap-binds-but-query-returns case. (A query whose
+    output AQE collapses to empty loses its CollectMetrics node — the
+    documented _cap_buckets caveat — so an all-dropped corpus cannot
+    assert counters without disabling AQE.)"""
+    from pyspark.sql import Observation
+
+    hot = [(i, [1.0, 2.0, 3.0, 4.0]) for i in range(500)]
+    survivors = [(9001, [-1.0, 2.0, -3.0, 4.0]), (9002, [-1.0, 2.0, -3.0, 4.0])]
+    df = spark.createDataFrame(hot + survivors, "vec_id long, embedding array<double>")
+    obs = Observation("srp_drop")
+    out = ND.embedding_srp_near_dup_pairs(
+        df, threshold=0.95, dim=4, max_bucket=100, observation=obs
+    )
+    got = {(r["id_a"], r["id_b"]) for r in out.collect()}
+    assert got == {(9001, 9002)}  # hot-bucket pairs dropped, survivor pair kept
+    assert obs.get == {"dropped_rows": 8 * 500, "dropped_buckets": 8}
+
+
+def test_minhash_cap_drop_counters_observable(spark):
+    """Same counters on the MinHash path: 30 identical docs saturate
+    every band's bucket (16 bands x 30 rows) past max_bucket=10; a
+    distinct surviving dup pair keeps the output non-empty so the
+    Observation populates under AQE."""
+    from pyspark.sql import Observation
+
+    hot = [(i, "same text for every doc in this corpus run") for i in range(30)]
+    survivors = [
+        (9001, "an entirely different surviving document about spark shuffles"),
+        (9002, "an entirely different surviving document about spark shuffles"),
+    ]
+    df = spark.createDataFrame(hot + survivors, "doc_id long, text string")
+    obs = Observation("mh_drop")
+    out = ND.minhash_near_dup_pairs(
+        df, threshold=0.5, num_hashes=64, bands=16, max_bucket=10, observation=obs
+    )
+    got = {(r["id_a"], r["id_b"]) for r in out.collect()}
+    assert got == {(9001, 9002)}
+    assert obs.get == {"dropped_rows": 16 * 30, "dropped_buckets": 16}
+
+
+def test_minhash_load_duplicate_id_deterministic(spark, tmp_path):
+    """ADVICE r5 (low): latest-wins load breaks (id, batch_seq) ties by
+    signature-content hash — a duplicated id inside one append batch
+    loads the same signature every time instead of shuffle-order
+    roulette."""
+    path = str(tmp_path / "sigs")
+    base = spark.createDataFrame([(1, "alpha beta gamma delta epsilon zeta")], "doc_id long, text string")
+    ND.minhash_write(base, path, num_hashes=16)
+    dup_batch = spark.createDataFrame(
+        [(3, "first version of the duplicated document text here"),
+         (3, "second completely different text for the same id")],
+        "doc_id long, text string",
+    )
+    ND.minhash_append(dup_batch, path, batch_seq=1, num_hashes=16)
+
+    loads = [
+        {r["id"]: tuple(r["sig"]) for r in ND.minhash_load(spark, path).collect()}
+        for _ in range(2)
+    ]
+    assert loads[0] == loads[1]
+    # and the winner is the xxhash64-minimal signature, not an arbitrary one
+    raw = spark.read.option("mergeSchema", "true").parquet(path)
+    cands = (
+        raw.filter(F.col("id") == 3)
+        .select("sig", F.xxhash64(F.col("sig")).alias("h"))
+        .orderBy("h")
+        .collect()
+    )
+    assert loads[0][3] == tuple(cands[0]["sig"])

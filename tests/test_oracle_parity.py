@@ -58,3 +58,45 @@ def test_entry_smoke(spark):
     df = entrymod.entry(spark)
     assert df.count() >= 0
     assert len(df.schema.fields) > 0
+
+
+def test_planted_dup_oracle_queries_cap_counters_zero(spark, sf_dir):
+    """q82/q83/q84's oracle-equality claims carry a PRECONDITION: the
+    LSH hot-bucket cap must not bind (a saturated bucket drops planted
+    pairs wholesale — ADVICE r5). Mirror each query's construction with
+    an Observation and assert zero drops on the oracle corpus."""
+    from pyspark.sql import Observation
+    from pyspark.sql import functions as F
+
+    from usajobs_etl_service_spark.operators.neardup import (
+        embedding_srp_near_dup_pairs,
+        minhash_near_dup_pairs,
+        simhash_near_dup_pairs,
+    )
+    from usajobs_etl_service_spark.session import read_table
+
+    emb = read_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    scaled = emb.select(
+        (F.col("vec_id") + 10000000).alias("vec_id"),
+        F.transform("embedding", lambda x: x * F.lit(1.5)).alias("embedding"),
+    )
+    obs_srp = Observation("q82_cap")
+    embedding_srp_near_dup_pairs(
+        emb.unionByName(scaled), threshold=0.95, observation=obs_srp
+    ).write.format("noop").mode("overwrite").save()
+    assert obs_srp.get == {"dropped_rows": 0, "dropped_buckets": 0}
+
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    copies = docs.select((F.col("doc_id") + 10000000).alias("doc_id"), "text")
+    u = docs.unionByName(copies)
+    obs_mh = Observation("q83_cap")
+    minhash_near_dup_pairs(
+        u, threshold=0.9, num_hashes=64, bands=16, observation=obs_mh
+    ).write.format("noop").mode("overwrite").save()
+    assert obs_mh.get == {"dropped_rows": 0, "dropped_buckets": 0}
+
+    obs_sh = Observation("q84_cap")
+    simhash_near_dup_pairs(
+        u, max_hamming=0, max_bucket=4000, observation=obs_sh
+    ).write.format("noop").mode("overwrite").save()
+    assert obs_sh.get == {"dropped_rows": 0, "dropped_buckets": 0}

@@ -155,3 +155,21 @@ def test_ivf_append_frozen_codebook(spark, sf_dir, tmp_path):
 
     parts = {p.name for p in pathlib.Path(path, "index").iterdir() if p.is_dir()}
     assert parts and all(p.startswith("centroid_id=") for p in parts)
+
+
+def test_ivf_append_schema_mismatch_raises(spark, sf_dir, tmp_path):
+    """ADVICE r5 (low): appending a batch whose schema differs from the
+    stored index must raise — parquet mode('append') would otherwise
+    land mixed-schema files that a plain ivf_load reads inconsistently."""
+    import pytest
+
+    from usajobs_etl_service_spark.operators.similarity import ivf_append, ivf_write
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    index, cents = ivf_build(emb, n_centroids=4)
+    path = str(tmp_path / "ivf_schema")
+    ivf_write(index, cents, path)
+    with pytest.raises(ValueError, match="schema"):
+        ivf_append(emb.drop("label"), path)
+    with pytest.raises(ValueError, match="schema"):
+        ivf_append(emb.withColumn("extra", F.lit(1)), path)

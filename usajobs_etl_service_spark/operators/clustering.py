@@ -18,16 +18,33 @@ chains (transcription chains, quoting cascades) the most expensive
 query in the suite. Every round is two window-min passes shuffled on
 node id (no joins), with parallelism adapted to the live edge count;
 nothing reaches the driver except an O(1) convergence fingerprint
-(edge count + xor-hash). Edges are localCheckpointed per round so
-lineage stays one round deep (re-deriving the upstream LSH pair
-generation per round was a measured 5x slowdown), and the fingerprint
-job doubles as the checkpoint materializer.
+(edge count + xor-hash).
+
+Each distributed round MATERIALIZES its (geometrically shrinking)
+edge set to parquet and reads it back — the Pregel-style superstep
+shape. That truncates lineage (without it the plan tree grows ~3x per
+round: re-deriving the upstream LSH pair generation each round was a
+measured 5x slowdown, and the analyzer cost explodes exponentially),
+and it is the RIGHT 100 TB posture: ``localCheckpoint`` blocks — the
+previous implementation — are non-recoverable on executor loss (a
+documented Spark caveat; one lost executor fails the whole job on a
+real cluster) and could only be freed by reaching into private
+``_jdf.queryExecution()`` API. Parquet supersteps survive executor
+loss, cost sequential columnar IO on an edge set that collapses
+geometrically, and are cleaned up deterministically (each round's
+files are deleted once the next round has consumed them).
 """
 
 from __future__ import annotations
 
+import atexit
+import os
+import shutil
+import tempfile
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
 
 
 def _large_star(nbrs: DataFrame, p: int) -> DataFrame:
@@ -81,19 +98,6 @@ def _small_star(edges: DataFrame, p: int) -> DataFrame:
     )
 
 
-def _unpersist_checkpoint(df: DataFrame) -> None:
-    """Free the block-store memory behind a ``localCheckpoint``'ed
-    DataFrame. The blocks are held by the internal RDD wrapped in the
-    plan's ``LogicalRDD`` node (``df.unpersist()`` only consults the
-    cache manager, which knows nothing about checkpoints). Reaching
-    through the JVM plan node is internal API — degrade to a no-op
-    (the old leak-until-session-end behavior) if it ever moves."""
-    try:
-        df._jdf.queryExecution().analyzed().rdd().unpersist(False)
-    except Exception:
-        pass
-
-
 def _driver_union_find(spark, edges: DataFrame, all_nodes: DataFrame) -> DataFrame:
     """Path-compressed union-by-min over a collected edge list — the
     finish for graphs whose MEASURED edge count fits trivially in driver
@@ -126,6 +130,7 @@ def connected_components(
     max_iterations: int = 20,
     return_rounds: bool = False,
     small_graph_edges: int = 500_000,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame | tuple[DataFrame, int]:
     """Resolve undirected edges into components: returns ``(doc_id,
     cluster_id)`` with ``cluster_id`` = the component's minimum doc_id.
@@ -137,15 +142,25 @@ def connected_components(
     the measured edge count was <= ``small_graph_edges`` and the
     components were resolved by driver-side union-find instead of
     distributed rounds — set ``small_graph_edges=0`` to force the
-    distributed path)."""
+    distributed path).
+
+    The distributed path materializes each round's edges under
+    ``checkpoint_dir`` (default: a fresh temp dir, removed at process
+    exit; on a cluster pass a shared-FS path). Intermediate rounds are
+    deleted as soon as the next round has consumed them; the CONVERGED
+    round's files — O(live nodes) ids, the graph's smallest artifact —
+    back the returned (lazy) labels DataFrame and are kept until exit."""
+    spark = pairs.sparkSession
     edges = (
         pairs.select(F.col(id_a).alias("a"), F.col(id_b).alias("b"))
         .filter(F.col("a") != F.col("b"))
         .distinct()
-        # materialize once (lazily — round 1's first job triggers it): the
+        # materialize once (lazily — the fingerprint job triggers it): the
         # pair generation upstream (LSH banding / blocked cosine joins) is
-        # the expensive part and every round reads it — never re-derive it
-        .localCheckpoint(eager=False)
+        # the expensive part and every consumer reads it — never re-derive
+        # it. persist (public API, freed below), not localCheckpoint: the
+        # initial edge set is read only until round 1 lands on parquet.
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     # remember every node up front: star rewiring keeps components
     # connected but the final edge list names roots only on the b side
@@ -177,46 +192,58 @@ def connected_components(
         return max(1, min(max_p, n // 50_000 + 1))
 
     prev = None
-    n0 = fingerprint(edges)[0]  # also materializes the lazy checkpoint
+    n0 = fingerprint(edges)[0]  # also materializes the persisted edges
     p = clamp(n0)
 
     # Small-graph finish: below the threshold the per-round fixed costs
-    # (plan analysis, codegen, checkpoint, driver action — ~1s/round
+    # (plan analysis, codegen, materialization, driver action — ~1s/round
     # regardless of data size) dwarf the actual work, so collect once and
     # union-find on the driver. The threshold is measured (the fingerprint
     # count), not guessed; a 100 TB near-dup graph stays on the
     # distributed star rounds below. This mirrors Spark's own posture of
     # finishing small sides locally (broadcast joins).
     if n0 <= small_graph_edges:
-        labels = _driver_union_find(pairs.sparkSession, edges, all_nodes)
+        labels = _driver_union_find(spark, edges, all_nodes)
+        edges.unpersist()  # labels is a driver-built DataFrame — no lineage on edges
         return (labels, 0) if return_rounds else labels
 
-    # Distributed path: pin the node list NOW (eager — one extra small
-    # job), so unpersisting the initial edge checkpoint below can never
-    # orphan all_nodes' lineage; then free each round's predecessor as
-    # soon as the new round has materialized — without this, O(rounds)
-    # edge RDDs accumulate in executor storage memory until session end.
-    all_nodes = all_nodes.localCheckpoint(eager=True)
-    prev_ckpt = edges
+    # Distributed path: superstep materialization. Pin the node list to
+    # parquet NOW (one extra small job) so freeing the initial edge set
+    # can never orphan all_nodes' lineage; every subsequent round writes
+    # its edges and reads them back — lineage stays one round deep with
+    # no private-API block management, and a lost executor recomputes
+    # from files instead of failing the job (localCheckpoint's caveat).
+    base = checkpoint_dir or tempfile.mkdtemp(prefix="cc_rounds_")
+    if checkpoint_dir:
+        os.makedirs(base, exist_ok=True)
+    else:
+        atexit.register(shutil.rmtree, base, ignore_errors=True)
+    nodes_path = os.path.join(base, "nodes")
+    all_nodes.write.mode("overwrite").parquet(nodes_path)
+    all_nodes = spark.read.parquet(nodes_path)
+    prev_path: str | None = None
     for rounds in range(1, max_iterations + 1):
         # symmetric neighbor list: every undirected edge seen from both ends
         nbrs = edges.select(F.col("a").alias("u"), F.col("b").alias("v")).union(
             edges.select(F.col("b").alias("u"), F.col("a").alias("v"))
         )
-        # lazy checkpoint: the fingerprint job both materializes this
-        # round's edges and reads the convergence counter — one job, not two
-        edges = _small_star(_large_star(nbrs, p), p).localCheckpoint(eager=False)
+        out_path = os.path.join(base, f"r{rounds}")
+        _small_star(_large_star(nbrs, p), p).write.mode("overwrite").parquet(out_path)
+        if rounds == 1:
+            edges.unpersist()  # round 1 is on parquet; the initial set is dead
+        elif prev_path is not None:
+            shutil.rmtree(prev_path, ignore_errors=True)  # consumed by the write above
+        prev_path = out_path
+        edges = spark.read.parquet(out_path)
         cur = fingerprint(edges)
-        _unpersist_checkpoint(prev_ckpt)
-        prev_ckpt = edges
         p = clamp(cur[0])
         if cur == prev:
             labels = (
                 all_nodes.join(edges.withColumnRenamed("a", "id"), "id", "left")
                 .select(F.col("id").alias("doc_id"), F.coalesce(F.col("b"), F.col("id")).alias("cluster_id"))
             )
-            # the final round's checkpoint stays persisted: `labels`
-            # reads it when the caller materializes
+            # the final round's parquet backs `labels` (lazy) — kept
+            # until process exit / caller-owned checkpoint_dir cleanup
             if return_rounds:
                 return labels, rounds
             return labels

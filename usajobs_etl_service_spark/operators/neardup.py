@@ -25,6 +25,53 @@ from pyspark.sql import functions as F
 from usajobs_etl_service_spark.functions.text import shingles
 from usajobs_etl_service_spark.functions.vectors import cosine
 
+
+def _cap_drop_metrics(max_bucket: int) -> tuple[Column, Column]:
+    """Aggregate expressions measuring what the hot-bucket cap discards,
+    for ``Dataset.observe``. ``dropped_rows`` = banded rows in saturated
+    buckets; ``dropped_buckets`` = saturated bucket count (each of a
+    saturated bucket's n rows contributes weight 1/n, so the sum counts
+    buckets exactly — double-exact for n < 2^52). Zero means the cap
+    did not bind and candidate recall paid nothing for the guard."""
+    dropped = F.col("n") > max_bucket
+    return (
+        F.sum(dropped.cast("long")).alias("dropped_rows"),
+        F.round(F.sum(F.when(dropped, 1.0 / F.col("n")).otherwise(0.0)))
+        .cast("long")
+        .alias("dropped_buckets"),
+    )
+
+
+def _cap_buckets(banded: DataFrame, max_bucket: int, *, metric_name: str, observation=None) -> DataFrame:
+    """Hot-key guard shared by every LSH candidate path: window-count
+    the (band, key) bucket sizes (ONE shuffle, spill-safe), drop
+    singleton buckets and buckets larger than ``max_bucket`` BEFORE
+    anything quadratic can happen.
+
+    The cap trades recall for boundedness, so the trade is never
+    silent: drop counters (``_cap_drop_metrics``) are attached via
+    ``observe`` — readable per-query from a passed
+    ``pyspark.sql.Observation`` (tests, scale smokes) and visible to
+    QueryExecutionListeners / the SQL UI under ``metric_name``.
+
+    Known Spark caveat (measured on 4.1.2): if AQE's empty-relation
+    propagation collapses the WHOLE query to an empty LocalRelation —
+    only possible when every bucket is dropped and the final result is
+    empty — the CollectMetrics node is elided with it and the
+    Observation never populates (``.get`` raises). Any query with
+    non-empty output carries the metrics; to diagnose a fully-emptied
+    degenerate run, re-run it with ``spark.sql.adaptive.enabled=false``
+    (tools/scale_smoke.py does this automatically)."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("band", "key")
+    counted = banded.withColumn("n", F.count(F.lit(1)).over(w))
+    counted = counted.observe(
+        observation if observation is not None else metric_name, *_cap_drop_metrics(max_bucket)
+    )
+    return counted.filter(F.col("n").between(2, max_bucket)).drop("n")
+
+
 def minhash_signature(text_col: Column, num_hashes: int = 128, shingle_k: int = 5, seed: int = 42) -> Column:
     """MinHash signature (array<long>, length ``num_hashes``) over word
     k-gram shingles. One pass per row; no shuffle.
@@ -173,13 +220,20 @@ def minhash_load(spark, path: str) -> DataFrame:
     has appended batches (``minhash_append``), re-crawled ids are
     resolved latest-wins by ``batch_seq`` — one window shuffle on id,
     only paid when appends exist; a compacted or write-once table reads
-    straight through."""
+    straight through. Ties on (id, batch_seq) — a duplicate id inside
+    one append batch, or within the base where batch_seq is NULL — are
+    broken by signature-content hash, so the loaded table is
+    DETERMINISTIC even when the unique-id-per-batch precondition is
+    violated (row_number alone would pick whichever row the shuffle
+    delivered first)."""
     sigs = spark.read.option("mergeSchema", "true").parquet(path)
     if "batch_seq" not in sigs.columns:
         return sigs
     from pyspark.sql import Window
 
-    w = Window.partitionBy("id").orderBy(F.desc_nulls_last("batch_seq"))
+    w = Window.partitionBy("id").orderBy(
+        F.desc_nulls_last("batch_seq"), F.xxhash64(F.col("sig")).asc()
+    )
     return (
         sigs.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") == 1)
@@ -203,6 +257,7 @@ def minhash_pairs_from_sigs(
     threshold: float = 0.8,
     max_bucket: int = 1000,
     extra_band_configs: list[tuple[int, int]] | None = None,
+    observation=None,
 ) -> DataFrame:
     """Near-dup pairs from a PERSISTED signature table — the 100 TB
     query shape. The inline ``minhash_near_dup_pairs`` must carry the
@@ -220,8 +275,6 @@ def minhash_pairs_from_sigs(
     from functools import reduce
     from itertools import accumulate
 
-    from pyspark.sql import Window
-
     offsets = [0] + list(accumulate(b_n for b_n, _ in configs[:-1]))
     banded = reduce(
         lambda x, y: x.unionByName(y),
@@ -232,12 +285,7 @@ def minhash_pairs_from_sigs(
             for off, (b_n, r_n) in zip(offsets, configs)
         ),
     ).select("id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
-    w = Window.partitionBy("band", "key")
-    banded = (
-        banded.withColumn("n", F.count(F.lit(1)).over(w))
-        .filter(F.col("n").between(2, max_bucket))
-        .drop("n")
-    )
+    banded = _cap_buckets(banded, max_bucket, metric_name="minhash_sig_lsh_cap", observation=observation)
     buckets = banded.groupBy("band", "key").agg(F.array_sort(F.collect_list("id")).alias("ids"))
     lhs = buckets.select(F.posexplode("ids").alias("i", "id_a"), "ids")
     pairs = lhs.select(
@@ -310,6 +358,9 @@ def minhash_incremental_pairs(
     banded = (
         banded.withColumn("n", F.count(F.lit(1)).over(w))
         .withColumn("n_new", F.sum(F.col("is_new").cast("int")).over(w))
+        # same drop counters as _cap_buckets (inline because this path
+        # also carries the bucket-level new-member count)
+        .observe("minhash_incr_lsh_cap", *_cap_drop_metrics(max_bucket))
         .filter(F.col("n").between(2, max_bucket) & (F.col("n_new") > 0))
         .drop("n", "n_new")
     )
@@ -372,6 +423,7 @@ def minhash_near_dup_pairs(
     max_bucket: int = 1000,
     seed: int = 42,
     extra_band_configs: list[tuple[int, int]] | None = None,
+    observation=None,
 ) -> DataFrame:
     """Near-dup pairs (id_a < id_b, est_jaccard >= threshold).
 
@@ -428,14 +480,7 @@ def minhash_near_dup_pairs(
     #   3. expression-level i<j pair expansion inside each bucket array.
     # The signature aggregate appears exactly once in the plan under any
     # planner; total shuffles: sig agg, band-key, pair dedup.
-    from pyspark.sql import Window
-
-    w = Window.partitionBy("band", "key")
-    banded = (
-        banded.withColumn("n", F.count(F.lit(1)).over(w))
-        .filter(F.col("n").between(2, max_bucket))
-        .drop("n")
-    )
+    banded = _cap_buckets(banded, max_bucket, metric_name="minhash_lsh_cap", observation=observation)
     buckets = banded.groupBy("band", "key").agg(
         F.array_sort(F.collect_list(F.struct("id", "sig"))).alias("ms")
     )
@@ -543,6 +588,7 @@ def simhash_near_dup_pairs(
     text_col: str = "text",
     max_hamming: int = 3,
     max_bucket: int = 1000,
+    observation=None,
 ) -> DataFrame:
     """Candidate pairs via 4x16-bit band equality (any doc pair with
     Hamming distance <= 3 shares at least one exact band by pigeonhole
@@ -555,8 +601,6 @@ def simhash_near_dup_pairs(
     sides are separate subtrees to AQE and the whole signature pipeline
     ran twice). ``max_bucket`` drops degenerate keys (e.g. all-empty
     docs hashing to signature 0) before anything quadratic happens."""
-    from pyspark.sql import Window
-
     sigs = simhash_signatures_df(df, id_col=id_col, text_col=text_col)
     banded = sigs.select(
         "id",
@@ -573,12 +617,7 @@ def simhash_near_dup_pairs(
             )
         ).alias("bk"),
     ).select("id", "sig", "bk.band", "bk.key")
-    w = Window.partitionBy("band", "key")
-    banded = (
-        banded.withColumn("n", F.count(F.lit(1)).over(w))
-        .filter(F.col("n").between(2, max_bucket))
-        .drop("n")
-    )
+    banded = _cap_buckets(banded, max_bucket, metric_name="simhash_lsh_cap", observation=observation)
     buckets = banded.groupBy("band", "key").agg(
         F.array_sort(F.collect_list(F.struct("id", "sig"))).alias("ms")
     )
@@ -650,17 +689,30 @@ def ngram_jaccard_pairs(
 # Embedding-cosine near-dup
 # ---------------------------------------------------------------------------
 
+def srp_auto_planes(n_rows: int, target_bucket: int = 4) -> int:
+    """Code width keeping expected SRP bucket occupancy ~``target_bucket``
+    as the corpus grows: ``max(12, ceil(log2(n_rows / target_bucket)))``.
+    Floor 12 preserves the documented recall formula at small n; the
+    62-plane long-code ceiling is ~4e18 rows."""
+    import math
+
+    return max(12, math.ceil(math.log2(max(n_rows / max(target_bucket, 1), 2.0))))
+
+
 def embedding_srp_near_dup_pairs(
     df: DataFrame,
     *,
     id_col: str = "vec_id",
     embedding_col: str = "embedding",
     threshold: float = 0.95,
-    n_planes: int = 12,
+    n_planes: int | None = None,
     n_bands: int = 8,
-    dim: int = 64,
+    dim: int | None = None,
     seed: int = 42,
     max_bucket: int = 1000,
+    target_bucket: int = 4,
+    n_rows_hint: int | None = None,
+    observation=None,
 ) -> DataFrame:
     """Label-FREE embedding near-dup at scale: when no blocking
     attribute exists (``embedding_near_dup_pairs``'s ``block_col``),
@@ -668,21 +720,58 @@ def embedding_srp_near_dup_pairs(
     codes (similarity.srp_code) — the MinHash-LSH banding scheme
     transplanted to cosine space. A pair with cosine >= t collides in
     one band with probability p^n_planes, p = 1 - arccos(t)/pi, and
-    survives banding with 1 - (1 - p^n_planes)^n_bands (defaults: 0.93
-    at t=0.95; ~1.0 for true duplicates, whose sign patterns are
-    identical). Shape mirrors minhash_pairs_from_sigs: banded rows
-    carry only (id, band, code), hot buckets are capped at
+    survives banding with 1 - (1 - p^n_planes)^n_bands (12 planes x 8
+    bands: 0.93 at t=0.95; ~1.0 for true duplicates, whose sign
+    patterns are identical). Shape mirrors minhash_pairs_from_sigs:
+    banded rows carry only (id, band, code), hot buckets are capped at
     ``max_bucket``, pair expansion is posexplode+slice (bounded per-row
     memory), and the verify stage equi-joins the vectors back and
     filters on EXACT cosine — precision 1.0, recall per the banding
-    formula. The 96 plane dots per row are scan-stage codegen; no
-    all-pairs anything."""
-    from pyspark.sql import Window
+    formula. The n_bands x n_planes plane dots per row are scan-stage
+    codegen; no all-pairs anything.
+
+    ``n_planes=None`` (default) AUTO-SCALES the code width to the
+    corpus: ``max(12, ceil(log2(n_rows / target_bucket)))``, so
+    expected bucket occupancy stays ~``target_bucket`` as the corpus
+    grows. A fixed width is the measured scale soft spot: constant
+    bucket count under growing occupancy made the candidate-pair
+    shuffle super-linear (0.6 -> 451 MB at 10x data with 12 planes)
+    and pushes buckets toward the ``max_bucket`` cap, which DROPS
+    saturated buckets' pairs wholesale. Deriving the width costs one
+    ``count()`` of the input (cheap next to the banding scan); pass
+    ``n_rows_hint`` to skip it, or a fixed ``n_planes`` to pin the
+    width. The cap's recall cost is never silent either way:
+    dropped-row/bucket counters ride the query via ``observe`` (pass a
+    pyspark ``Observation`` to read them; zero means the cap never
+    bound and — given every true-dup pair collides in some band — LSH
+    recall claims hold exactly).
+
+    ``dim``: validated against the data (first row) — a mismatched
+    caller-supplied dim would NULL-pad every plane dot via zip_with
+    and silently emit ZERO pairs; that now raises. ``dim=None``
+    derives it from the data. Rows whose embedding length differs from
+    the (validated) dim are excluded from banding with a counted
+    metric rather than poisoning bucket 0."""
+    import math
 
     from usajobs_etl_service_spark.functions.vectors import dot, norm
     from usajobs_etl_service_spark.operators.similarity import srp_code
 
     v = F.col(embedding_col).cast("array<double>")
+    probe = df.select(F.size(v).alias("d")).limit(1).collect()
+    actual_dim = probe[0]["d"] if probe else None
+    if dim is None:
+        dim = actual_dim if actual_dim is not None else 64
+    elif actual_dim is not None and actual_dim != dim:
+        raise ValueError(
+            f"embedding dim mismatch: caller passed dim={dim} but "
+            f"{embedding_col!r} has length {actual_dim}; zip_with would "
+            "NULL-pad every plane dot and the query would silently "
+            "return no pairs. Pass dim=None to derive it from the data."
+        )
+    if n_planes is None:
+        n_rows = n_rows_hint if n_rows_hint is not None else df.count()
+        n_planes = srp_auto_planes(n_rows, target_bucket)
     # n_bands x n_planes UNROLLED plane dots, deliberately: the compact
     # alternative (one literal plane matrix + transform with the dot
     # fold inside) stays interpreted — nested HOFs are CodegenFallback —
@@ -699,15 +788,16 @@ def embedding_srp_near_dup_pairs(
             for b in range(n_bands)
         ]
     )
-    banded = df.select(F.col(id_col).alias("id"), F.explode(codes).alias("bk")).select(
+    conforming = df.observe(
+        "srp_dim_check",
+        F.sum(F.when(F.size(v) == dim, F.lit(0)).otherwise(F.lit(1)).cast("long")).alias(
+            "dim_mismatch_rows"
+        ),
+    ).filter(F.size(v) == dim)
+    banded = conforming.select(F.col(id_col).alias("id"), F.explode(codes).alias("bk")).select(
         "id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
     )
-    w = Window.partitionBy("band", "key")
-    banded = (
-        banded.withColumn("n", F.count(F.lit(1)).over(w))
-        .filter(F.col("n").between(2, max_bucket))
-        .drop("n")
-    )
+    banded = _cap_buckets(banded, max_bucket, metric_name="srp_lsh_cap", observation=observation)
     buckets = banded.groupBy("band", "key").agg(F.array_sort(F.collect_list("id")).alias("ids"))
     lhs = buckets.select(F.posexplode("ids").alias("i", "id_a"), "ids")
     pairs = lhs.select(

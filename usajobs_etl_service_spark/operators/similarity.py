@@ -199,8 +199,30 @@ def ivf_append(
     does not drift with appends; re-run ``ivf_build`` periodically if
     the vector distribution moves. Replacing an existing vec_id is a
     rebuild concern (parquet has no row-level delete); appends assume
-    new ids."""
+    new ids.
+
+    The batch schema is validated against the stored index before any
+    write: parquet ``mode("append")`` happily lands mixed-schema files,
+    which a plain (no-mergeSchema) ``ivf_load`` would then read
+    inconsistently — silent probe corruption. A mismatch raises
+    instead."""
     spark = df.sparkSession
+    stored = {
+        f.name: f.dataType
+        for f in spark.read.parquet(f"{path}/index").schema.fields
+        if f.name != "centroid_id"
+    }
+    batch = {f.name: f.dataType for f in df.schema.fields}
+    if batch != stored:
+        only_batch = sorted(set(batch) - set(stored))
+        only_stored = sorted(set(stored) - set(batch))
+        typediff = sorted(k for k in set(batch) & set(stored) if batch[k] != stored[k])
+        raise ValueError(
+            "ivf_append batch schema does not match the stored index "
+            f"(minus centroid_id): batch-only={only_batch}, "
+            f"index-only={only_stored}, type-mismatch={typediff}. "
+            "Appending would corrupt probes; align the batch columns or rebuild."
+        )
     cents = spark.read.parquet(f"{path}/centroids")
     cent_rows = sorted(
         ((r["centroid_id"], [float(x) for x in r["cv"]]) for r in cents.collect()),
@@ -221,20 +243,24 @@ def ivf_load(spark, path: str) -> tuple[DataFrame, DataFrame]:
 
 
 def srp_code(embedding: Column, *, n_planes: int = 16, dim: int = 64, seed: int = 42) -> Column:
-    """Sign-random-projection LSH code (int bucket id): bit j = sign of
-    dot(v, r_j) for deterministic pseudo-random hyperplanes r_j in
-    {-1,+1}^dim derived from a seeded PRNG and inlined as literals —
-    identical on every executor/run. Cosine-similar vectors collide
-    with probability (1 - theta/pi)^n_planes."""
+    """Sign-random-projection LSH code (LONG bucket id — auto-scaled
+    widths at corpus scale exceed 31 planes, where an int would
+    overflow): bit j = sign of dot(v, r_j) for deterministic
+    pseudo-random hyperplanes r_j in {-1,+1}^dim derived from a seeded
+    PRNG and inlined as literals — identical on every executor/run.
+    Cosine-similar vectors collide with probability
+    (1 - theta/pi)^n_planes."""
     import random
 
+    if not 1 <= n_planes <= 62:
+        raise ValueError(f"n_planes must be in [1, 62] for a long code, got {n_planes}")
     rng = random.Random(seed)
     planes = [[rng.choice((-1.0, 1.0)) for _ in range(dim)] for _ in range(n_planes)]
     v = _as_double_array(embedding)
-    code = F.lit(0)
+    code = F.lit(0).cast("long")
     for j, plane in enumerate(planes):
         d = dot(v, F.array(*[F.lit(c) for c in plane]))
-        code = code + F.when(d > 0, F.lit(1 << j)).otherwise(F.lit(0))
+        code = code + F.when(d > 0, F.lit(1 << j).cast("long")).otherwise(F.lit(0).cast("long"))
     return code
 
 

@@ -1535,6 +1535,77 @@ def q85_quality_gate_exact_regime(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
+def q86_multimodal_geometry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q45's multimodal family ORACLE-ANCHORED (the q85 exact-regime
+    playbook): the SAME distributed decode path q45 runs — binary
+    media column -> repartition(media_id) -> mapInPandas Arrow batches
+    -> fake codec (operators/multimodal.extract_image_features) — over
+    media whose content bytes are ASCII ("42:{i}",
+    synth_media(content_mode="ascii")). The codec's geometry is pure
+    digest arithmetic (h = 8 + sha256(content)[8] % 8, w = 8 +
+    digest[9] % 8, multimodal.py:75-79), and with ASCII content DuckDB's
+    ``sha256(VARCHAR)`` hashes the identical bytes — so an independent
+    engine recomputes width/height/n_pixels value-for-value. The float
+    pixel stats (numpy PCG draws) stay OUT of the oracle surface; the
+    claim being checked is that the Spark-side plumbing — binary
+    columns, partitioning, Arrow batch shape, UDF signature, the
+    decode dispatch — delivers every row exactly once with the right
+    bytes. q45 (opaque digest content, full feature row) remains the
+    production-shaped rows-only entry."""
+    from usajobs_etl_service_spark.operators.multimodal import extract_image_features, synth_media
+
+    media = synth_media(spark, n=30, content_mode="ascii")
+    return extract_image_features(media).select("media_id", "width", "height", "n_pixels")
+
+
+def q87_hll_exact_regime(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q35's HLL family in its CHECKABLE small-cardinality regime:
+    ``approx_count_distinct`` (HyperLogLog++, mergeable register
+    partials — the one-pass 100 TB shape) over two ~5-distinct columns,
+    where the estimator is in linear counting (estimate =
+    m*ln(m/V_empty), m = 512 registers at the default rsd 0.05) and
+    returns the EXACT count whenever (i) no two distinct values hash
+    to the same register — deterministic for a fixed corpus + Spark's
+    fixed hash family, and violated here only for ~20+ distinct values
+    (documents.source measures 19 vs 20) — and (ii) the linear-counting
+    bias k^2/2m stays under the 0.5 rounding boundary (k <= ~22 at
+    m = 512). Both columns sit at k = 5, far inside the regime; the
+    oracle is plain exact COUNT(DISTINCT). q35 (exact-vs-approx on a
+    150k-distinct key, error-bound-tested) remains the production-
+    shaped rows-only entry."""
+    docs = _t(spark, sf_dir, "documents")
+    events = _t(spark, sf_dir, "events")
+    a = docs.agg(F.approx_count_distinct("lang").alias("n_distinct")).select(
+        F.lit("doc_langs").alias("metric"), "n_distinct"
+    )
+    b = events.agg(F.approx_count_distinct("event_type").alias("n_distinct")).select(
+        F.lit("event_types").alias("metric"), "n_distinct"
+    )
+    return a.unionByName(b)
+
+
+def q88_quantile_sketch_exact_regime(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q79's GK-sketch family run in its PROVABLY EXACT regime (the
+    q85 argument applied to the sketch directly): ``percentile_approx``
+    with accuracy (100000) >= every group's row count (events/5 types:
+    ~200 rows at sf0.001, ~2k at sf0.01, ~20k at sf0.1) retains enough
+    of the multiset that the returned DISCRETE quantile (an actual data
+    value) equals DuckDB ``quantile_disc`` (rank = ceil(q*n)) — measured
+    equal across group sizes in q85's validation. Same plan shape as
+    q79 (ONE map-side-combined aggregation pass, mergeable partials, no
+    per-group sort); only the accuracy knob moves. q79 (accuracy 1000,
+    the bounded-memory production setting) remains the rows-only entry
+    with error-bound tests."""
+    events = _t(spark, sf_dir, "events")
+    acc = 100_000
+    return events.groupBy("event_type").agg(
+        F.round(F.percentile_approx("value", 0.5, acc), 2).alias("p50"),
+        F.round(F.percentile_approx("value", 0.95, acc), 2).alias("p95"),
+        F.round(F.percentile_approx("value", 0.99, acc), 2).alias("p99"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_job_statistics": q01_job_statistics,
     "q02_metric_union": q02_metric_union,
@@ -1621,6 +1692,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q83_minhash_exact_dups": q83_minhash_exact_dups,
     "q84_simhash_exact_dups": q84_simhash_exact_dups,
     "q85_quality_gate_exact_regime": q85_quality_gate_exact_regime,
+    "q86_multimodal_geometry": q86_multimodal_geometry,
+    "q87_hll_exact_regime": q87_hll_exact_regime,
+    "q88_quantile_sketch_exact_regime": q88_quantile_sketch_exact_regime,
 }
 
 
@@ -2646,6 +2720,47 @@ ORACLES: dict[str, str] = {
         WHERE (p_brand = 'Brand#11' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 20)
            OR (p_brand = 'Brand#19' AND p_size BETWEEN 10 AND 30 AND l_quantity BETWEEN 10 AND 35)
            OR (p_brand = 'Brand#23' AND p_size BETWEEN 20 AND 50 AND l_quantity BETWEEN 20 AND 50)
+    """,
+    # q86: the fake codec's geometry is sha256-digest arithmetic over
+    # ASCII content bytes; DuckDB's sha256(VARCHAR) hashes the same
+    # bytes, and hex-pair -> int is a strpos lookup. Image rows are
+    # i % 3 == 0 (synth_media's kind cycle); digest byte k lives at hex
+    # chars 2k+1..2k+2.
+    "q86_multimodal_geometry": """
+        WITH m AS (
+            SELECT i AS media_id, sha256('42:' || i::VARCHAR) AS d
+            FROM generate_series(0, 29) AS t(i)
+            WHERE i % 3 = 0
+        ),
+        b AS (
+            SELECT media_id,
+                   (strpos('0123456789abcdef', substr(d, 17, 1))-1)*16
+                 + (strpos('0123456789abcdef', substr(d, 18, 1))-1) AS byte8,
+                   (strpos('0123456789abcdef', substr(d, 19, 1))-1)*16
+                 + (strpos('0123456789abcdef', substr(d, 20, 1))-1) AS byte9
+            FROM m
+        )
+        SELECT media_id,
+               CAST(8 + byte9 % 8 AS INT) AS width,
+               CAST(8 + byte8 % 8 AS INT) AS height,
+               CAST((8 + byte8 % 8) * (8 + byte9 % 8) AS BIGINT) AS n_pixels
+        FROM b
+    """,
+    "q87_hll_exact_regime": """
+        SELECT 'doc_langs' AS metric, count(DISTINCT lang) AS n_distinct FROM documents
+        UNION ALL
+        SELECT 'event_types' AS metric, count(DISTINCT event_type) AS n_distinct FROM events
+    """,
+    # q88: GK sketch with accuracy >= group size returns the exact
+    # discrete quantile — rank = ceil(q*n), DuckDB's quantile_disc.
+    "q88_quantile_sketch_exact_regime": """
+        SELECT event_type,
+               round(quantile_disc(value, 0.5), 2) AS p50,
+               round(quantile_disc(value, 0.95), 2) AS p95,
+               round(quantile_disc(value, 0.99), 2) AS p99,
+               count(*) AS n
+        FROM events
+        GROUP BY event_type
     """,
 }
 

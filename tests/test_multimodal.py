@@ -24,6 +24,27 @@ def test_image_features_deterministic(spark, media):
         assert a[k]["n_pixels"] == a[k]["width"] * a[k]["height"]
 
 
+def test_synth_media_ascii_content_mode(spark):
+    """q86's oracle precondition: with content_mode="ascii" the binary
+    payload is EXACTLY the ASCII bytes of "{seed}:{i}" (so DuckDB's
+    sha256(VARCHAR) hashes identical bytes), and the fake codec's
+    geometry matches the hand-computed digest arithmetic."""
+    import hashlib
+
+    rows = {r["media_id"]: r for r in MM.synth_media(spark, n=6, content_mode="ascii").collect()}
+    assert bytes(rows[0]["content"]) == b"42:0"
+    assert bytes(rows[5]["content"]) == b"42:5"
+    feats = {r["media_id"]: r for r in MM.extract_image_features(
+        MM.synth_media(spark, n=6, content_mode="ascii")
+    ).collect()}
+    for i in (0, 3):
+        dg = hashlib.sha256(f"42:{i}".encode()).digest()
+        assert feats[i]["height"] == 8 + dg[8] % 8
+        assert feats[i]["width"] == 8 + dg[9] % 8
+    with pytest.raises(ValueError, match="content_mode"):
+        MM.synth_media(spark, n=3, content_mode="nope")
+
+
 def test_resize_shapes(spark, media):
     out = MM.resize_images(media, target_h=4, target_w=6).collect()
     assert len(out) == 10

@@ -182,6 +182,8 @@ def run(outdir: str) -> None:
         "passes_linear_bar": worst <= bar,
         f"{big}_total_spill_bytes": total_spill,
         "lsh_cap_drop_counters": _cap_drop_counters(spark, outdir),
+        "minhash_persisted_vs_inline": _minhash_crossover(spark, outdir, big),
+        "cc_distributed_rounds": _cc_rounds(spark, outdir),
         "queries": out,
     }
     name = "SCALE_SMOKE.json" if MULT == 10 else f"SCALE_SMOKE_{big}.json"
@@ -189,6 +191,82 @@ def run(outdir: str) -> None:
     with open(path, "w") as f:
         json.dump(summary, f, indent=1)
     print(f"worst ratio {worst} (bar {bar}) spill {total_spill} -> {path}")
+
+
+def _minhash_crossover(spark, outdir: str, big: str) -> dict[str, dict]:
+    """Measure q24's two deployment shapes side-by-side at each scale:
+    INLINE (one query computes signatures + bands + verify; the banded
+    shuffle carries full signatures) vs PERSISTED (minhash_write pays
+    the signature scan once into a parquet artifact; pair queries band
+    ids-only and equi-join signatures back). At corpus scale the
+    persisted path is the deployed shape — this records the measured
+    crossover instead of projecting it: the signature build amortizes
+    after ``build_sec / (inline_sec - pairs_sec)`` pair queries."""
+    import shutil
+    import tempfile
+
+    from bench import materialize
+    from usajobs_etl_service_spark.operators.neardup import (
+        minhash_load,
+        minhash_near_dup_pairs,
+        minhash_pairs_from_sigs,
+        minhash_write,
+    )
+    from usajobs_etl_service_spark.session import read_table
+
+    out: dict[str, dict] = {}
+    for label, d in (("sf0.1", BASE_SF), (big, outdir)):
+        docs = read_table(spark, d, "documents")
+        tmp = tempfile.mkdtemp(prefix="smoke_sigs_")
+        try:
+            # warm one inline run (codegen), then time inline vs persisted
+            materialize(minhash_near_dup_pairs(docs, threshold=0.5, num_hashes=64, bands=16))
+            t0 = time.perf_counter()
+            materialize(minhash_near_dup_pairs(docs, threshold=0.5, num_hashes=64, bands=16))
+            t_inline = time.perf_counter() - t0
+            t0 = time.perf_counter()
+            minhash_write(docs, tmp, num_hashes=64)
+            t_build = time.perf_counter() - t0
+            sigs = minhash_load(spark, tmp)
+            materialize(minhash_pairs_from_sigs(sigs, num_hashes=64, bands=16, threshold=0.5))
+            t0 = time.perf_counter()
+            materialize(minhash_pairs_from_sigs(sigs, num_hashes=64, bands=16, threshold=0.5))
+            t_pairs = time.perf_counter() - t0
+            saved = t_inline - t_pairs
+            out[label] = {
+                "inline_sec": round(t_inline, 3),
+                "sig_build_sec": round(t_build, 3),
+                "pairs_from_sigs_sec": round(t_pairs, 3),
+                "breakeven_pair_queries": round(t_build / saved, 1) if saved > 0 else None,
+            }
+        finally:
+            shutil.rmtree(tmp, ignore_errors=True)
+    return out
+
+
+def _cc_rounds(spark, outdir: str) -> dict:
+    """q64's connected components on the big corpus, FORCED onto the
+    distributed large-star/small-star path (small_graph_edges=0 — at
+    these pair counts the driver union-find finish would normally
+    take over), recording the round count and wall-clock. Makes the
+    O(log diameter) convergence claim a measurement: the big corpus's
+    dup graph resolves in this many supersteps, not a projection."""
+    from usajobs_etl_service_spark.operators.clustering import connected_components
+    from usajobs_etl_service_spark.operators.neardup import embedding_near_dup_pairs
+    from usajobs_etl_service_spark.session import read_table
+
+    emb = read_table(spark, outdir, "embeddings")
+    pairs = embedding_near_dup_pairs(emb, block_col="label", threshold=0.35).select("id_a", "id_b")
+    n_edges = pairs.count()
+    t0 = time.perf_counter()
+    labels, rounds = connected_components(pairs, return_rounds=True, small_graph_edges=0)
+    n_clusters = labels.select("cluster_id").distinct().count()
+    return {
+        "n_edges": n_edges,
+        "rounds": rounds,
+        "sec": round(time.perf_counter() - t0, 3),
+        "n_clusters": n_clusters,
+    }
 
 
 def _cap_drop_counters(spark, outdir: str) -> dict[str, dict]:

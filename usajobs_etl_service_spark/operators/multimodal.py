@@ -229,14 +229,28 @@ def audio_stats(df: DataFrame, *, codec: str = "fake") -> DataFrame:
 # Deterministic synthetic media (test/bench input)
 # ---------------------------------------------------------------------------
 
-def synth_media(spark: SparkSession, n: int = 30, seed: int = 42) -> DataFrame:
+def synth_media(
+    spark: SparkSession, n: int = 30, seed: int = 42, *, content_mode: str = "digest"
+) -> DataFrame:
     """n rows cycling image/audio/video with deterministic binary
-    payloads — the stand-in for a real media lake."""
+    payloads — the stand-in for a real media lake.
+
+    ``content_mode="digest"`` (default): content is a 128-byte raw
+    digest expansion — realistic opaque bytes.
+    ``content_mode="ascii"``: content is the ASCII bytes of
+    ``"{seed}:{i}"``. Same distributed path, but the fake codec's
+    geometry (``sha256(content)`` digest bytes) becomes recomputable
+    by any engine with a string sha256 — DuckDB's ``sha256(VARCHAR)``
+    hashes identical bytes — which is what makes q86's oracle possible
+    (raw-blob hashing is not expressible there)."""
+    if content_mode not in ("digest", "ascii"):
+        raise ValueError(f"unknown content_mode {content_mode!r}")
     rows = []
     kinds = ["image", "audio", "video"]
     for i in range(n):
         kind = kinds[i % 3]
-        content = hashlib.sha256(f"{seed}:{i}".encode()).digest() * 4
+        raw = f"{seed}:{i}".encode()
+        content = raw if content_mode == "ascii" else hashlib.sha256(raw).digest() * 4
         meta = {
             "width": 640 if kind == "image" else None,
             "height": 480 if kind == "image" else None,

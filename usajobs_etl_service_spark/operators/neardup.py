@@ -712,6 +712,7 @@ def embedding_srp_near_dup_pairs(
     max_bucket: int = 1000,
     target_bucket: int = 4,
     n_rows_hint: int | None = None,
+    extra_plane_configs: list[int] | None = None,
     observation=None,
 ) -> DataFrame:
     """Label-FREE embedding near-dup at scale: when no blocking
@@ -751,7 +752,20 @@ def embedding_srp_near_dup_pairs(
     and silently emit ZERO pairs; that now raises. ``dim=None``
     derives it from the data. Rows whose embedding length differs from
     the (validated) dim are excluded from banding with a counted
-    metric rather than poisoning bucket 0."""
+    metric rather than poisoning bucket 0.
+
+    ``extra_plane_configs``: additional code WIDTHS, each banded
+    ``n_bands`` more times over independent hyperplanes and unioned
+    into the candidate set (multi-resolution, the cosine-space mirror
+    of MinHash ``extra_band_configs``). A NARROWER width raises
+    recall away from the primary threshold's sweet spot — at cosine
+    0.9, 12-plane x 8-band banding catches ~74% of pairs while adding
+    a 6-plane resolution lifts it past 99% — and the exact-cosine
+    verify keeps precision at 1.0, so extra configs only ever add
+    candidates, never wrong results. Each config's bands get globally
+    unique band ids and independent plane seeds; cost is one more
+    ``n_bands x width`` block of scan-stage plane dots plus the extra
+    banded rows through the same capped-bucket shuffle."""
     import math
 
     from usajobs_etl_service_spark.functions.vectors import dot, norm
@@ -779,13 +793,14 @@ def embedding_srp_near_dup_pairs(
     # unrolled form pays ~6 s of one-time whole-stage-codegen
     # compilation for the 96 dots, then runs codegen'd; on a cluster
     # that compile happens once per executor JVM, not per query.
+    widths = [n_planes] + [w for w in (extra_plane_configs or [])]
     codes = F.array(
         *[
             F.struct(
-                F.lit(b).alias("band"),
-                srp_code(v, n_planes=n_planes, dim=dim, seed=seed + 7919 * b).alias("key"),
+                F.lit(g).alias("band"),
+                srp_code(v, n_planes=w, dim=dim, seed=seed + 7919 * g).alias("key"),
             )
-            for b in range(n_bands)
+            for g, w in enumerate(w for w in widths for _ in range(n_bands))
         ]
     )
     conforming = df.observe(

@@ -1606,6 +1606,56 @@ def q88_quantile_sketch_exact_regime(spark: SparkSession, sf_dir: str) -> DataFr
     )
 
 
+def q89_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extension (SemDeDup, Abbas et al. 2023): k-means-blocked
+    embedding dedup — cluster, exact-cosine verify within cluster,
+    drop every id that has a smaller same-cluster duplicate
+    (operators/semdedup.semantic_dedup_drops). Same planted
+    construction as q82 (positively-scaled copies at vec_id + 10M):
+    scaling preserves direction, and cluster assignment scores the
+    L2-NORMALIZED vector with 6-decimal score snapping — norm-invariant
+    AND stable against near-identical sampled centroids (a duplicate
+    pair can itself be sampled as two centroids; raw floating-point
+    argmax measurably splits such pairs) — so each (original, copy)
+    pair provably lands in ONE cluster and recall on the planted
+    population is exactly 1.0; precision is the exact-cosine verify. Random 64-dim pairs sit
+    ~8 sigma below the 0.95 threshold, so the drop set provably equals
+    DuckDB's clustering-free all-pairs answer: every copy id dropped,
+    kept_id = its original, max_cos = 1.0.
+
+    PRECONDITION (cap discipline, as q82): no cluster exceeds
+    ``max_cluster`` — expected occupancy is ~n/C = ~150 at sf0.1's
+    union, the cap is 10000, and the observe() counters asserted zero
+    in tests/test_oracle_parity.py make any violation loud."""
+    from usajobs_etl_service_spark.operators.semdedup import semantic_dedup_drops
+
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    planted = emb.select(
+        (F.col("vec_id") + 10000000).alias("vec_id"),
+        F.transform("embedding", lambda x: x * F.lit(1.5)).alias("embedding"),
+    )
+    return semantic_dedup_drops(
+        emb.unionByName(planted), threshold=0.95, n_clusters=64
+    )
+
+
+def q90_duplicated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extension (cross-doc duplicated substrings, Lee et al. 2022):
+    maximal spans of word 8-grams occurring in >= 2 distinct documents
+    (operators/substring_dedup.duplicated_spans) — positional n-gram
+    fingerprints, one gram-key shuffle, gaps-and-islands window merge.
+    The documents table carries real planted duplication (near-dup
+    copies share their whole base text; exact copies everything), so
+    no synthetic construction is needed. Oracle: the same definition
+    in DuckDB over gram STRINGS (the engine carries xxhash64
+    fingerprints — equality up to a ~1e-13 collision, the q83
+    argument)."""
+    from usajobs_etl_service_spark.operators.substring_dedup import duplicated_spans
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return duplicated_spans(docs, n=8)
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_job_statistics": q01_job_statistics,
     "q02_metric_union": q02_metric_union,
@@ -1695,6 +1745,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q86_multimodal_geometry": q86_multimodal_geometry,
     "q87_hll_exact_regime": q87_hll_exact_regime,
     "q88_quantile_sketch_exact_regime": q88_quantile_sketch_exact_regime,
+    "q89_semantic_dedup": q89_semantic_dedup,
+    "q90_duplicated_spans": q90_duplicated_spans,
 }
 
 
@@ -1914,6 +1966,51 @@ ORACLES: dict[str, str] = {
         )
         SELECT a.doc_id AS id_a, b.doc_id AS id_b
         FROM u a JOIN u b ON a.nt = b.nt AND a.doc_id < b.doc_id
+    """,
+    # q89: clustering-free restatement — on the planted construction the
+    # k-means blocking provably loses no >=-threshold pair (see q89
+    # docstring), so the oracle is plain all-pairs cosine + keep-min-id.
+    "q89_semantic_dedup": """
+        WITH u AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+            UNION ALL
+            SELECT vec_id + 10000000,
+                   list_transform(CAST(embedding AS DOUBLE[]), x -> x * 1.5)
+            FROM embeddings
+        ),
+        p AS (
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   round(list_cosine_similarity(a.v, b.v), 4) AS cos
+            FROM u a JOIN u b ON a.vec_id < b.vec_id
+            WHERE round(list_cosine_similarity(a.v, b.v), 4) >= 0.95
+        )
+        SELECT id_b AS dropped_id, min(id_a) AS kept_id, max(cos) AS max_cos
+        FROM p GROUP BY id_b
+    """,
+    # q90: same definition over gram STRINGS (engine carries xxhash64
+    # fingerprints; equality up to a ~1e-13 collision, the q83 argument)
+    "q90_duplicated_spans": """
+        WITH t AS (
+            SELECT doc_id,
+                   string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS toks
+            FROM documents
+        ),
+        e AS (
+            SELECT doc_id, toks, unnest(generate_series(1, len(toks) - 7)) AS pos
+            FROM t WHERE len(toks) >= 8
+        ),
+        g AS (
+            SELECT doc_id, pos, array_to_string(list_slice(toks, pos, pos + 7), ' ') AS gram
+            FROM e
+        ),
+        d AS (SELECT gram FROM g GROUP BY gram HAVING count(DISTINCT doc_id) >= 2),
+        p AS (SELECT g.doc_id, g.pos FROM g JOIN d USING (gram)),
+        i AS (SELECT doc_id, pos,
+                     pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS island
+              FROM p)
+        SELECT doc_id, min(pos) AS span_start, max(pos) + 7 AS span_end,
+               max(pos) - min(pos) + 8 AS span_len
+        FROM i GROUP BY doc_id, island
     """,
     "q85_quality_gate_exact_regime": """
         WITH f AS (

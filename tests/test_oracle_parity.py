@@ -100,3 +100,13 @@ def test_planted_dup_oracle_queries_cap_counters_zero(spark, sf_dir):
         u, max_hamming=0, max_bucket=4000, observation=obs_sh
     ).write.format("noop").mode("overwrite").save()
     assert obs_sh.get == {"dropped_rows": 0, "dropped_buckets": 0}
+
+    # q89: the oversized-cluster guard must not bind either (a dropped
+    # cluster discards its planted pairs wholesale, same failure shape)
+    from usajobs_etl_service_spark.operators.semdedup import semantic_dedup_drops
+
+    obs_sd = Observation("q89_cap")
+    semantic_dedup_drops(
+        emb.unionByName(scaled), threshold=0.95, n_clusters=64, observation=obs_sd
+    ).write.format("noop").mode("overwrite").save()
+    assert obs_sd.get == {"dropped_rows": 0, "dropped_clusters": 0}

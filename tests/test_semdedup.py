@@ -1,0 +1,141 @@
+"""SemDeDup (operators/semdedup.py): cluster-blocked embedding dedup.
+
+Covers the guarantees q89's oracle equality rests on plus the cap
+discipline shared with the LSH family:
+- recall 1.0 on planted equal-direction duplicates even when a
+  duplicate pair is itself sampled into the codebook (the measured
+  argmax-split failure mode assign_clusters defends against),
+- keep-min-id drop policy on a known small geometry,
+- cleaned corpus = left_anti of the drop set,
+- oversized-cluster cap drops loudly (observe counters), never
+  silently.
+"""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import Observation
+from pyspark.sql import functions as F
+
+from usajobs_etl_service_spark.operators.semdedup import (
+    assign_clusters,
+    semantic_dedup_drops,
+    semantic_dup_pairs,
+)
+
+
+def _unit(i: int, dim: int, val: float = 1.0) -> list[float]:
+    v = [0.0] * dim
+    v[i] = val
+    return v
+
+
+def test_planted_scaled_copies_all_dropped(spark, sf_dir):
+    """Every scaled copy (same direction, 1.5x norm) is dropped with its
+    original as keeper — recall 1.0, the q89 construction."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select("vec_id", "embedding")
+    n = emb.count()
+    planted = emb.select(
+        (F.col("vec_id") + 10_000_000).alias("vec_id"),
+        F.transform("embedding", lambda x: x * F.lit(1.5)).alias("embedding"),
+    )
+    drops = semantic_dedup_drops(
+        emb.unionByName(planted), threshold=0.95, n_clusters=16
+    ).collect()
+    assert len(drops) == n
+    assert all(r["dropped_id"] == r["kept_id"] + 10_000_000 for r in drops)
+    assert all(r["max_cos"] == pytest.approx(1.0) for r in drops)
+
+
+def test_same_direction_same_cluster_despite_duplicate_centroids(spark):
+    """Force the failure mode: a corpus of duplicate pairs where the
+    sampled codebook inevitably contains both members of some pair.
+    Raw-dot argmax measurably splits pairs here; the normalized+snapped
+    assignment must not."""
+    import random
+
+    rng = random.Random(7)
+    dim = 16
+    base = [[rng.gauss(0, 1) for _ in range(dim)] for _ in range(40)]
+    rows = []
+    for i, v in enumerate(base):
+        rows.append((i, [float(x) for x in v]))
+        rows.append((i + 1000, [float(1.5 * x) for x in v]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    # n_clusters = corpus size: EVERY row is a centroid, so every pair
+    # is a duplicate-centroid pair — the worst case
+    assigned = assign_clusters(df, n_clusters=80)
+    a = {r["vec_id"]: r["cluster_id"] for r in assigned.collect()}
+    for i in range(40):
+        assert a[i] == a[i + 1000], f"pair {i} split across clusters"
+
+
+def test_keep_min_id_policy_small_geometry(spark):
+    """3 near-identical vectors + 1 orthogonal: the two larger ids of
+    the dup group drop (keeper = min id), the orthogonal row survives."""
+    dim = 8
+    rows = [
+        (1, _unit(0, dim)),
+        (2, _unit(0, dim, 2.0)),
+        (3, _unit(0, dim, 0.5)),
+        (9, _unit(1, dim)),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    drops = {
+        r["dropped_id"]: r["kept_id"]
+        for r in semantic_dedup_drops(df, threshold=0.95, n_clusters=4).collect()
+    }
+    assert drops == {2: 1, 3: 1}
+    pairs = semantic_dup_pairs(df, threshold=0.95, n_clusters=4).collect()
+    assert {(r["id_a"], r["id_b"]) for r in pairs} == {(1, 2), (1, 3), (2, 3)}
+
+
+def test_cleaned_corpus_left_anti(spark):
+    dim = 8
+    rows = [(1, _unit(0, dim)), (2, _unit(0, dim, 3.0)), (9, _unit(1, dim))]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    drops = semantic_dedup_drops(df, threshold=0.95, n_clusters=3)
+    cleaned = df.join(
+        drops.select(F.col("dropped_id").alias("vec_id")), "vec_id", "left_anti"
+    )
+    assert sorted(r["vec_id"] for r in cleaned.collect()) == [1, 9]
+
+
+def test_oversized_cluster_cap_counts_drops(spark):
+    """A single-direction corpus collapses into one cluster; with
+    max_cluster below its size the cluster drops, the result is empty,
+    and the observe counters say exactly what was discarded."""
+    dim = 8
+    rows = [(i, _unit(0, dim, 1.0 + 0.001 * i)) for i in range(20)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    obs = Observation("semdedup_cap_test")
+    pairs = semantic_dup_pairs(
+        df, threshold=0.95, n_clusters=4, max_cluster=10, observation=obs
+    )
+    # AQE empty-relation caveat (neardup._cap_buckets docstring): a
+    # fully-emptied plan elides CollectMetrics, so disable AQE here
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        assert pairs.count() == 0
+        m = obs.get
+        assert m["dropped_rows"] == 20
+        assert m["dropped_clusters"] == 1
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+
+
+def test_threshold_excludes_distant_vectors(spark):
+    """Vectors in the same cluster but below threshold are NOT dup
+    pairs (the exact-cosine verify, not the blocking, decides)."""
+    dim = 4
+    a = [1.0, 0.0, 0.0, 0.0]
+    b = [math.cos(0.5), math.sin(0.5), 0.0, 0.0]  # cos 0.878 < 0.95
+    df = spark.createDataFrame(
+        [(1, a), (2, b)], "vec_id long, embedding array<double>"
+    )
+    assert semantic_dup_pairs(df, threshold=0.95, n_clusters=1).count() == 0
+    assert (
+        semantic_dup_pairs(df, threshold=0.85, n_clusters=1).count() == 1
+    )

@@ -1623,10 +1623,15 @@ def q89_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     DuckDB's clustering-free all-pairs answer: every copy id dropped,
     kept_id = its original, max_cos = 1.0.
 
+    The cluster count AUTO-SCALES with the corpus
+    (semdedup.auto_n_clusters: constant ~200 expected occupancy — the
+    lesson q82 taught about fixed code widths, applied on day one); at
+    the oracle scale factors the derived codebook stays under
+    LITERAL_CODEBOOK_MAX, so the provable literal-argmax path runs.
     PRECONDITION (cap discipline, as q82): no cluster exceeds
-    ``max_cluster`` — expected occupancy is ~n/C = ~150 at sf0.1's
-    union, the cap is 10000, and the observe() counters asserted zero
-    in tests/test_oracle_parity.py make any violation loud."""
+    ``max_cluster`` (10000, vs ~200 expected occupancy), and the
+    observe() counters asserted zero in tests/test_oracle_parity.py
+    make any violation loud."""
     from usajobs_etl_service_spark.operators.semdedup import semantic_dedup_drops
 
     emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
@@ -1634,9 +1639,7 @@ def q89_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("vec_id") + 10000000).alias("vec_id"),
         F.transform("embedding", lambda x: x * F.lit(1.5)).alias("embedding"),
     )
-    return semantic_dedup_drops(
-        emb.unionByName(planted), threshold=0.95, n_clusters=64
-    )
+    return semantic_dedup_drops(emb.unionByName(planted), threshold=0.95)
 
 
 def q90_duplicated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -107,6 +107,6 @@ def test_planted_dup_oracle_queries_cap_counters_zero(spark, sf_dir):
 
     obs_sd = Observation("q89_cap")
     semantic_dedup_drops(
-        emb.unionByName(scaled), threshold=0.95, n_clusters=64, observation=obs_sd
+        emb.unionByName(scaled), threshold=0.95, observation=obs_sd
     ).write.format("noop").mode("overwrite").save()
     assert obs_sd.get == {"dropped_rows": 0, "dropped_clusters": 0}

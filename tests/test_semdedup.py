@@ -72,6 +72,38 @@ def test_same_direction_same_cluster_despite_duplicate_centroids(spark):
         assert a[i] == a[i + 1000], f"pair {i} split across clusters"
 
 
+def test_ml_kmeans_path_above_literal_codebook(spark):
+    """n_clusters > LITERAL_CODEBOOK_MAX switches assignment to
+    pyspark.ml KMeans (the production large-codebook path). Determinism
+    is seed-fixed; on this fixed corpus the planted scaled copies must
+    still all be caught."""
+    import random
+
+    from usajobs_etl_service_spark.operators.semdedup import LITERAL_CODEBOOK_MAX
+
+    rng = random.Random(11)
+    dim = 16
+    rows = []
+    for i in range(300):
+        v = [rng.gauss(0, 1) for _ in range(dim)]
+        rows.append((i, [float(x) for x in v]))
+        rows.append((i + 1000, [float(1.5 * x) for x in v]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    drops = semantic_dedup_drops(
+        df, threshold=0.95, n_clusters=LITERAL_CODEBOOK_MAX + 22
+    ).collect()
+    assert {r["dropped_id"] for r in drops} == {i + 1000 for i in range(300)}
+    assert all(r["kept_id"] == r["dropped_id"] - 1000 for r in drops)
+
+
+def test_auto_n_clusters_rule():
+    from usajobs_etl_service_spark.operators.semdedup import auto_n_clusters
+
+    assert auto_n_clusters(1000) == 16          # floor
+    assert auto_n_clusters(100_000) == 500      # n / target
+    assert auto_n_clusters(400_000) == 2000
+
+
 def test_keep_min_id_policy_small_geometry(spark):
     """3 near-identical vectors + 1 orthogonal: the two larger ids of
     the dup group drop (keeper = min id), the orthogonal row survives."""

@@ -66,6 +66,8 @@ FAMILY = [
     "q80_adaptive_quality",
     "q81_adaptive_quality_approx",
     "q82_embedding_srp_near_dup",
+    "q89_semantic_dedup",
+    "q90_duplicated_spans",
 ]
 
 
@@ -284,6 +286,7 @@ def _cap_drop_counters(spark, outdir: str) -> dict[str, dict]:
         minhash_near_dup_pairs,
         simhash_near_dup_pairs,
     )
+    from usajobs_etl_service_spark.operators.semdedup import semantic_dedup_drops
     from usajobs_etl_service_spark.session import read_table
 
     docs = read_table(spark, outdir, "documents")
@@ -300,6 +303,8 @@ def _cap_drop_counters(spark, outdir: str) -> dict[str, dict]:
          lambda o: simhash_near_dup_pairs(docs, max_hamming=3, observation=o)),
         ("q82_embedding_srp_near_dup", Observation(),
          lambda o: embedding_srp_near_dup_pairs(emb.unionByName(scaled), threshold=0.95, observation=o)),
+        ("q89_semantic_dedup", Observation(),
+         lambda o: semantic_dedup_drops(emb.unionByName(scaled), threshold=0.95, observation=o)),
     ):
         materialize(df(obs))
         try:

@@ -63,12 +63,32 @@ def _cluster_cap_metrics(max_cluster: int) -> tuple[Column, Column]:
     )
 
 
+def auto_n_clusters(n_rows: int, *, target_cluster: int = 200, floor: int = 16) -> int:
+    """Cluster count that keeps EXPECTED cluster occupancy constant
+    (~``target_cluster``) as the corpus grows — the same rule as
+    neardup.srp_auto_planes, for the same reason: the within-cluster
+    pair expansion is quadratic in cluster SIZE, so a fixed cluster
+    COUNT turns super-linear the moment the corpus outgrows it
+    (measured on the SRP family at the 10x smoke, r5). Constant
+    occupancy makes total pair work ~linear: C * (n/C)^2 = n *
+    target_cluster."""
+    import math
+
+    return max(floor, math.ceil(n_rows / max(target_cluster, 1)))
+
+
+# above this codebook size the literal-argmax expression stops being a
+# codegen win (q82's measured compile-cost territory: 128 x 64 dims =
+# 8k literals) and assignment switches to pyspark.ml KMeans
+LITERAL_CODEBOOK_MAX = 128
+
+
 def assign_clusters(
     df: DataFrame,
     *,
     id_col: str = "vec_id",
     embedding_col: str = "embedding",
-    n_clusters: int = 64,
+    n_clusters: int | None = 64,
     seed: int = 42,
     refine_kmeans: bool = False,
 ) -> DataFrame:
@@ -88,7 +108,47 @@ def assign_clusters(
     argmax — equal-direction vectors then see EQUAL score arrays and
     ``array_position``'s first-max rule breaks the tie the same way for
     both. A real flip now needs two centroid cosines within ~1e-16 of a
-    1e-6 rounding boundary (~1e-10 per row, vs ~1e0 for the raw tie)."""
+    1e-6 rounding boundary (~1e-10 per row, vs ~1e0 for the raw tie).
+
+    ``n_clusters=None`` derives the count from the corpus
+    (auto_n_clusters — constant expected occupancy, the scale-correct
+    production setting). Codebooks above LITERAL_CODEBOOK_MAX switch
+    from the literal-argmax expression to pyspark.ml KMeans over the
+    normalized vectors (spherical k-means, the SemDeDup paper's own
+    clustering): JVM-broadcast centers scale to thousands of clusters
+    where an 8k+-literal expression would blow up codegen. The ml path
+    trades the snap-tie determinism guarantee for scale — it is the
+    production shape, not the oracle shape (oracle corpora stay under
+    the literal threshold)."""
+    if n_clusters is None:
+        n_clusters = auto_n_clusters(df.count())
+    if n_clusters > LITERAL_CODEBOOK_MAX:
+        from pyspark.ml.clustering import KMeans
+        from pyspark.ml.functions import array_to_vector
+
+        nv = l2_normalize(F.col(embedding_col).cast("array<double>"))
+        feat = df.withColumn("__feat", array_to_vector(nv))
+        # Codebook fits on a bounded deterministic sample (>= 50 rows
+        # per centroid), assignment runs over everything — the standard
+        # large-corpus k-means shape (a Lloyd pass over the full corpus
+        # per iteration is iterations x assignment cost for marginal
+        # centroid movement; measured 820 s for q89 at the 100x smoke
+        # before sampling). Blocking quality only affects which
+        # near-misses share a cluster; the exact-cosine verify keeps
+        # precision regardless.
+        fit_rows = max(50 * n_clusters, 50_000)
+        fit_df = (
+            feat.select("__feat", F.xxhash64(F.col(id_col).cast("string"), F.lit(seed)).alias("__o"))
+            .orderBy("__o")
+            .limit(fit_rows)
+            .select("__feat")
+        )
+        model = KMeans(
+            k=n_clusters, seed=seed, maxIter=8, featuresCol="__feat", predictionCol="cluster_id"
+        ).fit(fit_df)
+        return model.transform(feat).select(
+            F.col(id_col), F.col(embedding_col), F.col("cluster_id").cast("long")
+        )
     if refine_kmeans:
         from usajobs_etl_service_spark.operators.similarity import _kmeans_centroids
 
@@ -108,12 +168,22 @@ def assign_clusters(
         ((r["centroid_id"], [float(x) for x in r["cv"]]) for r in cent.collect()),
         key=lambda t: t[0],
     )
+    # Stage the normalized vector through a REAL column before the
+    # scoring lambda: an expression referenced inside a HOF lambda
+    # re-evaluates per element, so an inlined l2_normalize (itself a
+    # 64-element fold) recomputes once per centroid per row — measured
+    # 18.6 s -> 0.7 s warm at sf0.1 for the assignment job. (Unrolling
+    # the dots into C x dim literal products — the q82 plane trade —
+    # was measured here at 4 s warm: one giant scalar expression falls
+    # off the codegen fast path, while transform/zip_with/aggregate
+    # over a staged primitive-array column stays on it.)
     nv = l2_normalize(F.col(embedding_col).cast("array<double>"))
+    staged = df.withColumn("__nv", nv)
     cents_lit = F.array(*[F.array(*[F.lit(float(x)) for x in cv]) for _, cv in cent_rows])
     ids_lit = F.array(*[F.lit(int(cid)) for cid, _ in cent_rows])
-    scores = F.transform(cents_lit, lambda c: F.round(dot(nv, c), 6))
+    scores = F.transform(cents_lit, lambda c: F.round(dot(F.col("__nv"), c), 6))
     pos = F.array_position(scores, F.array_max(scores)).cast("int")
-    return df.select(
+    return staged.select(
         F.col(id_col), F.col(embedding_col), F.element_at(ids_lit, pos).alias("cluster_id")
     )
 
@@ -124,7 +194,7 @@ def semantic_dup_pairs(
     id_col: str = "vec_id",
     embedding_col: str = "embedding",
     threshold: float = 0.95,
-    n_clusters: int = 64,
+    n_clusters: int | None = None,
     seed: int = 42,
     refine_kmeans: bool = False,
     max_cluster: int = 10_000,
@@ -183,7 +253,7 @@ def semantic_dedup_drops(
     id_col: str = "vec_id",
     embedding_col: str = "embedding",
     threshold: float = 0.95,
-    n_clusters: int = 64,
+    n_clusters: int | None = None,
     seed: int = 42,
     refine_kmeans: bool = False,
     max_cluster: int = 10_000,

@@ -1659,6 +1659,118 @@ def q90_duplicated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return duplicated_spans(docs, n=8)
 
 
+def q91_bm25_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extension (ranked retrieval): BM25 scores for the 3-term query
+    {spark, window, merge} over the documents corpus
+    (operators/retrieval.bm25_scores) — the ranked upgrade of q51's
+    boolean inverted-index search. Per-query work shuffles only the
+    queried terms' postings (isin filter inside the explode stage); doc
+    lengths are one corpus aggregate (at 100 TB: a precomputed
+    doc_stats table); df/N/avgdl ride as broadcasts. Scores round to 6
+    before compare; the oracle repeats the identical float expression
+    shape."""
+    from usajobs_etl_service_spark.operators.retrieval import bm25_scores
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return bm25_scores(docs, ["spark", "window", "merge"])
+
+
+def q92_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extension (quality gate): per-document unigram-LM surprisal in
+    nats/token (operators/retrieval.unigram_lm_scores) — the CCNet-
+    style perplexity-proxy curation score, computed from the corpus's
+    own unigram distribution. Joins per-(doc, term) tf rows (not token
+    instances) against the open-vocabulary unigram table (no broadcast
+    hint — AQE decides); the token total is a broadcast scalar."""
+    from usajobs_etl_service_spark.operators.retrieval import unigram_lm_scores
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return unigram_lm_scores(docs)
+
+
+def q93_fuzzy_edit_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extension (fuzzy near-dup): blocked Levenshtein dedup
+    (operators/neardup.edit_distance_near_dup_pairs) — record-linkage-
+    style fuzzy matching on a 40-char normalized prefix key, blocked on
+    the first three tokens, threshold 2 edits. The corpus is the
+    documents table unioned with planted single-edit copies
+    (doc_id + 10000000, char 38 of the trimmed text overwritten with
+    'z' — inside the key, beyond the first three tokens, so every
+    plant co-blocks with its original at distance <= 1). Levenshtein
+    runs in the THRESHOLDED 3-arg form (banded, early-exit: O(d*n) not
+    O(n^2) per pair). Blocking semantics are part of the contract (as
+    q22): the oracle replicates the identical blocks, so equality is
+    exact."""
+    from usajobs_etl_service_spark.operators.neardup import edit_distance_near_dup_pairs
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", F.trim("text").alias("t"))
+    planted = docs.select(
+        (F.col("doc_id") + 10000000).alias("doc_id"),
+        F.concat(
+            F.substring("t", 1, 37), F.lit("z"), F.expr("substring(t, 39)")
+        ).alias("t"),
+    )
+    u = docs.unionByName(planted)
+    return edit_distance_near_dup_pairs(
+        u,
+        key_col=F.substring("t", 1, 40),
+        block_cols=[
+            F.split_part(F.col("t"), F.lit(" "), F.lit(1)),
+            F.split_part(F.col("t"), F.lit(" "), F.lit(2)),
+            F.split_part(F.col("t"), F.lit(" "), F.lit(3)),
+        ],
+        max_dist=2,
+    )
+
+
+def q94_train_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extension (dataset assembly): deterministic hash-based
+    train/val/test split — the sample_key uniform (sampling.py, engine-
+    reproducible md5) thresholded at 0.9/0.95, audited as per-
+    (lang, source, split) counts + char volume. Split membership is a
+    pure function of doc_id: stable under repartitioning, re-runs, and
+    engines (the DuckDB oracle derives identical assignments)."""
+    from usajobs_etl_service_spark.operators.sampling import sample_key
+
+    docs = _t(spark, sf_dir, "documents")
+    u = sample_key(F.col("doc_id"), seed=7)
+    split = (
+        F.when(u < 0.9, "train").when(u < 0.95, "val").otherwise("test").alias("split")
+    )
+    return (
+        docs.select("lang", "source", split, "n_chars")
+        .groupBy("lang", "source", "split")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("n_chars").alias("n_chars"))
+    )
+
+
+def q95_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extension (vocabulary induction): top-50 adjacent-bigram
+    collocations by PMI with min count 20
+    (operators/retrieval.pmi_collocations) — the merge-candidate
+    statistic of BPE-style tokenizer training. Bigram extraction is
+    expression-only (token array zipped against its own tail — no
+    posexplode self-join); ranking rounds before ordering so cross-
+    engine float ties break identically."""
+    from usajobs_etl_service_spark.operators.retrieval import pmi_collocations
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return pmi_collocations(docs, min_count=20, top_k=50)
+
+
+def q96_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extension (corpus diagnostics): least-squares Zipf fit —
+    regr_slope/regr_intercept of ln(freq) ~ ln(rank) over terms with
+    count >= 5 (operators/retrieval.zipf_fit). One open-vocabulary term
+    aggregate, one bounded rank window, one scalar regression
+    aggregate; a one-row corpus health check (natural text: slope near
+    -1)."""
+    from usajobs_etl_service_spark.operators.retrieval import zipf_fit
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return zipf_fit(docs, min_count=5)
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_job_statistics": q01_job_statistics,
     "q02_metric_union": q02_metric_union,
@@ -1750,6 +1862,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q88_quantile_sketch_exact_regime": q88_quantile_sketch_exact_regime,
     "q89_semantic_dedup": q89_semantic_dedup,
     "q90_duplicated_spans": q90_duplicated_spans,
+    "q91_bm25_retrieval": q91_bm25_retrieval,
+    "q92_unigram_surprisal": q92_unigram_surprisal,
+    "q93_fuzzy_edit_dedup": q93_fuzzy_edit_dedup,
+    "q94_train_split": q94_train_split,
+    "q95_pmi_collocations": q95_pmi_collocations,
+    "q96_zipf_fit": q96_zipf_fit,
 }
 
 
@@ -2861,6 +2979,129 @@ ORACLES: dict[str, str] = {
                count(*) AS n
         FROM events
         GROUP BY event_type
+    """,
+    "q91_bm25_retrieval": """
+        WITH toks AS (
+            SELECT doc_id,
+                   unnest(list_filter(string_split_regex(trim(lower(text)), '\\s+'), x -> x <> '')) AS term
+            FROM documents
+        ), doclen AS (
+            SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id
+        ), scalars AS (
+            SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(CAST(dl AS DOUBLE)) AS avgdl FROM doclen
+        ), tf AS (
+            SELECT doc_id, term, count(*) AS tf FROM toks
+            WHERE term IN ('merge', 'spark', 'window')
+            GROUP BY doc_id, term
+        ), dfreq AS (
+            SELECT term, count(*) AS df FROM tf GROUP BY term
+        )
+        SELECT tf.doc_id,
+               round(sum(
+                   ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+                   * (tf * (1.2 + 1.0))
+                   / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))
+               ), 6) AS bm25,
+               count(*) AS n_terms_matched
+        FROM tf JOIN dfreq USING (term) JOIN doclen USING (doc_id) CROSS JOIN scalars
+        GROUP BY tf.doc_id
+    """,
+    "q92_unigram_surprisal": """
+        WITH toks AS (
+            SELECT doc_id,
+                   unnest(list_filter(string_split_regex(trim(lower(text)), '\\s+'), x -> x <> '')) AS term
+            FROM documents
+        ), tf AS (
+            SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term
+        ), uni AS (
+            SELECT term, sum(tf) AS ct FROM tf GROUP BY term
+        ), total AS (
+            SELECT CAST(sum(ct) AS DOUBLE) AS t_total FROM uni
+        )
+        SELECT doc_id,
+               round(sum(-tf * ln(ct / t_total)) / sum(tf), 4) AS surprisal_nats,
+               sum(tf) AS n_tokens
+        FROM tf JOIN uni USING (term) CROSS JOIN total
+        GROUP BY doc_id
+    """,
+    # q93: the oracle replicates the identical blocking (first three
+    # tokens) and the identical planted single-edit copies, so blocked
+    # fuzzy-dedup equality is exact; DuckDB's full levenshtein filtered
+    # at <= 2 equals the engine's thresholded banded form on the kept
+    # rows.
+    "q93_fuzzy_edit_dedup": """
+        WITH base AS (
+            SELECT doc_id, trim(text) AS t FROM documents
+        ), u AS (
+            SELECT doc_id, t FROM base
+            UNION ALL
+            SELECT doc_id + 10000000, substr(t, 1, 37) || 'z' || substr(t, 39) FROM base
+        ), keyed AS (
+            SELECT doc_id AS id, substr(t, 1, 40) AS key,
+                   split_part(t, ' ', 1) AS b1,
+                   split_part(t, ' ', 2) AS b2,
+                   split_part(t, ' ', 3) AS b3
+            FROM u
+        )
+        SELECT a.id AS id_a, b.id AS id_b, levenshtein(a.key, b.key) AS dist
+        FROM keyed a JOIN keyed b
+          ON a.b1 = b.b1 AND a.b2 = b.b2 AND a.b3 = b.b3 AND a.id < b.id
+        WHERE levenshtein(a.key, b.key) <= 2
+    """,
+    "q94_train_split": """
+        WITH keyed AS (
+            SELECT lang, source, n_chars,
+                   CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '#7'), 1, 8)) AS BIGINT)
+                       / 4294967296.0 AS u
+            FROM documents
+        )
+        SELECT lang, source,
+               CASE WHEN u < 0.9 THEN 'train' WHEN u < 0.95 THEN 'val' ELSE 'test' END AS split,
+               count(*) AS n_docs, sum(n_chars) AS n_chars
+        FROM keyed
+        GROUP BY lang, source, split
+    """,
+    "q95_pmi_collocations": """
+        WITH toksarr AS (
+            SELECT list_filter(string_split_regex(trim(lower(text)), '\\s+'), x -> x <> '') AS ts
+            FROM documents
+        ), bg AS (
+            SELECT unnest(list_zip(ts[:len(ts)-1], ts[2:])) AS p FROM toksarr
+        ), bigrams AS (
+            SELECT p[1] AS a, p[2] AS b, count(*) AS c_ab FROM bg GROUP BY 1, 2
+        ), unigrams AS (
+            SELECT unnest(ts) AS term FROM toksarr
+        ), ucounts AS (
+            SELECT term, count(*) AS c_t FROM unigrams GROUP BY term
+        ), bt AS (SELECT CAST(sum(c_ab) AS DOUBLE) AS n_bi FROM bigrams),
+           ut AS (SELECT CAST(sum(c_t) AS DOUBLE) AS n_uni FROM ucounts)
+        SELECT rank, a, b, c_ab, pmi FROM (
+            SELECT a, b, c_ab,
+                   round(ln((c_ab / n_bi) / ((ca.c_t / n_uni) * (cb.c_t / n_uni))), 4) AS pmi,
+                   row_number() OVER (
+                       ORDER BY round(ln((c_ab / n_bi) / ((ca.c_t / n_uni) * (cb.c_t / n_uni))), 4) DESC,
+                                a ASC, b ASC
+                   ) AS rank
+            FROM bigrams
+            JOIN ucounts ca ON bigrams.a = ca.term
+            JOIN ucounts cb ON bigrams.b = cb.term
+            CROSS JOIN bt CROSS JOIN ut
+            WHERE c_ab >= 20
+        ) WHERE rank <= 50
+    """,
+    "q96_zipf_fit": """
+        WITH toks AS (
+            SELECT unnest(list_filter(string_split_regex(trim(lower(text)), '\\s+'), x -> x <> '')) AS term
+            FROM documents
+        ), counts AS (
+            SELECT term, count(*) AS c FROM toks GROUP BY term HAVING count(*) >= 5
+        ), ranked AS (
+            SELECT c, row_number() OVER (ORDER BY c DESC, term ASC) AS rank FROM counts
+        )
+        SELECT round(regr_slope(ln(CAST(c AS DOUBLE)), ln(CAST(rank AS DOUBLE))), 6) AS zipf_slope,
+               round(regr_intercept(ln(CAST(c AS DOUBLE)), ln(CAST(rank AS DOUBLE))), 6) AS zipf_intercept,
+               count(*) AS n_terms
+        FROM ranked
     """,
 }
 

@@ -1,0 +1,152 @@
+"""Semantic unit tests for ranked retrieval / corpus-statistics
+operators (operators/retrieval.py) and blocked fuzzy edit-distance
+dedup (operators/neardup.edit_distance_near_dup_pairs). Cross-engine
+value equality is covered by the q91-q96 oracle-parity rows; these
+pin the operator semantics themselves on hand-checkable corpora."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from usajobs_etl_service_spark.operators.neardup import edit_distance_near_dup_pairs
+from usajobs_etl_service_spark.operators.retrieval import (
+    bm25_scores,
+    pmi_collocations,
+    unigram_lm_scores,
+    zipf_fit,
+)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_bm25_tf_and_idf_direction(spark):
+    # d1 mentions the query term twice, d2 once, d3 never; filler is
+    # shared so doc lengths stay comparable.
+    docs = _docs(
+        spark,
+        [
+            (1, "spark spark filler filler"),
+            (2, "spark filler filler filler"),
+            (3, "other filler filler filler"),
+        ],
+    )
+    got = {r["doc_id"]: r for r in bm25_scores(docs, ["spark"]).collect()}
+    assert set(got) == {1, 2}, "docs without any query term must not appear"
+    assert got[1]["bm25"] > got[2]["bm25"]
+    assert got[1]["n_terms_matched"] == 1
+
+
+def test_bm25_matches_hand_formula(spark):
+    docs = _docs(spark, [(1, "a b"), (2, "a a b b"), (3, "b b")])
+    # N=3 docs, avgdl=(2+4+2)/3; term 'a': df=2.
+    n, avgdl, k1, b = 3.0, 8.0 / 3.0, 1.2, 0.75
+    idf = math.log(1.0 + (n - 2 + 0.5) / (2 + 0.5))
+
+    def score(tf, dl):
+        return idf * (tf * (k1 + 1.0)) / (tf + k1 * (1.0 - b + b * dl / avgdl))
+
+    got = {r["doc_id"]: r["bm25"] for r in bm25_scores(docs, ["a"]).collect()}
+    assert got[1] == round(score(1, 2), 6)
+    assert got[2] == round(score(2, 4), 6)
+
+
+def test_bm25_rejects_empty_query(spark):
+    docs = _docs(spark, [(1, "a")])
+    try:
+        bm25_scores(docs, ["", " "])
+    except ValueError:
+        pass
+    else:
+        raise AssertionError("empty query must raise")
+
+
+def test_unigram_surprisal_rare_tokens_score_higher(spark):
+    # 'common' dominates the corpus; the all-rare doc must be more
+    # surprising than the all-common doc.
+    docs = _docs(
+        spark,
+        [
+            (1, "common common common common common common common common"),
+            (2, "rare1 rare2 rare3 rare4"),
+        ],
+    )
+    got = {r["doc_id"]: r for r in unigram_lm_scores(docs).collect()}
+    assert got[2]["surprisal_nats"] > got[1]["surprisal_nats"]
+    assert got[1]["n_tokens"] == 8 and got[2]["n_tokens"] == 4
+    # Hand value: each rare token has count 1 of T=12 -> ln(12).
+    assert got[2]["surprisal_nats"] == round(math.log(12.0), 4)
+
+
+def test_pmi_prefers_exclusive_pairs(spark):
+    # 'x y' always co-occur (only with each other); 'a b' occur in many
+    # other contexts too -> PMI(x,y) > PMI(a,b).
+    rows = [(i, "x y") for i in range(25)]
+    rows += [(100 + i, "a b") for i in range(25)]
+    rows += [(200 + i, "a c b d") for i in range(25)]
+    docs = _docs(spark, rows)
+    got = {(r["a"], r["b"]): r for r in pmi_collocations(docs, min_count=20, top_k=10).collect()}
+    assert ("x", "y") in got and ("a", "b") in got
+    assert got[("x", "y")]["pmi"] > got[("a", "b")]["pmi"]
+    assert got[("x", "y")]["c_ab"] == 25
+    # rank 1 is the highest-PMI pair
+    assert min(r["rank"] for r in got.values()) == 1
+
+
+def test_zipf_slope_on_exact_power_law(spark):
+    # term_r repeated floor(1000/r) times -> ln(freq) ~ -1 * ln(rank).
+    rows = []
+    did = 0
+    for r in range(1, 21):
+        for _ in range(1000 // r):
+            rows.append((did, f"term{r:02d}"))
+            did += 1
+    docs = _docs(spark, rows)
+    row = zipf_fit(docs, min_count=1).collect()[0]
+    assert row["n_terms"] == 20
+    assert -1.02 < row["zipf_slope"] < -0.98
+
+
+def test_edit_distance_blocked_pairs(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon"),
+            (2, "alpha beta gamma delXa epsilon"),  # 1 edit, same block
+            (3, "alpha beta gamma zzzzzzzzzzzzzz"),  # same block, far
+            (4, "other beta gamma delta epsilon"),  # different block
+        ],
+        "id long, t string",
+    )
+    pairs = edit_distance_near_dup_pairs(
+        df,
+        id_col="id",
+        key_col=F.col("t"),
+        block_cols=[F.split_part(F.col("t"), F.lit(" "), F.lit(1))],
+        max_dist=2,
+    ).collect()
+    got = {(r["id_a"], r["id_b"]): r["dist"] for r in pairs}
+    assert got == {(1, 2): 1}, got
+
+
+def test_edit_distance_threshold_is_exact_on_kept_rows(spark):
+    # dist must be the true edit distance (not a flag) for kept pairs.
+    df = spark.createDataFrame(
+        [(1, "b kitten"), (2, "b sitten"), (3, "b sitting"), (4, "b kitten")],
+        "id long, t string",
+    )
+    pairs = edit_distance_near_dup_pairs(
+        df,
+        id_col="id",
+        key_col=F.col("t"),
+        block_cols=[F.split_part(F.col("t"), F.lit(" "), F.lit(1))],
+        max_dist=2,
+    ).collect()
+    got = {(r["id_a"], r["id_b"]): r["dist"] for r in pairs}
+    # kitten->sitten: 1 sub; sitten->sitting: sub + insert = 2;
+    # kitten->sitting: the textbook 3 -> dropped by the threshold.
+    assert got[(1, 2)] == 1 and got[(2, 3)] == 2
+    assert got[(1, 4)] == 0 and got[(2, 4)] == 1
+    assert (1, 3) not in got and (3, 4) not in got  # dist 3 dropped

@@ -685,6 +685,53 @@ def ngram_jaccard_pairs(
     )
 
 
+def edit_distance_near_dup_pairs(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    key_col: Column,
+    block_cols: list[Column],
+    max_dist: int = 2,
+) -> DataFrame:
+    """Blocked fuzzy near-dup: pairs whose ``key_col`` values are within
+    ``max_dist`` Levenshtein edits, compared ONLY inside equal
+    ``block_cols`` blocks (the classic record-linkage blocking shape —
+    fuzzy title/name dedup).
+
+    Scale shape: the self-join is an equi-join on the block key, so
+    per-block work is quadratic in block occupancy but never all-pairs
+    over the corpus — choose block keys with bounded occupancy (first
+    tokens + a length bucket; at web scale, a cheap LSH code). The
+    Levenshtein call is the THRESHOLDED 3-arg form: cost per pair is
+    O(max_dist * |key|) band computation with early exit, not the full
+    O(|key|^2) matrix — the difference between 80 and 1600 cell ops per
+    pair at a 40-char key. Keys are pre-computed once per row, before
+    the join, so each row's key is derived once however many pairs it
+    joins into.
+
+    Semantics are *blocked* (a pair split across blocks is unseen) —
+    the same documented contract as embedding_near_dup_pairs(block_col),
+    and the oracle replicates the identical blocking, so oracle
+    equality is exact, not approximate."""
+    blocks = [c.alias(f"__blk{i}") for i, c in enumerate(block_cols)]
+    blk_names = [f"__blk{i}" for i in range(len(block_cols))]
+    keyed = df.select(F.col(id_col).alias("id"), key_col.alias("key"), *blocks)
+    left = keyed.select(
+        F.col("id").alias("id_a"), F.col("key").alias("key_a"), *blk_names
+    )
+    right = keyed.select(
+        F.col("id").alias("id_b"), F.col("key").alias("key_b"), *blk_names
+    )
+    dist = F.levenshtein(F.col("key_a"), F.col("key_b"), max_dist)
+    return (
+        left.join(right, on=blk_names)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("dist", dist)
+        .filter((F.col("dist") >= 0) & (F.col("dist") <= max_dist))
+        .select("id_a", "id_b", "dist")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Embedding-cosine near-dup
 # ---------------------------------------------------------------------------

@@ -1,0 +1,251 @@
+"""Ranked full-text retrieval and corpus language statistics.
+
+Extends the inverted-index surface (``operators/textindex.py``, the
+engine-side analog of the reference's GIN index, reference
+``init.sql:20``) from boolean matching to *ranked* retrieval (BM25) and
+adds corpus-level language statistics a training-data pipeline needs:
+unigram-LM surprisal scoring (the KenLM-style perplexity-proxy quality
+gate used by CCNet/RefinedWeb-class curation), PMI collocation mining
+(vocabulary induction / tokenizer-merge candidates), and a Zipf
+rank-frequency fit (corpus health diagnostic).
+
+Every operator here is pure DataFrame algebra — no UDFs, no collect —
+and every aggregation is open-vocabulary-safe: term statistics shuffle on
+``term`` with no broadcast hint (web-scale vocabularies are unbounded;
+AQE still broadcasts when the dictionary actually fits), while scalar
+normalizers (corpus size, average doc length, total token count) join
+as single-row broadcasts.
+
+At 100 TB: BM25's per-query work reads only the queried terms' posting
+stats — with doc lengths and term frequencies precomputed as a stats
+table (the `write_posting_table` layout plus a `doc_stats` side table),
+a query touches a handful of term-hash buckets instead of the corpus.
+The in-query computation below derives those stats on the fly so the
+contract query is self-contained; the split into build-once/query-many
+is the same seam as textindex.write_posting_table.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from usajobs_etl_service_spark.functions.text import tokens_ws
+
+
+def _tokens(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """One row per token instance: (id, term), whitespace-lowercase
+    tokenization (matches textindex/q62 and the DuckDB oracle)."""
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(tokens_ws(F.lower(F.col(text_col)))).alias("term"),
+    ).filter(F.col("term") != "")
+
+
+def bm25_scores(
+    df: DataFrame,
+    query_terms: list[str],
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """BM25 score per document matching >= 1 query term.
+
+    score(d, q) = sum_t idf(t) * tf * (k1+1) / (tf + k1*(1 - b + b*dl/avgdl))
+    with the Lucene/ATIRE idf: ln(1 + (N - df + 0.5)/(df + 0.5)).
+
+    Shuffle shape: one (doc_id) aggregate for doc lengths (at scale:
+    a precomputed doc_stats table), one (doc_id, term) aggregate over
+    ONLY the queried terms (the isin filter runs inside the explode
+    stage, map-side, so the shuffled posting slice is a few terms'
+    worth, not the corpus vocabulary), and a broadcast of the per-term
+    df counts (bounded: |query| rows). N and avgdl ride along as a
+    broadcast scalar. Nothing here is proportional to vocabulary size.
+    """
+    norm_terms = sorted({t.strip().lower() for t in query_terms if t and t.strip()})
+    if not norm_terms:
+        raise ValueError("query_terms must contain at least one non-empty term")
+
+    toks = _tokens(df, id_col, text_col)
+    # Doc length in tokens — every doc, needed for the BM25 length norm.
+    doclen = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    # Scalar normalizers: corpus size and average doc length.
+    scalars = doclen.agg(
+        F.count(F.lit(1)).cast("double").alias("n_docs"),
+        F.avg(F.col("dl").cast("double")).alias("avgdl"),
+    )
+    # Term frequency for queried terms only (filter before the shuffle).
+    tf = (
+        toks.filter(F.col("term").isin(norm_terms))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    # Document frequency per queried term: bounded by |query| rows.
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    scored = (
+        tf.join(F.broadcast(dfreq), "term")
+        .join(doclen, "doc_id")
+        .crossJoin(F.broadcast(scalars))
+        .select(
+            "doc_id",
+            "term",
+            (
+                F.log(
+                    F.lit(1.0)
+                    + (F.col("n_docs") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+                )
+                * (F.col("tf") * (F.lit(k1) + 1.0))
+                / (
+                    F.col("tf")
+                    + F.lit(k1)
+                    * (F.lit(1.0) - F.lit(b) + F.lit(b) * F.col("dl") / F.col("avgdl"))
+                )
+            ).alias("term_score"),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.round(F.sum("term_score"), 6).alias("bm25"),
+        F.count(F.lit(1)).alias("n_terms_matched"),
+    )
+
+
+def unigram_lm_scores(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document unigram-LM surprisal (mean nats/token): the
+    perplexity-proxy quality score of CCNet-style curation — documents
+    whose tokens are improbable under the corpus unigram distribution
+    score high (gibberish, boilerplate-free rarity), repetitive
+    common-token documents score low.
+
+    surprisal(d) = (1/|d|) * sum_{t in d} -ln(C(t) / T)
+
+    computed over per-(doc, term) tf rows (NOT per token instance): the
+    term-count join is sized |distinct (doc, term)|, a fraction of the
+    token stream. The unigram table joins on ``term`` with no broadcast
+    hint (open vocabulary); T is a broadcast scalar."""
+    toks = _tokens(df, id_col, text_col)
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    unigrams = tf.groupBy("term").agg(F.sum("tf").alias("ct"))
+    total = unigrams.agg(F.sum("ct").cast("double").alias("t_total"))
+    return (
+        tf.join(unigrams, "term")
+        .crossJoin(F.broadcast(total))
+        .groupBy("doc_id")
+        .agg(
+            F.round(
+                F.sum(-F.col("tf") * F.log(F.col("ct") / F.col("t_total"))) / F.sum("tf"),
+                4,
+            ).alias("surprisal_nats"),
+            F.sum("tf").alias("n_tokens"),
+        )
+    )
+
+
+def pmi_collocations(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_count: int = 20,
+    top_k: int = 50,
+) -> DataFrame:
+    """Top-k adjacent-bigram collocations by pointwise mutual
+    information — the statistic behind tokenizer merge-candidate
+    selection and phrase mining.
+
+    pmi(a, b) = ln( (C(ab)/B) / ((C(a)/U) * (C(b)/U)) )
+
+    Bigram extraction is expression-only (zip the token array against
+    its own tail — no posexplode self-join); bigram and unigram counts
+    are each ONE open-vocabulary aggregate; the final ranking sorts the
+    ``min_count``-filtered bigram set (bounded: frequent bigrams only)
+    with a rounded-score + lexical tiebreak so cross-engine float ties
+    rank identically."""
+    toks = df.select(tokens_ws(F.lower(F.col(text_col))).alias("ts"))
+    bigrams = (
+        toks.select(
+            F.explode(
+                F.arrays_zip(
+                    F.slice(F.col("ts"), 1, F.greatest(F.size("ts") - 1, F.lit(0))).alias("a"),
+                    F.slice(F.col("ts"), 2, F.greatest(F.size("ts") - 1, F.lit(0))).alias("b"),
+                )
+            ).alias("bg")
+        )
+        .select(F.col("bg.a").alias("a"), F.col("bg.b").alias("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("c_ab"))
+    )
+    unigrams = _tokens(df, id_col, text_col).groupBy("term").agg(F.count(F.lit(1)).alias("c_t"))
+    b_total = bigrams.agg(F.sum("c_ab").cast("double").alias("n_bi"))
+    u_total = unigrams.agg(F.sum("c_t").cast("double").alias("n_uni"))
+    scored = (
+        bigrams.filter(F.col("c_ab") >= min_count)
+        .join(unigrams.withColumnRenamed("term", "a").withColumnRenamed("c_t", "c_a"), "a")
+        .join(unigrams.withColumnRenamed("term", "b").withColumnRenamed("c_t", "c_b"), "b")
+        .crossJoin(F.broadcast(b_total))
+        .crossJoin(F.broadcast(u_total))
+        .select(
+            "a",
+            "b",
+            "c_ab",
+            F.round(
+                F.log(
+                    (F.col("c_ab") / F.col("n_bi"))
+                    / ((F.col("c_a") / F.col("n_uni")) * (F.col("c_b") / F.col("n_uni")))
+                ),
+                4,
+            ).alias("pmi"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.col("pmi").desc(), F.col("a").asc(), F.col("b").asc())
+    # Global window over the min_count-filtered set only — bounded by
+    # construction (a term can't appear in more frequent bigrams than
+    # tokens), and top_k keeps the result tiny.
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= top_k)
+        .select("rank", "a", "b", "c_ab", "pmi")
+    )
+
+
+def zipf_fit(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_count: int = 5,
+) -> DataFrame:
+    """Least-squares fit of ln(freq) ~ ln(rank) over the term
+    rank-frequency distribution (terms with count >= min_count). A
+    healthy natural-language corpus has slope near -1 (Zipf's law);
+    template-heavy or synthetic corpora deviate — a one-row corpus
+    diagnostic.
+
+    One open-vocabulary term aggregate, one global rank window over the
+    min_count-filtered vocabulary (bounded: corpus_tokens/min_count
+    rows), then a scalar regr_slope/regr_intercept aggregate."""
+    from pyspark.sql import Window
+
+    counts = (
+        _tokens(df, id_col, text_col)
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") >= min_count)
+    )
+    w = Window.orderBy(F.col("c").desc(), F.col("term").asc())
+    ranked = counts.withColumn("rank", F.row_number().over(w))
+    lx = F.log(F.col("rank").cast("double"))
+    ly = F.log(F.col("c").cast("double"))
+    return ranked.agg(
+        F.round(F.regr_slope(ly, lx), 6).alias("zipf_slope"),
+        F.round(F.regr_intercept(ly, lx), 6).alias("zipf_intercept"),
+        F.count(F.lit(1)).alias("n_terms"),
+    )

@@ -2981,18 +2981,18 @@ ORACLES: dict[str, str] = {
         GROUP BY event_type
     """,
     "q91_bm25_retrieval": """
-        WITH toks AS (
+        WITH lens AS (
             SELECT doc_id,
-                   unnest(list_filter(string_split_regex(trim(lower(text)), '\\s+'), x -> x <> '')) AS term
+                   list_filter(string_split_regex(trim(lower(text)), '\\s+'), x -> x <> '') AS ts
             FROM documents
-        ), doclen AS (
-            SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id
         ), scalars AS (
-            SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(CAST(dl AS DOUBLE)) AS avgdl FROM doclen
+            SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(CAST(len(ts) AS DOUBLE)) AS avgdl FROM lens
+        ), toks AS (
+            SELECT doc_id, len(ts) AS dl, unnest(ts) AS term FROM lens
         ), tf AS (
-            SELECT doc_id, term, count(*) AS tf FROM toks
+            SELECT doc_id, dl, term, count(*) AS tf FROM toks
             WHERE term IN ('merge', 'spark', 'window')
-            GROUP BY doc_id, term
+            GROUP BY doc_id, dl, term
         ), dfreq AS (
             SELECT term, count(*) AS df FROM tf GROUP BY term
         )
@@ -3003,7 +3003,7 @@ ORACLES: dict[str, str] = {
                    / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))
                ), 6) AS bm25,
                count(*) AS n_terms_matched
-        FROM tf JOIN dfreq USING (term) JOIN doclen USING (doc_id) CROSS JOIN scalars
+        FROM tf JOIN dfreq USING (term) CROSS JOIN scalars
         GROUP BY tf.doc_id
     """,
     "q92_unigram_surprisal": """

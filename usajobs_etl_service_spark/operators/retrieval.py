@@ -56,37 +56,43 @@ def bm25_scores(
     score(d, q) = sum_t idf(t) * tf * (k1+1) / (tf + k1*(1 - b + b*dl/avgdl))
     with the Lucene/ATIRE idf: ln(1 + (N - df + 0.5)/(df + 0.5)).
 
-    Shuffle shape: one (doc_id) aggregate for doc lengths (at scale:
-    a precomputed doc_stats table), one (doc_id, term) aggregate over
-    ONLY the queried terms (the isin filter runs inside the explode
-    stage, map-side, so the shuffled posting slice is a few terms'
-    worth, not the corpus vocabulary), and a broadcast of the per-term
-    df counts (bounded: |query| rows). N and avgdl ride along as a
-    broadcast scalar. Nothing here is proportional to vocabulary size.
+    Shuffle shape: doc length is an EXPRESSION (F.size of the token
+    array — no doc_id aggregate, no shuffle; at scale it would come
+    from a precomputed doc_stats table) and rides through the explode
+    as a grouping constant, so the ONLY data shuffle is the
+    (doc_id, term) aggregate over the queried terms — the isin filter
+    runs inside the explode stage, map-side, so the shuffled posting
+    slice is a few terms' worth, not the corpus. Per-term df counts
+    (bounded: |query| rows) and the N/avgdl scalars join as
+    broadcasts. Nothing here is proportional to vocabulary size.
     """
     norm_terms = sorted({t.strip().lower() for t in query_terms if t and t.strip()})
     if not norm_terms:
         raise ValueError("query_terms must contain at least one non-empty term")
 
-    toks = _tokens(df, id_col, text_col)
-    # Doc length in tokens — every doc, needed for the BM25 length norm.
-    doclen = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
-    # Scalar normalizers: corpus size and average doc length.
-    scalars = doclen.agg(
-        F.count(F.lit(1)).cast("double").alias("n_docs"),
-        F.avg(F.col("dl").cast("double")).alias("avgdl"),
+    base = df.select(
+        F.col(id_col).alias("doc_id"), tokens_ws(F.lower(F.col(text_col))).alias("ts")
     )
-    # Term frequency for queried terms only (filter before the shuffle).
+    # Scalar normalizers: corpus size and average doc length — one
+    # expression-fed scalar aggregate over all docs (zero-token docs
+    # included: BM25's N is the corpus size).
+    scalars = base.agg(
+        F.count(F.lit(1)).cast("double").alias("n_docs"),
+        F.avg(F.size("ts").cast("double")).alias("avgdl"),
+    )
+    # Term frequency for queried terms only (filter before the shuffle);
+    # dl is constant per doc_id, so carrying it in the grouping key adds
+    # no groups and saves the doc-length join entirely.
     tf = (
-        toks.filter(F.col("term").isin(norm_terms))
-        .groupBy("doc_id", "term")
+        base.select("doc_id", F.size("ts").alias("dl"), F.explode("ts").alias("term"))
+        .filter(F.col("term").isin(norm_terms))
+        .groupBy("doc_id", "dl", "term")
         .agg(F.count(F.lit(1)).alias("tf"))
     )
     # Document frequency per queried term: bounded by |query| rows.
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     scored = (
         tf.join(F.broadcast(dfreq), "term")
-        .join(doclen, "doc_id")
         .crossJoin(F.broadcast(scalars))
         .select(
             "doc_id",

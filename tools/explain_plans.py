@@ -35,6 +35,9 @@ HEADLINERS = {
     "q77_volume_shipping": "Q7 shape: dims broadcast, fact side shuffles once per join key, decimal-exact revenue sums",
     "q81_adaptive_quality_approx": "per-group threshold as ONE percentile_approx aggregate over a hash-sampled scan + null-safe broadcast LEFT join: no Window, no per-group sort anywhere",
     "q82_embedding_srp_near_dup": "label-free LSH: 96 plane dots in the scan stage, bucket-window hot-key cap, ids-only pair expansion, exact-cosine verify via two hash equi-joins — no cartesian/nested-loop join in the plan",
+    "q91_bm25_retrieval": "doc length as F.size in the scan stage (no corpus shuffle); the only data Exchange is the queried-terms tf aggregate (isin filter map-side inside the explode); df + N/avgdl broadcast",
+    "q93_fuzzy_edit_dedup": "blocked self-join is a hash equi-join on the 3-token block key; thresholded (banded) levenshtein per pair — no cartesian product, per-block cost bounded by block occupancy",
+    "q95_pmi_collocations": "bigram extraction as arrays_zip against the array's own tail inside the scan (no posexplode self-join); two open-vocabulary aggregates; rank window only over the min_count-filtered survivors",
 }
 
 BLOOM_SECTION = """

@@ -68,6 +68,9 @@ FAMILY = [
     "q82_embedding_srp_near_dup",
     "q89_semantic_dedup",
     "q90_duplicated_spans",
+    "q91_bm25_retrieval",
+    "q92_unigram_surprisal",
+    "q93_fuzzy_edit_dedup",
 ]
 
 

@@ -1771,6 +1771,50 @@ def q96_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return zipf_fit(docs, min_count=5)
 
 
+def q97_sketch_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extension (mergeable sketches): per-source DataSketches-HLL
+    distinct-lang sketches plus their register-wise UNION
+    (operators/stats.sketch_distinct_by_group) — the storable/mergeable
+    partial that q87's approx_count_distinct regime lacks: the 'ALL'
+    row is computed by merging the 19 per-source sketches, never by
+    re-scanning the raw column. Exact regime (q87's argument, one
+    level stronger): lang cardinality is 5, so every sketch sits in
+    DataSketches' exact coupon mode and union-of-exact is exact —
+    the oracle is plain COUNT(DISTINCT) per source UNION ALL global."""
+    from usajobs_etl_service_spark.operators.stats import sketch_distinct_by_group
+
+    docs = _t(spark, sf_dir, "documents")
+    return sketch_distinct_by_group(docs, "source", "lang")
+
+
+def q98_pq_adc_exact_regime(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extension (compressed-vector ANN, ORACLE-ANCHORED product
+    quantization — Jegou et al. 2011): PQ encode + ADC top-50 probe
+    (operators/pq.py) in its lossless exact regime. The corpus is the
+    embeddings table mapped to SIGN vectors (x >= 0 -> +1.0 else -1.0):
+    each 4-dim subspace then has at most 2^4 = 16 distinct subvectors,
+    so pq_train_distinct's codebooks contain EVERY occurring subvector,
+    encoding is lossless, and the ADC sum equals the true squared L2
+    distance exactly (all quantities are small integers, exact in
+    doubles). The oracle is DuckDB's direct 128 - 2*inner_product
+    identity for +-1 vectors, ordered (dist, vec_id) LIMIT 50 — the
+    same deterministic tiebreak as the engine's TakeOrdered. The
+    production path (pq_train_kmeans + pq_search_rerank, approximate
+    by construction) is recall-floor-tested in tests/test_pq.py."""
+    from usajobs_etl_service_spark.operators.pq import pq_adc_topk, pq_encode, pq_train_distinct
+
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform(F.col("embedding").cast("array<double>"),
+                    lambda x: F.when(x >= 0, F.lit(1.0)).otherwise(F.lit(-1.0))).alias("embedding"),
+    )
+    q0 = emb.filter(F.col("vec_id") == 0).select("embedding").first()["embedding"]
+    data = emb.filter(F.col("vec_id") != 0)
+    books = pq_train_distinct(data, m=16)
+    codes = pq_encode(data, books)
+    return pq_adc_topk(codes, [float(x) for x in q0], books, k=50)
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_job_statistics": q01_job_statistics,
     "q02_metric_union": q02_metric_union,
@@ -1868,6 +1912,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q94_train_split": q94_train_split,
     "q95_pmi_collocations": q95_pmi_collocations,
     "q96_zipf_fit": q96_zipf_fit,
+    "q97_sketch_union": q97_sketch_union,
+    "q98_pq_adc_exact_regime": q98_pq_adc_exact_regime,
 }
 
 
@@ -3102,6 +3148,24 @@ ORACLES: dict[str, str] = {
                round(regr_intercept(ln(CAST(c AS DOUBLE)), ln(CAST(rank AS DOUBLE))), 6) AS zipf_intercept,
                count(*) AS n_terms
         FROM ranked
+    """,
+    "q97_sketch_union": """
+        SELECT source AS grp, count(DISTINCT lang) AS n_distinct FROM documents GROUP BY source
+        UNION ALL
+        SELECT 'ALL' AS grp, count(DISTINCT lang) AS n_distinct FROM documents
+    """,
+    # q98: for +-1 vectors, squared L2 = 128 - 2 * inner product; the
+    # engine's lossless-PQ ADC sum equals it exactly (small integers).
+    "q98_pq_adc_exact_regime": """
+        WITH s AS (
+            SELECT vec_id,
+                   list_transform(CAST(embedding AS DOUBLE[]),
+                                  x -> CASE WHEN x >= 0 THEN 1.0 ELSE -1.0 END) AS v
+            FROM embeddings
+        ), q AS (SELECT v AS qv FROM s WHERE vec_id = 0)
+        SELECT s.vec_id, 128.0 - 2 * list_inner_product(s.v, q.qv) AS adc_dist
+        FROM s, q WHERE s.vec_id <> 0
+        ORDER BY adc_dist ASC, s.vec_id ASC LIMIT 50
     """,
 }
 

@@ -1815,6 +1815,43 @@ def q98_pq_adc_exact_regime(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pq_adc_topk(codes, [float(x) for x in q0], books, k=50)
 
 
+def q99_resample_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extension (time series): hourly per-user resample with gap
+    filling (operators/timeseries.resample_gapfill) — a dense bucket
+    spine per user (sequence+explode, executor-side), event counts with
+    0-filled gaps, and forward-filled last observed value. Every stage
+    partitions on the user (or user+bucket) key; the spine is bounded
+    by the one-month event range (~720 buckets/user)."""
+    from usajobs_etl_service_spark.operators.timeseries import resample_gapfill
+
+    events = _t(spark, sf_dir, "events")
+    out = resample_gapfill(events, bucket="hour")
+    return out.select(
+        "user_id",
+        F.date_format("bucket", "yyyy-MM-dd HH:mm:ss").alias("bucket"),
+        "n_events",
+        "value_ff",
+    )
+
+
+def q100_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extension (warehouse modeling): SCD2 change intervals of each
+    user's event_type over time (operators/timeseries.scd2_intervals) —
+    lag marks change points, lead closes intervals; two window passes
+    over one (user) hash partition; the open current interval keeps a
+    NULL valid_to."""
+    from usajobs_etl_service_spark.operators.timeseries import scd2_intervals
+
+    events = _t(spark, sf_dir, "events")
+    out = scd2_intervals(events)
+    return out.select(
+        "user_id",
+        "event_type",
+        F.date_format("valid_from", TS_FMT_US).alias("valid_from"),
+        F.date_format("valid_to", TS_FMT_US).alias("valid_to"),
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_job_statistics": q01_job_statistics,
     "q02_metric_union": q02_metric_union,
@@ -1914,6 +1951,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q96_zipf_fit": q96_zipf_fit,
     "q97_sketch_union": q97_sketch_union,
     "q98_pq_adc_exact_regime": q98_pq_adc_exact_regime,
+    "q99_resample_gapfill": q99_resample_gapfill,
+    "q100_scd2_intervals": q100_scd2_intervals,
 }
 
 
@@ -3166,6 +3205,44 @@ ORACLES: dict[str, str] = {
         SELECT s.vec_id, 128.0 - 2 * list_inner_product(s.v, q.qv) AS adc_dist
         FROM s, q WHERE s.vec_id <> 0
         ORDER BY adc_dist ASC, s.vec_id ASC LIMIT 50
+    """,
+    "q99_resample_gapfill": """
+        WITH ev AS (
+            SELECT user_id AS entity, date_trunc('hour', ts) AS bucket, ts, event_id, value
+            FROM events
+        ), ranked AS (
+            SELECT entity, bucket, value,
+                   row_number() OVER (PARTITION BY entity, bucket ORDER BY ts DESC, event_id DESC) AS rn,
+                   count(*) OVER (PARTITION BY entity, bucket) AS n_events
+            FROM ev
+        ), per_bucket AS (
+            SELECT entity, bucket, n_events, value AS last_v FROM ranked WHERE rn = 1
+        ), spine AS (
+            SELECT entity, unnest(generate_series(min(bucket), max(bucket), INTERVAL 1 HOUR)) AS bucket
+            FROM per_bucket GROUP BY entity
+        )
+        SELECT s.entity AS user_id,
+               strftime(s.bucket, '%Y-%m-%d %H:%M:%S') AS bucket,
+               coalesce(b.n_events, 0) AS n_events,
+               round(last_value(b.last_v IGNORE NULLS) OVER (
+                   PARTITION BY s.entity ORDER BY s.bucket
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS value_ff
+        FROM spine s LEFT JOIN per_bucket b ON s.entity = b.entity AND s.bucket = b.bucket
+    """,
+    "q100_scd2_intervals": """
+        WITH o AS (
+            SELECT user_id, event_type, ts, event_id,
+                   lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+            FROM events
+        ), ch AS (
+            SELECT user_id, event_type, ts, event_id FROM o
+            WHERE prev IS NULL OR event_type <> prev
+        )
+        SELECT user_id, event_type,
+               strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS valid_from,
+               strftime(lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id),
+                        '%Y-%m-%d %H:%M:%S.%f') AS valid_to
+        FROM ch
     """,
 }
 

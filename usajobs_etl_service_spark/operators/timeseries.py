@@ -1,0 +1,120 @@
+"""Time-series operators over event streams: fixed-bucket resampling
+with gap filling (forward fill), and SCD2 (slowly-changing-dimension
+type 2) interval derivation — the warehouse-side building blocks for
+per-entity timelines.
+
+Both are single-timeline-per-entity shapes: every window partitions by
+the entity key, so at 100 TB the work distributes across entities and
+no global sort or driver loop appears anywhere. The gap-fill spine is
+bounded by (time range / bucket) rows per entity — for bounded
+retention windows (days-months of hourly buckets) this is a small
+constant multiple of the entity count, generated executor-side with
+``sequence`` + ``explode`` (never a driver range loop).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def resample_gapfill(
+    events: DataFrame,
+    *,
+    entity_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    tiebreak_col: str = "event_id",
+    bucket: str = "hour",
+) -> DataFrame:
+    """Per-entity fixed-bucket resample: one row per (entity, bucket)
+    for EVERY bucket between the entity's first and last event —
+    event count per bucket (0 for gaps) and the forward-filled last
+    observed value (last event by (ts, tiebreak) at or before the
+    bucket's end).
+
+    Shuffle shape: one (entity, bucket) window pass ranks events and
+    counts per bucket; the per-entity min/max range is a reuse of that
+    output; the dense bucket spine comes from ``sequence`` + ``explode``
+    (executor-side, no driver loop); the left join back is an equi-join
+    on (entity, bucket); the forward fill is a per-entity running
+    ``last(ignorenulls)`` window. Every stage partitions on the entity
+    (or entity+bucket) key — nothing global."""
+    ent, ts, tb = F.col(entity_col), F.col(ts_col), F.col(tiebreak_col)
+    ev = events.select(
+        ent.alias("entity"),
+        F.date_trunc(bucket, ts).alias("bucket"),
+        ts.alias("__ts"),
+        tb.alias("__tb"),
+        F.col(value_col).alias("__v"),
+    )
+    w_rank = Window.partitionBy("entity", "bucket").orderBy(
+        F.col("__ts").desc(), F.col("__tb").desc()
+    )
+    w_cnt = Window.partitionBy("entity", "bucket")
+    per_bucket = (
+        ev.withColumn("__rn", F.row_number().over(w_rank))
+        .withColumn("n_events", F.count(F.lit(1)).over(w_cnt))
+        .filter(F.col("__rn") == 1)
+        .select("entity", "bucket", "n_events", F.col("__v").alias("last_v"))
+    )
+    spine = (
+        per_bucket.groupBy("entity")
+        .agg(F.min("bucket").alias("__mn"), F.max("bucket").alias("__mx"))
+        .select(
+            "entity",
+            F.explode(
+                F.sequence(F.col("__mn"), F.col("__mx"), F.expr("INTERVAL 1 " + bucket))
+            ).alias("bucket"),
+        )
+    )
+    w_fill = Window.partitionBy("entity").orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        spine.join(per_bucket, ["entity", "bucket"], "left")
+        .select(
+            F.col("entity").alias(entity_col),
+            F.col("bucket"),
+            F.coalesce(F.col("n_events"), F.lit(0)).alias("n_events"),
+            F.round(F.last("last_v", ignorenulls=True).over(w_fill), 2).alias("value_ff"),
+        )
+    )
+
+
+def scd2_intervals(
+    events: DataFrame,
+    *,
+    entity_col: str = "user_id",
+    ts_col: str = "ts",
+    attr_col: str = "event_type",
+    tiebreak_col: str = "event_id",
+) -> DataFrame:
+    """SCD2 history from an event log: collapse each entity's ordered
+    attribute observations into change intervals — one row per run of
+    equal ``attr_col`` values, valid from the first observation of the
+    run until the next change (NULL for the open current interval).
+
+    Two window passes over ONE (entity) hash partition: a lag marks
+    change points (the filter preserves partitioning, so the lead pass
+    re-sorts without a new Exchange). Deterministic under ts ties via
+    the tiebreak column."""
+    ent, ts, attr, tb = (
+        F.col(entity_col),
+        F.col(ts_col),
+        F.col(attr_col),
+        F.col(tiebreak_col),
+    )
+    w = Window.partitionBy("entity").orderBy("__ts", "__tb")
+    marked = events.select(
+        ent.alias("entity"), ts.alias("__ts"), tb.alias("__tb"), attr.alias("attr")
+    ).withColumn("__prev", F.lag("attr").over(w))
+    changes = marked.filter(
+        F.col("__prev").isNull() | (F.col("attr") != F.col("__prev"))
+    )
+    return changes.select(
+        F.col("entity").alias(entity_col),
+        F.col("attr").alias(attr_col),
+        F.col("__ts").alias("valid_from"),
+        F.lead("__ts").over(w).alias("valid_to"),
+    )

@@ -1852,6 +1852,36 @@ def q100_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q101_profile_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extension (data quality): long-form profile of the documents
+    table (operators/profiling.profile) — null/distinct/moment metrics
+    per column in ONE aggregate pass (wide agg then stack; the
+    multi-distinct plans via Expand — at 100 TB exact_distinct=False
+    swaps in approx_count_distinct and the pass becomes plain mergeable
+    partials). Profiles are the store-and-diff artifact for drift
+    detection between pipeline runs."""
+    from usajobs_etl_service_spark.operators.profiling import profile
+
+    docs = _t(spark, sf_dir, "documents")
+    return profile(
+        docs,
+        numeric_cols=["doc_id", "n_chars"],
+        string_cols=["lang", "source", "text"],
+    )
+
+
+def q102_zscore_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extension (data quality): per-user z-score outliers on event
+    values (operators/profiling.zscore_anomalies) — events more than 3
+    sample standard deviations from their user's mean. One per-entity
+    aggregate + an equi-join back (AQE broadcasts the 150-row stats
+    side); zero-variance entities guarded."""
+    from usajobs_etl_service_spark.operators.profiling import zscore_anomalies
+
+    events = _t(spark, sf_dir, "events")
+    return zscore_anomalies(events, threshold=3.0)
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_job_statistics": q01_job_statistics,
     "q02_metric_union": q02_metric_union,
@@ -1953,6 +1983,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q98_pq_adc_exact_regime": q98_pq_adc_exact_regime,
     "q99_resample_gapfill": q99_resample_gapfill,
     "q100_scd2_intervals": q100_scd2_intervals,
+    "q101_profile_documents": q101_profile_documents,
+    "q102_zscore_anomalies": q102_zscore_anomalies,
 }
 
 
@@ -3243,6 +3275,50 @@ ORACLES: dict[str, str] = {
                strftime(lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id),
                         '%Y-%m-%d %H:%M:%S.%f') AS valid_to
         FROM ch
+    """,
+    "q101_profile_documents": """
+            SELECT 'doc_id' AS column_name, 'n' AS metric, CAST(count(*) AS DOUBLE) AS value FROM documents
+            UNION ALL SELECT 'doc_id', 'n_null', CAST(count(*) - count(doc_id) AS DOUBLE) FROM documents
+            UNION ALL SELECT 'doc_id', 'n_distinct', CAST(count(DISTINCT doc_id) AS DOUBLE) FROM documents
+            UNION ALL SELECT 'doc_id', 'min', CAST(min(doc_id) AS DOUBLE) FROM documents
+            UNION ALL SELECT 'doc_id', 'max', CAST(max(doc_id) AS DOUBLE) FROM documents
+            UNION ALL SELECT 'doc_id', 'mean', round(avg(CAST(doc_id AS DOUBLE)), 4) FROM documents
+            UNION ALL
+            SELECT 'n_chars' AS column_name, 'n' AS metric, CAST(count(*) AS DOUBLE) AS value FROM documents
+            UNION ALL SELECT 'n_chars', 'n_null', CAST(count(*) - count(n_chars) AS DOUBLE) FROM documents
+            UNION ALL SELECT 'n_chars', 'n_distinct', CAST(count(DISTINCT n_chars) AS DOUBLE) FROM documents
+            UNION ALL SELECT 'n_chars', 'min', CAST(min(n_chars) AS DOUBLE) FROM documents
+            UNION ALL SELECT 'n_chars', 'max', CAST(max(n_chars) AS DOUBLE) FROM documents
+            UNION ALL SELECT 'n_chars', 'mean', round(avg(CAST(n_chars AS DOUBLE)), 4) FROM documents
+            UNION ALL
+            SELECT 'lang' AS column_name, 'n' AS metric, CAST(count(*) AS DOUBLE) AS value FROM documents
+            UNION ALL SELECT 'lang', 'n_null', CAST(count(*) - count(lang) AS DOUBLE) FROM documents
+            UNION ALL SELECT 'lang', 'n_distinct', CAST(count(DISTINCT lang) AS DOUBLE) FROM documents
+            UNION ALL SELECT 'lang', 'avg_len', round(avg(CAST(length(lang) AS DOUBLE)), 4) FROM documents
+            UNION ALL SELECT 'lang', 'max_len', CAST(max(length(lang)) AS DOUBLE) FROM documents
+            UNION ALL
+            SELECT 'source' AS column_name, 'n' AS metric, CAST(count(*) AS DOUBLE) AS value FROM documents
+            UNION ALL SELECT 'source', 'n_null', CAST(count(*) - count(source) AS DOUBLE) FROM documents
+            UNION ALL SELECT 'source', 'n_distinct', CAST(count(DISTINCT source) AS DOUBLE) FROM documents
+            UNION ALL SELECT 'source', 'avg_len', round(avg(CAST(length(source) AS DOUBLE)), 4) FROM documents
+            UNION ALL SELECT 'source', 'max_len', CAST(max(length(source)) AS DOUBLE) FROM documents
+            UNION ALL
+            SELECT 'text' AS column_name, 'n' AS metric, CAST(count(*) AS DOUBLE) AS value FROM documents
+            UNION ALL SELECT 'text', 'n_null', CAST(count(*) - count(text) AS DOUBLE) FROM documents
+            UNION ALL SELECT 'text', 'n_distinct', CAST(count(DISTINCT text) AS DOUBLE) FROM documents
+            UNION ALL SELECT 'text', 'avg_len', round(avg(CAST(length(text) AS DOUBLE)), 4) FROM documents
+            UNION ALL SELECT 'text', 'max_len', CAST(max(length(text)) AS DOUBLE) FROM documents
+    """,
+    "q102_zscore_anomalies": """
+        WITH stats AS (
+            SELECT user_id AS e, avg(CAST(value AS DOUBLE)) AS mu,
+                   stddev_samp(CAST(value AS DOUBLE)) AS sd
+            FROM events GROUP BY user_id
+        )
+        SELECT event_id, user_id, value, round((CAST(value AS DOUBLE) - mu) / sd, 3) AS z
+        FROM events JOIN stats ON user_id = e
+        WHERE sd IS NOT NULL AND sd > 0
+          AND abs(round((CAST(value AS DOUBLE) - mu) / sd, 3)) > 3.0
     """,
 }
 

@@ -1,0 +1,51 @@
+"""Semantic tests for operators/profiling.py (cross-engine equality is
+the q101/q102 oracle-parity rows)."""
+
+from __future__ import annotations
+
+import pytest
+
+from usajobs_etl_service_spark.operators.profiling import profile, zscore_anomalies
+
+
+def test_profile_metrics(spark):
+    df = spark.createDataFrame(
+        [(1, 10.0, "aa"), (2, None, "bbbb"), (3, 30.0, None), (4, 10.0, "aa")],
+        "id long, x double, s string",
+    )
+    out = profile(df, numeric_cols=["x"], string_cols=["s"])
+    got = {(r["column_name"], r["metric"]): r["value"] for r in out.collect()}
+    assert got[("x", "n")] == 4.0
+    assert got[("x", "n_null")] == 1.0
+    assert got[("x", "n_distinct")] == 2.0
+    assert got[("x", "min")] == 10.0 and got[("x", "max")] == 30.0
+    assert got[("x", "mean")] == round(50.0 / 3, 4)
+    assert got[("s", "n_null")] == 1.0
+    assert got[("s", "n_distinct")] == 2.0
+    assert got[("s", "avg_len")] == round(8.0 / 3, 4)
+    assert got[("s", "max_len")] == 4.0
+
+
+def test_profile_approx_mode_and_empty_args(spark):
+    df = spark.createDataFrame([(1,)], "id long")
+    with pytest.raises(ValueError):
+        profile(df)
+    out = profile(df, numeric_cols=["id"], exact_distinct=False)
+    got = {(r["column_name"], r["metric"]): r["value"] for r in out.collect()}
+    assert got[("id", "n_distinct")] == 1.0  # HLL exact at tiny cardinality
+
+
+def test_zscore_flags_only_true_outliers(spark):
+    # user 7: ten values at 1.0 and one at 100 -> the spike is >3 sd out;
+    # user 8: constant (sd=0) must produce no flags and no division error.
+    rows = [(i, 7, 1.0) for i in range(10)] + [(99, 7, 100.0)]
+    rows += [(200 + i, 8, 5.0) for i in range(5)]
+    df = spark.createDataFrame(rows, "event_id long, user_id long, value double")
+    out = zscore_anomalies(df, threshold=3.0).collect()
+    assert [(r["event_id"], r["user_id"]) for r in out] == [(99, 7)]
+    assert out[0]["z"] > 3.0
+
+
+def test_zscore_single_row_entity_no_flags(spark):
+    df = spark.createDataFrame([(1, 7, 42.0)], "event_id long, user_id long, value double")
+    assert zscore_anomalies(df).collect() == []

@@ -1,0 +1,96 @@
+"""Dataset profiling and statistical outlier detection — the data-
+quality surface a curation pipeline runs before and after every
+transform (null/distinct/moment profiles; z-score anomaly flags).
+
+Profile metrics come out in LONG form (column, metric, value) so a
+profile is one UNION-able artifact per snapshot: store it per
+partition/day and diff profiles to detect drift.
+
+Scale notes: the profile is ONE aggregate pass per table (Catalyst
+plans the multi-distinct via Expand — at 100 TB swap exact
+``countDistinct`` for ``approx_count_distinct`` with
+``exact_distinct=False``, turning the pass into plain mergeable
+partials). Anomaly stats are a per-entity aggregate joined back (AQE
+broadcasts the stats side when it fits) — never a global window.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def profile(
+    df: DataFrame,
+    *,
+    numeric_cols: list[str] = (),
+    string_cols: list[str] = (),
+    exact_distinct: bool = True,
+) -> DataFrame:
+    """(column, metric, value double) long-form profile: numeric cols
+    report n/n_null/n_distinct/min/max/mean; string cols report
+    n/n_null/n_distinct/avg_len/max_len. Means and avg lengths round
+    to 4 for cross-engine stability."""
+    if not numeric_cols and not string_cols:
+        raise ValueError("profile needs at least one column")
+    ndv = (lambda c: F.countDistinct(c)) if exact_distinct else (
+        lambda c: F.approx_count_distinct(c)
+    )
+    aggs: list[Column] = []
+    labels: list[tuple[str, str]] = []
+
+    def add(col: str, metric: str, expr: Column) -> None:
+        aggs.append(expr.cast("double").alias(f"{col}__{metric}"))
+        labels.append((col, metric))
+
+    n_rows = F.count(F.lit(1))
+    for c in numeric_cols:
+        col = F.col(c)
+        add(c, "n", n_rows)
+        add(c, "n_null", n_rows - F.count(col))
+        add(c, "n_distinct", ndv(col))
+        add(c, "min", F.min(col))
+        add(c, "max", F.max(col))
+        add(c, "mean", F.round(F.avg(col.cast("double")), 4))
+    for c in string_cols:
+        col = F.col(c)
+        add(c, "n", n_rows)
+        add(c, "n_null", n_rows - F.count(col))
+        add(c, "n_distinct", ndv(col))
+        add(c, "avg_len", F.round(F.avg(F.length(col).cast("double")), 4))
+        add(c, "max_len", F.max(F.length(col)))
+    wide = df.agg(*aggs)
+    # one-row wide -> long via stack (still a single aggregate job)
+    pairs = ", ".join(f"'{c}', '{m}', `{c}__{m}`" for c, m in labels)
+    return wide.selectExpr(
+        f"stack({len(labels)}, {pairs}) AS (column_name, metric, value)"
+    )
+
+
+def zscore_anomalies(
+    df: DataFrame,
+    *,
+    entity_col: str = "user_id",
+    value_col: str = "value",
+    id_col: str = "event_id",
+    threshold: float = 3.0,
+) -> DataFrame:
+    """Rows whose value is more than ``threshold`` sample standard
+    deviations from their ENTITY's mean. Per-entity stats are one
+    aggregate; the join back is an equi-join on the entity key (AQE
+    broadcasts the stats side when the entity count is bounded);
+    entities with zero variance or a single row produce no flags
+    (NULL/zero stddev guarded)."""
+    ent = F.col(entity_col)
+    stats = df.groupBy(ent.alias("__e")).agg(
+        F.avg(F.col(value_col).cast("double")).alias("__mu"),
+        F.stddev_samp(F.col(value_col).cast("double")).alias("__sd"),
+    )
+    joined = df.join(stats, ent == F.col("__e"))
+    z = F.try_divide(F.col(value_col).cast("double") - F.col("__mu"), F.col("__sd"))
+    return (
+        joined.filter(F.col("__sd").isNotNull() & (F.col("__sd") > 0))
+        .withColumn("z", F.round(z, 3))
+        .filter(F.abs(F.col("z")) > threshold)
+        .select(F.col(id_col), ent, F.col(value_col), "z")
+    )

@@ -1882,6 +1882,57 @@ def q102_zscore_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
     return zscore_anomalies(events, threshold=3.0)
 
 
+def q103_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10-shaped: returned-item revenue per customer — 4-way
+    join (fact filtered before the join; customer and nation dims
+    broadcast), grouped float revenue, top-20 via TakeOrdered with a
+    custkey tiebreak."""
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-07-01")) & (F.col("o_orderdate") < F.lit("1997-10-01"))
+    )
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey").asc())
+        .limit(20)
+    )
+
+
+def q104_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18-shaped: customers with orders totalling >= 250 units —
+    a HAVING-filtered fact aggregate (partial map-side combine, then
+    the tiny survivor set joins orders/customer with the survivors
+    broadcast), ordered by totalprice."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.round(F.sum("l_quantity"), 2).alias("sum_qty"))
+        .filter(F.col("sum_qty") >= 250)
+    )
+    return (
+        orders.join(F.broadcast(big), orders.o_orderkey == big.l_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .select(
+            "c_custkey",
+            "c_name",
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
+            "o_totalprice",
+            "sum_qty",
+        )
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+        .limit(20)
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_job_statistics": q01_job_statistics,
     "q02_metric_union": q02_metric_union,
@@ -1985,6 +2036,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q100_scd2_intervals": q100_scd2_intervals,
     "q101_profile_documents": q101_profile_documents,
     "q102_zscore_anomalies": q102_zscore_anomalies,
+    "q103_returned_items": q103_returned_items,
+    "q104_large_volume_customers": q104_large_volume_customers,
 }
 
 
@@ -3319,6 +3372,34 @@ ORACLES: dict[str, str] = {
         FROM events JOIN stats ON user_id = e
         WHERE sd IS NOT NULL AND sd > 0
           AND abs(round((CAST(value AS DOUBLE) - mu) / sd, 3)) > 3.0
+    """,
+    "q103_returned_items": """
+        SELECT c_custkey, c_name, n_name,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        WHERE l_returnflag = 'R'
+          AND CAST(o_orderdate AS DATE) >= DATE '1997-07-01'
+          AND CAST(o_orderdate AS DATE) < DATE '1997-10-01'
+        GROUP BY c_custkey, c_name, n_name
+        ORDER BY revenue DESC, c_custkey ASC
+        LIMIT 20
+    """,
+    "q104_large_volume_customers": """
+        WITH big AS (
+            SELECT l_orderkey, round(sum(l_quantity), 2) AS sum_qty
+            FROM lineitem GROUP BY l_orderkey HAVING round(sum(l_quantity), 2) >= 250
+        )
+        SELECT c_custkey, c_name, o_orderkey,
+               strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+               o_totalprice, sum_qty
+        FROM orders
+        JOIN big ON o_orderkey = l_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        ORDER BY o_totalprice DESC, o_orderkey ASC
+        LIMIT 20
     """,
 }
 

@@ -1933,6 +1933,19 @@ def q104_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q105_textrank_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extension (graph / text analysis): TextRank keyword extraction —
+    3 fixed PageRank power-method iterations over the symmetrized
+    adjacent-token co-occurrence graph (operators/graphrank.py; the
+    iterative-algorithm family next to q64's connected components).
+    The oracle replays the SAME 3 iterations as chained CTEs with the
+    identical float expression shape; rank rounds before ordering."""
+    from usajobs_etl_service_spark.operators.graphrank import textrank_terms
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return textrank_terms(docs, min_cooccur=10, n_iter=3, top_k=20)
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_job_statistics": q01_job_statistics,
     "q02_metric_union": q02_metric_union,
@@ -2038,6 +2051,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q102_zscore_anomalies": q102_zscore_anomalies,
     "q103_returned_items": q103_returned_items,
     "q104_large_volume_customers": q104_large_volume_customers,
+    "q105_textrank_terms": q105_textrank_terms,
 }
 
 
@@ -3400,6 +3414,59 @@ ORACLES: dict[str, str] = {
         JOIN customer ON o_custkey = c_custkey
         ORDER BY o_totalprice DESC, o_orderkey ASC
         LIMIT 20
+    """,
+    # q105: the oracle replays the engine's 3 fixed power-method
+    # iterations as chained CTEs with the identical IEEE expression
+    # shape ((1 - 0.85)/n + 0.85 * sum(pr/d)); display rounding at 6.
+    "q105_textrank_terms": """
+        WITH toksarr AS (
+            SELECT list_filter(string_split_regex(trim(lower(text)), '\\s+'), x -> x <> '') AS ts
+            FROM documents
+        ), bg AS (
+            SELECT unnest(list_zip(ts[:len(ts)-1], ts[2:])) AS p FROM toksarr
+        ), bigrams AS (
+            SELECT p[1] AS a, p[2] AS b, count(*) AS c_ab FROM bg GROUP BY 1, 2
+        ), fb AS (
+            SELECT a, b FROM bigrams WHERE c_ab >= 10
+        ), ed AS (
+            SELECT DISTINCT s, t FROM (
+                SELECT a AS s, b AS t FROM fb UNION ALL SELECT b AS s, a AS t FROM fb
+            )
+        ), nodes AS (
+            SELECT DISTINCT s AS node FROM ed
+        ), nn AS (
+            SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes
+        ), deg AS (
+            SELECT s, CAST(count(*) AS DOUBLE) AS d FROM ed GROUP BY s
+        ), pr0 AS (
+            SELECT node, 1.0 / n AS pr FROM nodes CROSS JOIN nn
+        )        , c1 AS (
+            SELECT t AS node, sum(pr / d) AS c
+            FROM ed JOIN pr0 ON s = node JOIN deg USING (s)
+            GROUP BY t
+        ), pr1 AS (
+            SELECT nodes.node, (1 - 0.85) / n + 0.85 * coalesce(c, 0.0) AS pr
+            FROM nodes CROSS JOIN nn LEFT JOIN c1 ON nodes.node = c1.node
+        )        , c2 AS (
+            SELECT t AS node, sum(pr / d) AS c
+            FROM ed JOIN pr1 ON s = node JOIN deg USING (s)
+            GROUP BY t
+        ), pr2 AS (
+            SELECT nodes.node, (1 - 0.85) / n + 0.85 * coalesce(c, 0.0) AS pr
+            FROM nodes CROSS JOIN nn LEFT JOIN c2 ON nodes.node = c2.node
+        )        , c3 AS (
+            SELECT t AS node, sum(pr / d) AS c
+            FROM ed JOIN pr2 ON s = node JOIN deg USING (s)
+            GROUP BY t
+        ), pr3 AS (
+            SELECT nodes.node, (1 - 0.85) / n + 0.85 * coalesce(c, 0.0) AS pr
+            FROM nodes CROSS JOIN nn LEFT JOIN c3 ON nodes.node = c3.node
+        )
+        SELECT rank, term, pr FROM (
+            SELECT node AS term, round(pr, 6) AS pr,
+                   row_number() OVER (ORDER BY round(pr, 6) DESC, node ASC) AS rank
+            FROM pr3
+        ) WHERE rank <= 20
     """,
 }
 

@@ -1,0 +1,51 @@
+"""Semantic tests for operators/graphrank.py (cross-engine equality is
+the q105 oracle-parity row)."""
+
+from __future__ import annotations
+
+import pytest
+
+from usajobs_etl_service_spark.operators.graphrank import pagerank, textrank_terms
+
+
+def _pr_dict(df):
+    return {r["node"]: r["pr"] for r in df.collect()}
+
+
+def test_pagerank_matches_hand_power_method(spark):
+    # Directed triangle plus a feeder: a->b, b->c, c->a, d->a (all out-
+    # degree 1). Replay the power method in Python and compare exactly.
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "a"), ("d", "a")], "src string, dst string"
+    )
+    got = _pr_dict(pagerank(edges, n_iter=3))
+    pr = {n: 1 / 4 for n in "abcd"}
+    out = {"a": ["b"], "b": ["c"], "c": ["a"], "d": ["a"]}
+    for _ in range(3):
+        nxt = {}
+        for v in "abcd":
+            inc = sum(pr[u] / len(out[u]) for u in "abcd" if v in out[u])
+            nxt[v] = (1 - 0.85) / 4 + 0.85 * inc
+        pr = nxt
+    assert got == pytest.approx(pr)
+
+
+def test_pagerank_symmetric_graph_is_uniform_and_conserves_mass(spark):
+    # On a regular symmetric graph the uniform vector is the fixed
+    # point; total mass stays 1 every iteration (no dangling nodes).
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "a"), ("b", "c"), ("c", "b"), ("c", "a"), ("a", "c")],
+        "src string, dst string",
+    )
+    got = _pr_dict(pagerank(edges, n_iter=4))
+    assert all(abs(v - 1 / 3) < 1e-12 for v in got.values())
+    assert abs(sum(got.values()) - 1.0) < 1e-9
+
+
+def test_textrank_hub_term_ranks_first(spark):
+    # 'hub' neighbors every filler term; fillers only touch the hub.
+    rows = [(i, f"hub w{i % 4} hub w{(i + 1) % 4} hub w{(i + 2) % 4}") for i in range(30)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = textrank_terms(docs, min_cooccur=5, n_iter=3, top_k=5).collect()
+    assert out[0]["term"] == "hub" and out[0]["rank"] == 1
+    assert out[0]["pr"] > out[1]["pr"]

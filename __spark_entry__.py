@@ -1946,6 +1946,29 @@ def q105_textrank_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textrank_terms(docs, min_cooccur=10, n_iter=3, top_k=20)
 
 
+def q106_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extension (corpus mixing): weighted sampling WITHOUT replacement
+    — Efraimidis-Spirakis A-ES keys (ln(u)/w with the engine-
+    reproducible md5 uniform from sampling.sample_key, w = n_chars, so
+    longer documents are proportionally likelier) ranked per language
+    through the skew-safe salted top-k (operators/salting.py: one hot
+    language cannot melt a single reducer). Keys round to 9 before
+    ranking so cross-engine float ties break identically via doc_id."""
+    from usajobs_etl_service_spark.operators.salting import salted_topk_per_key
+    from usajobs_etl_service_spark.operators.sampling import sample_key
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    keyed = docs.withColumn(
+        "es_key",
+        F.round(
+            F.log(sample_key(F.col("doc_id"), seed=11)) / F.col("n_chars").cast("double"), 9
+        ),
+    )
+    return salted_topk_per_key(
+        keyed, ["lang"], [F.col("es_key").desc(), F.col("doc_id").asc()], k=20
+    ).select("lang", "doc_id", "n_chars", "es_key")
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_job_statistics": q01_job_statistics,
     "q02_metric_union": q02_metric_union,
@@ -2052,6 +2075,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q103_returned_items": q103_returned_items,
     "q104_large_volume_customers": q104_large_volume_customers,
     "q105_textrank_terms": q105_textrank_terms,
+    "q106_weighted_sample": q106_weighted_sample,
 }
 
 
@@ -3467,6 +3491,21 @@ ORACLES: dict[str, str] = {
                    row_number() OVER (ORDER BY round(pr, 6) DESC, node ASC) AS rank
             FROM pr3
         ) WHERE rank <= 20
+    """,
+    # q106: A-ES weighted sampling — identical md5 uniform, identical
+    # ln(u)/w key, rounded at 9 before ranking (doc_id tiebreak).
+    "q106_weighted_sample": """
+        WITH keyed AS (
+            SELECT lang, doc_id, n_chars,
+                   round(ln(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '#11'), 1, 8)) AS BIGINT)
+                            / 4294967296.0) / CAST(n_chars AS DOUBLE), 9) AS es_key
+            FROM documents
+        )
+        SELECT lang, doc_id, n_chars, es_key FROM (
+            SELECT lang, doc_id, n_chars, es_key,
+                   row_number() OVER (PARTITION BY lang ORDER BY es_key DESC, doc_id ASC) AS rn
+            FROM keyed
+        ) WHERE rn <= 20
     """,
 }
 

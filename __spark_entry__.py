@@ -1969,6 +1969,39 @@ def q106_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("lang", "doc_id", "n_chars", "es_key")
 
 
+def q107_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extension (analytics): weekly cohort retention — users grouped
+    by first-activity week; for each (cohort_week, week_offset) the
+    distinct returning users and their share of the cohort. Two
+    aggregates (first-activity per user, then cohort x offset distinct
+    counts) + a broadcast-scalar-free cohort-size join; day arithmetic
+    via date_diff so both engines bucket offsets identically."""
+    events = _t(spark, sf_dir, "events")
+    ev = events.select(
+        "user_id", F.date_trunc("week", F.col("ts")).cast("date").alias("wk")
+    ).distinct()
+    first = ev.groupBy("user_id").agg(F.min("wk").alias("cohort_wk"))
+    joined = ev.join(first, "user_id").select(
+        "user_id",
+        "cohort_wk",
+        (F.datediff(F.col("wk"), F.col("cohort_wk")) / 7).cast("int").alias("week_offset"),
+    )
+    counts = joined.groupBy("cohort_wk", "week_offset").agg(
+        F.countDistinct("user_id").alias("n_users")
+    )
+    sizes = first.groupBy("cohort_wk").agg(F.countDistinct("user_id").alias("cohort_size"))
+    return (
+        counts.join(sizes, "cohort_wk")
+        .select(
+            F.date_format("cohort_wk", "yyyy-MM-dd").alias("cohort_week"),
+            "week_offset",
+            "n_users",
+            "cohort_size",
+            F.round(F.col("n_users") / F.col("cohort_size"), 4).alias("retention"),
+        )
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_job_statistics": q01_job_statistics,
     "q02_metric_union": q02_metric_union,
@@ -2076,6 +2109,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q104_large_volume_customers": q104_large_volume_customers,
     "q105_textrank_terms": q105_textrank_terms,
     "q106_weighted_sample": q106_weighted_sample,
+    "q107_cohort_retention": q107_cohort_retention,
 }
 
 
@@ -3506,6 +3540,26 @@ ORACLES: dict[str, str] = {
                    row_number() OVER (PARTITION BY lang ORDER BY es_key DESC, doc_id ASC) AS rn
             FROM keyed
         ) WHERE rn <= 20
+    """,
+    "q107_cohort_retention": """
+        WITH ev AS (
+            SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS wk FROM events
+        ), first AS (
+            SELECT user_id, min(wk) AS cohort_wk FROM ev GROUP BY user_id
+        ), joined AS (
+            SELECT ev.user_id, cohort_wk,
+                   CAST(date_diff('day', cohort_wk, wk) / 7 AS INT) AS week_offset
+            FROM ev JOIN first ON ev.user_id = first.user_id
+        ), counts AS (
+            SELECT cohort_wk, week_offset, count(DISTINCT user_id) AS n_users
+            FROM joined GROUP BY cohort_wk, week_offset
+        ), sizes AS (
+            SELECT cohort_wk, count(DISTINCT user_id) AS cohort_size FROM first GROUP BY cohort_wk
+        )
+        SELECT strftime(counts.cohort_wk, '%Y-%m-%d') AS cohort_week, week_offset,
+               n_users, cohort_size,
+               round(CAST(n_users AS DOUBLE) / cohort_size, 4) AS retention
+        FROM counts JOIN sizes ON counts.cohort_wk = sizes.cohort_wk
     """,
 }
 

@@ -38,6 +38,10 @@ HEADLINERS = {
     "q91_bm25_retrieval": "doc length as F.size in the scan stage (no corpus shuffle); the only data Exchange is the queried-terms tf aggregate (isin filter map-side inside the explode); df + N/avgdl broadcast",
     "q93_fuzzy_edit_dedup": "blocked self-join is a hash equi-join on the 3-token block key; thresholded (banded) levenshtein per pair — no cartesian product, per-block cost bounded by block occupancy",
     "q95_pmi_collocations": "bigram extraction as arrays_zip against the array's own tail inside the scan (no posexplode self-join); two open-vocabulary aggregates; rank window only over the min_count-filtered survivors",
+    "q98_pq_adc_exact_regime": "PQ encode as literal-codebook argmin projection (no join/shuffle); ADC probe = m element_at lookups + sum inside codegen, then TakeOrderedAndProject — no float vectors read at probe time",
+    "q99_resample_gapfill": "dense bucket spine via sequence+explode (executor-side, no driver range); every window/join partitions on the entity key; forward fill as running last(ignorenulls)",
+    "q103_returned_items": "fact filtered before the join; customer/nation broadcast; grouped revenue then TakeOrdered — no shuffle of unfiltered lineitem",
+    "q105_textrank_terms": "3 fixed PageRank supersteps: per iteration one src-key join + one dst sum + left join preserving teleport mass; open node vocabulary (no broadcast hints)",
 }
 
 BLOOM_SECTION = """

@@ -2002,6 +2002,62 @@ def q107_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q108_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extension (reconciliation): keyed diff of two orders snapshots
+    (operators/snapshot_diff.py) — the q16 merge batch replayed as a
+    new version (updates on key%10, inserts at key+10M, deletes on
+    key%7==3), diffed against the base: added/removed/changed with old
+    and new values, null-safe change detection, one full outer join
+    sized to the churn."""
+    from usajobs_etl_service_spark.operators.snapshot_diff import snapshot_diff
+
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderpriority"
+    )
+    new = (
+        orders.filter(F.col("o_orderkey") % 7 != 3)
+        .withColumn(
+            "o_totalprice",
+            F.when(F.col("o_orderkey") % 10 == 0, F.col("o_totalprice") + 1000).otherwise(
+                F.col("o_totalprice")
+            ),
+        )
+        .unionByName(
+            orders.filter(F.col("o_orderkey") % 100 == 0).select(
+                (F.col("o_orderkey") + 10000000).alias("o_orderkey"),
+                "o_totalprice",
+                "o_orderpriority",
+            )
+        )
+    )
+    return snapshot_diff(
+        orders, new, key_col="o_orderkey", compare_cols=["o_totalprice", "o_orderpriority"]
+    )
+
+
+def q109_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extension (profiling): equi-width histogram of event values per
+    event type (operators/profiling.histogram) — floor bucketing as a
+    pure expression + ONE aggregate."""
+    from usajobs_etl_service_spark.operators.profiling import histogram
+
+    events = _t(spark, sf_dir, "events")
+    return histogram(events, value_col="value", width=50.0, group_cols=["event_type"])
+
+
+def q110_cube_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extension (OLAP surface, completes q29's ROLLUP): CUBE over
+    (lang, source) with doc counts + char volume and an explicit
+    grouping id so every aggregation level is distinguishable from
+    genuine NULL dimension values."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.cube("lang", "source").agg(
+        F.grouping_id().alias("gid"),
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("n_chars"),
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_job_statistics": q01_job_statistics,
     "q02_metric_union": q02_metric_union,
@@ -2110,6 +2166,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q105_textrank_terms": q105_textrank_terms,
     "q106_weighted_sample": q106_weighted_sample,
     "q107_cohort_retention": q107_cohort_retention,
+    "q108_snapshot_diff": q108_snapshot_diff,
+    "q109_value_histogram": q109_value_histogram,
+    "q110_cube_counts": q110_cube_counts,
 }
 
 
@@ -3560,6 +3619,46 @@ ORACLES: dict[str, str] = {
                n_users, cohort_size,
                round(CAST(n_users AS DOUBLE) / cohort_size, 4) AS retention
         FROM counts JOIN sizes ON counts.cohort_wk = sizes.cohort_wk
+    """,
+    "q108_snapshot_diff": """
+        WITH base AS (
+            SELECT o_orderkey, o_totalprice, o_orderpriority FROM orders
+        ), nxt AS (
+            SELECT o_orderkey,
+                   CASE WHEN o_orderkey % 10 = 0 THEN o_totalprice + 1000 ELSE o_totalprice END AS o_totalprice,
+                   o_orderpriority
+            FROM base WHERE o_orderkey % 7 <> 3
+            UNION ALL
+            SELECT o_orderkey + 10000000, o_totalprice, o_orderpriority
+            FROM base WHERE o_orderkey % 100 = 0
+        ), j AS (
+            SELECT base.o_orderkey AS k_old, nxt.o_orderkey AS k_new,
+                   base.o_totalprice AS old_o_totalprice, base.o_orderpriority AS old_o_orderpriority,
+                   nxt.o_totalprice AS new_o_totalprice, nxt.o_orderpriority AS new_o_orderpriority
+            FROM base FULL OUTER JOIN nxt ON base.o_orderkey = nxt.o_orderkey
+        )
+        SELECT coalesce(k_old, k_new) AS o_orderkey,
+               CASE WHEN k_old IS NULL THEN 'added'
+                    WHEN k_new IS NULL THEN 'removed'
+                    WHEN NOT (old_o_totalprice IS NOT DISTINCT FROM new_o_totalprice
+                              AND old_o_orderpriority IS NOT DISTINCT FROM new_o_orderpriority)
+                    THEN 'changed' END AS status,
+               old_o_totalprice, old_o_orderpriority, new_o_totalprice, new_o_orderpriority
+        FROM j
+        WHERE (k_old IS NULL) OR (k_new IS NULL)
+           OR NOT (old_o_totalprice IS NOT DISTINCT FROM new_o_totalprice
+                   AND old_o_orderpriority IS NOT DISTINCT FROM new_o_orderpriority)
+    """,
+    "q109_value_histogram": """
+        SELECT event_type, CAST(floor(CAST(value AS DOUBLE) / 50.0) AS INT) AS bucket,
+               count(*) AS n
+        FROM events GROUP BY 1, 2
+    """,
+    "q110_cube_counts": """
+        SELECT lang, source,
+               CAST(grouping(lang) * 2 + grouping(source) AS BIGINT) AS gid,
+               count(*) AS n_docs, sum(n_chars) AS n_chars
+        FROM documents GROUP BY CUBE (lang, source)
     """,
 }
 

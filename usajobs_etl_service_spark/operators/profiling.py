@@ -94,3 +94,23 @@ def zscore_anomalies(
         .filter(F.abs(F.col("z")) > threshold)
         .select(F.col(id_col), ent, F.col(value_col), "z")
     )
+
+
+def histogram(
+    df: DataFrame,
+    *,
+    value_col: str,
+    width: float,
+    group_cols: list[str] = (),
+) -> DataFrame:
+    """Equi-width histogram: bucket = floor(value / width), counted per
+    (group, bucket). Pure expression + one aggregate — the profile-
+    grade distribution summary (for quantile-grade accuracy at unknown
+    ranges, use the GK sketch family, q79/q88)."""
+    if width <= 0:
+        raise ValueError(f"width must be positive, got {width}")
+    b = F.floor(F.col(value_col).cast("double") / F.lit(float(width))).cast("int")
+    return (
+        df.groupBy(*group_cols, b.alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )

@@ -1970,12 +1970,12 @@ def q106_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q107_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Extension (analytics): weekly cohort retention — users grouped
-    by first-activity week; for each (cohort_week, week_offset) the
-    distinct returning users and their share of the cohort. Two
-    aggregates (first-activity per user, then cohort x offset distinct
-    counts) + a broadcast-scalar-free cohort-size join; day arithmetic
-    via date_diff so both engines bucket offsets identically."""
+    """Extension (analytics): weekly cohort RETENTION RATES — q56's
+    daily active-count matrix upgraded to the report analysts actually
+    read: weekly cohorts, per-(cohort_week, week_offset) distinct
+    returning users, and the share of the cohort they represent
+    (cohort-size join + ratio). Two aggregates + one join; day
+    arithmetic via date_diff so both engines bucket identically."""
     events = _t(spark, sf_dir, "events")
     ev = events.select(
         "user_id", F.date_trunc("week", F.col("ts")).cast("date").alias("wk")

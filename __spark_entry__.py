@@ -2058,6 +2058,31 @@ def q110_cube_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q111_grouped_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL-surface breadth (LISTAGG/string_agg): per language, the
+    DETERMINISTICALLY ordered comma list of distinct sources + count.
+    Spark has no ordered string_agg — the engine shape is
+    array_join(array_sort(collect_set)) which is partition-order-
+    independent by construction (collect order never matters)."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.groupBy("lang").agg(
+        F.array_join(F.array_sort(F.collect_set("source")), ",").alias("sources"),
+        F.countDistinct("source").alias("n_sources"),
+    )
+
+
+def q112_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extension (behavioral analytics): top-15 within-session
+    event-type paths (operators/funnel.session_paths) — q42's session
+    islands + an ordered path string built by sorting collected
+    (ts, event_id, type) structs (explicit order key, no ordered-window
+    collect), then one path-count aggregate."""
+    from usajobs_etl_service_spark.operators.funnel import session_paths
+
+    events = _t(spark, sf_dir, "events")
+    return session_paths(events, gap_seconds=1800, top_k=15)
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_job_statistics": q01_job_statistics,
     "q02_metric_union": q02_metric_union,
@@ -2169,6 +2194,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q108_snapshot_diff": q108_snapshot_diff,
     "q109_value_histogram": q109_value_histogram,
     "q110_cube_counts": q110_cube_counts,
+    "q111_grouped_string_agg": q111_grouped_string_agg,
+    "q112_session_paths": q112_session_paths,
 }
 
 
@@ -3659,6 +3686,36 @@ ORACLES: dict[str, str] = {
                CAST(grouping(lang) * 2 + grouping(source) AS BIGINT) AS gid,
                count(*) AS n_docs, sum(n_chars) AS n_chars
         FROM documents GROUP BY CUBE (lang, source)
+    """,
+    "q111_grouped_string_agg": """
+        SELECT lang,
+               string_agg(DISTINCT source, ',' ORDER BY source) AS sources,
+               count(DISTINCT source) AS n_sources
+        FROM documents GROUP BY lang
+    """,
+    "q112_session_paths": """
+        WITH marked AS (
+            SELECT user_id, ts, event_id, event_type,
+                   CASE WHEN lag(ts) OVER w IS NULL
+                             OR epoch(ts) - epoch(lag(ts) OVER w) >= 1800
+                        THEN 1 ELSE 0 END AS new_session
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ), sess AS (
+            SELECT user_id, ts, event_id, event_type,
+                   sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_no
+            FROM marked
+        ), paths AS (
+            SELECT user_id, session_no,
+                   string_agg(event_type, '>' ORDER BY ts, event_id) AS path
+            FROM sess GROUP BY user_id, session_no
+        )
+        SELECT rank, path, n FROM (
+            SELECT path, count(*) AS n,
+                   row_number() OVER (ORDER BY count(*) DESC, path ASC) AS rank
+            FROM paths GROUP BY path
+        ) WHERE rank <= 15
     """,
 }
 

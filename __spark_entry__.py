@@ -2083,6 +2083,68 @@ def q112_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     return session_paths(events, gap_seconds=1800, top_k=15)
 
 
+def q113_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extension (behavioral analytics): within-session Markov
+    transition matrix — P(next event_type | current), lead over the
+    (user, session) ordering (one user shuffle, reusing
+    funnel.assign_sessions), transition counts, and row-normalized
+    probabilities via a per-source count join."""
+    from usajobs_etl_service_spark.operators.funnel import assign_sessions
+
+    events = _t(spark, sf_dir, "events")
+    sess = assign_sessions(events, gap_seconds=1800, keep_cols=["event_type"])
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id", "session_no").orderBy("ts", "event_id")
+    pairs = (
+        sess.withColumn("next_type", F.lead("event_type").over(w))
+        .filter(F.col("next_type").isNotNull())
+        .groupBy(F.col("event_type").alias("from_type"), F.col("next_type").alias("to_type"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    totals = pairs.groupBy("from_type").agg(F.sum("n").alias("row_total"))
+    return pairs.join(totals, "from_type").select(
+        "from_type",
+        "to_type",
+        "n",
+        F.round(F.col("n") / F.col("row_total"), 4).alias("p"),
+    )
+
+
+def q114_item_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extension (collaborative-filtering shape): item-item similarity —
+    for each event-type pair, the Jaccard of their user sets (distinct
+    (item, user) table self-joined on user, intersection counts vs
+    broadcast per-item user counts). The equi-join-on-user shape is the
+    one that scales: candidate pairs come only from co-occurrence,
+    never an item cross product."""
+    events = _t(spark, sf_dir, "events")
+    iu = events.select(F.col("event_type").alias("item"), "user_id").distinct()
+    sizes = iu.groupBy("item").agg(F.count(F.lit(1)).alias("nu"))
+    a = iu.withColumnRenamed("item", "item_a")
+    b = iu.withColumnRenamed("item", "item_b")
+    inter = (
+        a.join(b, "user_id")
+        .filter(F.col("item_a") < F.col("item_b"))
+        .groupBy("item_a", "item_b")
+        .agg(F.count(F.lit(1)).alias("n_both"))
+    )
+    sa = sizes.select(F.col("item").alias("item_a"), F.col("nu").alias("nu_a"))
+    sb = sizes.select(F.col("item").alias("item_b"), F.col("nu").alias("nu_b"))
+    return (
+        inter.join(F.broadcast(sa), "item_a")
+        .join(F.broadcast(sb), "item_b")
+        .select(
+            "item_a",
+            "item_b",
+            "n_both",
+            F.round(
+                F.col("n_both") / (F.col("nu_a") + F.col("nu_b") - F.col("n_both")), 4
+            ).alias("jaccard"),
+        )
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_job_statistics": q01_job_statistics,
     "q02_metric_union": q02_metric_union,
@@ -2196,6 +2258,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q110_cube_counts": q110_cube_counts,
     "q111_grouped_string_agg": q111_grouped_string_agg,
     "q112_session_paths": q112_session_paths,
+    "q113_event_transitions": q113_event_transitions,
+    "q114_item_cooccurrence": q114_item_cooccurrence,
 }
 
 
@@ -3716,6 +3780,49 @@ ORACLES: dict[str, str] = {
                    row_number() OVER (ORDER BY count(*) DESC, path ASC) AS rank
             FROM paths GROUP BY path
         ) WHERE rank <= 15
+    """,
+    "q113_event_transitions": """
+        WITH marked AS (
+            SELECT user_id, ts, event_id, event_type,
+                   CASE WHEN lag(ts) OVER w IS NULL
+                             OR epoch(ts) - epoch(lag(ts) OVER w) >= 1800
+                        THEN 1 ELSE 0 END AS new_session
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ), sess AS (
+            SELECT user_id, ts, event_id, event_type,
+                   sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_no
+            FROM marked
+        ), pairs AS (
+            SELECT event_type AS from_type,
+                   lead(event_type) OVER (PARTITION BY user_id, session_no ORDER BY ts, event_id) AS to_type
+            FROM sess
+        ), counts AS (
+            SELECT from_type, to_type, count(*) AS n FROM pairs
+            WHERE to_type IS NOT NULL GROUP BY from_type, to_type
+        ), totals AS (
+            SELECT from_type, sum(n) AS row_total FROM counts GROUP BY from_type
+        )
+        SELECT counts.from_type, to_type, n,
+               round(CAST(n AS DOUBLE) / row_total, 4) AS p
+        FROM counts JOIN totals ON counts.from_type = totals.from_type
+    """,
+    "q114_item_cooccurrence": """
+        WITH iu AS (
+            SELECT DISTINCT event_type AS item, user_id FROM events
+        ), sizes AS (
+            SELECT item, count(*) AS nu FROM iu GROUP BY item
+        ), inter AS (
+            SELECT a.item AS item_a, b.item AS item_b, count(*) AS n_both
+            FROM iu a JOIN iu b ON a.user_id = b.user_id AND a.item < b.item
+            GROUP BY a.item, b.item
+        )
+        SELECT item_a, item_b, n_both,
+               round(CAST(n_both AS DOUBLE) / (sa.nu + sb.nu - n_both), 4) AS jaccard
+        FROM inter
+        JOIN sizes sa ON item_a = sa.item
+        JOIN sizes sb ON item_b = sb.item
     """,
 }
 

@@ -2145,6 +2145,38 @@ def q114_item_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q115_funnel_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extension (behavioral analytics): time-to-convert distribution —
+    per funnel transition (q75's stepwise sessions), the count of
+    converting sessions and EXACT interpolated p50/p90 of the
+    microsecond latency (Spark `percentile` == DuckDB `quantile_cont`,
+    verified bit-identical on interpolated values; microsecond integers
+    keep both engines' inputs exactly equal). Exact percentile sorts
+    only the converting-session latencies — a set already reduced by
+    the funnel, not the event table."""
+    from usajobs_etl_service_spark.operators.funnel import funnel_sessions
+
+    events = _t(spark, sf_dir, "events")
+    fs = funnel_sessions(events, steps=("view", "click", "purchase"))
+
+    def stage(name: str, a: str, b: str) -> DataFrame:
+        us = F.expr(f"timestampdiff(MICROSECOND, {a}, {b})")
+        return (
+            fs.filter(F.col(b).isNotNull())
+            .select(us.alias("us"))
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.round(F.expr("percentile(us, 0.5)"), 4).alias("p50_us"),
+                F.round(F.expr("percentile(us, 0.9)"), 4).alias("p90_us"),
+            )
+            .select(F.lit(name).alias("transition"), "n", "p50_us", "p90_us")
+        )
+
+    return stage("view_to_click", "t_0", "t_1").unionByName(
+        stage("click_to_purchase", "t_1", "t_2")
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_job_statistics": q01_job_statistics,
     "q02_metric_union": q02_metric_union,
@@ -2260,6 +2292,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q112_session_paths": q112_session_paths,
     "q113_event_transitions": q113_event_transitions,
     "q114_item_cooccurrence": q114_item_cooccurrence,
+    "q115_funnel_latency": q115_funnel_latency,
 }
 
 
@@ -3823,6 +3856,51 @@ ORACLES: dict[str, str] = {
         FROM inter
         JOIN sizes sa ON item_a = sa.item
         JOIN sizes sb ON item_b = sb.item
+    """,
+    # q115: q75's stepwise-session CTEs + microsecond latencies;
+    # quantile_cont == Spark's exact interpolating percentile
+    # (bit-identical on equal integer inputs).
+    "q115_funnel_latency": """
+        WITH marked AS (
+            SELECT user_id, ts, event_type, event_id,
+                   CASE WHEN lag(ts) OVER w IS NULL
+                             OR epoch(ts) - epoch(lag(ts) OVER w) >= 1800
+                        THEN 1 ELSE 0 END AS new_session
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ), sess AS (
+            SELECT user_id, ts, event_type,
+                   sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_no
+            FROM marked
+        ), v AS (
+            SELECT user_id, ts, event_type, session_no,
+                   min(CASE WHEN event_type = 'view' THEN ts END)
+                       OVER (PARTITION BY user_id, session_no) AS t_view
+            FROM sess
+        ), c AS (
+            SELECT user_id, ts, event_type, session_no, t_view,
+                   min(CASE WHEN event_type = 'click' AND ts > t_view THEN ts END)
+                       OVER (PARTITION BY user_id, session_no) AS t_click
+            FROM v
+        ), b AS (
+            SELECT user_id, session_no,
+                   max(t_view) AS tv, max(t_click) AS tc, max(t_buy) AS tb
+            FROM (SELECT user_id, session_no, t_view, t_click,
+                         min(CASE WHEN event_type = 'purchase' AND ts > t_click THEN ts END)
+                             OVER (PARTITION BY user_id, session_no) AS t_buy
+                  FROM c)
+            GROUP BY user_id, session_no
+        )
+        SELECT 'view_to_click' AS transition, count(*) AS n,
+               round(quantile_cont(CAST(date_diff('microsecond', tv, tc) AS DOUBLE), 0.5), 4) AS p50_us,
+               round(quantile_cont(CAST(date_diff('microsecond', tv, tc) AS DOUBLE), 0.9), 4) AS p90_us
+        FROM b WHERE tc IS NOT NULL
+        UNION ALL
+        SELECT 'click_to_purchase', count(*),
+               round(quantile_cont(CAST(date_diff('microsecond', tc, tb) AS DOUBLE), 0.5), 4),
+               round(quantile_cont(CAST(date_diff('microsecond', tc, tb) AS DOUBLE), 0.9), 4)
+        FROM b WHERE tb IS NOT NULL
     """,
 }
 

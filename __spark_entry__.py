@@ -2177,6 +2177,33 @@ def q115_funnel_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q116_fk_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extension (data quality): referential-integrity audit — orphan
+    counts across the star schema's FK edges (lineitem->orders,
+    orders->customer, customer->nation, supplier->nation) as one
+    UNION-ed metric table. Each check is a left_anti join on the FK
+    (dims broadcast where bounded); counts are the artifact a pipeline
+    alerts on."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    supp = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+
+    def check(name: str, child: DataFrame, ck: str, parent: DataFrame, pk: str) -> DataFrame:
+        orphans = child.join(parent, child[ck] == parent[pk], "left_anti")
+        return orphans.agg(F.count(F.lit(1)).alias("n_orphans")).select(
+            F.lit(name).alias("fk_edge"), "n_orphans"
+        )
+
+    return (
+        check("lineitem.l_orderkey->orders", li, "l_orderkey", orders, "o_orderkey")
+        .unionByName(check("orders.o_custkey->customer", orders, "o_custkey", cust, "c_custkey"))
+        .unionByName(check("customer.c_nationkey->nation", cust, "c_nationkey", nation, "n_nationkey"))
+        .unionByName(check("supplier.s_nationkey->nation", supp, "s_nationkey", nation, "n_nationkey"))
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_job_statistics": q01_job_statistics,
     "q02_metric_union": q02_metric_union,
@@ -2293,6 +2320,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q113_event_transitions": q113_event_transitions,
     "q114_item_cooccurrence": q114_item_cooccurrence,
     "q115_funnel_latency": q115_funnel_latency,
+    "q116_fk_audit": q116_fk_audit,
 }
 
 
@@ -3901,6 +3929,23 @@ ORACLES: dict[str, str] = {
                round(quantile_cont(CAST(date_diff('microsecond', tc, tb) AS DOUBLE), 0.5), 4),
                round(quantile_cont(CAST(date_diff('microsecond', tc, tb) AS DOUBLE), 0.9), 4)
         FROM b WHERE tb IS NOT NULL
+    """,
+    "q116_fk_audit": """
+        SELECT 'lineitem.l_orderkey->orders' AS fk_edge,
+               count(*) FILTER (WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_orderkey = l_orderkey)) AS n_orphans
+        FROM lineitem
+        UNION ALL
+        SELECT 'orders.o_custkey->customer',
+               count(*) FILTER (WHERE NOT EXISTS (SELECT 1 FROM customer WHERE c_custkey = o_custkey))
+        FROM orders
+        UNION ALL
+        SELECT 'customer.c_nationkey->nation',
+               count(*) FILTER (WHERE NOT EXISTS (SELECT 1 FROM nation WHERE n_nationkey = c_nationkey))
+        FROM customer
+        UNION ALL
+        SELECT 'supplier.s_nationkey->nation',
+               count(*) FILTER (WHERE NOT EXISTS (SELECT 1 FROM nation WHERE n_nationkey = s_nationkey))
+        FROM supplier
     """,
 }
 

@@ -2204,6 +2204,119 @@ def q116_fk_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q117_concurrency_peak(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extension (interval analytics): daily peak concurrent sessions —
+    gap-based sessions (q42's islands) reduced to [first,last] intervals,
+    then a sweep-line running sum split into per-day windows plus a
+    broadcast carry-in so no window ever sees more than a day's
+    endpoints in one partition (operators/sweepline.py). Closed
+    intervals: a session ending the instant another starts overlaps."""
+    from usajobs_etl_service_spark.operators.funnel import assign_sessions
+    from usajobs_etl_service_spark.operators.sweepline import daily_peak_concurrency
+
+    events = _t(spark, sf_dir, "events")
+    sessions = (
+        assign_sessions(events)
+        .groupBy("user_id", "session_no")
+        .agg(F.min("ts").alias("start_ts"), F.max("ts").alias("end_ts"))
+    )
+    peaks = daily_peak_concurrency(sessions)
+    return peaks.select(
+        F.col("bucket").alias("day"), "peak", "n_starts"
+    ).orderBy("day")
+
+
+def q118_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extension (§2.11 corpus statistics): exact heavy-hitter tokens —
+    Misra-Gries bounded-memory candidate pass (no shuffle, O(k) state
+    per partition) + broadcast-semi-join exact verify
+    (operators/heavyhitters.py). The MG absence bound makes the final
+    thresholded answer provably exact, so the oracle is a plain
+    GROUP BY/HAVING over all tokens."""
+    from usajobs_etl_service_spark.operators.heavyhitters import heavy_hitters_exact
+
+    docs = _t(spark, sf_dir, "documents")
+    tokens = docs.select(
+        F.explode(F.split(F.lower("text"), r"\s+")).alias("token")
+    ).filter(F.col("token") != "")
+    return heavy_hitters_exact(tokens, "token", phi=0.002).withColumnRenamed(
+        "item", "token"
+    )
+
+
+def q119_type_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extension (distribution profiling): per-day Shannon entropy of the
+    event-type mix — two chained aggregates (day,type) then (day), all
+    expression-side; the natural drift alarm over a categorical column.
+    Integer counts keep p = n/total bit-identical across engines."""
+    events = _t(spark, sf_dir, "events")
+    counts = events.groupBy(
+        F.to_date("ts").alias("day"), "event_type"
+    ).agg(F.count(F.lit(1)).alias("n"))
+    w_tot = counts.groupBy("day").agg(F.sum("n").alias("total"))
+    p = F.col("n") / F.col("total")
+    return (
+        counts.join(F.broadcast(w_tot), "day")
+        .groupBy("day")
+        .agg(
+            F.round(-F.sum(p * F.log(p)), 4).alias("entropy_nats"),
+            F.count(F.lit(1)).alias("n_types"),
+        )
+    )
+
+
+def q120_small_order_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extension (TPC-H Q17 shape): average yearly revenue lost to
+    small orders — per-part 20%-of-average quantity threshold as a
+    grouped aggregate joined back (the decorrelated form Catalyst would
+    produce for the correlated subquery), brand dim filter broadcast.
+    Integral quantities make the threshold bit-identical to DuckDB's."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    brand_parts = part.filter(F.col("p_brand") == "Brand#13").select("p_partkey")
+    li_b = li.join(F.broadcast(brand_parts), li["l_partkey"] == F.col("p_partkey")).drop(
+        "p_partkey"
+    )
+    thresh = li_b.groupBy("l_partkey").agg(
+        (F.lit(0.2) * F.avg("l_quantity")).alias("qty_thresh")
+    )
+    return (
+        li_b.join(thresh, "l_partkey")
+        .filter(F.col("l_quantity") < F.col("qty_thresh"))
+        .agg(F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"))
+    )
+
+
+def q121_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extension (TPC-H Q22 shape): high-balance customers with no order
+    in the trailing 180 days (anchor = data-derived max order date),
+    grouped by nation — scalar positive-balance average via broadcast
+    cross join (stays in-plan, no collect), dormancy via left_anti join
+    on the date-pruned recent-orders slice."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    anchor = orders.agg(F.max(F.to_date("o_orderdate")).alias("anchor"))
+    recent = (
+        orders.crossJoin(F.broadcast(anchor))
+        .filter(F.to_date("o_orderdate") >= F.date_sub(F.col("anchor"), 180))
+        .select("o_custkey")
+        .distinct()
+    )
+    avg_pos = cust.filter(F.col("c_acctbal") > 0).agg(
+        F.avg("c_acctbal").alias("avg_bal")
+    )
+    return (
+        cust.crossJoin(F.broadcast(avg_pos))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(recent, cust["c_custkey"] == recent["o_custkey"], "left_anti")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
+        )
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_job_statistics": q01_job_statistics,
     "q02_metric_union": q02_metric_union,
@@ -2321,6 +2434,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q114_item_cooccurrence": q114_item_cooccurrence,
     "q115_funnel_latency": q115_funnel_latency,
     "q116_fk_audit": q116_fk_audit,
+    "q117_concurrency_peak": q117_concurrency_peak,
+    "q118_heavy_hitters": q118_heavy_hitters,
+    "q119_type_entropy": q119_type_entropy,
+    "q120_small_order_revenue": q120_small_order_revenue,
+    "q121_dormant_customers": q121_dormant_customers,
 }
 
 
@@ -3946,6 +4064,103 @@ ORACLES: dict[str, str] = {
         SELECT 'supplier.s_nationkey->nation',
                count(*) FILTER (WHERE NOT EXISTS (SELECT 1 FROM nation WHERE n_nationkey = s_nationkey))
         FROM supplier
+    """,
+    # q117: q42's gap-session CTEs -> [first,last] intervals -> sweep
+    # line. The oracle's single global running sum equals the engine's
+    # per-day + carry-in split exactly (buckets are time-contiguous);
+    # delta DESC puts starts before ends at a timestamp tie (closed
+    # intervals). epoch() truncates to seconds like unix_timestamp.
+    "q117_concurrency_peak": """
+        WITH marked AS (
+            SELECT user_id, ts, event_id,
+                   CASE WHEN lag(ts) OVER w IS NULL
+                             OR epoch(ts) - epoch(lag(ts) OVER w) >= 1800
+                        THEN 1 ELSE 0 END AS new_session
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ), sess AS (
+            SELECT user_id, ts,
+                   sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_no
+            FROM marked
+        ), bounds AS (
+            SELECT user_id, session_no, min(ts) AS start_ts, max(ts) AS end_ts
+            FROM sess GROUP BY user_id, session_no
+        ), deltas AS (
+            SELECT start_ts AS ts, 1 AS delta FROM bounds
+            UNION ALL
+            SELECT end_ts, -1 FROM bounds
+        ), run AS (
+            SELECT CAST(ts AS DATE) AS day, delta,
+                   sum(delta) OVER (ORDER BY ts, delta DESC
+                                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS concurrency
+            FROM deltas
+        )
+        SELECT day, CAST(max(concurrency) AS INT) AS peak,
+               count(*) FILTER (WHERE delta = 1) AS n_starts
+        FROM run GROUP BY day ORDER BY day
+    """,
+    # q118: the MG candidate pass has zero false negatives for
+    # phi >= 1/(k+1), and the verify pass counts exactly — so the
+    # oracle is the plain exact GROUP BY/HAVING. 0.002e0 keeps the
+    # threshold a double product on both engines (DuckDB's bare 0.002
+    # would be DECIMAL and compare exactly, flipping integer-boundary
+    # cases the double path rounds across).
+    "q118_heavy_hitters": """
+        WITH t AS (
+            SELECT token FROM (
+                SELECT unnest(string_split_regex(lower(text), '\\s+')) AS token
+                FROM documents
+            ) WHERE token <> ''
+        )
+        SELECT token, count(*) AS cnt
+        FROM t
+        GROUP BY token
+        HAVING count(*) > 0.002e0 * (SELECT count(*) FROM t)
+    """,
+    "q119_type_entropy": """
+        WITH counts AS (
+            SELECT CAST(ts AS DATE) AS day, event_type, count(*) AS n
+            FROM events GROUP BY 1, 2
+        ), tot AS (
+            SELECT day, sum(n) AS total FROM counts GROUP BY day
+        )
+        SELECT counts.day,
+               round(-sum((CAST(n AS DOUBLE) / total) * ln(CAST(n AS DOUBLE) / total)), 4) AS entropy_nats,
+               count(*) AS n_types
+        FROM counts JOIN tot ON counts.day = tot.day
+        GROUP BY counts.day
+    """,
+    # q120: integral l_quantity doubles sum exactly in any order, so
+    # both engines' 0.2*avg thresholds are bit-identical.
+    "q120_small_order_revenue": """
+        WITH li_b AS (
+            SELECT l_partkey, l_quantity, l_extendedprice
+            FROM lineitem JOIN part ON p_partkey = l_partkey
+            WHERE p_brand = 'Brand#13'
+        ), thresh AS (
+            SELECT l_partkey, 0.2e0 * avg(l_quantity) AS qty_thresh
+            FROM li_b GROUP BY l_partkey
+        )
+        SELECT round(sum(l_extendedprice) / 7.0e0, 2) AS avg_yearly
+        FROM li_b JOIN thresh USING (l_partkey)
+        WHERE l_quantity < qty_thresh
+    """,
+    "q121_dormant_customers": """
+        WITH anchor AS (
+            SELECT CAST(max(o_orderdate) AS DATE) AS mx FROM orders
+        ), recent AS (
+            SELECT DISTINCT o_custkey FROM orders, anchor
+            WHERE CAST(o_orderdate AS DATE) >= mx - 180
+        ), avg_pos AS (
+            SELECT avg(c_acctbal) AS avg_bal FROM customer WHERE c_acctbal > 0
+        )
+        SELECT c_nationkey, count(*) AS numcust,
+               round(sum(c_acctbal), 2) AS totacctbal
+        FROM customer, avg_pos
+        WHERE c_acctbal > avg_bal
+          AND NOT EXISTS (SELECT 1 FROM recent WHERE o_custkey = c_custkey)
+        GROUP BY c_nationkey
     """,
 }
 

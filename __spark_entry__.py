@@ -414,12 +414,22 @@ def q27_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q28_global_sort_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """O2: deterministic full sort, materialized as a global rank so the
-    order itself is value-checked (test_integration.py:93,549)."""
-    from pyspark.sql import Window
+    order itself is value-checked (test_integration.py:93,549).
+
+    The rank is computed by operators/distributed_order.py — range-
+    partitioned parallel local ranks + broadcast carry-in offsets — not
+    a no-partition window, so no stage ever holds the full table in one
+    task (the pre-round-6 form did; output is hash-identical)."""
+    from usajobs_etl_service_spark.operators.distributed_order import global_row_number
 
     events = _t(spark, sf_dir, "events")
-    return events.select("event_id", F.round("value", 3).alias("value_r")).withColumn(
-        "rank", F.row_number().over(Window.orderBy(F.col("value_r").desc(), F.col("event_id").asc()))
+    ranked = global_row_number(
+        events.select("event_id", F.round("value", 3).alias("value_r")),
+        [F.col("value_r").desc(), F.col("event_id").asc()],
+        out_col="rank_l",
+    )
+    return ranked.select(
+        "event_id", "value_r", F.col("rank_l").cast("int").alias("rank")
     )
 
 
@@ -2317,6 +2327,72 @@ def q121_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q122_revenue_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extension (inequality / concentration profiling): Gini
+    coefficient of per-customer revenue via the rank formula
+    G = 2*sum(i*x_i)/(n*sum(x)) - (n+1)/n over ascending-sorted x.
+    The global rank comes from operators/distributed_order.py (range-
+    partitioned parallel ranks + broadcast offsets — no single-task
+    sort). Tied revenues co-locate, and sum(rank*x) is invariant to
+    tie order, so the statistic is exact."""
+    from usajobs_etl_service_spark.operators.distributed_order import global_row_number
+
+    orders = _t(spark, sf_dir, "orders")
+    rev = orders.groupBy("o_custkey").agg(F.sum("o_totalprice").alias("revenue"))
+    ranked = global_row_number(
+        rev, [F.col("revenue").asc(), F.col("o_custkey").asc()], out_col="rn"
+    )
+    n = F.count(F.lit(1))
+    return ranked.agg(
+        F.round(
+            (F.lit(2.0) * F.sum(F.col("rn") * F.col("revenue")))
+            / (n * F.sum("revenue"))
+            - (n + F.lit(1.0)) / n,
+            6,
+        ).alias("gini"),
+        n.alias("n_customers"),
+    )
+
+
+def q123_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extension (distribution drift detection): two-sample
+    Kolmogorov-Smirnov statistic between the `value` distributions of
+    view vs purchase events — max |F_a(x) - F_b(x)| over the pooled
+    support. Per-value counts aggregate first (one shuffle), then the
+    running CDFs come from operators/distributed_order.py's ordered
+    cumulative sum — no single-partition window over the support."""
+    from usajobs_etl_service_spark.operators.distributed_order import ordered_cumsum
+
+    events = _t(spark, sf_dir, "events")
+    pts = (
+        events.filter(F.col("event_type").isin("view", "purchase"))
+        .groupBy("value")
+        .agg(
+            F.sum(F.when(F.col("event_type") == "view", 1).otherwise(0)).alias("a"),
+            F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias("b"),
+        )
+    )
+    cum = ordered_cumsum(pts, [F.col("value").asc()], ["a", "b"])
+    totals = pts.agg(
+        F.sum("a").alias("na"), F.sum("b").alias("nb")
+    )
+    return (
+        cum.crossJoin(F.broadcast(totals))
+        .agg(
+            F.round(
+                F.max(
+                    F.abs(
+                        F.col("cum_a") / F.col("na") - F.col("cum_b") / F.col("nb")
+                    )
+                ),
+                6,
+            ).alias("ks_stat"),
+            F.first("na").alias("n_view"),
+            F.first("nb").alias("n_purchase"),
+        )
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_job_statistics": q01_job_statistics,
     "q02_metric_union": q02_metric_union,
@@ -2439,6 +2515,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q119_type_entropy": q119_type_entropy,
     "q120_small_order_revenue": q120_small_order_revenue,
     "q121_dormant_customers": q121_dormant_customers,
+    "q122_revenue_gini": q122_revenue_gini,
+    "q123_ks_drift": q123_ks_drift,
 }
 
 
@@ -4145,6 +4223,41 @@ ORACLES: dict[str, str] = {
         SELECT round(sum(l_extendedprice) / 7.0e0, 2) AS avg_yearly
         FROM li_b JOIN thresh USING (l_partkey)
         WHERE l_quantity < qty_thresh
+    """,
+    # q122/q123: the oracle's plain no-partition windows equal the
+    # engine's range-partitioned rank/cumsum + carry-in split exactly
+    # (ties co-locate; sum(rank*x) is tie-order-invariant).
+    "q122_revenue_gini": """
+        WITH rev AS (
+            SELECT o_custkey, sum(o_totalprice) AS revenue
+            FROM orders GROUP BY o_custkey
+        ), ranked AS (
+            SELECT revenue,
+                   row_number() OVER (ORDER BY revenue, o_custkey) AS rn
+            FROM rev
+        )
+        SELECT round(2.0e0 * sum(rn * revenue) / (count(*) * sum(revenue))
+                     - (count(*) + 1.0e0) / count(*), 6) AS gini,
+               count(*) AS n_customers
+        FROM ranked
+    """,
+    "q123_ks_drift": """
+        WITH pts AS (
+            SELECT value,
+                   count(*) FILTER (WHERE event_type = 'view') AS a,
+                   count(*) FILTER (WHERE event_type = 'purchase') AS b
+            FROM events WHERE event_type IN ('view', 'purchase')
+            GROUP BY value
+        ), cum AS (
+            SELECT sum(a) OVER w AS cum_a, sum(b) OVER w AS cum_b
+            FROM pts
+            WINDOW w AS (ORDER BY value ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        ), tot AS (
+            SELECT sum(a) AS na, sum(b) AS nb FROM pts
+        )
+        SELECT round(max(abs(CAST(cum_a AS DOUBLE) / na - CAST(cum_b AS DOUBLE) / nb)), 6) AS ks_stat,
+               max(na) AS n_view, max(nb) AS n_purchase
+        FROM cum, tot
     """,
     "q121_dormant_customers": """
         WITH anchor AS (

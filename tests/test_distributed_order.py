@@ -1,0 +1,83 @@
+"""Distributed global ordering (operators/distributed_order.py)."""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import functions as F
+
+from usajobs_etl_service_spark.operators.distributed_order import (
+    global_row_number,
+    ordered_cumsum,
+)
+
+
+def _df(spark, rows, schema="k long, v double"):
+    return spark.createDataFrame(rows, schema).repartition(8)
+
+
+def test_row_number_matches_sorted_order(spark):
+    rng = random.Random(11)
+    rows = [(i, rng.uniform(-100, 100)) for i in range(500)]
+    df = _df(spark, rows)
+    got = {
+        r["k"]: r["global_rn"]
+        for r in global_row_number(df, [F.col("v").asc(), F.col("k").asc()]).collect()
+    }
+    want = {
+        k: i + 1
+        for i, (k, _) in enumerate(sorted(rows, key=lambda t: (t[1], t[0])))
+    }
+    assert got == want
+
+
+def test_row_number_desc_with_ties(spark):
+    rows = [(1, 5.0), (2, 5.0), (3, 7.0), (4, 1.0)]
+    df = _df(spark, rows)
+    got = {
+        r["k"]: r["global_rn"]
+        for r in global_row_number(df, [F.col("v").desc(), F.col("k").asc()]).collect()
+    }
+    assert got == {3: 1, 1: 2, 2: 3, 4: 4}
+
+
+def test_cumsum_matches_model(spark):
+    rng = random.Random(23)
+    rows = [(i, float(rng.randrange(1, 10))) for i in range(300)]
+    df = _df(spark, rows)
+    out = ordered_cumsum(df, [F.col("k").asc()], ["v"]).collect()
+    got = {r["k"]: r["cum_v"] for r in out}
+    run, want = 0.0, {}
+    for k, v in sorted(rows):
+        run += v
+        want[k] = run
+    assert got == want
+
+
+def test_cumsum_multiple_value_columns(spark):
+    rows = [(i, float(i), float(i * 2)) for i in range(50)]
+    df = spark.createDataFrame(rows, "k long, a double, b double").repartition(6)
+    out = ordered_cumsum(df, [F.col("k").asc()], ["a", "b"]).collect()
+    for r in out:
+        k = r["k"]
+        assert r["cum_a"] == k * (k + 1) / 2
+        assert r["cum_b"] == k * (k + 1)
+
+
+def test_no_single_partition_window_over_data(spark):
+    # The plan must range-partition the stream; the only no-partition
+    # window runs over the per-partition-count aggregate.
+    df = _df(spark, [(i, float(i)) for i in range(100)])
+    plan = (
+        global_row_number(df, [F.col("v").asc()])
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "rangepartitioning" in plan.lower()
+
+
+def test_single_partition_input(spark):
+    df = spark.createDataFrame([(1, 2.0), (2, 1.0)], "k long, v double").coalesce(1)
+    got = {r["k"]: r["global_rn"] for r in global_row_number(df, [F.col("v")]).collect()}
+    assert got == {2: 1, 1: 2}

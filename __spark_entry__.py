@@ -2393,6 +2393,85 @@ def q123_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q124_pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extension (multi-objective selection): 2-D skyline — parts not
+    dominated on (p_retailprice, p_size), i.e. no other part is <= on
+    both axes and < on at least one. O(n log n) shape instead of the
+    oracle's O(n^2) NOT EXISTS: per-price min size (one shuffle), then
+    a strict running min over ascending price (distributed_order's
+    range-partitioned cummin — each row of that stream is a DISTINCT
+    price, so row-strict == price-strict), and a part survives iff no
+    strictly-cheaper part is as small (clause 1) and no equal-price
+    part is smaller (clause 2). Identical (price,size) duplicates
+    don't dominate each other and all survive."""
+    from usajobs_etl_service_spark.operators.distributed_order import ordered_cummin
+
+    part = _t(spark, sf_dir, "part")
+    per_price = part.groupBy("p_retailprice").agg(F.min("p_size").alias("m"))
+    with_min = ordered_cummin(
+        per_price, [F.col("p_retailprice").asc()], ["m"], strict=True
+    )
+    return (
+        part.join(with_min, "p_retailprice")
+        .filter(
+            (F.col("cummin_m").isNull() | (F.col("cummin_m") > F.col("p_size")))
+            & (F.col("m") >= F.col("p_size"))
+        )
+        .select("p_partkey", "p_retailprice", "p_size")
+    )
+
+
+def q125_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extension (robust statistics): quantity-weighted lower median of
+    lineitem extended price — ordered running weight sum
+    (distributed_order, no single-task sort), then the least value
+    whose cumulative weight crosses half the total. Integral double
+    weights sum exactly, so the crossing test is bit-identical to the
+    oracle's; value-tied rows accumulate in arbitrary order but a
+    value qualifies iff its tie-group END cum crosses, which is
+    order-invariant."""
+    from usajobs_etl_service_spark.operators.distributed_order import ordered_cumsum
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_extendedprice").alias("price"), F.col("l_quantity").alias("w")
+    )
+    cum = ordered_cumsum(li, [F.col("price").asc()], ["w"])
+    total = li.agg(F.sum("w").alias("tot_w"))
+    return (
+        cum.crossJoin(F.broadcast(total))
+        .filter(F.col("cum_w") >= F.lit(0.5) * F.col("tot_w"))
+        .agg(
+            F.round(F.min("price"), 2).alias("weighted_median_price"),
+            F.round(F.first("tot_w"), 2).alias("total_weight"),
+        )
+    )
+
+
+def q126_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extension (categorical drift testing): chi-square statistic for
+    independence of event_type x day-of-week — observed cell counts vs
+    expected row_total*col_total/N, all from three chained aggregates
+    with the two marginal tables broadcast back onto the (tiny) cell
+    grid. The heavy input is touched once."""
+    events = _t(spark, sf_dir, "events")
+    cells = events.groupBy(
+        "event_type", F.dayofweek("ts").alias("dow")
+    ).agg(F.count(F.lit(1)).alias("o"))
+    row_tot = cells.groupBy("event_type").agg(F.sum("o").alias("rt"))
+    col_tot = cells.groupBy("dow").agg(F.sum("o").alias("ct"))
+    n_tot = cells.agg(F.sum("o").alias("n"))
+    e = F.col("rt") * F.col("ct") / F.col("n")
+    return (
+        cells.join(F.broadcast(row_tot), "event_type")
+        .join(F.broadcast(col_tot), "dow")
+        .crossJoin(F.broadcast(n_tot))
+        .agg(
+            F.round(F.sum((F.col("o") - e) * (F.col("o") - e) / e), 4).alias("chi2"),
+            F.count(F.lit(1)).alias("n_cells"),
+        )
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_job_statistics": q01_job_statistics,
     "q02_metric_union": q02_metric_union,
@@ -2517,6 +2596,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q121_dormant_customers": q121_dormant_customers,
     "q122_revenue_gini": q122_revenue_gini,
     "q123_ks_drift": q123_ks_drift,
+    "q124_pareto_frontier": q124_pareto_frontier,
+    "q125_weighted_median": q125_weighted_median,
+    "q126_chi2_independence": q126_chi2_independence,
 }
 
 
@@ -4258,6 +4340,52 @@ ORACLES: dict[str, str] = {
         SELECT round(max(abs(CAST(cum_a AS DOUBLE) / na - CAST(cum_b AS DOUBLE) / nb)), 6) AS ks_stat,
                max(na) AS n_view, max(nb) AS n_purchase
         FROM cum, tot
+    """,
+    # q124: the O(n^2) NOT EXISTS dominance is the oracle; the engine
+    # computes the same frontier with an aggregate + strict running min.
+    "q124_pareto_frontier": """
+        SELECT p.p_partkey, p.p_retailprice, p.p_size
+        FROM part p
+        WHERE NOT EXISTS (
+            SELECT 1 FROM part q
+            WHERE q.p_retailprice <= p.p_retailprice AND q.p_size <= p.p_size
+              AND (q.p_retailprice < p.p_retailprice OR q.p_size < p.p_size)
+        )
+    """,
+    # q125: integral weights sum exactly => identical crossing test; a
+    # value qualifies iff its tie-group END cum crosses (order-invariant).
+    "q125_weighted_median": """
+        WITH cum AS (
+            SELECT l_extendedprice AS price,
+                   sum(l_quantity) OVER (ORDER BY l_extendedprice
+                                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_w
+            FROM lineitem
+        ), tot AS (
+            SELECT sum(l_quantity) AS tot_w FROM lineitem
+        )
+        SELECT round(min(price), 2) AS weighted_median_price,
+               round(max(tot_w), 2) AS total_weight
+        FROM cum, tot WHERE cum_w >= 0.5e0 * tot_w
+    """,
+    # q126: dow labels differ across engines (Spark 1-7 vs DuckDB 0-6)
+    # but only partition the days identically; dow never reaches output.
+    "q126_chi2_independence": """
+        WITH cells AS (
+            SELECT event_type, dayofweek(ts) AS dow, count(*) AS o
+            FROM events GROUP BY 1, 2
+        ), rt AS (
+            SELECT event_type, sum(o) AS rt FROM cells GROUP BY event_type
+        ), ct AS (
+            SELECT dow, sum(o) AS ct FROM cells GROUP BY dow
+        ), n AS (
+            SELECT sum(o) AS n FROM cells
+        )
+        SELECT round(sum((o - e) * (o - e) / e), 4) AS chi2,
+               count(*) AS n_cells
+        FROM (
+            SELECT o, CAST(rt.rt AS DOUBLE) * ct.ct / n.n AS e
+            FROM cells JOIN rt USING (event_type) JOIN ct USING (dow) CROSS JOIN n
+        )
     """,
     "q121_dormant_customers": """
         WITH anchor AS (

@@ -8,6 +8,7 @@ from pyspark.sql import functions as F
 
 from usajobs_etl_service_spark.operators.distributed_order import (
     global_row_number,
+    ordered_cummin,
     ordered_cumsum,
 )
 
@@ -81,3 +82,28 @@ def test_single_partition_input(spark):
     df = spark.createDataFrame([(1, 2.0), (2, 1.0)], "k long, v double").coalesce(1)
     got = {r["k"]: r["global_rn"] for r in global_row_number(df, [F.col("v")]).collect()}
     assert got == {2: 1, 1: 2}
+
+
+def test_cummin_strict_matches_model(spark):
+    rng = random.Random(31)
+    rows = [(i, float(rng.randrange(0, 40))) for i in range(300)]
+    df = _df(spark, rows)
+    out = {
+        r["k"]: r["cummin_v"]
+        for r in ordered_cummin(df, [F.col("k").asc()], ["v"], strict=True).collect()
+    }
+    best, want = None, {}
+    for k, v in sorted(rows):
+        want[k] = best
+        best = v if best is None else min(best, v)
+    assert out == want
+
+
+def test_cummin_inclusive(spark):
+    rows = [(1, 5.0), (2, 3.0), (3, 9.0)]
+    df = _df(spark, rows)
+    out = {
+        r["k"]: r["cummin_v"]
+        for r in ordered_cummin(df, [F.col("k").asc()], ["v"]).collect()
+    }
+    assert out == {1: 5.0, 2: 3.0, 3: 3.0}

@@ -109,3 +109,43 @@ def ordered_cumsum(
             f"_loc_{v}", f"_off_{v}"
         )
     return out.drop(_PID)
+
+
+def ordered_cummin(
+    df: DataFrame,
+    order_cols: Sequence[Column | str],
+    value_cols: Sequence[str],
+    *,
+    strict: bool = False,
+    prefix: str = "cummin_",
+) -> DataFrame:
+    """Exact running minimum of each ``value_cols`` in global
+    ``order_cols`` order, same split as ``ordered_cumsum``.
+
+    ``strict=True`` takes the min over STRICTLY preceding rows only
+    (first global row gets NULL) — the form dominance/skyline tests
+    need. The carry-in min from earlier partitions composes with
+    ``F.least``, which skips NULLs.
+    """
+    upper = -1 if strict else 0
+    parts = _ranged(df, order_cols)
+    per_part = parts.groupBy(_PID).agg(
+        *[F.min(v).alias(f"_net_{v}") for v in value_cols]
+    )
+    w_prior = Window.orderBy(_PID).rowsBetween(Window.unboundedPreceding, -1)
+    offsets = per_part.select(
+        _PID,
+        *[F.min(f"_net_{v}").over(w_prior).alias(f"_off_{v}") for v in value_cols],
+    )
+    w_local = Window.partitionBy(_PID).orderBy(*order_cols).rowsBetween(
+        Window.unboundedPreceding, upper
+    )
+    out = parts
+    for v in value_cols:
+        out = out.withColumn(f"_loc_{v}", F.min(v).over(w_local))
+    out = out.join(F.broadcast(offsets), _PID)
+    for v in value_cols:
+        out = out.withColumn(
+            f"{prefix}{v}", F.least(F.col(f"_loc_{v}"), F.col(f"_off_{v}"))
+        ).drop(f"_loc_{v}", f"_off_{v}")
+    return out.drop(_PID)

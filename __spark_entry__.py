@@ -2472,6 +2472,65 @@ def q126_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q127_revenue_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extension (quantile bucketing at scale): decile table of
+    per-customer revenue. The bucket comes from the EXPLICIT formula
+    ((rn-1)*10) div n over the distributed global row number — integer
+    arithmetic on both engines, sidestepping ntile()'s
+    bigger-buckets-first tie rules AND the single-task sort ntile
+    would force."""
+    from usajobs_etl_service_spark.operators.distributed_order import global_row_number
+
+    orders = _t(spark, sf_dir, "orders")
+    rev = orders.groupBy("o_custkey").agg(F.sum("o_totalprice").alias("revenue"))
+    ranked = global_row_number(
+        rev, [F.col("revenue").asc(), F.col("o_custkey").asc()], out_col="rn"
+    )
+    n = rev.agg(F.count(F.lit(1)).alias("n_cust"))
+    return (
+        ranked.crossJoin(F.broadcast(n))
+        .withColumn("decile", F.expr("(rn - 1) * 10 div n_cust + 1").cast("int"))
+        .groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.round(F.sum("revenue"), 2).alias("sum_revenue"),
+            F.round(F.min("revenue"), 2).alias("min_revenue"),
+            F.round(F.max("revenue"), 2).alias("max_revenue"),
+        )
+    )
+
+
+def q128_correlation_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extension (statistical profiling): per-returnflag Pearson
+    correlation / sample covariance / sample stddev over lineitem
+    measures — one partial+final aggregate pass, all JVM co-moment
+    accumulators (corr is denominator-convention invariant, so Spark
+    and DuckDB agree to fp noise; 4dp rounding absorbs it)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.corr("l_quantity", "l_extendedprice"), 4).alias("corr_qty_price"),
+        F.round(F.covar_samp("l_quantity", "l_extendedprice"), 4).alias("covar_qty_price"),
+        F.round(F.stddev_samp("l_discount"), 4).alias("stddev_discount"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
+def q129_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extension (skew diagnostics, companion to operators/salting.py):
+    log2-bucketed histogram of per-user event counts — the measurement
+    that decides whether a key needs salting before a join/agg. The
+    bucket is the binary-digit count of the integer count (exact on
+    both engines; log2()+floor would straddle FP at powers of two)."""
+    events = _t(spark, sf_dir, "events")
+    per_key = events.groupBy("user_id").agg(F.count(F.lit(1)).alias("cnt"))
+    bucket = (F.length(F.conv(F.col("cnt").cast("string"), 10, 2)) - 1).alias("log2_bucket")
+    return per_key.groupBy(bucket).agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.max("cnt").alias("max_cnt"),
+        F.sum("cnt").alias("n_rows"),
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_job_statistics": q01_job_statistics,
     "q02_metric_union": q02_metric_union,
@@ -2599,6 +2658,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q124_pareto_frontier": q124_pareto_frontier,
     "q125_weighted_median": q125_weighted_median,
     "q126_chi2_independence": q126_chi2_independence,
+    "q127_revenue_deciles": q127_revenue_deciles,
+    "q128_correlation_profile": q128_correlation_profile,
+    "q129_key_skew_profile": q129_key_skew_profile,
 }
 
 
@@ -4386,6 +4448,45 @@ ORACLES: dict[str, str] = {
             SELECT o, CAST(rt.rt AS DOUBLE) * ct.ct / n.n AS e
             FROM cells JOIN rt USING (event_type) JOIN ct USING (dow) CROSS JOIN n
         )
+    """,
+    # q127: explicit integer-div bucket formula on both sides — no
+    # ntile(), no FP.
+    "q127_revenue_deciles": """
+        WITH rev AS (
+            SELECT o_custkey, sum(o_totalprice) AS revenue
+            FROM orders GROUP BY o_custkey
+        ), ranked AS (
+            SELECT revenue,
+                   row_number() OVER (ORDER BY revenue, o_custkey) AS rn,
+                   count(*) OVER () AS n_cust
+            FROM rev
+        )
+        SELECT CAST((rn - 1) * 10 // n_cust + 1 AS INT) AS decile,
+               count(*) AS n_customers,
+               round(sum(revenue), 2) AS sum_revenue,
+               round(min(revenue), 2) AS min_revenue,
+               round(max(revenue), 2) AS max_revenue
+        FROM ranked GROUP BY 1
+    """,
+    "q128_correlation_profile": """
+        SELECT l_returnflag,
+               round(corr(l_quantity, l_extendedprice), 4) AS corr_qty_price,
+               round(covar_samp(l_quantity, l_extendedprice), 4) AS covar_qty_price,
+               round(stddev_samp(l_discount), 4) AS stddev_discount,
+               count(*) AS n_items
+        FROM lineitem GROUP BY l_returnflag
+    """,
+    # q129: binary-digit-count bucket = exact integer log2 on both
+    # engines (log2()+floor straddles FP at powers of two).
+    "q129_key_skew_profile": """
+        WITH per_key AS (
+            SELECT user_id, count(*) AS cnt FROM events GROUP BY user_id
+        )
+        SELECT CAST(length(bin(cnt)) - 1 AS INT) AS log2_bucket,
+               count(*) AS n_keys,
+               max(cnt) AS max_cnt,
+               sum(cnt) AS n_rows
+        FROM per_key GROUP BY 1
     """,
     "q121_dormant_customers": """
         WITH anchor AS (

@@ -71,6 +71,7 @@ FAMILY = [
     "q91_bm25_retrieval",
     "q92_unigram_surprisal",
     "q93_fuzzy_edit_dedup",
+    "q118_heavy_hitters",
 ]
 
 

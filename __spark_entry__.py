@@ -2531,6 +2531,35 @@ def q129_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q130_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extension (replication apply): ordered CDC stream with DELETE
+    tombstones applied to the customer snapshot (operators/cdc.py) —
+    events become keyed row images ('error' = tombstone), latest change
+    per key wins ((ts, event_id) sequence), untouched keys pass through
+    via one anti join. Completes the upsert sink family (q16) with the
+    MERGE ... WHEN MATCHED DELETE semantics a lakehouse feed needs."""
+    from usajobs_etl_service_spark.operators.cdc import cdc_apply
+
+    cust = _t(spark, sf_dir, "customer")
+    events = _t(spark, sf_dir, "events")
+    changes = events.select(
+        F.col("user_id").alias("c_custkey"),
+        F.concat(F.lit("user_"), F.col("user_id").cast("string")).alias("c_name"),
+        (F.col("user_id") % 25).cast("int").alias("c_nationkey"),
+        F.round("value", 2).alias("c_acctbal"),
+        F.col("event_type").alias("c_mktsegment"),
+        "ts",
+        "event_id",
+        F.when(F.col("event_type") == "error", "D").otherwise("U").alias("op"),
+    )
+    return cdc_apply(
+        cust,
+        changes,
+        key_cols=["c_custkey"],
+        seq_cols=["ts", "event_id"],
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_job_statistics": q01_job_statistics,
     "q02_metric_union": q02_metric_union,
@@ -2661,6 +2690,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q127_revenue_deciles": q127_revenue_deciles,
     "q128_correlation_profile": q128_correlation_profile,
     "q129_key_skew_profile": q129_key_skew_profile,
+    "q130_cdc_apply": q130_cdc_apply,
 }
 
 
@@ -4487,6 +4517,32 @@ ORACLES: dict[str, str] = {
                max(cnt) AS max_cnt,
                sum(cnt) AS n_rows
         FROM per_key GROUP BY 1
+    """,
+    # q130: latest-wins apply == the oracle's row_number window +
+    # NOT EXISTS pass-through + non-tombstone winners.
+    "q130_cdc_apply": """
+        WITH img AS (
+            SELECT user_id AS c_custkey,
+                   'user_' || user_id AS c_name,
+                   CAST(user_id % 25 AS INT) AS c_nationkey,
+                   round(value, 2) AS c_acctbal,
+                   event_type AS c_mktsegment,
+                   ts, event_id,
+                   CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op
+            FROM events
+        ), latest AS (
+            SELECT * FROM (
+                SELECT *, row_number() OVER (PARTITION BY c_custkey
+                                             ORDER BY ts DESC, event_id DESC) AS rn
+                FROM img
+            ) WHERE rn = 1
+        )
+        SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
+        FROM customer
+        WHERE NOT EXISTS (SELECT 1 FROM latest WHERE latest.c_custkey = customer.c_custkey)
+        UNION ALL
+        SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
+        FROM latest WHERE op <> 'D'
     """,
     "q121_dormant_customers": """
         WITH anchor AS (

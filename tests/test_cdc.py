@@ -1,0 +1,99 @@
+"""CDC change-stream application (operators/cdc.py)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from usajobs_etl_service_spark.operators.cdc import cdc_apply, latest_changes
+
+BASE_SCHEMA = "k long, v string"
+CHG_SCHEMA = "k long, v string, seq long, op string"
+
+
+def _base(spark, rows):
+    return spark.createDataFrame(rows, BASE_SCHEMA)
+
+
+def _chg(spark, rows):
+    return spark.createDataFrame(rows, CHG_SCHEMA)
+
+
+def _apply(spark, base_rows, chg_rows):
+    out = cdc_apply(
+        _base(spark, base_rows),
+        _chg(spark, chg_rows),
+        key_cols=["k"],
+        seq_cols=["seq"],
+    )
+    return {r["k"]: r["v"] for r in out.collect()}
+
+
+def test_insert_update_delete_passthrough(spark):
+    got = _apply(
+        spark,
+        [(1, "old1"), (2, "old2"), (3, "old3")],
+        [
+            (1, "new1", 10, "U"),   # update existing
+            (2, "gone", 10, "D"),   # delete existing
+            (9, "new9", 10, "U"),   # insert new key
+        ],
+    )
+    assert got == {1: "new1", 3: "old3", 9: "new9"}
+
+
+def test_latest_wins_ordering(spark):
+    got = _apply(
+        spark,
+        [],
+        [
+            (1, "a", 1, "U"),
+            (1, "b", 3, "U"),
+            (1, "c", 2, "U"),
+        ],
+    )
+    assert got == {1: "b"}
+
+
+def test_delete_then_reinsert_order_matters(spark):
+    # delete at seq 2, reinsert at seq 3 -> key survives with new image
+    got = _apply(spark, [(1, "old")], [(1, "x", 2, "D"), (1, "y", 3, "U")])
+    assert got == {1: "y"}
+    # reinsert at 1, delete at 2 -> key gone
+    got = _apply(spark, [(1, "old")], [(1, "y", 1, "U"), (1, "x", 2, "D")])
+    assert got == {}
+
+
+def test_multi_column_seq_tiebreak(spark):
+    chg = spark.createDataFrame(
+        [(1, "a", 5, 1, "U"), (1, "b", 5, 2, "U")],
+        "k long, v string, seq long, sub long, op string",
+    )
+    latest = latest_changes(chg, key_cols=["k"], seq_cols=["seq", "sub"])
+    assert [r["v"] for r in latest.collect()] == ["b"]
+
+
+def test_missing_base_column_raises(spark):
+    base = _base(spark, [(1, "a")])
+    chg = spark.createDataFrame([(1, 9, "U")], "k long, seq long, op string")
+    with pytest.raises(ValueError, match="missing base columns"):
+        cdc_apply(base, chg, key_cols=["k"], seq_cols=["seq"])
+
+
+def test_base_never_shuffled_by_window(spark):
+    # The latest-wins window must run over the CHANGES side only: the
+    # base table reaches the output through an anti join, not a window.
+    base = _base(spark, [(i, "b") for i in range(100)])
+    chg = _chg(spark, [(1, "x", 1, "U")])
+    plan = (
+        cdc_apply(base, chg, key_cols=["k"], seq_cols=["seq"])
+        ._jdf.queryExecution()
+        .optimizedPlan()
+        .toString()
+    )
+    assert "LeftAnti" in plan
+    # every window (the latest-wins subtree appears once per union
+    # branch, both over changes) is KEY-partitioned — no global window
+    for line in plan.splitlines():
+        if "windowspecdefinition" in line:
+            assert "windowspecdefinition(k#" in line

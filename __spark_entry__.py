@@ -2560,6 +2560,46 @@ def q130_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q131_conversion_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extension (experimentation statistics): two-proportion z-test of
+    view->click funnel conversion, weekend vs weekday sessions —
+    funnel-reduced flags, one tiny cohort aggregate, then the pooled-
+    variance z in closed form. Integer counts + correctly-rounded IEEE
+    sqrt make the statistic engine-identical. (Engines label weekdays
+    differently — Spark 1=Sun vs DuckDB 0=Sun — but both map the same
+    {Sat,Sun} set to 'weekend'.)"""
+    from usajobs_etl_service_spark.operators.funnel import funnel_sessions
+
+    events = _t(spark, sf_dir, "events")
+    fs = funnel_sessions(events, steps=("view", "click")).filter(
+        F.col("t_0").isNotNull()
+    )
+    coh = fs.select(
+        F.when(F.dayofweek("t_0").isin(1, 7), "weekend")
+        .otherwise("weekday")
+        .alias("cohort"),
+        F.col("t_1").isNotNull().cast("long").alias("conv"),
+    )
+    n1 = F.sum(F.when(F.col("cohort") == "weekend", 1).otherwise(0))
+    c1 = F.sum(F.when(F.col("cohort") == "weekend", F.col("conv")).otherwise(0))
+    n2 = F.sum(F.when(F.col("cohort") == "weekday", 1).otherwise(0))
+    c2 = F.sum(F.when(F.col("cohort") == "weekday", F.col("conv")).otherwise(0))
+    # try_divide == DuckDB's NULL-on-zero-divisor (degenerate cohorts /
+    # zero pooled variance yield NULL, not an ANSI error or IEEE inf)
+    p1, p2 = F.try_divide(c1, n1), F.try_divide(c2, n2)
+    pool = F.try_divide(c1 + c2, n1 + n2)
+    z = F.try_divide(
+        p1 - p2, F.sqrt(pool * (1 - pool) * (F.try_divide(F.lit(1.0), n1) + F.try_divide(F.lit(1.0), n2)))
+    )
+    return coh.agg(
+        F.round(z, 4).alias("z_score"),
+        F.round(p1, 4).alias("rate_weekend"),
+        F.round(p2, 4).alias("rate_weekday"),
+        n1.alias("n_weekend"),
+        n2.alias("n_weekday"),
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_job_statistics": q01_job_statistics,
     "q02_metric_union": q02_metric_union,
@@ -2691,6 +2731,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q128_correlation_profile": q128_correlation_profile,
     "q129_key_skew_profile": q129_key_skew_profile,
     "q130_cdc_apply": q130_cdc_apply,
+    "q131_conversion_ztest": q131_conversion_ztest,
 }
 
 
@@ -4543,6 +4584,55 @@ ORACLES: dict[str, str] = {
         UNION ALL
         SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
         FROM latest WHERE op <> 'D'
+    """,
+    # q131: q75's stepwise-session CTE chain; both engines' {Sat,Sun}
+    # sets coincide despite different dayofweek numbering.
+    "q131_conversion_ztest": """
+        WITH marked AS (
+            SELECT user_id, ts, event_type, event_id,
+                   CASE WHEN lag(ts) OVER w IS NULL
+                             OR epoch(ts) - epoch(lag(ts) OVER w) >= 1800
+                        THEN 1 ELSE 0 END AS new_session
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ), sess AS (
+            SELECT user_id, ts, event_type,
+                   sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_no
+            FROM marked
+        ), v AS (
+            SELECT user_id, ts, event_type, session_no,
+                   min(CASE WHEN event_type = 'view' THEN ts END)
+                       OVER (PARTITION BY user_id, session_no) AS t_view
+            FROM sess
+        ), c AS (
+            SELECT user_id, ts, event_type, session_no, t_view,
+                   min(CASE WHEN event_type = 'click' AND ts > t_view THEN ts END)
+                       OVER (PARTITION BY user_id, session_no) AS t_click
+            FROM v
+        ), b AS (
+            SELECT user_id, session_no,
+                   max(t_view) AS tv, max(t_click) AS tc
+            FROM c GROUP BY user_id, session_no
+        ), coh AS (
+            SELECT CASE WHEN dayofweek(tv) IN (0, 6) THEN 'weekend' ELSE 'weekday' END AS cohort,
+                   CASE WHEN tc IS NOT NULL THEN 1 ELSE 0 END AS conv
+            FROM b WHERE tv IS NOT NULL
+        ), agg AS (
+            SELECT sum(CASE WHEN cohort = 'weekend' THEN 1 ELSE 0 END) AS n1,
+                   sum(CASE WHEN cohort = 'weekend' THEN conv ELSE 0 END) AS c1,
+                   sum(CASE WHEN cohort = 'weekday' THEN 1 ELSE 0 END) AS n2,
+                   sum(CASE WHEN cohort = 'weekday' THEN conv ELSE 0 END) AS c2
+            FROM coh
+        )
+        SELECT round((CAST(c1 AS DOUBLE) / n1 - CAST(c2 AS DOUBLE) / n2)
+                     / sqrt((CAST(c1 + c2 AS DOUBLE) / (n1 + n2))
+                            * (1 - CAST(c1 + c2 AS DOUBLE) / (n1 + n2))
+                            * (1.0e0 / n1 + 1.0e0 / n2)), 4) AS z_score,
+               round(CAST(c1 AS DOUBLE) / n1, 4) AS rate_weekend,
+               round(CAST(c2 AS DOUBLE) / n2, 4) AS rate_weekday,
+               n1 AS n_weekend, n2 AS n_weekday
+        FROM agg
     """,
     "q121_dormant_customers": """
         WITH anchor AS (

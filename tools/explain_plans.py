@@ -38,6 +38,12 @@ HEADLINERS = {
     "q91_bm25_retrieval": "doc length as F.size in the scan stage (no corpus shuffle); the only data Exchange is the queried-terms tf aggregate (isin filter map-side inside the explode); df + N/avgdl broadcast",
     "q93_fuzzy_edit_dedup": "blocked self-join is a hash equi-join on the 3-token block key; thresholded (banded) levenshtein per pair — no cartesian product, per-block cost bounded by block occupancy",
     "q95_pmi_collocations": "bigram extraction as arrays_zip against the array's own tail inside the scan (no posexplode self-join); two open-vocabulary aggregates; rank window only over the min_count-filtered survivors",
+    "q28_global_sort_rank": "distributed_order rank: rangepartitioning Exchange + per-partition-id windows + broadcast carry-in — the no-partition WindowExec over data is gone (the surviving SinglePartition window runs over the 32-row per-partition-count aggregate)",
+    "q117_concurrency_peak": "sweep line: per-day windowed running sum + broadcast carry-in offsets; no global window over the event stream",
+    "q118_heavy_hitters": "Misra-Gries candidate pass in mapInPandas (no shuffle, O(k) state), candidate union broadcast into a LeftSemi BroadcastHashJoin — the exact-count aggregate shuffles only candidate-key rows, never the open token domain",
+    "q122_revenue_gini": "rank-formula Gini over the distributed global rank: rangepartitioning + pid windows + scalar final aggregate",
+    "q124_pareto_frontier": "skyline as per-price aggregate + strict distributed running min + one equi-join back: no quadratic dominance join anywhere",
+    "q130_cdc_apply": "latest-wins window KEY-partitioned over the change stream only; base passes through a LeftAnti hash join; tombstones filtered before the union",
     "q98_pq_adc_exact_regime": "PQ encode as literal-codebook argmin projection (no join/shuffle); ADC probe = m element_at lookups + sum inside codegen, then TakeOrderedAndProject — no float vectors read at probe time",
     "q99_resample_gapfill": "dense bucket spine via sequence+explode (executor-side, no driver range); every window/join partitions on the entity key; forward fill as running last(ignorenulls)",
     "q103_returned_items": "fact filtered before the join; customer/nation broadcast; grouped revenue then TakeOrdered — no shuffle of unfiltered lineitem",

@@ -107,3 +107,45 @@ def test_cummin_inclusive(spark):
         for r in ordered_cummin(df, [F.col("k").asc()], ["v"]).collect()
     }
     assert out == {1: 5.0, 2: 3.0, 3: 3.0}
+
+
+# -- property tests: heavy ties, negatives, arbitrary partition counts --
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+PSET = settings(max_examples=6, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+VALS = st.lists(st.integers(min_value=-5, max_value=5), min_size=1, max_size=80)
+
+
+@given(VALS, st.integers(min_value=1, max_value=7))
+@PSET
+def test_row_number_property(spark, vals, parts):
+    rows = [(i, float(v)) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "k long, v double").repartition(parts)
+    got = {
+        r["k"]: r["global_rn"]
+        for r in global_row_number(df, [F.col("v").asc(), F.col("k").asc()]).collect()
+    }
+    want = {
+        k: i + 1 for i, (k, _) in enumerate(sorted(rows, key=lambda t: (t[1], t[0])))
+    }
+    assert got == want
+
+
+@given(VALS, st.integers(min_value=1, max_value=7))
+@PSET
+def test_cumsum_tie_group_totals_property(spark, vals, parts):
+    # heavy ties: only tie-group END totals are order-defined; check the
+    # running sum at the last row of every value group matches the model
+    rows = [(i, float(v)) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "k long, v double").repartition(parts)
+    out = ordered_cumsum(df, [F.col("v").asc()], ["v"]).collect()
+    got_end = {}
+    for r in out:
+        got_end[r["v"]] = max(r["cum_v"], got_end.get(r["v"], float("-inf")))
+    run, want_end = 0.0, {}
+    for _, v in sorted(rows, key=lambda t: t[1]):
+        run += v
+        want_end[v] = run
+    assert got_end == want_end

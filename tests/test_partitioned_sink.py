@@ -1,0 +1,86 @@
+"""Dynamic-partition overwrite sink (sinks/partitioned.py)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from usajobs_etl_service_spark.sinks.partitioned import (
+    overwrite_partitions,
+    read_partitioned,
+)
+
+
+def _days(spark, rows):
+    return spark.createDataFrame(rows, "day string, k long, v string")
+
+
+def _state(spark, path):
+    return {
+        (r["day"], r["k"]): r["v"] for r in read_partitioned(spark, path).collect()
+    }
+
+
+def test_backfill_replaces_only_its_partitions(spark, tmp_path):
+    path = str(tmp_path / "t")
+    overwrite_partitions(
+        _days(spark, [("d1", 1, "a"), ("d2", 2, "b"), ("d3", 3, "c")]),
+        path,
+        partition_cols=["day"],
+    )
+    # backfill day 2 with different rows (fewer AND changed)
+    overwrite_partitions(
+        _days(spark, [("d2", 9, "B2")]), path, partition_cols=["day"]
+    )
+    assert _state(spark, path) == {
+        ("d1", 1): "a",
+        ("d2", 9): "B2",
+        ("d3", 3): "c",
+    }
+
+
+def test_rerun_is_idempotent(spark, tmp_path):
+    path = str(tmp_path / "t")
+    batch = _days(spark, [("d1", 1, "a"), ("d2", 2, "b")])
+    overwrite_partitions(batch, path, partition_cols=["day"])
+    overwrite_partitions(batch, path, partition_cols=["day"])
+    assert _state(spark, path) == {("d1", 1): "a", ("d2", 2): "b"}
+
+
+def test_multi_column_partitioning(spark, tmp_path):
+    path = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [("d1", "s1", 1), ("d1", "s2", 2), ("d2", "s1", 3)],
+        "day string, src string, v long",
+    )
+    overwrite_partitions(df, path, partition_cols=["day", "src"])
+    # rewrite only (d1, s2)
+    overwrite_partitions(
+        spark.createDataFrame([("d1", "s2", 99)], "day string, src string, v long"),
+        path,
+        partition_cols=["day", "src"],
+    )
+    got = {
+        (r["day"], r["src"]): r["v"] for r in read_partitioned(spark, path).collect()
+    }
+    assert got == {("d1", "s1"): 1, ("d1", "s2"): 99, ("d2", "s1"): 3}
+
+
+def test_param_validation(spark, tmp_path):
+    df = _days(spark, [("d1", 1, "a")])
+    with pytest.raises(ValueError, match="non-empty"):
+        overwrite_partitions(df, str(tmp_path / "x"), partition_cols=[])
+    with pytest.raises(ValueError, match="missing partition columns"):
+        overwrite_partitions(df, str(tmp_path / "x"), partition_cols=["nope"])
+
+
+def test_partition_pruning_on_readback(spark, tmp_path):
+    # a day-filter on the readback must prune to that partition's files
+    path = str(tmp_path / "t")
+    overwrite_partitions(
+        _days(spark, [("d1", 1, "a"), ("d2", 2, "b")]), path, partition_cols=["day"]
+    )
+    df = read_partitioned(spark, path).filter(F.col("day") == "d2")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(day" in plan
+    assert df.count() == 1

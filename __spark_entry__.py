@@ -2600,6 +2600,73 @@ def q131_conversion_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q132_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aggregate surface: explicit GROUPING SETS ((flag),(status),())
+    with grouping_id — the arbitrary-sets form completing q29's ROLLUP
+    and q110's CUBE. Spark expands the sets in ONE pass (Expand +
+    single aggregate), not one scan per set. (Verified: Spark's
+    grouping_id bit convention equals DuckDB's GROUPING_ID.)"""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupingSets(
+        [["l_returnflag"], ["l_linestatus"], []], "l_returnflag", "l_linestatus"
+    ).agg(
+        F.grouping_id().alias("gid"),
+        F.count(F.lit(1)).alias("n_items"),
+        F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+    )
+
+
+def q133_longest_streak(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extension (gaps-and-islands on dates): longest run of consecutive
+    active DAYS per user — distinct activity dates, island key =
+    date - row_number (per-user window, one key shuffle), island
+    lengths, max per user. The canonical streak query with zero
+    self-joins."""
+    from pyspark.sql import Window
+
+    events = _t(spark, sf_dir, "events")
+    days = events.select("user_id", F.to_date("ts").alias("d")).distinct()
+    w = Window.partitionBy("user_id").orderBy("d")
+    islands = days.withColumn(
+        "island", F.date_sub(F.col("d"), F.row_number().over(w))
+    )
+    runs = islands.groupBy("user_id", "island").agg(F.count(F.lit(1)).alias("run_len"))
+    return runs.groupBy("user_id").agg(
+        F.max("run_len").alias("longest_streak"),
+        F.count(F.lit(1)).alias("n_islands"),
+    )
+
+
+def q134_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extension (incremental view maintenance): the per-type daily
+    rollup maintained as MERGED PARTIALS — history (days 1-20) and the
+    new tail aggregated separately, then merged with operators/ivm.py's
+    distributive-merge (count->sum, sum->sum, min/max->min/max; avg
+    derived at read time). Provably equals the full recompute, which is
+    exactly what the oracle runs."""
+    from usajobs_etl_service_spark.operators.ivm import merge_aggregates, partial_aggregate
+
+    events = _t(spark, sf_dir, "events").withColumn("d", F.to_date("ts"))
+    cut = F.lit("2024-01-20").cast("date")
+    spec = {
+        "n_events": "count:",
+        "sum_value": "sum:value",
+        "min_value": "min:value",
+        "max_value": "max:value",
+    }
+    hist = partial_aggregate(events.filter(F.col("d") <= cut), ["event_type"], spec)
+    tail = partial_aggregate(events.filter(F.col("d") > cut), ["event_type"], spec)
+    merged = merge_aggregates([hist, tail], ["event_type"], spec)
+    return merged.select(
+        "event_type",
+        "n_events",
+        F.round("sum_value", 2).alias("sum_value"),
+        F.round("min_value", 4).alias("min_value"),
+        F.round("max_value", 4).alias("max_value"),
+        F.round(F.col("sum_value") / F.col("n_events"), 4).alias("avg_value"),
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_job_statistics": q01_job_statistics,
     "q02_metric_union": q02_metric_union,
@@ -2732,6 +2799,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q129_key_skew_profile": q129_key_skew_profile,
     "q130_cdc_apply": q130_cdc_apply,
     "q131_conversion_ztest": q131_conversion_ztest,
+    "q132_grouping_sets": q132_grouping_sets,
+    "q133_longest_streak": q133_longest_streak,
+    "q134_incremental_rollup": q134_incremental_rollup,
 }
 
 
@@ -4633,6 +4703,39 @@ ORACLES: dict[str, str] = {
                round(CAST(c2 AS DOUBLE) / n2, 4) AS rate_weekday,
                n1 AS n_weekend, n2 AS n_weekday
         FROM agg
+    """,
+    "q132_grouping_sets": """
+        SELECT l_returnflag, l_linestatus,
+               GROUPING_ID(l_returnflag, l_linestatus) AS gid,
+               count(*) AS n_items,
+               round(sum(l_extendedprice), 2) AS sum_price
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+    """,
+    "q133_longest_streak": """
+        WITH days AS (
+            SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+        ), islands AS (
+            SELECT user_id, d,
+                   d - CAST(row_number() OVER (PARTITION BY user_id ORDER BY d) AS INT) AS island
+            FROM days
+        ), runs AS (
+            SELECT user_id, island, count(*) AS run_len
+            FROM islands GROUP BY user_id, island
+        )
+        SELECT user_id, max(run_len) AS longest_streak,
+               count(*) AS n_islands
+        FROM runs GROUP BY user_id
+    """,
+    # q134: distributive partials merge exactly == the full recompute
+    # the oracle runs.
+    "q134_incremental_rollup": """
+        SELECT event_type, count(*) AS n_events,
+               round(sum(value), 2) AS sum_value,
+               round(min(value), 4) AS min_value,
+               round(max(value), 4) AS max_value,
+               round(sum(value) / count(*), 4) AS avg_value
+        FROM events GROUP BY event_type
     """,
     "q121_dormant_customers": """
         WITH anchor AS (

@@ -2667,6 +2667,47 @@ def q134_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q135_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extension (fraud/data-quality audit): first-significant-digit
+    distribution of order totals vs Benford's law. The digit comes from
+    the CENTS integer's decimal string — exact on both engines (float
+    log10/power extraction would straddle FP at magnitude boundaries).
+    Expected shares use ln(1+1/d)/ln(10) in both engines; one tiny
+    aggregate, digit table broadcast."""
+    orders = _t(spark, sf_dir, "orders")
+    digit = F.substring(
+        F.round(F.col("o_totalprice") * 100).cast("long").cast("string"), 1, 1
+    ).cast("int")
+    obs = orders.groupBy(digit.alias("digit")).agg(F.count(F.lit(1)).alias("n"))
+    tot = obs.agg(F.sum("n").alias("n_total"))
+    exp_share = F.log(1 + 1 / F.col("digit")) / F.log(F.lit(10.0))
+    return (
+        obs.crossJoin(F.broadcast(tot))
+        .select(
+            "digit",
+            "n",
+            F.round(F.col("n") / F.col("n_total"), 4).alias("obs_share"),
+            F.round(exp_share, 4).alias("benford_share"),
+        )
+    )
+
+
+def q136_argmax_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aggregate surface: max_by/min_by (argmax/argmin) — per event
+    type, WHICH event carried the extreme value, in the same single
+    partial+final pass as the extremes themselves (no rank window, no
+    self-join back). Ties broken deterministically by taking max_by
+    over the (value, event_id) struct — struct comparison is
+    lexicographic in both engines."""
+    events = _t(spark, sf_dir, "events")
+    return events.groupBy("event_type").agg(
+        F.expr("max_by(event_id, struct(value, event_id))").alias("max_value_event"),
+        F.expr("min_by(event_id, struct(value, event_id))").alias("min_value_event"),
+        F.round(F.max("value"), 4).alias("max_value"),
+        F.round(F.min("value"), 4).alias("min_value"),
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_job_statistics": q01_job_statistics,
     "q02_metric_union": q02_metric_union,
@@ -2802,6 +2843,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q132_grouping_sets": q132_grouping_sets,
     "q133_longest_streak": q133_longest_streak,
     "q134_incremental_rollup": q134_incremental_rollup,
+    "q135_benford_audit": q135_benford_audit,
+    "q136_argmax_events": q136_argmax_events,
 }
 
 
@@ -4703,6 +4746,29 @@ ORACLES: dict[str, str] = {
                round(CAST(c2 AS DOUBLE) / n2, 4) AS rate_weekday,
                n1 AS n_weekend, n2 AS n_weekday
         FROM agg
+    """,
+    "q135_benford_audit": """
+        WITH obs AS (
+            SELECT CAST(substr(CAST(CAST(round(o_totalprice * 100) AS BIGINT) AS VARCHAR), 1, 1) AS INT) AS digit,
+                   count(*) AS n
+            FROM orders GROUP BY 1
+        ), tot AS (SELECT sum(n) AS n_total FROM obs)
+        SELECT digit, n,
+               round(CAST(n AS DOUBLE) / n_total, 4) AS obs_share,
+               round(ln(1 + 1.0e0 / digit) / ln(10.0e0), 4) AS benford_share
+        FROM obs, tot
+    """,
+    # q136: DuckDB's arg_max can't take a struct ordering key; the
+    # equivalent deterministic form is field 2 of max/min over the
+    # (value, event_id) row — same lexicographic order as Spark's
+    # max_by/min_by over struct(value, event_id).
+    "q136_argmax_events": """
+        SELECT event_type,
+               struct_extract(max(row(value, event_id)), 2) AS max_value_event,
+               struct_extract(min(row(value, event_id)), 2) AS min_value_event,
+               round(max(value), 4) AS max_value,
+               round(min(value), 4) AS min_value
+        FROM events GROUP BY event_type
     """,
     "q132_grouping_sets": """
         SELECT l_returnflag, l_linestatus,

@@ -2708,6 +2708,44 @@ def q136_argmax_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q137_late_ship_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extension (TPC-H Q4 shape): order counts by priority where at
+    least one lineitem shipped >30 days after the order date — the
+    EXISTS becomes a left_semi join on the order key (each order counted
+    once however many lineitems are late), date predicate pushed to the
+    lineitem scan side of the join."""
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    late = orders.join(
+        li,
+        (orders["o_orderkey"] == li["l_orderkey"])
+        & (F.to_date(li["l_shipdate"]) > F.date_add(F.to_date(orders["o_orderdate"]), 30)),
+        "left_semi",
+    )
+    return late.groupBy("o_orderpriority").agg(F.count(F.lit(1)).alias("order_count"))
+
+
+def q138_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extension (TPC-H Q6 shape): forecast revenue change — one
+    filtered scan-aggregate; the quantity/discount band predicates reach
+    the parquet reader and ReadSchema prunes to the three referenced
+    columns — the canonical pushdown showcase."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias(
+                "revenue"
+            ),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_job_statistics": q01_job_statistics,
     "q02_metric_union": q02_metric_union,
@@ -2845,6 +2883,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q134_incremental_rollup": q134_incremental_rollup,
     "q135_benford_audit": q135_benford_audit,
     "q136_argmax_events": q136_argmax_events,
+    "q137_late_ship_priority": q137_late_ship_priority,
+    "q138_forecast_revenue": q138_forecast_revenue,
 }
 
 
@@ -4746,6 +4786,22 @@ ORACLES: dict[str, str] = {
                round(CAST(c2 AS DOUBLE) / n2, 4) AS rate_weekday,
                n1 AS n_weekend, n2 AS n_weekday
         FROM agg
+    """,
+    "q137_late_ship_priority": """
+        SELECT o_orderpriority, count(*) AS order_count
+        FROM orders
+        WHERE EXISTS (
+            SELECT 1 FROM lineitem
+            WHERE l_orderkey = o_orderkey
+              AND CAST(l_shipdate AS DATE) > CAST(o_orderdate AS DATE) + 30
+        )
+        GROUP BY o_orderpriority
+    """,
+    "q138_forecast_revenue": """
+        SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
+               count(*) AS n_items
+        FROM lineitem
+        WHERE l_discount >= 0.05 AND l_discount <= 0.07 AND l_quantity < 24
     """,
     "q135_benford_audit": """
         WITH obs AS (

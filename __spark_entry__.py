@@ -2746,6 +2746,56 @@ def q138_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q139_rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extension (sliding-window distinct): trailing-7-day distinct
+    active users per day. COUNT(DISTINCT) doesn't slide, so each
+    distinct (user, day) fans out to the <=7 window days it serves
+    (bounded explode — the exact form; the mergeable-HLL form per q97
+    is the approximate one at larger windows), then ONE distinct
+    aggregate per day. Only days observed in the data are reported."""
+    events = _t(spark, sf_dir, "events")
+    user_days = events.select("user_id", F.to_date("ts").alias("d")).distinct()
+    expanded = user_days.select(
+        "user_id", F.explode(F.sequence("d", F.date_add("d", 6))).alias("day")
+    )
+    observed = events.select(F.to_date("ts").alias("day")).distinct()
+    return (
+        expanded.join(observed, "day", "left_semi")
+        .groupBy("day")
+        .agg(F.countDistinct("user_id").alias("active_users_7d"))
+    )
+
+
+def q140_last_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extension (marketing attribution): purchases attributed to the
+    most recent view by the same user within the preceding hour —
+    operators/asof.py's union+window as-of join (same-table streams,
+    1-hour lookback TTL), then a per-day attribution-rate rollup. The
+    EXISTS formulation the oracle uses is equivalent because the as-of
+    match is the LATEST preceding view: it is in-window iff any is."""
+    from usajobs_etl_service_spark.operators.asof import asof_join
+
+    events = _t(spark, sf_dir, "events")
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id"
+    )
+    views = events.filter(F.col("event_type") == "view").select(
+        "user_id", F.col("ts").alias("vts")
+    )
+    matched = asof_join(
+        purchases,
+        views,
+        on=["user_id"],
+        left_ts="ts",
+        right_ts="vts",
+        max_lookback=F.expr("INTERVAL 1 HOUR"),
+    )
+    return matched.groupBy(F.to_date("ts").alias("day")).agg(
+        F.count(F.lit(1)).alias("n_purchases"),
+        F.sum(F.col("vts_asof").isNotNull().cast("long")).alias("n_attributed"),
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_job_statistics": q01_job_statistics,
     "q02_metric_union": q02_metric_union,
@@ -2885,6 +2935,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q136_argmax_events": q136_argmax_events,
     "q137_late_ship_priority": q137_late_ship_priority,
     "q138_forecast_revenue": q138_forecast_revenue,
+    "q139_rolling_active_users": q139_rolling_active_users,
+    "q140_last_touch_attribution": q140_last_touch_attribution,
 }
 
 
@@ -4786,6 +4838,31 @@ ORACLES: dict[str, str] = {
                round(CAST(c2 AS DOUBLE) / n2, 4) AS rate_weekday,
                n1 AS n_weekend, n2 AS n_weekday
         FROM agg
+    """,
+    "q139_rolling_active_users": """
+        WITH days AS (
+            SELECT DISTINCT CAST(ts AS DATE) AS day FROM events
+        )
+        SELECT day,
+               (SELECT count(DISTINCT user_id) FROM events e2
+                WHERE CAST(e2.ts AS DATE) BETWEEN day - 6 AND day) AS active_users_7d
+        FROM days
+    """,
+    # q140: latest-preceding-view-in-window == EXISTS-any-view-in-window.
+    "q140_last_touch_attribution": """
+        WITH p AS (
+            SELECT user_id, ts FROM events WHERE event_type = 'purchase'
+        ), v AS (
+            SELECT user_id, ts FROM events WHERE event_type = 'view'
+        )
+        SELECT CAST(p.ts AS DATE) AS day,
+               count(*) AS n_purchases,
+               count(*) FILTER (WHERE EXISTS (
+                   SELECT 1 FROM v
+                   WHERE v.user_id = p.user_id
+                     AND v.ts <= p.ts
+                     AND v.ts >= p.ts - INTERVAL 1 HOUR)) AS n_attributed
+        FROM p GROUP BY 1
     """,
     "q137_late_ship_priority": """
         SELECT o_orderpriority, count(*) AS order_count

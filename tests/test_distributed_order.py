@@ -135,17 +135,17 @@ def test_row_number_property(spark, vals, parts):
 
 @given(VALS, st.integers(min_value=1, max_value=7))
 @PSET
-def test_cumsum_tie_group_totals_property(spark, vals, parts):
-    # heavy ties: only tie-group END totals are order-defined; check the
-    # running sum at the last row of every value group matches the model
+def test_cumsum_tie_multiset_property(spark, vals, parts):
+    # heavy ties: rows within a tie group accumulate in arbitrary order,
+    # but the group's cum values form a fixed arithmetic run (prev+v,
+    # prev+2v, ..., group_end) either way — so the full (v, cum)
+    # MULTISET is deterministic and must match the model exactly
     rows = [(i, float(v)) for i, v in enumerate(vals)]
     df = spark.createDataFrame(rows, "k long, v double").repartition(parts)
     out = ordered_cumsum(df, [F.col("v").asc()], ["v"]).collect()
-    got_end = {}
-    for r in out:
-        got_end[r["v"]] = max(r["cum_v"], got_end.get(r["v"], float("-inf")))
-    run, want_end = 0.0, {}
+    got = sorted((r["v"], r["cum_v"]) for r in out)
+    run, want = 0.0, []
     for _, v in sorted(rows, key=lambda t: t[1]):
         run += v
-        want_end[v] = run
-    assert got_end == want_end
+        want.append((v, run))
+    assert got == sorted(want)

@@ -3808,9 +3808,9 @@ ORACLES: dict[str, str] = {
     """,
     "q71_range_frames": """
         SELECT event_id, user_id,
-               round(sum(value) OVER (PARTITION BY user_id ORDER BY epoch(ts)
+               round(sum(value) OVER (PARTITION BY user_id ORDER BY epoch_us(ts) // 1000000
                                       RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW), 2) AS hour_sum,
-               count(*) OVER (PARTITION BY user_id ORDER BY epoch(ts)
+               count(*) OVER (PARTITION BY user_id ORDER BY epoch_us(ts) // 1000000
                               RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW) AS hour_n,
                round(first_value(value) OVER (PARTITION BY user_id ORDER BY ts, event_id), 3) AS first_val,
                round(last_value(value)  OVER (PARTITION BY user_id ORDER BY ts, event_id
@@ -3938,7 +3938,7 @@ ORACLES: dict[str, str] = {
         WITH marked AS (
             SELECT user_id, ts, event_type, event_id,
                    CASE WHEN lag(ts) OVER w IS NULL
-                             OR epoch(ts) - epoch(lag(ts) OVER w) >= 1800
+                             OR epoch_us(ts) // 1000000 - epoch_us(lag(ts) OVER w) // 1000000 >= 1800
                         THEN 1 ELSE 0 END AS new_session
             FROM events
             WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
@@ -4438,7 +4438,7 @@ ORACLES: dict[str, str] = {
         WITH marked AS (
             SELECT user_id, ts, event_id, event_type,
                    CASE WHEN lag(ts) OVER w IS NULL
-                             OR epoch(ts) - epoch(lag(ts) OVER w) >= 1800
+                             OR epoch_us(ts) // 1000000 - epoch_us(lag(ts) OVER w) // 1000000 >= 1800
                         THEN 1 ELSE 0 END AS new_session
             FROM events
             WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
@@ -4462,7 +4462,7 @@ ORACLES: dict[str, str] = {
         WITH marked AS (
             SELECT user_id, ts, event_id, event_type,
                    CASE WHEN lag(ts) OVER w IS NULL
-                             OR epoch(ts) - epoch(lag(ts) OVER w) >= 1800
+                             OR epoch_us(ts) // 1000000 - epoch_us(lag(ts) OVER w) // 1000000 >= 1800
                         THEN 1 ELSE 0 END AS new_session
             FROM events
             WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
@@ -4508,7 +4508,7 @@ ORACLES: dict[str, str] = {
         WITH marked AS (
             SELECT user_id, ts, event_type, event_id,
                    CASE WHEN lag(ts) OVER w IS NULL
-                             OR epoch(ts) - epoch(lag(ts) OVER w) >= 1800
+                             OR epoch_us(ts) // 1000000 - epoch_us(lag(ts) OVER w) // 1000000 >= 1800
                         THEN 1 ELSE 0 END AS new_session
             FROM events
             WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
@@ -4567,12 +4567,14 @@ ORACLES: dict[str, str] = {
     # line. The oracle's single global running sum equals the engine's
     # per-day + carry-in split exactly (buckets are time-contiguous);
     # delta DESC puts starts before ends at a timestamp tie (closed
-    # intervals). epoch() truncates to seconds like unix_timestamp.
+    # intervals). epoch_us//1e6 floors to seconds like unix_timestamp
+    # (DuckDB's epoch() is FRACTIONAL — a 10x-data lesson: one gap sat
+    # exactly on the 1800 s boundary only when sub-second parts differed).
     "q117_concurrency_peak": """
         WITH marked AS (
             SELECT user_id, ts, event_id,
                    CASE WHEN lag(ts) OVER w IS NULL
-                             OR epoch(ts) - epoch(lag(ts) OVER w) >= 1800
+                             OR epoch_us(ts) // 1000000 - epoch_us(lag(ts) OVER w) // 1000000 >= 1800
                         THEN 1 ELSE 0 END AS new_session
             FROM events
             WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
@@ -4796,7 +4798,7 @@ ORACLES: dict[str, str] = {
         WITH marked AS (
             SELECT user_id, ts, event_type, event_id,
                    CASE WHEN lag(ts) OVER w IS NULL
-                             OR epoch(ts) - epoch(lag(ts) OVER w) >= 1800
+                             OR epoch_us(ts) // 1000000 - epoch_us(lag(ts) OVER w) // 1000000 >= 1800
                         THEN 1 ELSE 0 END AS new_session
             FROM events
             WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)

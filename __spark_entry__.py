@@ -2796,6 +2796,74 @@ def q140_last_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q141_session_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extension (behavioral drift per user): Jaccard between each
+    session's event-type SET and the user's previous session —
+    collect_set per session, lag over the session sequence, JVM array
+    intersection/union sizes. One (user) shuffle; the per-user average
+    similarity is the stability score. Set sizes are order-free, so
+    collect_set's nondeterministic ordering never reaches the output."""
+    from pyspark.sql import Window
+
+    from usajobs_etl_service_spark.operators.funnel import assign_sessions
+
+    events = _t(spark, sf_dir, "events")
+    sess = (
+        assign_sessions(events, keep_cols=("event_type",))
+        .groupBy("user_id", "session_no")
+        .agg(F.collect_set("event_type").alias("types"))
+    )
+    w = Window.partitionBy("user_id").orderBy("session_no")
+    pairs = sess.withColumn("prev", F.lag("types").over(w)).filter(
+        F.col("prev").isNotNull()
+    )
+    inter = F.size(F.array_intersect("types", "prev"))
+    union = F.size(F.array_union("types", "prev"))
+    return (
+        pairs.select("user_id", (inter / union).alias("jac"))
+        .groupBy("user_id")
+        .agg(
+            F.round(F.avg("jac"), 4).alias("avg_session_jaccard"),
+            F.count(F.lit(1)).alias("n_transitions"),
+        )
+    )
+
+
+def q142_vocab_kl_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extension (corpus drift, beyond q123's KS and q126's chi2):
+    add-one-smoothed KL divergence between the unigram distributions of
+    the corpus's two halves (by doc_id). Two token aggregates + a full
+    outer join on the union vocabulary (open vocab — no broadcast, the
+    q62 call); smoothing keeps Q(w)=0 terms finite. Integer counts make
+    both engines' P, Q bit-identical; summation-order fp noise dies at
+    4dp."""
+    docs = _t(spark, sf_dir, "documents")
+    mid = docs.agg(F.expr("percentile(doc_id, 0.5)").alias("mid"))
+    toks = (
+        docs.crossJoin(F.broadcast(mid))
+        .select(
+            (F.col("doc_id") <= F.col("mid")).alias("first_half"),
+            F.explode(F.split(F.lower("text"), r"\s+")).alias("token"),
+        )
+        .filter(F.col("token") != "")
+    )
+    counts = toks.groupBy("token").agg(
+        F.sum(F.when(F.col("first_half"), 1).otherwise(0)).alias("a"),
+        F.sum(F.when(~F.col("first_half"), 1).otherwise(0)).alias("b"),
+    )
+    tot = counts.agg(
+        F.sum("a").alias("na"), F.sum("b").alias("nb"), F.count(F.lit(1)).alias("v")
+    )
+    p = (F.col("a") + 1) / (F.col("na") + F.col("v"))
+    q = (F.col("b") + 1) / (F.col("nb") + F.col("v"))
+    return counts.crossJoin(F.broadcast(tot)).agg(
+        F.round(F.sum(p * F.log(p / q)), 4).alias("kl_first_vs_second"),
+        F.first("v").alias("vocab_size"),
+        F.first("na").alias("n_tokens_first"),
+        F.first("nb").alias("n_tokens_second"),
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_job_statistics": q01_job_statistics,
     "q02_metric_union": q02_metric_union,
@@ -2937,6 +3005,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q138_forecast_revenue": q138_forecast_revenue,
     "q139_rolling_active_users": q139_rolling_active_users,
     "q140_last_touch_attribution": q140_last_touch_attribution,
+    "q141_session_similarity": q141_session_similarity,
+    "q142_vocab_kl_divergence": q142_vocab_kl_divergence,
 }
 
 
@@ -4840,6 +4910,59 @@ ORACLES: dict[str, str] = {
                round(CAST(c2 AS DOUBLE) / n2, 4) AS rate_weekday,
                n1 AS n_weekend, n2 AS n_weekday
         FROM agg
+    """,
+    # q141: q42's session CTEs with event_type; per-pair Jaccard values
+    # are exact rationals in double on both engines.
+    "q141_session_similarity": """
+        WITH marked AS (
+            SELECT user_id, ts, event_type, event_id,
+                   CASE WHEN lag(ts) OVER w IS NULL
+                             OR epoch_us(ts) // 1000000 - epoch_us(lag(ts) OVER w) // 1000000 >= 1800
+                        THEN 1 ELSE 0 END AS new_session
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ), sess AS (
+            SELECT user_id, event_type,
+                   sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_no
+            FROM marked
+        ), sets AS (
+            SELECT user_id, session_no, array_agg(DISTINCT event_type) AS types
+            FROM sess GROUP BY user_id, session_no
+        ), pairs AS (
+            SELECT user_id, types,
+                   lag(types) OVER (PARTITION BY user_id ORDER BY session_no) AS prev
+            FROM sets
+        )
+        SELECT user_id,
+               round(avg(CAST(len(list_intersect(types, prev)) AS DOUBLE)
+                         / len(list_distinct(list_concat(types, prev)))), 4) AS avg_session_jaccard,
+               count(*) AS n_transitions
+        FROM pairs WHERE prev IS NOT NULL
+        GROUP BY user_id
+    """,
+    "q142_vocab_kl_divergence": """
+        WITH mid AS (
+            SELECT quantile_cont(CAST(doc_id AS DOUBLE), 0.5) AS mid FROM documents
+        ), toks AS (
+            SELECT first_half, token FROM (
+                SELECT doc_id <= mid AS first_half,
+                       unnest(string_split_regex(lower(text), '\s+')) AS token
+                FROM documents, mid
+            ) WHERE token <> ''
+        ), counts AS (
+            SELECT token,
+                   sum(CASE WHEN first_half THEN 1 ELSE 0 END) AS a,
+                   sum(CASE WHEN NOT first_half THEN 1 ELSE 0 END) AS b
+            FROM toks GROUP BY token
+        ), tot AS (
+            SELECT sum(a) AS na, sum(b) AS nb, count(*) AS v FROM counts
+        )
+        SELECT round(sum(((a + 1.0) / (na + v)) * ln(((a + 1.0) / (na + v)) / ((b + 1.0) / (nb + v)))), 4) AS kl_first_vs_second,
+               max(v) AS vocab_size,
+               max(na) AS n_tokens_first,
+               max(nb) AS n_tokens_second
+        FROM counts, tot
     """,
     "q139_rolling_active_users": """
         WITH days AS (

@@ -84,3 +84,58 @@ def test_partition_pruning_on_readback(spark, tmp_path):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters: [isnotnull(day" in plan
     assert df.count() == 1
+
+
+def _files(path):
+    import glob
+    return [f for f in glob.glob(f"{path}/**/*.parquet", recursive=True)]
+
+
+def test_compaction_reduces_files_and_preserves_rows(spark, tmp_path):
+    from usajobs_etl_service_spark.sinks.partitioned import compact_partitions
+
+    path = str(tmp_path / "t")
+    # land each day in many tiny files (repartition(8) per append)
+    for day in ("d1", "d2"):
+        df = spark.createDataFrame(
+            [(day, i, f"v{i}") for i in range(64)], "day string, k long, v string"
+        ).repartition(8)
+        overwrite_partitions(df, path, partition_cols=["day"])
+    before = len(_files(path))
+    assert before >= 16  # 8 files per day
+    before_rows = sorted(
+        (r["day"], r["k"], r["v"]) for r in read_partitioned(spark, path).collect()
+    )
+
+    n = compact_partitions(
+        spark, path, partition_cols=["day"], target_rows_per_file=1000
+    )
+    assert n == 2
+    after = len(_files(path))
+    assert after < before and after <= 4
+    after_rows = sorted(
+        (r["day"], r["k"], r["v"]) for r in read_partitioned(spark, path).collect()
+    )
+    assert after_rows == before_rows
+
+
+def test_compaction_predicate_leaves_other_partitions_untouched(spark, tmp_path):
+    import os
+
+    from usajobs_etl_service_spark.sinks.partitioned import compact_partitions
+
+    path = str(tmp_path / "t")
+    for day in ("d1", "d2"):
+        df = spark.createDataFrame(
+            [(day, i, "x") for i in range(10)], "day string, k long, v string"
+        ).repartition(4)
+        overwrite_partitions(df, path, partition_cols=["day"])
+    d2_files = {os.path.basename(f) for f in _files(path) if "/day=d2/" in f}
+
+    n = compact_partitions(
+        spark, path, partition_cols=["day"], predicate="day = 'd1'"
+    )
+    assert n == 1
+    d2_after = {os.path.basename(f) for f in _files(path) if "/day=d2/" in f}
+    assert d2_after == d2_files  # untouched partition keeps its exact files
+    assert len([f for f in _files(path) if "/day=d1/" in f]) == 1

@@ -43,3 +43,47 @@ def read_partitioned(spark: SparkSession, path: str) -> DataFrame:
     """Read the hive-partitioned table back (partition columns are
     reconstructed from the directory layout)."""
     return spark.read.parquet(path)
+
+
+def compact_partitions(
+    spark: SparkSession,
+    path: str,
+    *,
+    partition_cols: Sequence[str],
+    target_rows_per_file: int = 1_000_000,
+    predicate: str | None = None,
+) -> int:
+    """Rewrite the selected partitions with right-sized files — the
+    small-files remedy for an incrementally-landed table (every
+    micro-batch/backfill append leaves file counts growing; scans then
+    pay per-file open cost and tiny row groups defeat pushdown).
+
+    Reads only the partitions matching ``predicate`` (partition pruning
+    — the rest of the table is never touched), repartitions each to
+    ``ceil(rows / target_rows_per_file)`` files ON ITS PARTITION KEY
+    VALUES, and rewrites exactly those partitions via the same dynamic
+    overwrite as `overwrite_partitions` — so a crash mid-compaction
+    never corrupts untouched partitions. Returns the number of
+    partitions rewritten.
+
+    The per-partition row counts come from ONE count aggregate (driver
+    receives #selected-partitions rows, not data).
+    """
+    from pyspark.sql import functions as F
+
+    df = read_partitioned(spark, path)
+    if predicate:
+        df = df.filter(predicate)
+    sizes = df.groupBy(*partition_cols).count().collect()
+    if not sizes:
+        return 0
+    max_rows = max(r["count"] for r in sizes)
+    k = int(-(-max_rows // target_rows_per_file))  # files for the worst partition
+    # deterministic salt (stable row hash, NOT rand()): a retried task
+    # re-derives the same assignment, so the shuffle is replay-safe
+    salt = F.pmod(F.xxhash64(*df.columns), F.lit(k))
+    compacted = df.repartition(
+        int(k * len(sizes)), *[F.col(c) for c in partition_cols], salt
+    )
+    overwrite_partitions(compacted, path, partition_cols=partition_cols)
+    return len(sizes)

@@ -73,3 +73,63 @@ def streaming_first_wins_dedup(
             timeoutConf=timeout,
         )
     )
+
+
+def streaming_heavy_hitter_candidates(
+    df: DataFrame,
+    *,
+    item_col: str = "item",
+    k: int = 100,
+    n_buckets: int = 8,
+) -> DataFrame:
+    """Streaming Misra-Gries: maintain a bounded candidate summary per
+    hash bucket across micro-batches (the streaming face of
+    operators/heavyhitters.py — same mergeable reduction, same
+    guarantee transported to state).
+
+    Items route to ``n_buckets`` stable hash buckets; each bucket's
+    state is its MG summary (<= k items + lower-bound counts). A bucket
+    re-emits its CURRENT summary whenever a batch touches it, so the
+    consumer keeps the LATEST emission PER BUCKET (update-mode
+    semantics) — the union of those is the up-to-date candidate set. An item
+    absent from its bucket's summary has true stream count
+    <= n_bucket/(k+1) <= N/(k+1): candidates are a superset of every
+    item with frequency > 1/(k+1), at O(k * n_buckets) total state —
+    the exact verify (batch side) stays a bounded semi-join.
+    """
+    from pyspark.sql import functions as F
+
+    timeout = GroupStateTimeout.NoTimeout
+
+    def summarize(key, pdfs: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            items, counts = state.get
+            counters = dict(zip(items, counts))
+        else:
+            counters = {}
+        for pdf in pdfs:
+            for item, c in pdf[item_col].value_counts().items():
+                counters[item] = counters.get(item, 0) + int(c)
+            if len(counters) > k:
+                cut = sorted(counters.values(), reverse=True)[k]
+                counters = {t: v - cut for t, v in counters.items() if v > cut}
+        state.update((list(counters.keys()), [int(v) for v in counters.values()]))
+        yield pd.DataFrame(
+            {
+                "bucket": [key[0]] * len(counters),
+                "item": list(counters.keys()),
+                "lower_count": [int(v) for v in counters.values()],
+            }
+        )
+
+    bucketed = df.select(
+        F.pmod(F.xxhash64(F.col(item_col)), F.lit(n_buckets)).cast("int").alias("bucket"),
+        F.col(item_col).alias(item_col),
+    )
+    return bucketed.groupBy("bucket").applyInPandasWithState(
+        summarize,
+        outputStructType="bucket int, item string, lower_count long",
+        stateStructType="items array<string>, counts array<long>",
+        outputMode="update",
+        timeoutConf=timeout,
+    )

@@ -97,3 +97,18 @@ def test_base_never_shuffled_by_window(spark):
     for line in plan.splitlines():
         if "windowspecdefinition" in line:
             assert "windowspecdefinition(k#" in line
+
+
+def test_null_op_is_upsert_never_silent_delete(spark):
+    # review finding: op != 'D' is NULL for NULL ops, which dropped the
+    # key from BOTH branches — a silent delete. NULL op must upsert.
+    chg = spark.createDataFrame(
+        [(1, "new", 5, None)], "k long, v string, seq long, op string"
+    )
+    got = {
+        r["k"]: r["v"]
+        for r in cdc_apply(
+            _base(spark, [(1, "old")]), chg, key_cols=["k"], seq_cols=["seq"]
+        ).collect()
+    }
+    assert got == {1: "new"}

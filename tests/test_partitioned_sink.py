@@ -139,3 +139,47 @@ def test_compaction_predicate_leaves_other_partitions_untouched(spark, tmp_path)
     d2_after = {os.path.basename(f) for f in _files(path) if "/day=d2/" in f}
     assert d2_after == d2_files  # untouched partition keeps its exact files
     assert len([f for f in _files(path) if "/day=d1/" in f]) == 1
+
+
+def test_compaction_predicate_selects_partitions_never_drops_rows(spark, tmp_path):
+    # review finding: a row-level predicate must only CHOOSE partitions;
+    # the chosen partitions are rewritten IN FULL.
+    from usajobs_etl_service_spark.sinks.partitioned import compact_partitions
+
+    path = str(tmp_path / "t")
+    overwrite_partitions(
+        _days(spark, [("d1", 1, "keep"), ("d1", 200, "alsokeep"), ("d2", 5, "x")]),
+        path,
+        partition_cols=["day"],
+    )
+    n = compact_partitions(
+        spark, path, partition_cols=["day"], predicate="k > 100"
+    )
+    assert n == 1  # only d1 matched
+    got = sorted(
+        (r["day"], r["k"], r["v"]) for r in read_partitioned(spark, path).collect()
+    )
+    assert got == [("d1", 1, "keep"), ("d1", 200, "alsokeep"), ("d2", 5, "x")]
+
+
+def test_compaction_small_partitions_stay_single_file(spark, tmp_path):
+    # review finding: the salt modulus must be per-partition, or tiny
+    # partitions get split into the worst partition's file count.
+    from usajobs_etl_service_spark.sinks.partitioned import compact_partitions
+
+    path = str(tmp_path / "t")
+    big = spark.createDataFrame(
+        [("big", i, "x") for i in range(3000)], "day string, k long, v string"
+    ).repartition(6)
+    small = spark.createDataFrame(
+        [("small", i, "x") for i in range(5)], "day string, k long, v string"
+    ).repartition(4)
+    overwrite_partitions(big, path, partition_cols=["day"])
+    overwrite_partitions(small, path, partition_cols=["day"])
+
+    compact_partitions(spark, path, partition_cols=["day"], target_rows_per_file=1000)
+    small_files = [f for f in _files(path) if "/day=small/" in f]
+    big_files = [f for f in _files(path) if "/day=big/" in f]
+    assert len(small_files) == 1
+    assert len(big_files) <= 3
+    assert read_partitioned(spark, path).count() == 3005

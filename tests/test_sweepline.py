@@ -85,3 +85,15 @@ def test_matches_global_running_sum_model(spark):
         day_peak[d] = max(day_peak.get(d, 0), cur)
     got = {r["bucket"].isoformat(): r["peak"] for r in daily_peak_concurrency(df).collect()}
     assert got == day_peak
+
+
+def test_null_endpoint_fails_loud(spark):
+    # review finding: NULL endpoints would land in a NULL bucket that
+    # sorts first and skews every carry-in — must error, not skew.
+    import pytest
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors.exceptions.captured import SparkRuntimeException
+
+    df = _iv(spark, [(sec(0), None), (sec(0), sec(5))])
+    with pytest.raises((SparkRuntimeException, Py4JJavaError), match="close open intervals"):
+        interval_concurrency(df).agg(F.max("concurrency")).first()

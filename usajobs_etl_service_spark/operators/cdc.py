@@ -65,5 +65,8 @@ def cdc_apply(
     untouched = base.join(
         latest.select(*key_cols), list(key_cols), "left_anti"
     )
-    upserts = latest.filter(F.col(op_col) != delete_op).select(*base.columns)
+    # null-safe: ONLY an exact tombstone deletes. A NULL/unknown op is
+    # an upsert, never a silent delete (op != delete_op would evaluate
+    # to NULL for NULL ops and drop the key from both branches).
+    upserts = latest.filter(~F.col(op_col).eqNullSafe(delete_op)).select(*base.columns)
     return untouched.unionByName(upserts)

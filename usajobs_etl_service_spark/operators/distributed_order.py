@@ -1,4 +1,4 @@
-"""Distributed global ordering primitives (q28 internals, q122, q123).
+"""Distributed global ordering primitives (q28 internals, q122-q127).
 
 ``Window.orderBy(...)`` with no partition key moves EVERY row to one
 partition — the classic Spark scale trap (WindowExec even warns). These
@@ -12,7 +12,7 @@ sums with no single-partition stage over the data:
 2. a per-partition window (partitioned by ``spark_partition_id()``)
    computes the local row number / running sum;
 3. the global offset of each partition comes from a cumulative sum over
-   the per-partition COUNT/SUM aggregate — one row per partition
+   the per-partition COUNT/SUM/MIN aggregate — one row per partition
    (thousands of rows at worst), the only single-partition window in
    the plan — broadcast back onto the stream.
 
@@ -27,7 +27,7 @@ buckets by calendar day instead of sampled ranges.
 
 from __future__ import annotations
 
-from collections.abc import Sequence
+from collections.abc import Callable, Sequence
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
@@ -39,13 +39,27 @@ def _ranged(df: DataFrame, order_cols: Sequence[Column | str]) -> DataFrame:
     return df.repartitionByRange(*order_cols).withColumn(_PID, F.spark_partition_id())
 
 
-def _carry_in(parts: DataFrame, agg_col: Column, alias: str) -> DataFrame:
-    """Per-partition cumulative offset: one row per partition id."""
-    per_part = parts.groupBy(_PID).agg(agg_col.alias("_net"))
-    w_prior = Window.orderBy(_PID).rowsBetween(Window.unboundedPreceding, -1)
-    return per_part.select(
-        _PID, F.coalesce(F.sum("_net").over(w_prior), F.lit(0)).alias(alias)
+def _offsets(
+    parts: DataFrame,
+    specs: Sequence[tuple[str, Column, Callable[[str], Column], bool]],
+) -> DataFrame:
+    """Per-partition carry-in offsets, one row per partition id.
+
+    Each spec is ``(alias, partial_agg_column, prior_agg_fn,
+    zero_fill)``: the partial aggregates run in ONE shared groupBy; the
+    prior-partition fold (the only no-partition window, over #partition
+    rows) applies ``prior_agg_fn`` with optional zero-coalesce for the
+    first partition (sums zero-fill; mins keep NULL so ``F.least`` can
+    skip them)."""
+    per_part = parts.groupBy(_PID).agg(
+        *[agg.alias(f"_net_{a}") for a, agg, _, _ in specs]
     )
+    w_prior = Window.orderBy(_PID).rowsBetween(Window.unboundedPreceding, -1)
+    cols = []
+    for a, _, prior, zero_fill in specs:
+        c = prior(f"_net_{a}").over(w_prior)
+        cols.append((F.coalesce(c, F.lit(0)) if zero_fill else c).alias(a))
+    return per_part.select(_PID, *cols)
 
 
 def global_row_number(
@@ -62,7 +76,7 @@ def global_row_number(
     equal x, top-k boundaries — is exact regardless).
     """
     parts = _ranged(df, order_cols)
-    offsets = _carry_in(parts, F.count(F.lit(1)), "_offset")
+    offsets = _offsets(parts, [("_offset", F.count(F.lit(1)), F.sum, True)])
     w_local = Window.partitionBy(_PID).orderBy(*order_cols)
     return (
         parts.withColumn("_local", F.row_number().over(w_local))
@@ -70,6 +84,35 @@ def global_row_number(
         .withColumn(out_col, (F.col("_local") + F.col("_offset")).cast("long"))
         .drop(_PID, "_local", "_offset")
     )
+
+
+def _ordered_running(
+    df: DataFrame,
+    order_cols: Sequence[Column | str],
+    value_cols: Sequence[str],
+    *,
+    agg_fn: Callable[[str], Column],
+    combine: Callable[[Column, Column], Column],
+    zero_fill: bool,
+    frame_upper: int,
+    prefix: str,
+) -> DataFrame:
+    parts = _ranged(df, order_cols)
+    offsets = _offsets(
+        parts, [(f"_off_{v}", agg_fn(v), agg_fn, zero_fill) for v in value_cols]
+    )
+    w_local = Window.partitionBy(_PID).orderBy(*order_cols).rowsBetween(
+        Window.unboundedPreceding, frame_upper
+    )
+    out = parts
+    for v in value_cols:
+        out = out.withColumn(f"_loc_{v}", agg_fn(v).over(w_local))
+    out = out.join(F.broadcast(offsets), _PID)
+    for v in value_cols:
+        out = out.withColumn(
+            f"{prefix}{v}", combine(F.col(f"_loc_{v}"), F.col(f"_off_{v}"))
+        ).drop(f"_loc_{v}", f"_off_{v}")
+    return out.drop(_PID)
 
 
 def ordered_cumsum(
@@ -84,31 +127,16 @@ def ordered_cumsum(
     ``order_cols`` accumulate in arbitrary order within the tie group —
     totals after the group are exact; include a tiebreaker when
     intermediate values matter."""
-    parts = _ranged(df, order_cols)
-    # one carry-in per value column, off one shared per-partition groupBy
-    per_part = parts.groupBy(_PID).agg(
-        *[F.sum(v).alias(f"_net_{v}") for v in value_cols]
+    return _ordered_running(
+        df,
+        order_cols,
+        value_cols,
+        agg_fn=F.sum,
+        combine=lambda loc, off: loc + off,
+        zero_fill=True,
+        frame_upper=0,
+        prefix=prefix,
     )
-    w_prior = Window.orderBy(_PID).rowsBetween(Window.unboundedPreceding, -1)
-    offsets = per_part.select(
-        _PID,
-        *[
-            F.coalesce(F.sum(f"_net_{v}").over(w_prior), F.lit(0)).alias(f"_off_{v}")
-            for v in value_cols
-        ],
-    )
-    w_local = Window.partitionBy(_PID).orderBy(*order_cols).rowsBetween(
-        Window.unboundedPreceding, 0
-    )
-    out = parts
-    for v in value_cols:
-        out = out.withColumn(f"_loc_{v}", F.sum(v).over(w_local))
-    out = out.join(F.broadcast(offsets), _PID)
-    for v in value_cols:
-        out = out.withColumn(f"{prefix}{v}", F.col(f"_loc_{v}") + F.col(f"_off_{v}")).drop(
-            f"_loc_{v}", f"_off_{v}"
-        )
-    return out.drop(_PID)
 
 
 def ordered_cummin(
@@ -127,25 +155,13 @@ def ordered_cummin(
     need. The carry-in min from earlier partitions composes with
     ``F.least``, which skips NULLs.
     """
-    upper = -1 if strict else 0
-    parts = _ranged(df, order_cols)
-    per_part = parts.groupBy(_PID).agg(
-        *[F.min(v).alias(f"_net_{v}") for v in value_cols]
+    return _ordered_running(
+        df,
+        order_cols,
+        value_cols,
+        agg_fn=F.min,
+        combine=F.least,
+        zero_fill=False,
+        frame_upper=-1 if strict else 0,
+        prefix=prefix,
     )
-    w_prior = Window.orderBy(_PID).rowsBetween(Window.unboundedPreceding, -1)
-    offsets = per_part.select(
-        _PID,
-        *[F.min(f"_net_{v}").over(w_prior).alias(f"_off_{v}") for v in value_cols],
-    )
-    w_local = Window.partitionBy(_PID).orderBy(*order_cols).rowsBetween(
-        Window.unboundedPreceding, upper
-    )
-    out = parts
-    for v in value_cols:
-        out = out.withColumn(f"_loc_{v}", F.min(v).over(w_local))
-    out = out.join(F.broadcast(offsets), _PID)
-    for v in value_cols:
-        out = out.withColumn(
-            f"{prefix}{v}", F.least(F.col(f"_loc_{v}"), F.col(f"_off_{v}"))
-        ).drop(f"_loc_{v}", f"_off_{v}")
-    return out.drop(_PID)

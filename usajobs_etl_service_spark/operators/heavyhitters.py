@@ -36,6 +36,20 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def mg_merge_reduce(counters: dict, value_counts, k: int) -> dict:
+    """Merge a value->count mapping into a Misra-Gries summary and
+    reduce it back to <= ``k`` counters (subtract the (k+1)-th largest,
+    drop non-positives). The mergeable-summaries reduction shared by
+    the batch operator below and the streaming form
+    (streaming/stateful.py)."""
+    for item, cnt in value_counts.items():
+        counters[item] = counters.get(item, 0) + int(cnt)
+    if len(counters) > k:
+        cut = sorted(counters.values(), reverse=True)[k]
+        counters = {t: c - cut for t, c in counters.items() if c > cut}
+    return counters
+
+
 def misra_gries_candidates(items: DataFrame, col: str, *, k: int) -> DataFrame:
     """Per-partition Misra-Gries summaries, unioned: one ``item`` column.
 
@@ -52,11 +66,7 @@ def misra_gries_candidates(items: DataFrame, col: str, *, k: int) -> DataFrame:
     def summarize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         counters: dict = {}
         for pdf in batches:
-            for item, cnt in pdf[col].value_counts().items():
-                counters[item] = counters.get(item, 0) + int(cnt)
-            if len(counters) > k:
-                cut = sorted(counters.values(), reverse=True)[k]
-                counters = {t: c - cut for t, c in counters.items() if c > cut}
+            counters = mg_merge_reduce(counters, pdf[col].value_counts(), k)
         yield pd.DataFrame({"item": list(counters.keys())})
 
     return items.mapInPandas(summarize, schema="item string")

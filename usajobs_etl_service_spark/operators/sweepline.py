@@ -44,8 +44,24 @@ def interval_concurrency(
     this endpoint). Downstream aggregates (daily peak, global peak)
     reduce this without another shuffle on the event stream.
     """
-    starts = intervals.select(F.col(start_col).alias("ts"), F.lit(1).alias("delta"))
-    ends = intervals.select(F.col(end_col).alias("ts"), F.lit(-1).alias("delta"))
+    # fail loud on open intervals: a NULL endpoint would land in a NULL
+    # bucket that sorts FIRST in the carry-in window and silently skew
+    # every real bucket's offset. Close open intervals upstream (e.g.
+    # coalesce(end_ts, observation_time)) before sweeping. The guard
+    # lives INSIDE the emitted ts column so column pruning can't
+    # eliminate it.
+    def _checked(col: str):
+        return F.when(
+            F.col(col).isNull(),
+            F.raise_error(
+                F.lit(
+                    f"interval_concurrency: NULL {col} — close open intervals before sweeping"
+                )
+            ).cast(intervals.schema[col].dataType),
+        ).otherwise(F.col(col))
+
+    starts = intervals.select(_checked(start_col).alias("ts"), F.lit(1).alias("delta"))
+    ends = intervals.select(_checked(end_col).alias("ts"), F.lit(-1).alias("delta"))
     deltas = starts.unionByName(ends).withColumn("bucket", F.to_date("ts"))
 
     # Carry-in per bucket: cumulative net delta of all PRIOR buckets.

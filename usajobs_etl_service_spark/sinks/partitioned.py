@@ -58,32 +58,51 @@ def compact_partitions(
     micro-batch/backfill append leaves file counts growing; scans then
     pay per-file open cost and tiny row groups defeat pushdown).
 
-    Reads only the partitions matching ``predicate`` (partition pruning
-    — the rest of the table is never touched), repartitions each to
-    ``ceil(rows / target_rows_per_file)`` files ON ITS PARTITION KEY
-    VALUES, and rewrites exactly those partitions via the same dynamic
-    overwrite as `overwrite_partitions` — so a crash mid-compaction
-    never corrupts untouched partitions. Returns the number of
-    partitions rewritten.
+    ``predicate`` SELECTS PARTITIONS, never rows: the partitions it
+    matches are rewritten in full (matched partition values ->
+    left_semi back onto the unfiltered table), so a predicate on a
+    non-partition column can narrow which partitions are touched but
+    can never drop rows from them. Each selected partition is rewritten
+    to its own ``ceil(rows / target_rows_per_file)`` files via a
+    per-partition deterministic salt, using the same dynamic overwrite
+    as `overwrite_partitions` — a crash mid-compaction never corrupts
+    unselected partitions. Returns the number of partitions rewritten.
 
     The per-partition row counts come from ONE count aggregate (driver
     receives #selected-partitions rows, not data).
     """
     from pyspark.sql import functions as F
 
-    df = read_partitioned(spark, path)
-    if predicate:
-        df = df.filter(predicate)
-    sizes = df.groupBy(*partition_cols).count().collect()
+    full = read_partitioned(spark, path)
+    selected = full.filter(predicate) if predicate else full
+    sizes = selected.groupBy(*partition_cols).count().collect()
     if not sizes:
         return 0
-    max_rows = max(r["count"] for r in sizes)
-    k = int(-(-max_rows // target_rows_per_file))  # files for the worst partition
+    # full rows of every selected partition — row-level predicate
+    # effects must NOT survive into the rewrite (that would delete data)
+    matched = spark.createDataFrame(
+        [tuple(r[c] for c in partition_cols) for r in sizes],
+        selected.select(*partition_cols).schema,
+    )
+    part_rows = full.join(F.broadcast(matched), list(partition_cols), "left_semi")
+    # per-partition file count k_p = ceil(rows_p / target); the salt
+    # modulus joins back per partition so small partitions stay 1 file.
     # deterministic salt (stable row hash, NOT rand()): a retried task
     # re-derives the same assignment, so the shuffle is replay-safe
-    salt = F.pmod(F.xxhash64(*df.columns), F.lit(k))
-    compacted = df.repartition(
-        int(k * len(sizes)), *[F.col(c) for c in partition_cols], salt
+    k_rows = [
+        tuple(r[c] for c in partition_cols)
+        + (int(-(-r["count"] // target_rows_per_file)),)
+        for r in sizes
+    ]
+    k_df = spark.createDataFrame(
+        k_rows, selected.select(*partition_cols).schema.add("_k", "integer")
     )
+    total_files = sum(r[-1] for r in k_rows)
+    salted = part_rows.join(F.broadcast(k_df), list(partition_cols)).withColumn(
+        "_salt", F.pmod(F.xxhash64(*part_rows.columns), F.col("_k"))
+    )
+    compacted = salted.repartition(
+        int(total_files), *[F.col(c) for c in partition_cols], F.col("_salt")
+    ).drop("_k", "_salt")
     overwrite_partitions(compacted, path, partition_cols=partition_cols)
     return len(sizes)

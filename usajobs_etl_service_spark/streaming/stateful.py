@@ -107,12 +107,10 @@ def streaming_heavy_hitter_candidates(
             counters = dict(zip(items, counts))
         else:
             counters = {}
+        from usajobs_etl_service_spark.operators.heavyhitters import mg_merge_reduce
+
         for pdf in pdfs:
-            for item, c in pdf[item_col].value_counts().items():
-                counters[item] = counters.get(item, 0) + int(c)
-            if len(counters) > k:
-                cut = sorted(counters.values(), reverse=True)[k]
-                counters = {t: v - cut for t, v in counters.items() if v > cut}
+            counters = mg_merge_reduce(counters, pdf[item_col].value_counts(), k)
         state.update((list(counters.keys()), [int(v) for v in counters.values()]))
         yield pd.DataFrame(
             {

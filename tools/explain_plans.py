@@ -44,6 +44,8 @@ HEADLINERS = {
     "q122_revenue_gini": "rank-formula Gini over the distributed global rank: rangepartitioning + pid windows + scalar final aggregate",
     "q124_pareto_frontier": "skyline as per-price aggregate + strict distributed running min + one equi-join back: no quadratic dominance join anywhere",
     "q130_cdc_apply": "latest-wins window KEY-partitioned over the change stream only; base passes through a LeftAnti hash join; tombstones filtered before the union",
+    "q139_rolling_active_users": "sliding COUNT DISTINCT as a bounded 7-way date explode + ONE distinct aggregate — no 7-day self-join",
+    "q142_vocab_kl_divergence": "two token aggregates over one corpus scan; open-vocabulary join deliberately unbroadcast; scalar divergence reduce",
     "q98_pq_adc_exact_regime": "PQ encode as literal-codebook argmin projection (no join/shuffle); ADC probe = m element_at lookups + sum inside codegen, then TakeOrderedAndProject — no float vectors read at probe time",
     "q99_resample_gapfill": "dense bucket spine via sequence+explode (executor-side, no driver range); every window/join partitions on the entity key; forward fill as running last(ignorenulls)",
     "q103_returned_items": "fact filtered before the join; customer/nation broadcast; grouped revenue then TakeOrdered — no shuffle of unfiltered lineitem",

@@ -2864,6 +2864,38 @@ def q142_vocab_kl_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q143_mad_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extension (robust statistics, complements q102's mean/stddev
+    z-scores which outliers themselves corrupt): MAD-based anomaly
+    counts per event type — exact interpolated median, median absolute
+    deviation via a second grouped percentile over |v - med|, flag at
+    |v - med| > 4.4478 * MAD (3 sigma-equivalents; single literal so
+    both engines form the identical double product). Two aggregate
+    passes + broadcast joins back; no per-group sort."""
+    events = _t(spark, sf_dir, "events")
+    med = events.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.5)").alias("med")
+    )
+    dev = events.join(F.broadcast(med), "event_type").withColumn(
+        "adev", F.abs(F.col("value") - F.col("med"))
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.expr("percentile(adev, 0.5)").alias("mad")
+    )
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.sum(
+                (F.col("adev") > F.lit(4.4478) * F.col("mad")).cast("long")
+            ).alias("n_anomalies"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.first("med"), 4).alias("median_value"),
+            F.round(F.first("mad"), 4).alias("mad_value"),
+        )
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_job_statistics": q01_job_statistics,
     "q02_metric_union": q02_metric_union,
@@ -3007,6 +3039,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q140_last_touch_attribution": q140_last_touch_attribution,
     "q141_session_similarity": q141_session_similarity,
     "q142_vocab_kl_divergence": q142_vocab_kl_divergence,
+    "q143_mad_anomalies": q143_mad_anomalies,
 }
 
 
@@ -4913,6 +4946,25 @@ ORACLES: dict[str, str] = {
     """,
     # q141: q42's session CTEs with event_type; per-pair Jaccard values
     # are exact rationals in double on both engines.
+    "q143_mad_anomalies": """
+        WITH med AS (
+            SELECT event_type, quantile_cont(value, 0.5) AS med
+            FROM events GROUP BY event_type
+        ), dev AS (
+            SELECT e.event_type, abs(e.value - m.med) AS adev, m.med
+            FROM events e JOIN med m ON e.event_type = m.event_type
+        ), mad AS (
+            SELECT event_type, quantile_cont(adev, 0.5) AS mad
+            FROM dev GROUP BY event_type
+        )
+        SELECT d.event_type,
+               sum(CASE WHEN d.adev > 4.4478e0 * m.mad THEN 1 ELSE 0 END) AS n_anomalies,
+               count(*) AS n_events,
+               round(max(d.med), 4) AS median_value,
+               round(max(m.mad), 4) AS mad_value
+        FROM dev d JOIN mad m ON d.event_type = m.event_type
+        GROUP BY d.event_type
+    """,
     "q141_session_similarity": """
         WITH marked AS (
             SELECT user_id, ts, event_type, event_id,

@@ -112,3 +112,38 @@ def test_null_op_is_upsert_never_silent_delete(spark):
         ).collect()
     }
     assert got == {1: "new"}
+
+
+# -- property test: random change streams vs a pure-Python model --
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+PSET = settings(max_examples=6, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+CHANGE = st.tuples(
+    st.integers(min_value=0, max_value=6),          # key
+    st.text(alphabet="ab", min_size=1, max_size=2), # payload
+    st.sampled_from(["U", "D"]),
+)
+
+
+@given(
+    st.lists(st.integers(min_value=0, max_value=6), max_size=5, unique=True),
+    st.lists(CHANGE, max_size=20),
+)
+@PSET
+def test_cdc_apply_matches_model(spark, base_keys, changes):
+    base_rows = [(k, f"base{k}") for k in base_keys]
+    chg_rows = [(k, v, i, op) for i, (k, v, op) in enumerate(changes)]
+    got = _apply(spark, base_rows, chg_rows)
+
+    state = {k: f"base{k}" for k in base_keys}
+    latest: dict = {}
+    for i, (k, v, op) in enumerate(changes):
+        latest[k] = (i, v, op)   # seq == index, so later always wins
+    for k, (_, v, op) in latest.items():
+        if op == "D":
+            state.pop(k, None)
+        else:
+            state[k] = v
+    assert got == state

@@ -2896,6 +2896,29 @@ def q143_mad_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q144_event_debounce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extension (event-stream cleaning): debounce — keep only the
+    FIRST event of each (user, type) burst, where a burst chains events
+    closer than 2 h to their predecessor (gaps-and-islands, the
+    keep-first-of-island form; q05's key dedup has no time dimension).
+    Reuses assign_sessions' island marking on a composite key — one
+    (user#type) shuffle; kept count = islands per type (distinct
+    (key, island) pairs)."""
+    from usajobs_etl_service_spark.operators.funnel import assign_sessions
+
+    events = _t(spark, sf_dir, "events").withColumn(
+        "utk", F.concat_ws("#", "user_id", "event_type")
+    )
+    marked = assign_sessions(
+        events, gap_seconds=7200, user_col="utk", keep_cols=("event_type",)
+    )
+    return marked.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_raw"),
+        F.countDistinct("utk", "session_no").alias("n_kept"),
+        (F.count(F.lit(1)) - F.countDistinct("utk", "session_no")).alias("n_debounced"),
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_job_statistics": q01_job_statistics,
     "q02_metric_union": q02_metric_union,
@@ -3040,6 +3063,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q141_session_similarity": q141_session_similarity,
     "q142_vocab_kl_divergence": q142_vocab_kl_divergence,
     "q143_mad_anomalies": q143_mad_anomalies,
+    "q144_event_debounce": q144_event_debounce,
 }
 
 
@@ -4946,6 +4970,19 @@ ORACLES: dict[str, str] = {
     """,
     # q141: q42's session CTEs with event_type; per-pair Jaccard values
     # are exact rationals in double on both engines.
+    "q144_event_debounce": """
+        WITH w AS (
+            SELECT event_type,
+                   CASE WHEN lag(ts) OVER pw IS NULL
+                             OR epoch_us(ts) // 1000000 - epoch_us(lag(ts) OVER pw) // 1000000 >= 7200
+                        THEN 1 ELSE 0 END AS keep
+            FROM events
+            WINDOW pw AS (PARTITION BY user_id, event_type ORDER BY ts, event_id)
+        )
+        SELECT event_type, count(*) AS n_raw, sum(keep) AS n_kept,
+               count(*) - sum(keep) AS n_debounced
+        FROM w GROUP BY event_type
+    """,
     "q143_mad_anomalies": """
         WITH med AS (
             SELECT event_type, quantile_cont(value, 0.5) AS med

@@ -2919,6 +2919,40 @@ def q144_event_debounce(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q145_market_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extension (group-wise concentration): per-nation revenue
+    concentration — Herfindahl index (sum of squared customer shares)
+    and the GROUP-WISE Gini via the rank formula over a window
+    PARTITIONED by nation (per-group windows scale; only the global
+    variant needs distributed_order's split, q122). One fact shuffle
+    to (nation, customer), one window, one aggregate."""
+    from pyspark.sql import Window
+
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    rev = (
+        orders.join(
+            F.broadcast(cust.select("c_custkey", "c_nationkey")),
+            orders["o_custkey"] == F.col("c_custkey"),
+        )
+        .groupBy("c_nationkey", "o_custkey")
+        .agg(F.sum("o_totalprice").alias("revenue"))
+    )
+    w = Window.partitionBy("c_nationkey").orderBy("revenue", "o_custkey")
+    ranked = rev.withColumn("rn", F.row_number().over(w))
+    n = F.count(F.lit(1))
+    s = F.sum("revenue")
+    return ranked.groupBy("c_nationkey").agg(
+        n.alias("n_customers"),
+        F.round(
+            (F.lit(2.0) * F.sum(F.col("rn") * F.col("revenue"))) / (n * s)
+            - (n + F.lit(1.0)) / n,
+            6,
+        ).alias("gini"),
+        F.round(F.sum(F.col("revenue") * F.col("revenue")) / (s * s), 6).alias("hhi"),
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_job_statistics": q01_job_statistics,
     "q02_metric_union": q02_metric_union,
@@ -3064,6 +3098,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q142_vocab_kl_divergence": q142_vocab_kl_divergence,
     "q143_mad_anomalies": q143_mad_anomalies,
     "q144_event_debounce": q144_event_debounce,
+    "q145_market_concentration": q145_market_concentration,
 }
 
 
@@ -4970,6 +5005,23 @@ ORACLES: dict[str, str] = {
     """,
     # q141: q42's session CTEs with event_type; per-pair Jaccard values
     # are exact rationals in double on both engines.
+    "q145_market_concentration": """
+        WITH rev AS (
+            SELECT c_nationkey, o_custkey, sum(o_totalprice) AS revenue
+            FROM orders JOIN customer ON o_custkey = c_custkey
+            GROUP BY c_nationkey, o_custkey
+        ), ranked AS (
+            SELECT c_nationkey, revenue,
+                   row_number() OVER (PARTITION BY c_nationkey
+                                      ORDER BY revenue, o_custkey) AS rn
+            FROM rev
+        )
+        SELECT c_nationkey, count(*) AS n_customers,
+               round(2.0e0 * sum(rn * revenue) / (count(*) * sum(revenue))
+                     - (count(*) + 1.0e0) / count(*), 6) AS gini,
+               round(sum(revenue * revenue) / (sum(revenue) * sum(revenue)), 6) AS hhi
+        FROM ranked GROUP BY c_nationkey
+    """,
     "q144_event_debounce": """
         WITH w AS (
             SELECT event_type,

@@ -2953,6 +2953,36 @@ def q145_market_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q146_exact_global_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extension (exact order statistics at scale): discrete global
+    p50/p90/p99 of order totals WITHOUT a sketch and WITHOUT a
+    single-task sort — distributed global rank (distributed_order),
+    then a broadcast join onto rank == ceil(q*n). Completes the
+    quantile family: q49/q115 exact-interpolated per small group, q79
+    GK sketch (bounded memory, approximate), q88 sketch-exact regime,
+    and this: exact discrete quantiles over an arbitrarily large
+    column. Both engines compute the SAME explicit ceil(q*n) rank
+    formula (no quantile_disc built-in variance); q*n is exact in
+    doubles for these q."""
+    from usajobs_etl_service_spark.operators.distributed_order import global_row_number
+
+    orders = _t(spark, sf_dir, "orders")
+    ranked = global_row_number(
+        orders.select(F.col("o_totalprice").alias("price"), "o_orderkey"),
+        [F.col("price").asc(), F.col("o_orderkey").asc()],
+        out_col="rn",
+    )
+    n = orders.agg(F.count(F.lit(1)).alias("n_rows"))
+    qs = spark.createDataFrame([(0.5,), (0.9,), (0.99,)], "q double")
+    targets = qs.crossJoin(F.broadcast(n)).select(
+        "q", F.ceil(F.col("q") * F.col("n_rows")).alias("target_rn"), "n_rows"
+    )
+    return (
+        ranked.join(F.broadcast(targets), F.col("rn") == F.col("target_rn"))
+        .select("q", F.round("price", 2).alias("value"), "n_rows")
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_job_statistics": q01_job_statistics,
     "q02_metric_union": q02_metric_union,
@@ -3099,6 +3129,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q143_mad_anomalies": q143_mad_anomalies,
     "q144_event_debounce": q144_event_debounce,
     "q145_market_concentration": q145_market_concentration,
+    "q146_exact_global_percentiles": q146_exact_global_percentiles,
 }
 
 
@@ -5005,6 +5036,20 @@ ORACLES: dict[str, str] = {
     """,
     # q141: q42's session CTEs with event_type; per-pair Jaccard values
     # are exact rationals in double on both engines.
+    "q146_exact_global_percentiles": """
+        WITH ranked AS (
+            SELECT o_totalprice AS price,
+                   row_number() OVER (ORDER BY o_totalprice, o_orderkey) AS rn
+            FROM orders
+        ), n AS (
+            SELECT count(*) AS n_rows FROM orders
+        ), targets AS (
+            SELECT q, CAST(ceil(q * n_rows) AS BIGINT) AS target_rn, n_rows
+            FROM (VALUES (0.5e0), (0.9e0), (0.99e0)) v(q), n
+        )
+        SELECT q, round(price, 2) AS value, n_rows
+        FROM ranked JOIN targets ON rn = target_rn
+    """,
     "q145_market_concentration": """
         WITH rev AS (
             SELECT c_nationkey, o_custkey, sum(o_totalprice) AS revenue

@@ -2983,6 +2983,23 @@ def q146_exact_global_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
+def q147_engagement_breadth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extension (product analytics): engagement-breadth histogram —
+    users bucketed by HOW MANY distinct event types they used, with
+    per-bucket event volume. Two chained aggregates (user-level
+    distinct count, then the distribution over it); the classic
+    "distribution of a distinct count" shape that needs no window."""
+    events = _t(spark, sf_dir, "events")
+    per_user = events.groupBy("user_id").agg(
+        F.countDistinct("event_type").alias("n_types"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    return per_user.groupBy("n_types").agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum("n_events").alias("total_events"),
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_job_statistics": q01_job_statistics,
     "q02_metric_union": q02_metric_union,
@@ -3130,6 +3147,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q144_event_debounce": q144_event_debounce,
     "q145_market_concentration": q145_market_concentration,
     "q146_exact_global_percentiles": q146_exact_global_percentiles,
+    "q147_engagement_breadth": q147_engagement_breadth,
 }
 
 
@@ -5036,6 +5054,15 @@ ORACLES: dict[str, str] = {
     """,
     # q141: q42's session CTEs with event_type; per-pair Jaccard values
     # are exact rationals in double on both engines.
+    "q147_engagement_breadth": """
+        WITH per_user AS (
+            SELECT user_id, count(DISTINCT event_type) AS n_types,
+                   count(*) AS n_events
+            FROM events GROUP BY user_id
+        )
+        SELECT n_types, count(*) AS n_users, sum(n_events) AS total_events
+        FROM per_user GROUP BY n_types
+    """,
     "q146_exact_global_percentiles": """
         WITH ranked AS (
             SELECT o_totalprice AS price,

@@ -3000,6 +3000,60 @@ def q147_engagement_breadth(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q148_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extension (ML monitoring): Population Stability Index of the
+    event-value distribution, first half-month (reference) vs second
+    (current) — decile bin edges from the REFERENCE period's exact
+    distributed rank (q146's ceil(q*n) formula), bins applied as a
+    9-element broadcast array (membership = count of edges <= value),
+    add-one-smoothed shares, PSI = sum (p-q)*ln(p/q). The binned
+    complement of q123's KS and q142's KL; bin counts are integers so
+    both engines' shares are bit-identical."""
+    from usajobs_etl_service_spark.operators.distributed_order import global_row_number
+
+    events = _t(spark, sf_dir, "events")
+    cut = F.lit("2024-01-16").cast("date")
+    ref = events.filter(F.to_date("ts") < cut).select("value", "event_id")
+    cur = events.filter(F.to_date("ts") >= cut).select("value", "event_id")
+
+    ranked = global_row_number(
+        ref, [F.col("value").asc(), F.col("event_id").asc()], out_col="rn"
+    )
+    n_ref = ref.agg(F.count(F.lit(1)).alias("n_rows"))
+    qs = spark.createDataFrame([(i / 10.0,) for i in range(1, 10)], "q double")
+    edges = (
+        qs.crossJoin(F.broadcast(n_ref))
+        .select(F.ceil(F.col("q") * F.col("n_rows")).alias("target_rn"))
+        .join(ranked, F.col("rn") == F.col("target_rn"))
+        .agg(F.sort_array(F.collect_list("value")).alias("edges"))
+    )
+    bin_of = F.size(F.filter(F.col("edges"), lambda e: F.col("value") >= e))
+
+    def binned(df, name):
+        return (
+            df.crossJoin(F.broadcast(edges))
+            .groupBy(bin_of.alias("bin"))
+            .agg(F.count(F.lit(1)).alias(name))
+        )
+
+    a = binned(ref, "n_ref_bin")
+    b = binned(cur, "n_cur_bin")
+    joined = a.join(b, "bin", "full_outer").fillna(0, ["n_ref_bin", "n_cur_bin"])
+    tot = joined.agg(
+        F.sum("n_ref_bin").alias("na"),
+        F.sum("n_cur_bin").alias("nb"),
+        F.count(F.lit(1)).alias("nbins"),
+    )
+    p = (F.col("n_ref_bin") + 1) / (F.col("na") + F.col("nbins"))
+    q = (F.col("n_cur_bin") + 1) / (F.col("nb") + F.col("nbins"))
+    return joined.crossJoin(F.broadcast(tot)).agg(
+        F.round(F.sum((p - q) * F.log(p / q)), 6).alias("psi"),
+        F.first("na").alias("n_ref"),
+        F.first("nb").alias("n_cur"),
+        F.count(F.lit(1)).alias("n_bins"),
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_job_statistics": q01_job_statistics,
     "q02_metric_union": q02_metric_union,
@@ -3148,6 +3202,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q145_market_concentration": q145_market_concentration,
     "q146_exact_global_percentiles": q146_exact_global_percentiles,
     "q147_engagement_breadth": q147_engagement_breadth,
+    "q148_psi_drift": q148_psi_drift,
 }
 
 
@@ -5054,6 +5109,46 @@ ORACLES: dict[str, str] = {
     """,
     # q141: q42's session CTEs with event_type; per-pair Jaccard values
     # are exact rationals in double on both engines.
+    "q148_psi_drift": """
+        WITH ref AS (
+            SELECT value, event_id FROM events WHERE CAST(ts AS DATE) < DATE '2024-01-16'
+        ), cur AS (
+            SELECT value FROM events WHERE CAST(ts AS DATE) >= DATE '2024-01-16'
+        ), ranked AS (
+            SELECT value, row_number() OVER (ORDER BY value, event_id) AS rn FROM ref
+        ), n AS (
+            SELECT count(*) AS n_rows FROM ref
+        ), edges AS (
+            SELECT value AS edge FROM ranked, n
+            WHERE rn IN (
+                SELECT CAST(ceil(q * n_rows) AS BIGINT)
+                FROM (SELECT unnest([0.1e0,0.2e0,0.3e0,0.4e0,0.5e0,0.6e0,0.7e0,0.8e0,0.9e0]) AS q), n
+            )
+        ), a AS (
+            SELECT (SELECT count(*) FROM edges WHERE edge <= r.value) AS bin,
+                   count(*) AS n_ref_bin
+            FROM ref r GROUP BY 1
+        ), b AS (
+            SELECT (SELECT count(*) FROM edges WHERE edge <= c.value) AS bin,
+                   count(*) AS n_cur_bin
+            FROM cur c GROUP BY 1
+        ), j AS (
+            SELECT coalesce(a.bin, b.bin) AS bin,
+                   coalesce(n_ref_bin, 0) AS n_ref_bin,
+                   coalesce(n_cur_bin, 0) AS n_cur_bin
+            FROM a FULL OUTER JOIN b ON a.bin = b.bin
+        ), tot AS (
+            SELECT sum(n_ref_bin) AS na, sum(n_cur_bin) AS nb, count(*) AS nbins FROM j
+        )
+        SELECT round(sum(((n_ref_bin + 1.0) / (na + nbins))
+                         * ln(((n_ref_bin + 1.0) / (na + nbins))
+                              / ((n_cur_bin + 1.0) / (nb + nbins)))
+                     - ((n_cur_bin + 1.0) / (nb + nbins))
+                         * ln(((n_ref_bin + 1.0) / (na + nbins))
+                              / ((n_cur_bin + 1.0) / (nb + nbins)))), 6) AS psi,
+               max(na) AS n_ref, max(nb) AS n_cur, count(*) AS n_bins
+        FROM j, tot
+    """,
     "q147_engagement_breadth": """
         WITH per_user AS (
             SELECT user_id, count(DISTINCT event_type) AS n_types,

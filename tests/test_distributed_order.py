@@ -149,3 +149,30 @@ def test_cumsum_tie_multiset_property(spark, vals, parts):
         run += v
         want.append((v, run))
     assert got == sorted(want)
+
+
+def test_correct_under_aggressive_aqe_coalescing(spark):
+    # AQE may coalesce the range shuffle's partitions when no explicit
+    # count is given; coalesced partitions are ADJACENT ranges, so pid
+    # order stays range-contiguous and ranks stay exact. Force heavy
+    # coalescing (huge advisory size) and verify against the model.
+    conf = spark.conf
+    before = conf.get("spark.sql.adaptive.advisoryPartitionSizeInBytes", None)
+    conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "256MB")
+    try:
+        rows = [(i, float((i * 37) % 101)) for i in range(2000)]
+        df = spark.createDataFrame(rows, "k long, v double").repartition(16)
+        got = {
+            r["k"]: r["global_rn"]
+            for r in global_row_number(df, [F.col("v").asc(), F.col("k").asc()]).collect()
+        }
+        want = {
+            k: i + 1
+            for i, (k, _) in enumerate(sorted(rows, key=lambda t: (t[1], t[0])))
+        }
+        assert got == want
+    finally:
+        if before is None:
+            conf.unset("spark.sql.adaptive.advisoryPartitionSizeInBytes")
+        else:
+            conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", before)

@@ -3054,6 +3054,41 @@ def q148_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q149_multi_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extension (marketing analytics, extends q140's last-touch):
+    linear multi-touch attribution — every view in the hour before a
+    purchase shares its value equally. The touch join is a USER-key
+    equi-join with the time window as a join-side range predicate
+    (per-user pair expansion bounded by activity x window; the keyless
+    case is operators/rangejoin.py's binned form). Output: per-day
+    touched-purchase counts, touch-depth stats, attributed value."""
+    events = _t(spark, sf_dir, "events")
+    p = events.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("pu"),
+        F.col("ts").alias("pts"),
+        F.col("event_id").alias("pid"),
+        F.col("value").alias("pvalue"),
+    )
+    v = events.filter(F.col("event_type") == "view").select(
+        F.col("user_id").alias("vu"), F.col("ts").alias("vts")
+    )
+    touches = p.join(
+        v,
+        (F.col("pu") == F.col("vu"))
+        & (F.col("vts") <= F.col("pts"))
+        & (F.col("vts") >= F.col("pts") - F.expr("INTERVAL 1 HOUR")),
+    )
+    per_purchase = touches.groupBy("pid", "pts", "pvalue").agg(
+        F.count(F.lit(1)).alias("n_touch")
+    )
+    return per_purchase.groupBy(F.to_date("pts").alias("day")).agg(
+        F.count(F.lit(1)).alias("n_touched_purchases"),
+        F.round(F.avg("n_touch"), 4).alias("avg_touches"),
+        F.max("n_touch").alias("max_touches"),
+        F.round(F.sum("pvalue"), 2).alias("attributed_value"),
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_job_statistics": q01_job_statistics,
     "q02_metric_union": q02_metric_union,
@@ -3203,6 +3238,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q146_exact_global_percentiles": q146_exact_global_percentiles,
     "q147_engagement_breadth": q147_engagement_breadth,
     "q148_psi_drift": q148_psi_drift,
+    "q149_multi_touch_attribution": q149_multi_touch_attribution,
 }
 
 
@@ -5109,6 +5145,26 @@ ORACLES: dict[str, str] = {
     """,
     # q141: q42's session CTEs with event_type; per-pair Jaccard values
     # are exact rationals in double on both engines.
+    "q149_multi_touch_attribution": """
+        WITH p AS (
+            SELECT user_id, ts AS pts, event_id AS pid, value AS pvalue
+            FROM events WHERE event_type = 'purchase'
+        ), v AS (
+            SELECT user_id, ts AS vts FROM events WHERE event_type = 'view'
+        ), per_purchase AS (
+            SELECT pid, pts, pvalue, count(*) AS n_touch
+            FROM p JOIN v ON p.user_id = v.user_id
+                         AND v.vts <= p.pts
+                         AND v.vts >= p.pts - INTERVAL 1 HOUR
+            GROUP BY pid, pts, pvalue
+        )
+        SELECT CAST(pts AS DATE) AS day,
+               count(*) AS n_touched_purchases,
+               round(avg(n_touch), 4) AS avg_touches,
+               max(n_touch) AS max_touches,
+               round(sum(pvalue), 2) AS attributed_value
+        FROM per_purchase GROUP BY 1
+    """,
     "q148_psi_drift": """
         WITH ref AS (
             SELECT value, event_id FROM events WHERE CAST(ts AS DATE) < DATE '2024-01-16'

@@ -3089,6 +3089,49 @@ def q149_multi_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q150_ops_dashboard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Capstone composition (the reference's monitor.sh labeled-metric
+    shape, q02, scaled to the event stream): one (metric, value) table
+    unioning six independent daily-ops facts — volume, reach, gap-based
+    session count (q42's islands), purchase count, month-peak
+    concurrency (q117's sweep line), and exact median event value.
+    Each branch is an aggregate of an already-verified operator; the
+    union is the dashboard artifact a scheduler materializes."""
+    from usajobs_etl_service_spark.operators.funnel import assign_sessions
+    from usajobs_etl_service_spark.operators.sweepline import daily_peak_concurrency
+
+    events = _t(spark, sf_dir, "events")
+
+    def metric(name, df):
+        return df.select(F.lit(name).alias("metric"), F.round(F.col("v").cast("double"), 4).alias("value"))
+
+    vol = metric("n_events", events.agg(F.count(F.lit(1)).alias("v")))
+    reach = metric("n_users", events.agg(F.countDistinct("user_id").alias("v")))
+    sessions = metric(
+        "n_sessions",
+        assign_sessions(events)
+        .groupBy("user_id", "session_no")
+        .agg(F.lit(1))
+        .agg(F.count(F.lit(1)).alias("v")),
+    )
+    purchases = metric(
+        "n_purchases",
+        events.filter(F.col("event_type") == "purchase").agg(F.count(F.lit(1)).alias("v")),
+    )
+    bounds = (
+        assign_sessions(events)
+        .groupBy("user_id", "session_no")
+        .agg(F.min("ts").alias("start_ts"), F.max("ts").alias("end_ts"))
+    )
+    peak = metric(
+        "peak_concurrency", daily_peak_concurrency(bounds).agg(F.max("peak").alias("v"))
+    )
+    med = metric(
+        "median_event_value", events.agg(F.expr("percentile(value, 0.5)").alias("v"))
+    )
+    return vol.unionByName(reach).unionByName(sessions).unionByName(purchases).unionByName(peak).unionByName(med)
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_job_statistics": q01_job_statistics,
     "q02_metric_union": q02_metric_union,
@@ -3239,6 +3282,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q147_engagement_breadth": q147_engagement_breadth,
     "q148_psi_drift": q148_psi_drift,
     "q149_multi_touch_attribution": q149_multi_touch_attribution,
+    "q150_ops_dashboard": q150_ops_dashboard,
 }
 
 
@@ -5145,6 +5189,43 @@ ORACLES: dict[str, str] = {
     """,
     # q141: q42's session CTEs with event_type; per-pair Jaccard values
     # are exact rationals in double on both engines.
+    # q150: reuses the verified session/sweep CTE patterns of q42/q117.
+    "q150_ops_dashboard": """
+        WITH marked AS (
+            SELECT user_id, ts, event_id,
+                   CASE WHEN lag(ts) OVER w IS NULL
+                             OR epoch_us(ts) // 1000000 - epoch_us(lag(ts) OVER w) // 1000000 >= 1800
+                        THEN 1 ELSE 0 END AS new_session
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ), sess AS (
+            SELECT user_id, ts,
+                   sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_no
+            FROM marked
+        ), bounds AS (
+            SELECT user_id, session_no, min(ts) AS start_ts, max(ts) AS end_ts
+            FROM sess GROUP BY user_id, session_no
+        ), deltas AS (
+            SELECT start_ts AS ts, 1 AS delta FROM bounds
+            UNION ALL SELECT end_ts, -1 FROM bounds
+        ), run AS (
+            SELECT sum(delta) OVER (ORDER BY ts, delta DESC
+                                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS conc
+            FROM deltas
+        )
+        SELECT 'n_events' AS metric, round(CAST(count(*) AS DOUBLE), 4) AS value FROM events
+        UNION ALL
+        SELECT 'n_users', round(CAST(count(DISTINCT user_id) AS DOUBLE), 4) FROM events
+        UNION ALL
+        SELECT 'n_sessions', round(CAST(count(*) AS DOUBLE), 4) FROM bounds
+        UNION ALL
+        SELECT 'n_purchases', round(CAST(count(*) AS DOUBLE), 4) FROM events WHERE event_type = 'purchase'
+        UNION ALL
+        SELECT 'peak_concurrency', round(CAST(max(conc) AS DOUBLE), 4) FROM run
+        UNION ALL
+        SELECT 'median_event_value', round(quantile_cont(value, 0.5), 4) FROM events
+    """,
     "q149_multi_touch_attribution": """
         WITH p AS (
             SELECT user_id, ts AS pts, event_id AS pid, value AS pvalue

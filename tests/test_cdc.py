@@ -147,3 +147,25 @@ def test_cdc_apply_matches_model(spark, base_keys, changes):
         else:
             state[k] = v
     assert got == state
+
+
+def test_null_key_in_change_stream_raises(spark):
+    """NULL-keyed change rows can never address a base row (the joins
+    are null-unsafe): a NULL-keyed delete would silently no-op and a
+    NULL-keyed upsert would append a duplicate. cdc_apply fails fast
+    instead (ADVICE r6); NULL-keyed BASE rows are fine and pass
+    through."""
+    from py4j.protocol import Py4JJavaError
+
+    base = _base(spark, [(1, "a"), (None, "nullkey")])
+    ok = cdc_apply(
+        base, _chg(spark, [(2, "b", 1, "U")]), key_cols=["k"], seq_cols=["seq"]
+    )
+    got = {r["k"]: r["v"] for r in ok.collect()}
+    assert got == {1: "a", None: "nullkey", 2: "b"}
+
+    bad = cdc_apply(
+        base, _chg(spark, [(None, "x", 1, "D")]), key_cols=["k"], seq_cols=["seq"]
+    )
+    with pytest.raises(Exception, match="NULL key"):
+        bad.collect()

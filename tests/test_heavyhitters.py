@@ -85,3 +85,16 @@ def test_no_full_domain_shuffle(spark):
     df = _items(spark, values)
     plan = heavy_hitters_exact(df, "item", phi=0.3)._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+
+
+def test_null_items_excluded_from_n_and_output(spark):
+    """NULLs are dropped up front (ADVICE r6): N is the non-null count
+    — so the phi*N threshold is not inflated by NULLs — and a frequent
+    NULL is deliberately never reported (it cannot survive the
+    candidate pass or the semi-join anyway; now that's a contract, not
+    an accident)."""
+    # 10 nulls + 9x"a" + 3x"b": non-null N=12, phi=0.5 -> threshold 6
+    vals = [None] * 10 + ["a"] * 9 + ["b"] * 3
+    out = {r["item"]: r["cnt"] for r in heavy_hitters_exact(_items(spark, vals), "item", phi=0.5).collect()}
+    # with NULLs counted in N (22), threshold would be 11 and "a" lost
+    assert out == {"a": 9}

@@ -353,3 +353,56 @@ def test_minhash_load_duplicate_id_deterministic(spark, tmp_path):
         .collect()
     )
     assert loads[0][3] == tuple(cands[0]["sig"])
+
+
+def test_simhash_recovers_saturated_buckets(spark):
+    """An over-cap duplicate cluster (the r6 VERDICT's measured recall
+    hole: saturated band buckets were dropped wholesale) must now come
+    back CONNECTED: tier-1 re-banding splits diverse floods exactly,
+    and the tier-2 sorted-neighborhood chunks emit identical-signature
+    floods as chains, so downstream clustering recovers the clique.
+    Drop counters must be structurally zero; recovery counters must
+    show the cap engaged."""
+    from pyspark.sql import Observation
+
+    rng = random.Random(11)
+    flood_text = _doc(rng)
+    rows = [(i, flood_text) for i in range(40)]  # identical-sig flood >> max_bucket
+    rows += [(100 + i, _doc(rng)) for i in range(20)]  # diverse noise
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    obs, robs = Observation(), Observation()
+    pairs = ND.simhash_near_dup_pairs(
+        df, max_hamming=3, max_bucket=8, sn_chunk=4, observation=obs, recovery_observation=robs
+    )
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    m = dict(obs.get)
+    assert m["dropped_rows"] == 0 and m["dropped_buckets"] == 0
+    assert m["recovered_rows"] >= 40 and m["recovered_buckets"] >= 1
+    assert dict(robs.get)["sn_rows"] > 0  # identical sigs forced the SN tier
+    # chain connectivity: union-find over emitted flood pairs -> 1 component
+    parent = list(range(40))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in got:
+        if a < 40 and b < 40:
+            parent[find(a)] = find(b)
+    assert len({find(i) for i in range(40)}) == 1
+
+
+def test_simhash_recovery_noop_below_cap(spark):
+    """With no saturation the recovery tiers are inert: output equals
+    the planted-pair contract and recovery counters are zero."""
+    from pyspark.sql import Observation
+
+    df = _docs_df(spark)
+    obs = Observation()
+    pairs = ND.simhash_near_dup_pairs(df, max_hamming=3, observation=obs)
+    found = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    assert (0, 1) in found
+    m = dict(obs.get)
+    assert m["recovered_rows"] == 0 and m["recovered_buckets"] == 0

@@ -99,7 +99,17 @@ def test_planted_dup_oracle_queries_cap_counters_zero(spark, sf_dir):
     simhash_near_dup_pairs(
         u, max_hamming=0, max_bucket=4000, observation=obs_sh
     ).write.format("noop").mode("overwrite").save()
-    assert obs_sh.get == {"dropped_rows": 0, "dropped_buckets": 0}
+    # dropped_* are structurally 0 since the r7 saturated-bucket
+    # recovery; q84's oracle-equality PRECONDITION is now that the
+    # recovery itself never engages (recovered == 0), because the
+    # sorted-neighborhood tier emits chains, not cliques, and the
+    # oracle is the full text-equality self-join.
+    assert obs_sh.get == {
+        "dropped_rows": 0,
+        "dropped_buckets": 0,
+        "recovered_rows": 0,
+        "recovered_buckets": 0,
+    }
 
     # q89: the oversized-cluster guard must not bind either (a dropped
     # cluster discards its planted pairs wholesale, same failure shape)

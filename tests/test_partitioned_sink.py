@@ -183,3 +183,29 @@ def test_compaction_small_partitions_stay_single_file(spark, tmp_path):
     assert len(small_files) == 1
     assert len(big_files) <= 3
     assert read_partitioned(spark, path).count() == 3005
+
+
+def test_compaction_stages_before_commit_and_fails_on_leftover(spark, tmp_path):
+    """Commit safety (ADVICE r6): compaction must not overwrite the
+    table straight from a plan reading the partitions being deleted.
+    The staged copy is written first and removed after success; a
+    leftover staging dir (crashed prior run) fails fast with recovery
+    instructions instead of being clobbered."""
+    import os
+
+    from usajobs_etl_service_spark.sinks.partitioned import compact_partitions
+
+    path = str(tmp_path / "t")
+    df = spark.range(100).select(
+        F.col("id"), (F.col("id") % 2).alias("p")
+    )
+    for _ in range(3):  # build up small files via appends
+        overwrite_partitions(df, path, partition_cols=["p"])
+    n = compact_partitions(spark, path, partition_cols=["p"], target_rows_per_file=1000)
+    assert n == 2
+    assert not os.path.exists(path + ".compact_staging")  # cleaned after commit
+    assert spark.read.parquet(path).count() == 100
+
+    os.makedirs(path + ".compact_staging")
+    with pytest.raises(RuntimeError, match="staging dir already exists"):
+        compact_partitions(spark, path, partition_cols=["p"], target_rows_per_file=1000)

@@ -40,9 +40,16 @@ def run(df, variant: str):
     else:
         out = global_row_number(df, [F.col("v").asc(), F.col("k").asc()], out_col="rn")
     t0 = time.perf_counter()
-    # checksum forces full evaluation of every rank
-    chk = out.agg(F.sum(F.col("rn") * F.lit(1.0)).alias("s")).first()["s"]
-    return time.perf_counter() - t0, chk
+    # permutation check forces full evaluation AND catches corruption a
+    # sum cannot (sum(rn) is invariant under permutation and barely
+    # moves under offset errors — ADVICE r6): ranks must be exactly
+    # {1..n}, i.e. n distinct values with max n.
+    row = out.agg(
+        F.count_distinct(F.col("rn")).alias("d"),
+        F.max(F.col("rn")).alias("m"),
+        F.count(F.lit(1)).alias("n"),
+    ).first()
+    return time.perf_counter() - t0, (row["d"], row["m"], row["n"])
 
 
 def main() -> None:
@@ -52,10 +59,9 @@ def main() -> None:
         df = synth(spark, n)
         for variant in ("single_window", "distributed"):
             run(df, variant)  # warm
-            secs, chk = run(df, variant)
-            expect = n * (n + 1) / 2
-            assert abs(chk - expect) < 1e-3 * expect, (chk, expect)
-            print(f"n={n:>9d} {variant:14s} {secs:7.2f}s  rank-checksum OK")
+            secs, (d, m, cnt) = run(df, variant)
+            assert (d, m, cnt) == (n, n, n), (d, m, cnt, n)
+            print(f"n={n:>9d} {variant:14s} {secs:7.2f}s  ranks == 1..n OK")
     spark.stop()
 
 

@@ -300,27 +300,42 @@ def _cap_drop_counters(spark, outdir: str) -> dict[str, dict]:
         F.transform("embedding", lambda x: x * F.lit(1.5)).alias("embedding"),
     )
     counters: dict[str, dict] = {}
+
+    # SimHash recovers saturated buckets since r7: dropped_* is
+    # structurally 0; recovered_* / sn_* report the two recovery
+    # tiers' volume (the r6 drops, now re-banded or chunked), read
+    # from a second Observation on the tier-2 window.
+    def _simhash(o, r=None):
+        return simhash_near_dup_pairs(
+            docs, max_hamming=3, observation=o, recovery_observation=r
+        )
+
     for name, obs, df in (
         ("q24_minhash_near_dup", Observation(),
          lambda o: minhash_near_dup_pairs(docs, threshold=0.5, num_hashes=64, bands=16, observation=o)),
-        ("q25_simhash_near_dup", Observation(),
-         lambda o: simhash_near_dup_pairs(docs, max_hamming=3, observation=o)),
+        ("q25_simhash_near_dup", Observation(), _simhash),
         ("q82_embedding_srp_near_dup", Observation(),
          lambda o: embedding_srp_near_dup_pairs(emb.unionByName(scaled), threshold=0.95, observation=o)),
         ("q89_semantic_dedup", Observation(),
          lambda o: semantic_dedup_drops(emb.unionByName(scaled), threshold=0.95, observation=o)),
     ):
-        materialize(df(obs))
+        rec = Observation() if df is _simhash else None
+        materialize(df(obs, rec) if rec is not None else df(obs))
         try:
             counters[name] = dict(obs.get)
+            if rec is not None:
+                counters[name].update(dict(rec.get))
         except Exception:
             # AQE collapsed the (empty) query and elided CollectMetrics —
             # the documented _cap_buckets caveat. Re-measure with AQE off.
             spark.conf.set("spark.sql.adaptive.enabled", "false")
             try:
                 retry = Observation()
-                materialize(df(retry))
+                retry_rec = Observation() if rec is not None else None
+                materialize(df(retry, retry_rec) if retry_rec is not None else df(retry))
                 counters[name] = dict(retry.get)
+                if retry_rec is not None:
+                    counters[name].update(dict(retry_rec.get))
             finally:
                 spark.conf.set("spark.sql.adaptive.enabled", "true")
     return counters

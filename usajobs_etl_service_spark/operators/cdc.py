@@ -61,6 +61,27 @@ def cdc_apply(
     missing = [c for c in base.columns if c not in changes.columns]
     if missing:
         raise ValueError(f"changes missing base columns: {missing}")
+    # Key columns must be non-null in the CHANGE stream: the equi/anti
+    # joins below are null-unsafe, so a NULL-keyed delete would be a
+    # silent no-op and a NULL-keyed upsert an appended duplicate
+    # (ADVICE r6). Fail fast executor-side instead — same posture as
+    # the ValueError guard above, but data-dependent so it has to be a
+    # runtime expression. A NULL-keyed BASE row is well-defined and
+    # allowed: no change row can address it, so it passes through.
+    for c in key_cols:
+        changes = changes.withColumn(
+            c,
+            F.when(
+                F.col(c).isNull(),
+                F.raise_error(
+                    F.lit(
+                        f"cdc_apply: NULL key {c!r} in change stream — "
+                        "NULL keys cannot match any base row (delete "
+                        "would no-op, upsert would duplicate)"
+                    )
+                ),
+            ).otherwise(F.col(c)),
+        )
     latest = latest_changes(changes, key_cols=key_cols, seq_cols=seq_cols)
     untouched = base.join(
         latest.select(*key_cols), list(key_cols), "left_anti"

@@ -17,9 +17,11 @@ sums with no single-partition stage over the data:
    the plan — broadcast back onto the stream.
 
 global = local + carry-in(partition), exactly, because ranges are
-key-contiguous. Cost: one range exchange + one hash exchange on the
-partition id (the window re-shuffle; balanced, parallel) — vs the
-single-reducer sort it replaces.
+key-contiguous. Cost: ONE range exchange (materialized via persist so
+the offsets and window branches provably read the same partition-id
+assignment — see ``_ranged``) + one hash exchange on the partition id
+(the window re-shuffle; balanced, parallel) — vs the single-reducer
+sort it replaces.
 
 The same split powers the sweep-line operator (sweepline.py), which
 buckets by calendar day instead of sampled ranges.
@@ -31,12 +33,29 @@ from collections.abc import Callable, Sequence
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
 
 _PID = "__do_pid"
 
 
 def _ranged(df: DataFrame, order_cols: Sequence[Column | str]) -> DataFrame:
-    return df.repartitionByRange(*order_cols).withColumn(_PID, F.spark_partition_id())
+    """Range-partition on the order key and pin the result.
+
+    The persist is CORRECTNESS, not caching polish: both consumers
+    (the per-partition window and the offsets aggregate) must see the
+    SAME partition-id assignment. Unpersisted, each branch plans its
+    own range exchange (Spark 4.1.2 does not ReusedExchange range
+    shuffles — their sampled boundaries make them non-canonical), so
+    agreement rested on the RangePartitioner's sampling AND AQE's
+    coalescing making identical choices twice. The persisted
+    InMemoryRelation forces one materialized exchange both branches
+    read, making pid agreement structural — and drops the second full
+    scan+range-shuffle of the data as a side effect. MEMORY_AND_DISK
+    spills large inputs instead of evicting mid-query; the cache is
+    released by Spark's ContextCleaner once the returned plan is
+    garbage-collected."""
+    parts = df.repartitionByRange(*order_cols).withColumn(_PID, F.spark_partition_id())
+    return parts.persist(StorageLevel.MEMORY_AND_DISK)
 
 
 def _offsets(

@@ -91,6 +91,13 @@ def heavy_hitters_exact(
     if k + 1 < 1.0 / phi:
         raise ValueError(f"k={k} too small for phi={phi}: need k+1 >= 1/phi")
 
+    # NULL items are excluded up front: pandas value_counts drops them
+    # in the candidate pass and the semi-join can never match them, so
+    # counting NULLs in N would only inflate the phi*N threshold while
+    # a frequent NULL could never be reported (ADVICE r6). With the
+    # filter, N is the non-null stream length and the phi-fraction
+    # guarantee is exact over non-null items.
+    items = items.filter(F.col(col).isNotNull())
     candidates = misra_gries_candidates(items, col, k=k).distinct()
     total = items.agg(F.count(F.lit(1)).alias("n_total"))
     return (

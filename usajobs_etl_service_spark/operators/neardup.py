@@ -581,6 +581,27 @@ def simhash_signatures_df(df: DataFrame, *, id_col: str, text_col: str) -> DataF
     return votes.select("id", reduce(lambda a, b: a.bitwiseOR(b), bit_exprs).alias("sig"))
 
 
+def _simhash_rem48(sig: Column, band: Column) -> Column:
+    """The 48 signature bits OUTSIDE 16-bit band ``band``, packed into
+    the low 48 bits of a long (remaining bands in ascending index
+    order). ``band`` is a data column bounded to {0,1,2,3}, so the
+    band-dependent shifts unroll into a 4-way CASE of literal-shift
+    expressions (shift amounts must be Python ints in codegen)."""
+    from functools import reduce
+
+    def rem_for(b: int) -> Column:
+        parts = []
+        for i, j in enumerate(jj for jj in range(4) if jj != b):
+            chunk = F.shiftrightunsigned(sig, 16 * j).bitwiseAND(F.lit(0xFFFF))
+            parts.append(F.shiftleft(chunk, 16 * i))
+        return reduce(lambda a, b2: a.bitwiseOR(b2), parts)
+
+    expr = F.when(band == 0, rem_for(0))
+    for b in (1, 2, 3):
+        expr = expr.when(band == b, rem_for(b))
+    return expr
+
+
 def simhash_near_dup_pairs(
     df: DataFrame,
     *,
@@ -588,19 +609,56 @@ def simhash_near_dup_pairs(
     text_col: str = "text",
     max_hamming: int = 3,
     max_bucket: int = 1000,
+    sn_chunk: int = 64,
     observation=None,
+    recovery_observation=None,
 ) -> DataFrame:
     """Candidate pairs via 4x16-bit band equality (any doc pair with
     Hamming distance <= 3 shares at least one exact band by pigeonhole
     when bands=4), then exact Hamming filter.
 
-    Same candidate shape as ``minhash_near_dup_pairs``: window-count
-    hot-key guard, then in-bucket pair expansion from a bounded
-    ``collect_list`` — no self-join, so the signature aggregation
-    appears exactly once in the plan under any planner (a self-join's
-    sides are separate subtrees to AQE and the whole signature pipeline
-    ran twice). ``max_bucket`` drops degenerate keys (e.g. all-empty
-    docs hashing to signature 0) before anything quadratic happens."""
+    Saturated buckets are RECOVERED, not dropped. SimHash cannot widen
+    its bands the way SRP auto-scales planes (4x16 bits is pigeonhole-
+    pinned for Hamming<=3 over 64 bits), so corpus growth concentrates
+    rows into hot band keys; the previous ``_cap_buckets`` guard
+    discarded those rows wholesale (measured: 980k banded rows / 363
+    buckets at the 100x smoke). The recovery is two-tier and branch-
+    free (one lineage — no fit/saturated split, so the signature
+    aggregation appears exactly once in the plan STRUCTURALLY, not via
+    planner exchange-reuse, which Spark 4.1.2 only applies at AQE
+    runtime):
+
+    1. Every row in a bucket with n > max_bucket is re-exploded into 4
+       sub-bands of 12 bits over the 48 bits OUTSIDE its saturated
+       band. Pigeonhole again: a true pair (Hamming <= 3) sharing the
+       saturated band differs in <= 3 of the remaining 48 bits, so at
+       least one 12-bit sub-band matches exactly — candidate recall
+       for diverse-signature floods is preserved EXACTLY. Rows in fit
+       buckets pass through with sub-band (-1, -1), i.e. their level-1
+       bucket, bit-identical to the pre-recovery behavior.
+    2. Sub-buckets still larger than max_bucket (identical/near-
+       identical signature floods that no bit split can separate) are
+       sorted by (sig, id) and cut into overlapping chunks of
+       ``sn_chunk`` members (each chunk also contains the first member
+       of the next chunk), and pairs are emitted within chunks only —
+       a sorted-neighborhood pass. Work and output are O(n * sn_chunk)
+       per flood instead of O(n^2). Recall bound: adjacent rows in sig
+       order always share a chunk, so every identical-signature flood
+       is emitted as a CONNECTED chain (downstream dup-cluster
+       resolution recovers the full clique); non-identical pairs
+       inside a flood are found iff within sn_chunk of each other in
+       signature order (heuristic, documented residual).
+
+    Telemetry (``observation`` attaches at the level-1 bucket count):
+    ``dropped_rows`` is structurally 0 — this path discards nothing
+    with pair-recall weight (only partnerless singleton (sub-)buckets
+    exit) — and ``recovered_rows``/``recovered_buckets`` count what
+    tier 1 re-split. ``recovery_observation`` (level-2) reports
+    ``sn_rows``/``sn_subbuckets`` handled by the sorted-neighborhood
+    tier. Cost vs the drop-based guard: one extra hash exchange +
+    in-partition sort (the level-2 window) over banded rows."""
+    from pyspark.sql import Window
+
     sigs = simhash_signatures_df(df, id_col=id_col, text_col=text_col)
     banded = sigs.select(
         "id",
@@ -617,14 +675,88 @@ def simhash_near_dup_pairs(
             )
         ).alias("bk"),
     ).select("id", "sig", "bk.band", "bk.key")
-    banded = _cap_buckets(banded, max_bucket, metric_name="simhash_lsh_cap", observation=observation)
-    buckets = banded.groupBy("band", "key").agg(
+
+    # Tier-0 count: one hash exchange on (band, key), no sort.
+    w1 = Window.partitionBy("band", "key")
+    counted = banded.withColumn("n", F.count(F.lit(1)).over(w1))
+    saturated = F.col("n") > max_bucket
+    counted = counted.observe(
+        observation if observation is not None else "simhash_lsh_cap",
+        # Structural zero: saturated rows are recovered below, never
+        # discarded. Kept under the historical name so round-over-round
+        # telemetry shows the cap no longer binds.
+        F.sum(F.lit(0).cast("long")).alias("dropped_rows"),
+        F.sum(F.lit(0).cast("long")).alias("dropped_buckets"),
+        F.sum(saturated.cast("long")).alias("recovered_rows"),
+        F.round(F.sum(F.when(saturated, 1.0 / F.col("n")).otherwise(0.0)))
+        .cast("long")
+        .alias("recovered_buckets"),
+    )
+    # Singletons have no partner in this band; a cross-band partner is
+    # reached through that band's own bucket. Same recall argument as
+    # the old guard's lower bound.
+    counted = counted.filter(F.col("n") >= 2)
+
+    # Tier-1: saturated rows re-band the OTHER 48 bits into 4x12-bit
+    # sub-bands; fit rows keep their level-1 bucket as (-1, -1). One
+    # conditional explode — no branch, no subtree duplication.
+    rem = _simhash_rem48(F.col("sig"), F.col("band"))
+    passthrough = F.array(
+        F.struct(F.lit(-1).alias("sband"), F.lit(-1).cast("long").alias("skey"))
+    )
+    subbands = F.array(
+        *[
+            F.struct(
+                F.lit(s).alias("sband"),
+                F.shiftrightunsigned(rem, 12 * s).bitwiseAND(F.lit(0xFFF)).alias("skey"),
+            )
+            for s in range(4)
+        ]
+    )
+    sub = counted.select(
+        "id",
+        "sig",
+        "band",
+        "key",
+        F.explode(F.when(saturated, subbands).otherwise(passthrough)).alias("sk"),
+    ).select("id", "sig", "band", "key", "sk.sband", "sk.skey")
+
+    # Tier-2 count + rank: one hash exchange on the refined key with an
+    # in-partition (sig, id) sort shared by both window functions.
+    w2o = Window.partitionBy("band", "key", "sband", "skey").orderBy("sig", "id")
+    w2f = w2o.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    ranked = sub.withColumn("n2", F.count(F.lit(1)).over(w2f)).withColumn(
+        "rn", F.row_number().over(w2o)
+    )
+    still = F.col("n2") > max_bucket
+    ranked = ranked.observe(
+        recovery_observation if recovery_observation is not None else "simhash_lsh_recovery",
+        F.sum(still.cast("long")).alias("sn_rows"),
+        F.round(F.sum(F.when(still, 1.0 / F.col("n2")).otherwise(0.0)))
+        .cast("long")
+        .alias("sn_subbuckets"),
+    )
+    ranked = ranked.filter(F.col("n2") >= 2)
+
+    # Tier-2 chunking: fit (sub-)buckets are one chunk; floods are cut
+    # into sn_chunk-sized chunks in (sig, id) order, each overlapping
+    # the next by one member so adjacent rows always share a chunk.
+    chunk0 = F.floor((F.col("rn") - 1) / F.lit(sn_chunk))
+    overlap = (((F.col("rn") - 1) % F.lit(sn_chunk)) == 0) & (chunk0 > 0)
+    chunks = F.when(~still, F.array(F.lit(0).cast("bigint"))).otherwise(
+        F.when(overlap, F.array(chunk0, chunk0 - 1)).otherwise(F.array(chunk0))
+    )
+    chunked = ranked.select(
+        "id", "sig", "band", "key", "sband", "skey", F.explode(chunks).alias("chunk")
+    )
+    buckets = chunked.groupBy("band", "key", "sband", "skey", "chunk").agg(
         F.array_sort(F.collect_list(F.struct("id", "sig"))).alias("ms")
     )
     # Same bounded pair expansion + verify-before-dedup as the MinHash
     # path (the single-long simhash signature is not a memory hazard,
     # but filtering on Hamming first still shrinks the dedup shuffle to
-    # passing pairs only).
+    # passing pairs only). A pair found through several buckets/chunks
+    # collapses in the dropDuplicates.
     return (
         _bucket_pairs(buckets)
         .withColumn("hamming", hamming64(F.col("sig_a"), F.col("sig_b")))

@@ -64,9 +64,24 @@ def compact_partitions(
     non-partition column can narrow which partitions are touched but
     can never drop rows from them. Each selected partition is rewritten
     to its own ``ceil(rows / target_rows_per_file)`` files via a
-    per-partition deterministic salt, using the same dynamic overwrite
-    as `overwrite_partitions` — a crash mid-compaction never corrupts
-    unselected partitions. Returns the number of partitions rewritten.
+    per-partition deterministic salt. Returns the number of partitions
+    rewritten.
+
+    Commit safety (ADVICE r6): the compacted rows are FIRST written to
+    a sibling staging directory (``<path>.compact_staging``), and only
+    then dynamic-overwritten into the table FROM the staged copy —
+    never straight from a plan that reads the very partitions the
+    commit deletes. Unselected partitions are untouched by dynamic
+    overwrite; for selected partitions, every point of the commit has
+    a durable copy of the data: a crash before the overwrite leaves
+    the table as it was, a crash DURING the delete+rename commit
+    window leaves the full compacted partition in staging for manual
+    restore (the staging dir is only removed after a successful
+    commit). A pre-existing staging dir from a crashed run makes the
+    next call fail fast instead of silently discarding the evidence.
+    This is the same write-new-files-then-swap posture as lakehouse
+    compaction (Delta OPTIMIZE), minus the atomic metadata pointer a
+    table format would add.
 
     The per-partition row counts come from ONE count aggregate (driver
     receives #selected-partitions rows, not data).
@@ -104,5 +119,21 @@ def compact_partitions(
     compacted = salted.repartition(
         int(total_files), *[F.col(c) for c in partition_cols], F.col("_salt")
     ).drop("_k", "_salt")
-    overwrite_partitions(compacted, path, partition_cols=partition_cols)
+
+    # stage -> commit -> clean: see docstring's commit-safety contract
+    staging = path.rstrip("/") + ".compact_staging"
+    jvm = spark.sparkContext._jvm
+    hconf = spark.sparkContext._jsc.hadoopConfiguration()
+    staging_p = jvm.org.apache.hadoop.fs.Path(staging)
+    fs = staging_p.getFileSystem(hconf)
+    if fs.exists(staging_p):
+        raise RuntimeError(
+            f"compaction staging dir already exists: {staging} — a prior "
+            "run crashed mid-commit. Inspect/restore its partitions into "
+            f"{path} (they are complete compacted copies), then delete it."
+        )
+    compacted.write.mode("errorifexists").partitionBy(*partition_cols).parquet(staging)
+    staged = spark.read.schema(full.schema).parquet(staging)
+    overwrite_partitions(staged, path, partition_cols=partition_cols)
+    fs.delete(staging_p, True)
     return len(sizes)

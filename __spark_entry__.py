@@ -1431,15 +1431,26 @@ def q82_embedding_srp_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     AUTO-SCALES its code width to the corpus (expected occupancy
     ~target_bucket, so saturation needs a ~250x-over-expectation hot
     bucket) and counts any drop via ``observe`` metrics;
-    tests/test_oracle_parity.py asserts the counters are zero here."""
+    tests/test_oracle_parity.py asserts the counters are zero here.
+
+    The auto-width's corpus size is threaded via ``n_rows_hint`` from
+    the parquet FOOTER (2x the embeddings row count — the workload is
+    the table plus one planted copy), so the operator's fallback
+    ``df.count()`` pass over union+transform never runs (VERDICT r6
+    #3: the registry query paid a full count every invocation)."""
     from usajobs_etl_service_spark.operators.neardup import embedding_srp_near_dup_pairs
+    from usajobs_etl_service_spark.session import parquet_row_count
 
     emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     planted = emb.select(
         (F.col("vec_id") + 10000000).alias("vec_id"),
         F.transform("embedding", lambda x: x * F.lit(1.5)).alias("embedding"),
     )
-    return embedding_srp_near_dup_pairs(emb.unionByName(planted), threshold=0.95)
+    return embedding_srp_near_dup_pairs(
+        emb.unionByName(planted),
+        threshold=0.95,
+        n_rows_hint=2 * parquet_row_count(sf_dir, "embeddings"),
+    )
 
 
 def q83_minhash_exact_dups(spark: SparkSession, sf_dir: str) -> DataFrame:

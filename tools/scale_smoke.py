@@ -291,7 +291,7 @@ def _cap_drop_counters(spark, outdir: str) -> dict[str, dict]:
         simhash_near_dup_pairs,
     )
     from usajobs_etl_service_spark.operators.semdedup import semantic_dedup_drops
-    from usajobs_etl_service_spark.session import read_table
+    from usajobs_etl_service_spark.session import parquet_row_count, read_table
 
     docs = read_table(spark, outdir, "documents")
     emb = read_table(spark, outdir, "embeddings").select("vec_id", "embedding")
@@ -315,7 +315,9 @@ def _cap_drop_counters(spark, outdir: str) -> dict[str, dict]:
          lambda o: minhash_near_dup_pairs(docs, threshold=0.5, num_hashes=64, bands=16, observation=o)),
         ("q25_simhash_near_dup", Observation(), _simhash),
         ("q82_embedding_srp_near_dup", Observation(),
-         lambda o: embedding_srp_near_dup_pairs(emb.unionByName(scaled), threshold=0.95, observation=o)),
+         lambda o: embedding_srp_near_dup_pairs(
+             emb.unionByName(scaled), threshold=0.95, observation=o,
+             n_rows_hint=2 * parquet_row_count(outdir, "embeddings"))),
         ("q89_semantic_dedup", Observation(),
          lambda o: semantic_dedup_drops(emb.unionByName(scaled), threshold=0.95, observation=o)),
     ):

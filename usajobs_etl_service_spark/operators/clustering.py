@@ -98,11 +98,17 @@ def _small_star(edges: DataFrame, p: int) -> DataFrame:
     )
 
 
-def _driver_union_find(spark, edges: DataFrame, all_nodes: DataFrame) -> DataFrame:
-    """Path-compressed union-by-min over a collected edge list — the
-    finish for graphs whose MEASURED edge count fits trivially in driver
-    memory (a few MB of id pairs), where per-round Spark fixed costs
-    exceed the total work."""
+def _driver_union_find(spark, edge_rows) -> DataFrame:
+    """Path-compressed union-by-min over an ALREADY-COLLECTED edge list
+    — the finish for graphs whose MEASURED edge count fits trivially in
+    driver memory (a few MB of id pairs), where per-round Spark fixed
+    costs exceed the total work. Takes driver-side rows, not a
+    DataFrame: the caller's path-decision ``limit().collect()`` already
+    holds every edge, so re-scanning (the r6 shape: two
+    ``toLocalIterator`` passes = one sequential mini-job PER PARTITION,
+    the measured bulk of q64's local regression) would pay Spark
+    round-trips for data the driver owns. The node set is derived from
+    the edges in-memory for the same reason."""
     parent: dict[int, int] = {}
 
     def find(x: int) -> int:
@@ -113,12 +119,15 @@ def _driver_union_find(spark, edges: DataFrame, all_nodes: DataFrame) -> DataFra
             parent[x], x = root, parent[x]
         return root
 
-    for a, b in edges.select("a", "b").toLocalIterator():
+    nodes: set[int] = set()
+    for a, b in edge_rows:
+        nodes.add(a)
+        nodes.add(b)
         ra, rb = find(a), find(b)
         if ra != rb:
             lo, hi = (ra, rb) if ra < rb else (rb, ra)
             parent[hi] = lo
-    rows = [(int(n), int(find(n))) for (n,) in all_nodes.select("id").toLocalIterator()]
+    rows = [(int(n), int(find(n))) for n in nodes]
     return spark.createDataFrame(rows, "doc_id long, cluster_id long")
 
 
@@ -192,20 +201,29 @@ def connected_components(
         return max(1, min(max_p, n // 50_000 + 1))
 
     prev = None
-    n0 = fingerprint(edges)[0]  # also materializes the persisted edges
-    p = clamp(n0)
 
     # Small-graph finish: below the threshold the per-round fixed costs
     # (plan analysis, codegen, materialization, driver action — ~1s/round
     # regardless of data size) dwarf the actual work, so collect once and
-    # union-find on the driver. The threshold is measured (the fingerprint
-    # count), not guessed; a 100 TB near-dup graph stays on the
-    # distributed star rounds below. This mirrors Spark's own posture of
-    # finishing small sides locally (broadcast joins).
-    if n0 <= small_graph_edges:
-        labels = _driver_union_find(spark, edges, all_nodes)
-        edges.unpersist()  # labels is a driver-built DataFrame — no lineage on edges
-        return (labels, 0) if return_rounds else labels
+    # union-find on the driver. The threshold is measured, not guessed —
+    # and the MEASUREMENT IS THE COLLECT (r7): one limit(threshold+1)
+    # job both decides the path and, when it fits, already holds every
+    # edge for the union-find, replacing r6's fingerprint job + two
+    # per-partition toLocalIterator passes (the profiled q64 regression)
+    # with a single action. A 100 TB near-dup graph overflows the limit
+    # and stays on the distributed star rounds below. This mirrors
+    # Spark's own posture of finishing small sides locally (broadcast
+    # joins).
+    if small_graph_edges > 0:
+        probe = edges.select("a", "b").limit(small_graph_edges + 1).collect()
+        if len(probe) <= small_graph_edges:
+            labels = _driver_union_find(spark, probe)
+            edges.unpersist()  # labels is driver-built — no lineage on edges
+            return (labels, 0) if return_rounds else labels
+        del probe
+
+    n0 = fingerprint(edges)[0]  # also materializes the persisted edges
+    p = clamp(n0)
 
     # Distributed path: superstep materialization. Pin the node list to
     # parquet NOW (one extra small job) so freeing the initial edge set

@@ -948,7 +948,7 @@ def embedding_srp_near_dup_pairs(
     import math
 
     from usajobs_etl_service_spark.functions.vectors import dot, norm
-    from usajobs_etl_service_spark.operators.similarity import srp_code
+    from usajobs_etl_service_spark.operators.similarity import srp_code_sql
 
     v = F.col(embedding_col).cast("array<double>")
     probe = df.select(F.size(v).alias("d")).limit(1).collect()
@@ -973,15 +973,18 @@ def embedding_srp_near_dup_pairs(
     # compilation for the 96 dots, then runs codegen'd; on a cluster
     # that compile happens once per executor JVM, not per query.
     widths = [n_planes] + [w for w in (extra_plane_configs or [])]
-    codes = F.array(
-        *[
-            F.struct(
-                F.lit(g).alias("band"),
-                srp_code(v, n_planes=w, dim=dim, seed=seed + 7919 * g).alias("key"),
-            )
-            for g, w in enumerate(w for w in widths for _ in range(n_bands))
-        ]
+    # One generated SQL string for the whole band block (srp_code_sql):
+    # the Column form built ~bands x planes x dim literals through py4j
+    # one call at a time — measured ~11 s of DRIVER time per q82
+    # invocation at sf0.1 before any executor work. Identical parsed
+    # expression, sub-second construction.
+    vec_sql = f"cast(`{embedding_col}` as array<double>)"
+    bands_sql = ", ".join(
+        f"struct({g} as band, "
+        f"{srp_code_sql(vec_sql, n_planes=w, dim=dim, seed=seed + 7919 * g)} as key)"
+        for g, w in enumerate(w for w in widths for _ in range(n_bands))
     )
+    codes = F.expr(f"array({bands_sql})")
     conforming = df.observe(
         "srp_dim_check",
         F.sum(F.when(F.size(v) == dim, F.lit(0)).otherwise(F.lit(1)).cast("long")).alias(

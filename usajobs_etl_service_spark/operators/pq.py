@@ -158,24 +158,33 @@ def pq_encode(
     to the lowest code (array_position returns the first minimum;
     codebooks are sorted). Pure projection: no join, no shuffle."""
     m, _, sub = _check_shape(codebooks)
-    vec = F.col(embedding_col).cast("array<double>")
 
-    def code_expr(j: int) -> Column:
-        xj = _slice_col(vec, j, sub)
-        scores = F.array(*[
-            F.lit(sum(c * c for c in cent))
-            - 2.0 * F.aggregate(
-                F.zip_with(xj, F.array(*[F.lit(c) for c in cent]), lambda a, b: a * b),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
-            )
+    # The m*k*sub literal tree is generated as ONE SQL string and
+    # parsed JVM-side in a single call. Building it from Column ops
+    # (lit/array/zip_with per centroid component) costs thousands of
+    # py4j round trips — measured ~6 s of DRIVER time per invocation
+    # at m=16, k=16, before any executor work (the bulk of q98's local
+    # cost). The parsed expression tree, and therefore the generated
+    # code and float-op order, is identical to the Column form.
+    vec_sql = f"cast(`{embedding_col}` as array<double>)"
+
+    def dlit(x: float) -> str:
+        return f"{float(x)!r}D"
+
+    def code_sql(j: int) -> str:
+        xj = f"slice({vec_sql}, {j * sub + 1}, {sub})"
+        scores = ", ".join(
+            f"{dlit(sum(c * c for c in cent))} - (2.0D * aggregate("
+            f"zip_with({xj}, array({', '.join(dlit(c) for c in cent)}), (a, b) -> a * b), "
+            f"0.0D, (acc, x) -> acc + x))"
             for cent in codebooks[j]
-        ])
-        return (F.array_position(scores, F.array_min(scores)) - 1).cast("int")
+        )
+        return (
+            f"cast(array_position(array({scores}), array_min(array({scores}))) - 1 as int)"
+        )
 
-    return df.select(
-        F.col(id_col), F.array(*[code_expr(j) for j in range(m)]).alias("codes")
-    )
+    codes = f"array({', '.join(code_sql(j) for j in range(m))})"
+    return df.select(F.col(id_col), F.expr(codes).alias("codes"))
 
 
 def pq_adc_distances(
@@ -199,12 +208,14 @@ def pq_adc_distances(
         tables.append([
             sum((a - b) * (a - b) for a, b in zip(qj, cent)) for cent in codebooks[j]
         ])
-    dist = None
-    for j in range(m):
-        lut = F.array(*[F.lit(float(v)) for v in tables[j]])
-        term = F.element_at(lut, F.element_at(F.col("codes"), j + 1) + 1)
-        dist = term if dist is None else dist + term
-    return codes_df.select(F.col(id_col), dist.alias("adc_dist"))
+    # single SQL string for the m LUT lookups — same py4j-round-trip
+    # economy as pq_encode's generated expression
+    terms = " + ".join(
+        f"element_at(array({', '.join(f'{float(v)!r}D' for v in tables[j])}), "
+        f"element_at(codes, {j + 1}) + 1)"
+        for j in range(m)
+    )
+    return codes_df.select(F.col(id_col), F.expr(terms).alias("adc_dist"))
 
 
 def pq_adc_topk(

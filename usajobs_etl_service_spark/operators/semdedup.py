@@ -179,8 +179,17 @@ def assign_clusters(
     # over a staged primitive-array column stays on it.)
     nv = l2_normalize(F.col(embedding_col).cast("array<double>"))
     staged = df.withColumn("__nv", nv)
-    cents_lit = F.array(*[F.array(*[F.lit(float(x)) for x in cv]) for _, cv in cent_rows])
-    ids_lit = F.array(*[F.lit(int(cid)) for cid, _ in cent_rows])
+    # literal blocks cross py4j as ONE parsed SQL string — building
+    # them lit-by-lit cost ~n_clusters x dim driver round trips (~2 s
+    # of q89's warm time); the parsed values are identical doubles
+    cents_lit = F.expr(
+        "array("
+        + ", ".join(
+            "array(" + ", ".join(f"{float(x)!r}D" for x in cv) + ")" for _, cv in cent_rows
+        )
+        + ")"
+    )
+    ids_lit = F.expr("array(" + ", ".join(f"{int(cid)}L" for cid, _ in cent_rows) + ")")
     scores = F.transform(cents_lit, lambda c: F.round(dot(F.col("__nv"), c), 6))
     pos = F.array_position(scores, F.array_max(scores)).cast("int")
     return staged.select(

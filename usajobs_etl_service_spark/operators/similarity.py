@@ -143,9 +143,17 @@ def nearest_centroid_expr(
     first occurrence; ``cent_rows`` must be sorted by id).
 
     This is the 100 TB shape for IVF assignment: a pure projection inside
-    the scan stage — no join, no shuffle, no row blowup."""
-    cents_lit = F.array(*[F.array(*[F.lit(float(x)) for x in cv]) for _, cv in cent_rows])
-    ids_lit = F.array(*[F.lit(int(cid)) for cid, _ in cent_rows])
+    the scan stage — no join, no shuffle, no row blowup. The literal
+    arrays cross py4j as one parsed SQL string (not k x dim Column
+    calls — the q82/q89 driver-time lesson)."""
+    cents_lit = F.expr(
+        "array("
+        + ", ".join(
+            "array(" + ", ".join(f"{float(x)!r}D" for x in cv) + ")" for _, cv in cent_rows
+        )
+        + ")"
+    )
+    ids_lit = F.expr("array(" + ", ".join(f"{int(cid)}L" for cid, _ in cent_rows) + ")")
     scores = F.transform(cents_lit, lambda c: dot(vn, c))
     pos = F.array_position(scores, F.array_max(scores)).cast("int")
     return F.element_at(ids_lit, pos)
@@ -242,6 +250,18 @@ def ivf_load(spark, path: str) -> tuple[DataFrame, DataFrame]:
     return spark.read.parquet(f"{path}/index"), spark.read.parquet(f"{path}/centroids")
 
 
+def _srp_planes(n_planes: int, dim: int, seed: int) -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes in {-1,+1}^dim — the
+    single source for both the Column and SQL-string code builders, so
+    their bucket ids are bit-identical."""
+    import random
+
+    if not 1 <= n_planes <= 62:
+        raise ValueError(f"n_planes must be in [1, 62] for a long code, got {n_planes}")
+    rng = random.Random(seed)
+    return [[rng.choice((-1.0, 1.0)) for _ in range(dim)] for _ in range(n_planes)]
+
+
 def srp_code(embedding: Column, *, n_planes: int = 16, dim: int = 64, seed: int = 42) -> Column:
     """Sign-random-projection LSH code (LONG bucket id — auto-scaled
     widths at corpus scale exceed 31 planes, where an int would
@@ -249,19 +269,38 @@ def srp_code(embedding: Column, *, n_planes: int = 16, dim: int = 64, seed: int 
     pseudo-random hyperplanes r_j in {-1,+1}^dim derived from a seeded
     PRNG and inlined as literals — identical on every executor/run.
     Cosine-similar vectors collide with probability
-    (1 - theta/pi)^n_planes."""
-    import random
+    (1 - theta/pi)^n_planes.
 
-    if not 1 <= n_planes <= 62:
-        raise ValueError(f"n_planes must be in [1, 62] for a long code, got {n_planes}")
-    rng = random.Random(seed)
-    planes = [[rng.choice((-1.0, 1.0)) for _ in range(dim)] for _ in range(n_planes)]
+    Column-API form for composition with arbitrary input expressions;
+    hot callers that band MANY codes should use ``srp_code_sql`` —
+    this builder costs ~dim py4j calls PER PLANE in driver time."""
+    planes = _srp_planes(n_planes, dim, seed)
     v = _as_double_array(embedding)
     code = F.lit(0).cast("long")
     for j, plane in enumerate(planes):
         d = dot(v, F.array(*[F.lit(c) for c in plane]))
         code = code + F.when(d > 0, F.lit(1 << j).cast("long")).otherwise(F.lit(0).cast("long"))
     return code
+
+
+def srp_code_sql(vec_sql: str, *, n_planes: int = 16, dim: int = 64, seed: int = 42) -> str:
+    """``srp_code`` as a generated SQL string over a SQL fragment that
+    must already evaluate to ``array<double>``. Parses to the same
+    expression tree (same planes, same fold order, same CASE/bit
+    weights) as the Column form, but the whole n_planes x dim literal
+    block crosses py4j ONCE as text instead of ~n_planes*dim Column
+    calls — the measured difference between ~11 s and sub-second plan
+    construction for q82's 8-band auto-width banding."""
+    planes = _srp_planes(n_planes, dim, seed)
+    terms = ["cast(0 as long)"]
+    for j, plane in enumerate(planes):
+        lits = ", ".join(f"{c!r}D" for c in plane)
+        d = (
+            f"aggregate(zip_with({vec_sql}, array({lits}), (x, y) -> x * y), "
+            f"0.0D, (acc, v) -> acc + v)"
+        )
+        terms.append(f"(case when {d} > 0.0D then {1 << j}L else 0L end)")
+    return " + ".join(terms)
 
 
 def ivf_topk_cosine(

@@ -80,6 +80,25 @@ def read_table(spark: SparkSession, sf_dir: str, name: str):
     return df
 
 
+def parquet_row_count(sf_dir: str, name: str) -> int:
+    """Exact row count of a testdata parquet table from the file
+    footer(s) — NO Spark job, no scan. Parquet stores num_rows in its
+    footer metadata, so sizing hints (e.g. the SRP auto-width's
+    ``n_rows_hint``, which otherwise costs a ``df.count()`` pass per
+    query) are free where the input is a known parquet artifact. Falls
+    back over directory layouts by summing per-file footers."""
+    import pyarrow.parquet as pq
+
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    if os.path.isdir(path):
+        return sum(
+            pq.read_metadata(os.path.join(path, f)).num_rows
+            for f in os.listdir(path)
+            if f.endswith(".parquet")
+        )
+    return pq.read_metadata(path).num_rows
+
+
 def load_tables(spark: SparkSession, sf_dir: str, names: list[str] | None = None):
     """Read the star-schema parquet tables under ``sf_dir`` and register
     each as a temp view; returns ``{name: DataFrame}``."""

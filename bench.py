@@ -185,17 +185,74 @@ def main() -> None:
     except Exception:
         pass
 
+    # LSH/cluster hot-bucket counters ride the STANDARD bench (VERDICT
+    # r6 #5), not only the scale smokes: a future banding regression
+    # then shows up as a nonzero counter in BENCH_DETAIL round-over-
+    # round, instead of a silent recall change. All four families are
+    # expected zero at sf0.1.
+    cap_counters = None
+    if not only:
+        try:
+            sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "tools"))
+            from scale_smoke import _cap_drop_counters
+
+            cap_counters = _cap_drop_counters(spark, sf_dir)
+        except Exception:
+            pass
+
+    # PQ build-once contract (the IVF/MinHash pattern): train + encode +
+    # persist (untimed), then time a WARM ADC probe against the loaded
+    # codes — the per-query cost once codes are a maintained artifact
+    # (q98 times train+encode+probe together; VERDICT r6 #7).
+    pq_probe_sec = None
+    try:
+        import shutil
+        import tempfile
+
+        from pyspark.sql import functions as F
+
+        from usajobs_etl_service_spark.operators.pq import (
+            pq_adc_topk, pq_encode, pq_load, pq_train_distinct, pq_write,
+        )
+        from usajobs_etl_service_spark.session import read_table
+
+        emb = read_table(spark, sf_dir, "embeddings").select(
+            "vec_id",
+            F.transform(
+                F.col("embedding").cast("array<double>"),
+                lambda x: F.when(x >= 0, F.lit(1.0)).otherwise(F.lit(-1.0)),
+            ).alias("embedding"),
+        )
+        qv = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+        data = emb.filter(F.col("vec_id") != 0)
+        books = pq_train_distinct(data, m=16)
+        tmp = tempfile.mkdtemp(prefix="pq_bench_", dir="spark-warehouse")
+        try:
+            pq_write(pq_encode(data, books), books, tmp)
+            codes, lbooks = pq_load(spark, tmp)
+            t0 = time.perf_counter()
+            materialize(pq_adc_topk(codes, qv, lbooks, k=50))
+            pq_probe_sec = round(time.perf_counter() - t0, 3)
+        finally:
+            shutil.rmtree(tmp, ignore_errors=True)
+    except Exception:
+        pass
+
     # Two stdout lines. The per-query dict (~3 KB for 79 queries) rides
     # on the FIRST line; the LAST line is a compact (< 200 byte) headline.
     # Tail-only log capture keeps the end of stdout, so the parseable
     # headline can never be truncated off the front again (it was, for
-    # three rounds, when the bulky line was the only/last one).
+    # three rounds, when the bulky line was the only/last one). Both
+    # lines name the sibling BENCH_DETAIL.json (written by THIS run), so
+    # a tail-truncated round snapshot still points at the canonical
+    # per-query artifact (VERDICT r6 #4).
     full = {
         "metric": "sum_query_seconds",
         "value": total,
         "unit": "sec",
         "queries": timings,
         "sf": float(sf),
+        "detail_file": "BENCH_DETAIL.json",
     }
     compact = {
         "metric": "sum_query_seconds",
@@ -203,6 +260,7 @@ def main() -> None:
         "unit": "sec",
         "sf": float(sf),
         "n_queries": len(timings),
+        "detail_file": "BENCH_DETAIL.json",
     }
     detail = {
         "queries_sec": timings,
@@ -211,10 +269,12 @@ def main() -> None:
         "reference_floor_rows_per_sec": 100,
         "ivf_warm_probe_sec": ivf_probe_sec,
         "minhash_warm_pairs_sec": minhash_probe_sec,
+        "pq_warm_adc_probe_sec": pq_probe_sec,
         "shuffle_write_mb": shuffle_mb,
         "shuffle_write_mb_total": round(sum(shuffle_mb.values()), 2),
         "peak_stage_exec_mem_mb": peak_mem_mb,
         "disk_spilled_bytes_total": before["spilled_disk"],
+        "lsh_cap_drop_counters": cap_counters,
     }
     detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json")
     try:

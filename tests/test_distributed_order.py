@@ -176,3 +176,34 @@ def test_correct_under_aggressive_aqe_coalescing(spark):
             conf.unset("spark.sql.adaptive.advisoryPartitionSizeInBytes")
         else:
             conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", before)
+
+
+def test_hot_leading_key_splits_across_partitions(spark):
+    """Range-partition skew posture under a hot leading key: 90% of
+    rows share one value of the leading sort column. Because the FULL
+    order tuple (key, tiebreak) is the range key, the RangePartitioner
+    splits the tie group on the tiebreaker — the hot key does NOT
+    collapse into a single partition, and ranks stay an exact 1..n
+    permutation. (A sort key WITHOUT a unique tiebreaker would pin
+    all equal keys to one partition — that is the documented contract:
+    order_cols should end with a unique tiebreaker.)"""
+    n = 20_000
+    rows = [(i, 7.0 if i % 10 else float(i % 97)) for i in range(n)]
+    df = _df(spark, rows)
+    ranked = global_row_number(df, [F.col("v").asc(), F.col("k").asc()], out_col="rn")
+    row = ranked.agg(
+        F.count_distinct(F.col("rn")).alias("d"),
+        F.max(F.col("rn")).alias("m"),
+        F.count(F.lit(1)).alias("n"),
+    ).first()
+    assert (row["d"], row["m"], row["n"]) == (n, n, n)
+    # the hot 90% tie group occupies more than one range partition
+    hot_parts = (
+        df.repartitionByRange(32, F.col("v").asc(), F.col("k").asc())
+        .withColumn("pid", F.spark_partition_id())
+        .filter(F.col("v") == 7.0)
+        .select("pid")
+        .distinct()
+        .count()
+    )
+    assert hot_parts > 1, "hot tie group collapsed into a single range partition"

@@ -189,3 +189,52 @@ def test_ivfpq_codes_cover_all_rows_once(spark, sf_dir):
     cent_ids = {r["centroid_id"] for r in cents.collect()}
     assert {r["centroid_id"] for r in rows} <= cent_ids
     assert all(len(r["codes"]) == 8 for r in rows)
+
+
+def test_pq_write_load_roundtrip(spark, tmp_path):
+    """Persisted-PQ contract: codebooks round-trip exactly (same m,
+    same per-code centroids in code order) and the loaded codes table
+    answers the same ADC probe as the in-memory one."""
+    from usajobs_etl_service_spark.operators.pq import pq_load, pq_write
+
+    rows = [
+        (1, [0.0, 0.0, 1.0, 1.0]),
+        (2, [1.0, 0.0, 0.0, 1.0]),
+        (3, [1.0, 1.0, 1.0, 0.0]),
+        (4, [0.0, 1.0, 0.0, 0.0]),
+    ]
+    df = _vecs(spark, rows)
+    books = pq_train_distinct(df, m=2)
+    path = str(tmp_path / "pq")
+    pq_write(pq_encode(df, books), books, path)
+    codes, loaded = pq_load(spark, path)
+    assert loaded == books
+    q = [1.0, 1.0, 0.0, 1.0]
+    mem = [(r["vec_id"], r["adc_dist"]) for r in pq_adc_topk(pq_encode(df, books), q, books, k=4).collect()]
+    disk = [(r["vec_id"], r["adc_dist"]) for r in pq_adc_topk(codes, q, loaded, k=4).collect()]
+    assert disk == mem
+
+
+def test_pq_append_frozen_codebooks_and_schema_guard(spark, tmp_path):
+    """Appended vectors are encoded with the STORED codebooks and are
+    immediately probe-visible; a mismatched batch schema raises before
+    any write (parquet append would land mixed-schema files)."""
+    from usajobs_etl_service_spark.operators.pq import pq_append, pq_load, pq_write
+
+    rows = [(1, [0.0, 0.0, 1.0, 1.0]), (2, [1.0, 0.0, 0.0, 1.0])]
+    df = _vecs(spark, rows)
+    books = pq_train_distinct(df, m=2)
+    path = str(tmp_path / "pq")
+    pq_write(pq_encode(df, books), books, path)
+    # append a vector composed of existing subvectors (frozen books can encode it losslessly)
+    pq_append(_vecs(spark, [(9, [1.0, 0.0, 1.0, 1.0])]), path)
+    codes, loaded = pq_load(spark, path)
+    assert loaded == books  # appending must not touch the codebooks
+    got = {r["vec_id"] for r in codes.collect()}
+    assert got == {1, 2, 9}
+    top = pq_adc_topk(codes, [1.0, 0.0, 1.0, 1.0], loaded, k=1).first()
+    assert top["vec_id"] == 9 and top["adc_dist"] == 0.0
+
+    bad = spark.createDataFrame([(7, [1.0, 0.0, 0.0, 1.0])], "other_id long, embedding array<double>")
+    with pytest.raises(Exception, match="schema"):
+        pq_append(bad, path, id_col="other_id")

@@ -190,6 +190,7 @@ def run(outdir: str) -> None:
         "lsh_cap_drop_counters": _cap_drop_counters(spark, outdir),
         "minhash_persisted_vs_inline": _minhash_crossover(spark, outdir, big),
         "cc_distributed_rounds": _cc_rounds(spark, outdir),
+        "distributed_order": _dist_order_smoke(spark, outdir, big),
         "queries": out,
     }
     name = "SCALE_SMOKE.json" if MULT == 10 else f"SCALE_SMOKE_{big}.json"
@@ -197,6 +198,55 @@ def run(outdir: str) -> None:
     with open(path, "w") as f:
         json.dump(summary, f, indent=1)
     print(f"worst ratio {worst} (bar {bar}) spill {total_spill} -> {path}")
+
+
+def _dist_order_smoke(spark, outdir: str, big: str) -> dict[str, dict]:
+    """Scale the distributed-global-ordering family (q28/q122-q127/
+    q146/q148's engine: distributed_order.global_row_number) with the
+    corpus, which the LLM-only smoke family missed (VERDICT r6 #6).
+    Ranks all documents by (n_chars, doc_id) — n_chars has only ~91
+    distinct values, so every range boundary lands inside a heavy tie
+    group and the RangePartitioner must split ties on the doc_id
+    tiebreaker: the hot-leading-key regime, not a friendly uniform
+    key. Correctness is the exact-permutation check (ranks == 1..n:
+    count distinct AND max both equal n — sum-checksums are
+    permutation-invariant, ADVICE r6), plus the per-scale second/
+    shuffle/spill record the linearity claim needs."""
+    import time as _time
+
+    from pyspark.sql import functions as F
+
+    from bench import stage_totals
+    from usajobs_etl_service_spark.session import read_table
+    from usajobs_etl_service_spark.operators.distributed_order import global_row_number
+
+    out: dict[str, dict] = {}
+    for label, d in (("sf0.1", BASE_SF), (big, outdir)):
+        docs = read_table(spark, d, "documents").select("doc_id", "n_chars")
+        before = stage_totals(spark)
+        t0 = _time.perf_counter()
+        ranked = global_row_number(
+            docs, [F.col("n_chars").asc(), F.col("doc_id").asc()], out_col="rn"
+        )
+        row = ranked.agg(
+            F.count_distinct(F.col("rn")).alias("d"),
+            F.max(F.col("rn")).alias("m"),
+            F.count(F.lit(1)).alias("n"),
+        ).first()
+        sec = _time.perf_counter() - t0
+        after = stage_totals(spark, after_stage=before["max_stage_id"])
+        assert row["d"] == row["n"] and row["m"] == row["n"], (
+            f"global_row_number not a 1..n permutation at {label}: {dict(row.asDict())}"
+        )
+        out[label] = {
+            "sec": round(sec, 3),
+            "n_rows": row["n"],
+            "ranks_exact_permutation": True,
+            "shuffle_write_mb": round((after["shuffle_write"] - before["shuffle_write"]) / 1e6, 2),
+            "spill_delta_bytes": after["spilled_disk"] - before["spilled_disk"],
+        }
+    out["time_ratio"] = round(out[big]["sec"] / max(out["sf0.1"]["sec"], 1e-9), 2)
+    return out
 
 
 def _minhash_crossover(spark, outdir: str, big: str) -> dict[str, dict]:

@@ -268,6 +268,82 @@ def pq_search_rerank(
 
 
 # ---------------------------------------------------------------------------
+# Persisted PQ artifact: the build-once / probe-many deployment shape
+# (mirrors ivf_write / ivf_load / ivf_append and minhash_write /
+# minhash_append). At 100 TB the codes table — (id, codes array<int>),
+# ~1/16th the raw vector bytes — is what lives on disk; training and
+# encoding are paid at build/append time, and a probe touches ONLY the
+# codes parquet plus the O(m*k) driver-side codebooks.
+# ---------------------------------------------------------------------------
+
+def _load_codebooks(spark, path: str) -> Codebooks:
+    rows = spark.read.parquet(f"{path}/codebooks").collect()
+    if not rows:
+        raise ValueError(f"no codebooks found under {path}/codebooks")
+    books: Codebooks = [[] for _ in range(1 + max(r["j"] for r in rows))]
+    for r in sorted(rows, key=lambda r: (r["j"], r["code"])):
+        if r["code"] != len(books[r["j"]]):
+            raise ValueError(
+                f"codebook for subspace {r['j']} has a gap at code {r['code']}"
+            )
+        books[r["j"]].append([float(x) for x in r["centroid"]])
+    _check_shape(books)
+    return books
+
+
+def pq_write(codes_df: DataFrame, codebooks: Codebooks, path: str) -> None:
+    """Persist a PQ index: the codes table under ``path`` plus the
+    O(m*k) codebooks alongside (one row per (subspace, code) —
+    driver-sized by construction, same posture as IVF's centroids
+    artifact)."""
+    spark = codes_df.sparkSession
+    m, _, _ = _check_shape(codebooks)
+    rows = [
+        (j, c, codebooks[j][c]) for j in range(m) for c in range(len(codebooks[j]))
+    ]
+    spark.createDataFrame(rows, "j int, code int, centroid array<double>").coalesce(
+        1
+    ).write.mode("overwrite").parquet(f"{path}/codebooks")
+    codes_df.write.mode("overwrite").parquet(f"{path}/codes")
+
+
+def pq_load(spark, path: str) -> tuple[DataFrame, Codebooks]:
+    """(codes DataFrame, codebooks) from a ``pq_write``/``pq_append``
+    artifact. The codes table stays lazy; only the codebooks collect."""
+    return spark.read.parquet(f"{path}/codes"), _load_codebooks(spark, path)
+
+
+def pq_append(
+    df: DataFrame,
+    path: str,
+    *,
+    id_col: str = "vec_id",
+    embedding_col: str = "embedding",
+) -> None:
+    """Append new vectors to a persisted PQ index with FROZEN codebooks
+    — the incremental-crawl increment (mirrors ``ivf_append``): the
+    stored codebooks are loaded, the batch is encoded with the same
+    scan-stage argmin projection the build used, and the code rows land
+    with ``mode("append")``. Codebooks do not drift with appends;
+    retrain (``pq_train_kmeans`` + ``pq_write``) if the vector
+    distribution moves. The encoded batch schema is validated against
+    the stored codes first — parquet append happily lands mixed-schema
+    files that a later read would surface as corruption."""
+    spark = df.sparkSession
+    books = _load_codebooks(spark, path)
+    encoded = pq_encode(df, books, id_col=id_col, embedding_col=embedding_col)
+    stored = spark.read.parquet(f"{path}/codes")
+    if [f.simpleString() for f in encoded.schema.fields] != [
+        f.simpleString() for f in stored.schema.fields
+    ]:
+        raise ValueError(
+            f"append schema {encoded.schema.simpleString()} != stored codes "
+            f"schema {stored.schema.simpleString()}"
+        )
+    encoded.write.mode("append").parquet(f"{path}/codes")
+
+
+# ---------------------------------------------------------------------------
 # IVF + PQ composition (FAISS-style IVFPQ): coarse quantizer prunes WHICH
 # partitions a probe reads, residual PQ shrinks WHAT each partition stores.
 # ---------------------------------------------------------------------------

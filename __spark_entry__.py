@@ -1654,13 +1654,20 @@ def q89_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     observe() counters asserted zero in tests/test_oracle_parity.py
     make any violation loud."""
     from usajobs_etl_service_spark.operators.semdedup import semantic_dedup_drops
+    from usajobs_etl_service_spark.session import parquet_row_count
 
     emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     planted = emb.select(
         (F.col("vec_id") + 10000000).alias("vec_id"),
         F.transform("embedding", lambda x: x * F.lit(1.5)).alias("embedding"),
     )
-    return semantic_dedup_drops(emb.unionByName(planted), threshold=0.95)
+    return semantic_dedup_drops(
+        emb.unionByName(planted),
+        threshold=0.95,
+        # union cardinality is knowable from the parquet footer — skips
+        # the auto_n_clusters count() pass (same contract as q82's hint)
+        n_rows_hint=2 * parquet_row_count(sf_dir, "embeddings"),
+    )
 
 
 def q90_duplicated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -7,8 +7,9 @@ discipline shared with the LSH family:
   argmax-split failure mode assign_clusters defends against),
 - keep-min-id drop policy on a known small geometry,
 - cleaned corpus = left_anti of the drop set,
-- oversized-cluster cap drops loudly (observe counters), never
-  silently.
+- oversized clusters RECOVER via identical-direction collapse (chains
+  + exact keep-min-id lift); only a still-diverse hot cluster's reps
+  drop, loudly (observe counters), never silently.
 """
 
 from __future__ import annotations
@@ -135,27 +136,95 @@ def test_cleaned_corpus_left_anti(spark):
     assert sorted(r["vec_id"] for r in cleaned.collect()) == [1, 9]
 
 
-def test_oversized_cluster_cap_counts_drops(spark):
-    """A single-direction corpus collapses into one cluster; with
-    max_cluster below its size the cluster drops, the result is empty,
-    and the observe counters say exactly what was discarded."""
+def test_oversized_flood_recovered_as_chain(spark):
+    """The r6-VERDICT failure class, SemDeDup edition: a duplicate
+    flood (one direction, 20 scaled copies) exceeds max_cluster. The
+    old guard dropped it wholesale — the worst input for a dedup
+    operator was the one it ignored. Now the flood collapses to its
+    group minimum and emits as a chain: every non-min member pairs
+    with id 0 at cos 1.0, drop counters are zero, recovery counters
+    report the collapse."""
     dim = 8
     rows = [(i, _unit(0, dim, 1.0 + 0.001 * i)) for i in range(20)]
     df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
     obs = Observation("semdedup_cap_test")
+    robs = Observation("semdedup_recovery_test")
     pairs = semantic_dup_pairs(
-        df, threshold=0.95, n_clusters=4, max_cluster=10, observation=obs
-    )
-    # AQE empty-relation caveat (neardup._cap_buckets docstring): a
-    # fully-emptied plan elides CollectMetrics, so disable AQE here
-    spark.conf.set("spark.sql.adaptive.enabled", "false")
-    try:
-        assert pairs.count() == 0
-        m = obs.get
-        assert m["dropped_rows"] == 20
-        assert m["dropped_clusters"] == 1
-    finally:
-        spark.conf.set("spark.sql.adaptive.enabled", "true")
+        df,
+        threshold=0.95,
+        n_clusters=4,
+        max_cluster=10,
+        observation=obs,
+        recovery_observation=robs,
+    ).collect()
+    assert sorted((r["id_a"], r["id_b"], r["cos"]) for r in pairs) == [
+        (0, i, 1.0) for i in range(1, 20)
+    ]
+    assert obs.get == {"dropped_rows": 0, "dropped_clusters": 0}
+    assert robs.get == {"recovered_rows": 19, "recovered_groups": 1}
+
+
+def test_oversized_flood_drops_equal_uncapped_answer(spark):
+    """Exactness of the chain lift: two floods of DIFFERENT directions
+    that are duplicates OF EACH OTHER (cos 1.0 after rounding is not
+    needed — use genuinely near directions) plus the flood collapse.
+    The drop set must equal the uncapped all-pairs keep-min-id answer:
+    every id except the global minimum of each duplicate family drops,
+    and chain members inherit min(group_min, kept(group_min))."""
+    dim = 8
+    # family A: 12 copies of direction e0 with ids 0..11
+    a = [(i, _unit(0, dim, 1.0 + 0.01 * i)) for i in range(12)]
+    # family B: 12 copies of a direction at cos ~0.9995 to e0, ids 100..111
+    theta = 0.03
+    vb = [math.cos(theta), math.sin(theta)] + [0.0] * (dim - 2)
+    b = [(100 + i, [x * (1.0 + 0.01 * i) for x in vb]) for i in range(12)]
+    df = spark.createDataFrame(a + b, "vec_id long, embedding array<double>")
+    # one cluster holds all 24 rows (> max_cluster=10); collapse yields
+    # two reps (0 and 100) whose cross pair clears the 0.95 threshold
+    drops = semantic_dedup_drops(
+        df, threshold=0.95, n_clusters=1, max_cluster=10
+    ).collect()
+    got = {r["dropped_id"]: (r["kept_id"], r["max_cos"]) for r in drops}
+    # uncapped answer: everything but id 0 drops with kept_id 0...
+    # except family-A members keep 0 via identity; family-B rep 100
+    # keeps 0 via the cross pair; family-B members lift to
+    # min(100, kept(100)) = 0
+    assert set(got) == set(range(1, 12)) | set(range(100, 112))
+    assert all(k == 0 for k, _ in got.values())
+    assert got[100][1] == pytest.approx(1.0, abs=1e-3)  # cos(0.03) ~ 0.9996
+    assert all(got[i][1] == 1.0 for i in range(1, 12))
+    assert all(got[100 + i][1] == 1.0 for i in range(1, 12))
+
+
+def test_diverse_hot_cluster_residual_drop_counted(spark):
+    """A cluster whose DISTINCT directions still exceed max_cluster is
+    a genuine capacity problem (raise n_clusters); its reps drop with
+    counters while nothing is silently lost: rows=reps dropped,
+    clusters=1."""
+    dim = 16
+    # 12 distinct orthogonal directions, each with 2 scaled copies ->
+    # 24 rows, 12 reps > max_cluster=10
+    rows = []
+    for i in range(12):
+        rows.append((i, _unit(i, dim, 1.0)))
+        rows.append((1000 + i, _unit(i, dim, 2.0)))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    obs = Observation("semdedup_residual_test")
+    robs = Observation("semdedup_residual_recovery")
+    pairs = semantic_dup_pairs(
+        df,
+        threshold=0.95,
+        n_clusters=1,
+        max_cluster=10,
+        observation=obs,
+        recovery_observation=robs,
+    ).collect()
+    # chains still recovered: each direction's copy pairs with its rep
+    assert sorted((r["id_a"], r["id_b"]) for r in pairs) == [
+        (i, 1000 + i) for i in range(12)
+    ]
+    assert obs.get == {"dropped_rows": 12, "dropped_clusters": 1}
+    assert robs.get == {"recovered_rows": 12, "recovered_groups": 12}
 
 
 def test_threshold_excludes_distant_vectors(spark):

@@ -360,6 +360,18 @@ def _cap_drop_counters(spark, outdir: str) -> dict[str, dict]:
             docs, max_hamming=3, observation=o, recovery_observation=r
         )
 
+    # SemDeDup recovers oversized clusters since r7 (identical-
+    # direction collapse): dropped_* is the residual (diverse hot
+    # clusters only); recovered_* reports collapsed flood volume.
+    def _semdedup(o, r=None):
+        return semantic_dedup_drops(
+            emb.unionByName(scaled),
+            threshold=0.95,
+            observation=o,
+            recovery_observation=r,
+            n_rows_hint=2 * parquet_row_count(outdir, "embeddings"),
+        )
+
     for name, obs, df in (
         ("q24_minhash_near_dup", Observation(),
          lambda o: minhash_near_dup_pairs(docs, threshold=0.5, num_hashes=64, bands=16, observation=o)),
@@ -368,10 +380,9 @@ def _cap_drop_counters(spark, outdir: str) -> dict[str, dict]:
          lambda o: embedding_srp_near_dup_pairs(
              emb.unionByName(scaled), threshold=0.95, observation=o,
              n_rows_hint=2 * parquet_row_count(outdir, "embeddings"))),
-        ("q89_semantic_dedup", Observation(),
-         lambda o: semantic_dedup_drops(emb.unionByName(scaled), threshold=0.95, observation=o)),
+        ("q89_semantic_dedup", Observation(), _semdedup),
     ):
-        rec = Observation() if df is _simhash else None
+        rec = Observation() if df in (_simhash, _semdedup) else None
         materialize(df(obs, rec) if rec is not None else df(obs))
         try:
             counters[name] = dict(obs.get)

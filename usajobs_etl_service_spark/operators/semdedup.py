@@ -50,16 +50,33 @@ from pyspark.sql import functions as F
 from usajobs_etl_service_spark.functions.vectors import cosine, dot, l2_normalize
 
 
-def _cluster_cap_metrics(max_cluster: int) -> tuple[Column, Column]:
-    """observe() aggregates for the oversized-cluster guard: rows in
-    dropped clusters + dropped cluster count (1/n weighting, exact for
-    n < 2^52 — same trick as neardup._cap_drop_metrics)."""
-    dropped = F.col("__csize") > max_cluster
+def _cap_metrics(id_col: str, max_cluster: int) -> tuple[Column, Column]:
+    """observe() aggregates for the RESIDUAL oversized-cluster guard
+    (post-collapse): representative rows whose collapsed cluster still
+    exceeds ``max_cluster`` + that cluster count (1/n weighting, exact
+    for n < 2^52 — same trick as neardup._cap_drop_metrics). Collapsed
+    non-representative members are never dropped (they always emit as
+    chains), so they carry no drop weight."""
+    dropped = (F.col(id_col) == F.col("__gmin")) & (F.col("__rsize") > max_cluster)
     return (
         F.sum(dropped.cast("long")).alias("dropped_rows"),
-        F.round(F.sum(F.when(dropped, 1.0 / F.col("__csize")).otherwise(0.0)))
+        F.round(F.sum(F.when(dropped, 1.0 / F.col("__rsize")).otherwise(0.0)))
         .cast("long")
         .alias("dropped_clusters"),
+    )
+
+
+def _recovery_metrics(id_col: str) -> tuple[Column, Column]:
+    """observe() aggregates for the identical-direction collapse:
+    non-representative rows absorbed into chains + the number of
+    multi-member direction groups (1/(n-1) weighting over the n-1
+    non-reps of each group)."""
+    member = F.col(id_col) > F.col("__gmin")
+    return (
+        F.sum(member.cast("long")).alias("recovered_rows"),
+        F.round(F.sum(F.when(member, 1.0 / (F.col("__gsize") - 1)).otherwise(0.0)))
+        .cast("long")
+        .alias("recovered_groups"),
     )
 
 
@@ -91,6 +108,7 @@ def assign_clusters(
     n_clusters: int | None = 64,
     seed: int = 42,
     refine_kmeans: bool = False,
+    n_rows_hint: int | None = None,
 ) -> DataFrame:
     """(id, embedding, cluster_id): nearest-centroid assignment as a
     pure projection (ivf_build's literal-argmax idea), with no
@@ -119,9 +137,17 @@ def assign_clusters(
     where an 8k+-literal expression would blow up codegen. The ml path
     trades the snap-tie determinism guarantee for scale — it is the
     production shape, not the oracle shape (oracle corpora stay under
-    the literal threshold)."""
+    the literal threshold).
+
+    ``n_rows_hint`` skips the auto-count's full pass when the caller
+    already knows the cardinality (parquet footers, a prior count) —
+    the same contract as neardup.srp_near_dup_pairs's hint; it is only
+    a sizing input, so an approximate value merely moves expected
+    cluster occupancy off ~200."""
     if n_clusters is None:
-        n_clusters = auto_n_clusters(df.count())
+        n_clusters = auto_n_clusters(
+            n_rows_hint if n_rows_hint is not None else df.count()
+        )
     if n_clusters > LITERAL_CODEBOOK_MAX:
         from pyspark.ml.clustering import KMeans
         from pyspark.ml.functions import array_to_vector
@@ -209,11 +235,106 @@ def semantic_dup_pairs(
     max_cluster: int = 10_000,
     round_digits: int = 4,
     observation=None,
+    recovery_observation=None,
+    n_rows_hint: int | None = None,
 ) -> DataFrame:
     """(id_a, id_b, cos) with id_a < id_b, cosine >= threshold, both in
     the same k-means cluster. One shuffle on cluster_id per join side;
-    exact-cosine verify on the pairs. Clusters above ``max_cluster``
-    are dropped with observe() counters (see module docstring)."""
+    exact-cosine verify on the pairs.
+
+    Oversized clusters (> ``max_cluster``) are RECOVERED, not dropped
+    — see ``_dup_pair_parts``. For a recovered identical-direction
+    group the clique is emitted as a CHAIN through the group minimum
+    (the transitive closure is the clique, exactly — same contract as
+    neardup's sorted-neighborhood tier); ``semantic_dedup_drops``
+    reconstructs the exact keep-min-id decision from the chain."""
+    rep_pairs, chains = _dup_pair_parts(
+        df,
+        id_col=id_col,
+        embedding_col=embedding_col,
+        threshold=threshold,
+        n_clusters=n_clusters,
+        seed=seed,
+        refine_kmeans=refine_kmeans,
+        max_cluster=max_cluster,
+        round_digits=round_digits,
+        observation=observation,
+        recovery_observation=recovery_observation,
+        n_rows_hint=n_rows_hint,
+    )
+    return rep_pairs.unionByName(chains)
+
+
+def _dup_pair_parts(
+    df: DataFrame,
+    *,
+    id_col: str,
+    embedding_col: str,
+    threshold: float,
+    n_clusters: int | None,
+    seed: int,
+    refine_kmeans: bool,
+    max_cluster: int,
+    round_digits: int,
+    observation,
+    recovery_observation,
+    n_rows_hint: int | None,
+) -> tuple[DataFrame, DataFrame]:
+    """(representative pairs, identical-direction chains), both
+    ``(id_a, id_b, cos)`` with id_a < id_b.
+
+    Oversized-cluster recovery (the SimHash lesson applied to the
+    k-means blocking): a cluster can exceed ``max_cluster`` for two
+    reasons, and only one of them is a real capacity problem. A
+    DIVERSE hot cluster means the cluster count is too low —
+    auto_n_clusters fixes that by construction (constant ~200 expected
+    occupancy). A DUPLICATE FLOOD — thousands of copies of one
+    document, exactly what a dedup pass exists to find — lands on one
+    direction no cluster count can split, and the old guard dropped
+    the flood wholesale: the worst possible input for the operator was
+    the one input it silently ignored. The recovery collapses floods
+    in O(n), branch-free (one lineage, no fit/oversized plan split):
+
+    1. Rows of oversized clusters get a direction key: xxhash64 of the
+       L2-normalized embedding snapped to 6 decimals (norm-invariant;
+       snap-equal vectors have cosine >= 1 - ~4e-10, which rounds to
+       1.0 at ``round_digits`` — fingerprint-equality posture as the
+       q83/q90 hash contract). Rows of fit clusters key by their own
+       id (each row its own group — bit-identical downstream behavior
+       to the pre-recovery path; per-cluster saturation is constant,
+       so the two key regimes never mix inside a window partition).
+    2. Each multi-member direction group emits its n-1 non-minimum
+       members as chain pairs ``(group_min, member, 1.0)`` — O(n), no
+       quadratic work, recall 1.0 on the flood by construction.
+    3. Group minima (representatives) re-enter the quadratic
+       within-cluster join, which now sees one row per DISTINCT
+       direction. Only if the collapsed cluster STILL exceeds
+       ``max_cluster`` (> max_cluster distinct near-identical
+       directions — a genuinely diverse hot cluster) do its reps drop,
+       with ``observation`` counters; chain members are never dropped.
+       ``recovery_observation`` reports collapsed rows/groups.
+
+    The windows stack on ONE exchange: the cluster-size window hash-
+    partitions on cluster_id, and the direction-group and rep-count
+    windows cluster on (cluster_id, dkey) / (cluster_id) — both
+    satisfied by that partitioning (subset rule), so they add sorts,
+    not shuffles.
+
+    The slim grouped frame is persisted (MEMORY_AND_DISK) before
+    fanning out to the join sides and the chain branch: without it the
+    assignment projection — a wide literal-argmax expression whose
+    codegen compile is itself measurable — plus the sizing windows are
+    planned and EXECUTED once per consumer (measured 6.8 s -> 3.6 s
+    warm at sf0.1 for the pair query). Spilling the cached corpus to
+    local disk at scale is the cheaper side of that trade — it
+    replaces a second full scan + normalize + assign + cluster_id
+    shuffle. The cache also makes the observe() metrics single-fire
+    (they populate when the cache builds, not once per join side) and
+    is released by Spark's ContextCleaner once the returned plans are
+    garbage-collected (same posture as distributed_order._ranged)."""
+    from pyspark.sql import Window
+    from pyspark.storagelevel import StorageLevel
+
     assigned = assign_clusters(
         df,
         id_col=id_col,
@@ -221,17 +342,55 @@ def semantic_dup_pairs(
         n_clusters=n_clusters,
         seed=seed,
         refine_kmeans=refine_kmeans,
+        n_rows_hint=n_rows_hint,
     )
-    from pyspark.sql import Window
 
-    w = Window.partitionBy("cluster_id")
-    sized = assigned.withColumn("__csize", F.count(F.lit(1)).over(w))
-    sized = sized.observe(
-        observation if observation is not None else "semdedup_cluster_cap",
-        *_cluster_cap_metrics(max_cluster),
+    w_cluster = Window.partitionBy("cluster_id")
+    sized = assigned.withColumn("__csize", F.count(F.lit(1)).over(w_cluster))
+    # singleton clusters cannot form pairs either way
+    multi = sized.filter(F.col("__csize") >= 2)
+
+    saturated = F.col("__csize") > max_cluster
+    snapped_dir = F.xxhash64(
+        F.transform(
+            l2_normalize(F.col(embedding_col).cast("array<double>")),
+            lambda x: F.round(x, 6),
+        )
     )
-    # singleton clusters cannot form pairs; oversized ones are the guard
-    members = sized.filter(F.col("__csize").between(2, max_cluster)).drop("__csize")
+    dkeyed = multi.withColumn(
+        "__dkey", F.when(saturated, snapped_dir).otherwise(F.col(id_col))
+    )
+    w_dir = Window.partitionBy("cluster_id", "__dkey")
+    grouped = (
+        dkeyed.withColumn("__gmin", F.min(id_col).over(w_dir))
+        .withColumn("__gsize", F.count(F.lit(1)).over(w_dir))
+        .withColumn(
+            "__rsize",
+            F.sum((F.col(id_col) == F.col("__gmin")).cast("long")).over(w_cluster),
+        )
+    )
+    grouped = grouped.observe(
+        observation if observation is not None else "semdedup_cluster_cap",
+        *_cap_metrics(id_col, max_cluster),
+    ).observe(
+        recovery_observation
+        if recovery_observation is not None
+        else "semdedup_recovery",
+        *_recovery_metrics(id_col),
+    )
+    grouped = grouped.select(
+        "cluster_id", id_col, embedding_col, "__gmin", "__rsize"
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+
+    chains = grouped.filter(F.col(id_col) > F.col("__gmin")).select(
+        F.col("__gmin").alias("id_a"),
+        F.col(id_col).alias("id_b"),
+        F.lit(1.0).alias("cos"),
+    )
+    members = grouped.filter(
+        (F.col(id_col) == F.col("__gmin"))
+        & F.col("__rsize").between(2, max_cluster)
+    ).select("cluster_id", id_col, embedding_col)
 
     a = members.select(
         F.col("cluster_id"),
@@ -243,7 +402,7 @@ def semantic_dup_pairs(
         F.col(id_col).alias("id_b"),
         F.col(embedding_col).cast("array<double>").alias("vb"),
     )
-    pairs = (
+    rep_pairs = (
         a.join(b, "cluster_id")
         .filter(F.col("id_a") < F.col("id_b"))
         .select(
@@ -253,7 +412,7 @@ def semantic_dup_pairs(
         )
         .filter(F.col("cos") >= F.lit(threshold))
     )
-    return pairs
+    return rep_pairs, chains
 
 
 def semantic_dedup_drops(
@@ -267,6 +426,8 @@ def semantic_dedup_drops(
     refine_kmeans: bool = False,
     max_cluster: int = 10_000,
     observation=None,
+    recovery_observation=None,
+    n_rows_hint: int | None = None,
 ) -> DataFrame:
     """The SemDeDup decision set: rows to REMOVE, one per dropped id —
     ``(dropped_id, kept_id, max_cos)`` where ``kept_id`` is the
@@ -274,8 +435,23 @@ def semantic_dedup_drops(
     strongest duplicate similarity seen. Keep-min-id policy: an id is
     dropped iff ANY smaller id in its cluster clears the threshold.
     ``df.join(drops, on=dropped_id, how="left_anti")`` is the cleaned
-    corpus."""
-    pairs = semantic_dup_pairs(
+    corpus.
+
+    Recovered-flood exactness: a chain member ``x`` of an identical-
+    direction group (see ``_dup_pair_parts``) has the same cosine to
+    every row as its representative ``g = group_min``, so x's smallest
+    duplicate is ``min(g, kept_id(g))`` and its ``max_cos`` is 1.0 (a
+    smaller identical member always exists). That one-hop lift — valid
+    ONLY because group members are direction-identical; cosine is not
+    transitive in general — is applied via a join of the chain rows
+    against the representative-level drop aggregate, making the output
+    EQUAL to the uncapped all-pairs answer whenever no residual drop
+    occurred. The representative pairs are persisted first: the lift
+    reads the aggregate twice (union + join), and without the pin the
+    expensive within-cluster join would execute once per read."""
+    from pyspark.storagelevel import StorageLevel
+
+    rep_pairs, chains = _dup_pair_parts(
         df,
         id_col=id_col,
         embedding_col=embedding_col,
@@ -284,9 +460,25 @@ def semantic_dedup_drops(
         seed=seed,
         refine_kmeans=refine_kmeans,
         max_cluster=max_cluster,
+        round_digits=4,
         observation=observation,
+        recovery_observation=recovery_observation,
+        n_rows_hint=n_rows_hint,
     )
-    return pairs.groupBy(F.col("id_b").alias("dropped_id")).agg(
+    rep_pairs = rep_pairs.persist(StorageLevel.MEMORY_AND_DISK)
+    d_rep = rep_pairs.groupBy(F.col("id_b").alias("dropped_id")).agg(
         F.min("id_a").alias("kept_id"),
         F.max("cos").alias("max_cos"),
     )
+    rep_kept = d_rep.select(
+        F.col("dropped_id").alias("__g"), F.col("kept_id").alias("__gk")
+    )
+    d_chain = (
+        chains.join(rep_kept, chains["id_a"] == rep_kept["__g"], "left")
+        .select(
+            F.col("id_b").alias("dropped_id"),
+            F.least(F.col("id_a"), F.col("__gk")).alias("kept_id"),
+            F.lit(1.0).alias("max_cos"),
+        )
+    )
+    return d_rep.unionByName(d_chain)

@@ -3150,6 +3150,60 @@ def q150_ops_dashboard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return vol.unionByName(reach).unionByName(sessions).unionByName(purchases).unionByName(peak).unionByName(med)
 
 
+def q151_cms_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extension (mergeable sketches, beyond q87's HLL and q118's
+    Misra-Gries): count-min point-frequency estimates
+    (operators/countmin.py, Cormode-Muthukrishnan 2005) for a fixed
+    probe vocabulary over the documents corpus. The query exercises
+    MERGEABILITY on purpose: two half-corpus sketches (doc_id parity —
+    the shard split a per-day/per-source corpus build would have) are
+    built independently and register-added, then probed. Sketch rows
+    are ≤ depth*width by construction, so the probe join broadcasts the
+    sketch and the build exchanges ≤ depth*width rows per task at any
+    corpus size. The md5-prefix hash is engine-reproducible, so the
+    DuckDB oracle rebuilds the IDENTICAL sketch — the estimator itself
+    is value-checked, not an exact-regime proxy of it."""
+    from usajobs_etl_service_spark.functions.text import tokens_ws
+    from usajobs_etl_service_spark.operators.countmin import (
+        cms_build,
+        cms_estimate,
+        cms_merge,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        (F.col("doc_id") % 2).alias("half"),
+        F.explode(tokens_ws(F.lower(F.col("text")))).alias("item"),
+    ).filter(F.col("item") != "")
+    sk = cms_merge(
+        cms_build(toks.filter(F.col("half") == 0), "item", depth=4, width=4096),
+        cms_build(toks.filter(F.col("half") == 1), "item", depth=4, width=4096),
+    )
+    probes = spark.createDataFrame(
+        [(w,) for w in ["spark", "window", "merge", "data", "dup", "query", "batch", "zzz-unseen"]],
+        "item string",
+    )
+    return cms_estimate(sk, probes, "item", depth=4, width=4096).orderBy("item")
+
+
+def q152_dsir_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extension (importance-based data selection — the recipe the
+    quality-gate q80, surprisal q92, and KL q142 build toward): DSIR
+    (Xie et al. 2023) hashed-unigram importance log-ratios with the
+    'en'-labeled slice as the target domain, deterministic top-50
+    selection (operators/dsir.py). Bucket counts exchange ≤ width rows
+    per task (hashed features, map-side combine); the ≤-width-row
+    log-ratio table is a provable broadcast — fixed-width hashing is
+    exactly what makes an open vocabulary broadcastable; totals ride as
+    a 1-row broadcast. Scores round to 6 before the rank so the
+    selected set is engine-identical; duplicate documents tie exactly
+    and break by doc_id."""
+    from usajobs_etl_service_spark.operators.dsir import dsir_select
+
+    docs = _t(spark, sf_dir, "documents")
+    return dsir_select(docs, F.col("lang") == "en", 50, width=4096)
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_job_statistics": q01_job_statistics,
     "q02_metric_union": q02_metric_union,
@@ -3301,6 +3355,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q148_psi_drift": q148_psi_drift,
     "q149_multi_touch_attribution": q149_multi_touch_attribution,
     "q150_ops_dashboard": q150_ops_dashboard,
+    "q151_cms_frequency": q151_cms_frequency,
+    "q152_dsir_selection": q152_dsir_selection,
 }
 
 
@@ -5539,6 +5595,63 @@ ORACLES: dict[str, str] = {
         WHERE c_acctbal > avg_bal
           AND NOT EXISTS (SELECT 1 FROM recent WHERE o_custkey = c_custkey)
         GROUP BY c_nationkey
+    """,
+    "q151_cms_frequency": """
+        WITH toks AS (
+            SELECT doc_id % 2 AS half,
+                   unnest(list_filter(string_split_regex(trim(lower(text)), '\\s+'), x -> x <> '')) AS item
+            FROM documents
+        ), rows_d AS (
+            SELECT half, item, depth
+            FROM toks CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS depth)
+        ), half_sketches AS (
+            SELECT half, depth,
+                   CAST(('0x' || substr(md5(item || '#cms' || CAST(depth AS VARCHAR)), 1, 8)) AS BIGINT) % 4096 AS bucket,
+                   count(*) AS cnt
+            FROM rows_d GROUP BY half, depth, bucket
+        ), sk AS (
+            SELECT depth, bucket, sum(cnt) AS cnt FROM half_sketches GROUP BY depth, bucket
+        ), probes AS (
+            SELECT unnest(['spark', 'window', 'merge', 'data', 'dup', 'query', 'batch', 'zzz-unseen']) AS item
+        ), pb AS (
+            SELECT item, depth,
+                   CAST(('0x' || substr(md5(item || '#cms' || CAST(depth AS VARCHAR)), 1, 8)) AS BIGINT) % 4096 AS bucket
+            FROM probes CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS depth)
+        )
+        SELECT pb.item, min(COALESCE(sk.cnt, 0)) AS est
+        FROM pb LEFT JOIN sk USING (depth, bucket)
+        GROUP BY pb.item
+        ORDER BY pb.item
+    """,
+    "q152_dsir_selection": """
+        WITH toks AS (
+            SELECT doc_id, lang = 'en' AS is_target,
+                   unnest(list_filter(string_split_regex(trim(lower(text)), '\\s+'), x -> x <> '')) AS token
+            FROM documents
+        ), feats AS (
+            SELECT doc_id, is_target,
+                   CAST(('0x' || substr(md5(token || '#dsir'), 1, 8)) AS BIGINT) % 4096 AS bucket
+            FROM toks
+        ), counts AS (
+            SELECT bucket, count(*) AS raw_cnt,
+                   count(*) FILTER (WHERE is_target) AS tgt_cnt
+            FROM feats GROUP BY bucket
+        ), totals AS (
+            SELECT sum(raw_cnt) AS raw_total, sum(tgt_cnt) AS tgt_total FROM counts
+        ), ratio AS (
+            SELECT bucket,
+                   ln((tgt_cnt + 0.5) / (tgt_total + 0.5 * 4096))
+                 - ln((raw_cnt + 0.5) / (raw_total + 0.5 * 4096)) AS log_ratio
+            FROM counts CROSS JOIN totals
+        ), scored AS (
+            SELECT f.doc_id, round(sum(r.log_ratio), 6) AS importance
+            FROM feats f JOIN ratio r USING (bucket)
+            GROUP BY f.doc_id
+        )
+        SELECT doc_id, importance
+        FROM scored
+        ORDER BY importance DESC, doc_id ASC
+        LIMIT 50
     """,
 }
 

@@ -73,11 +73,11 @@ def test_same_direction_same_cluster_despite_duplicate_centroids(spark):
         assert a[i] == a[i + 1000], f"pair {i} split across clusters"
 
 
-def test_ml_kmeans_path_above_literal_codebook(spark):
-    """n_clusters > LITERAL_CODEBOOK_MAX switches assignment to
-    pyspark.ml KMeans (the production large-codebook path). Determinism
-    is seed-fixed; on this fixed corpus the planted scaled copies must
-    still all be caught."""
+def test_lloyd_path_above_literal_codebook(spark):
+    """n_clusters > LITERAL_CODEBOOK_MAX switches assignment to the
+    Arrow-batched numpy Lloyd path (_lloyd_blocking, the production
+    large-codebook shape). Determinism is seed-fixed; on this fixed
+    corpus the planted scaled copies must still all be caught."""
     import random
 
     from usajobs_etl_service_spark.operators.semdedup import LITERAL_CODEBOOK_MAX

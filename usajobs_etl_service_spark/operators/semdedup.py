@@ -100,6 +100,141 @@ def auto_n_clusters(n_rows: int, *, target_cluster: int = 200, floor: int = 16) 
 LITERAL_CODEBOOK_MAX = 128
 
 
+def _lloyd_blocking(
+    df: DataFrame,
+    *,
+    id_col: str,
+    embedding_col: str,
+    n_clusters: int,
+    seed: int,
+    iters: int = 4,
+) -> DataFrame:
+    """Large-codebook cluster assignment: spherical k-means (the
+    SemDeDup paper's own clustering) as vectorized Arrow-batched Lloyd
+    passes — ``mapInPandas`` + one numpy GEMM per batch — instead of
+    ``pyspark.ml.KMeans``, which measured a ~110 s FIXED driver/RDD
+    overhead at the 100x smoke (fit 349 s at k=2000 even with a
+    sampled input and random init; the whole Lloyd math is ~5 s of
+    BLAS). The sanctioned-Python rules hold: Arrow batches, one matrix
+    multiply per batch, never a per-row Python loop.
+
+    Per iteration: ONE pass over the corpus; each task folds its
+    batches into a single (k x dim) partial-sum matrix + count vector
+    (so a task emits ≤ k rows no matter how many rows it scanned —
+    the map-side-combine bound, by hand), partials reduce via
+    posexplode + groupBy (≤ k*dim tiny rows through the exchange), and
+    the driver pulls k*dim scalars to rebuild the codebook (the
+    ivf/pq k-row centroid-pull posture; independent of executor
+    count). Iterating over the FULL corpus costs the same as the old
+    sampled fit's final pass and removes the sample-quality knob.
+
+    Determinism: init is the deterministic hash-ordered sample (same
+    rule as the literal path / ivf_build); assignment snaps normalized
+    scores to 6 decimals before the argmax, so identical-DIRECTION
+    vectors get identical cluster ids — the same tie argument as the
+    literal path (a flip needs two centroid cosines within float-eps
+    of a 1e-6 rounding boundary). Run-to-run center wobble from
+    float-sum reduce order is below that same boundary argument.
+    Blocking quality only affects near-miss recall; precision is the
+    downstream exact-cosine verify's job either way.
+
+    The staged normalized frame is persisted for the duration: the
+    iteration loop and the final assignment pass all read it, and the
+    caller's within-cluster self-join reads the assignment twice.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.storagelevel import StorageLevel
+
+    spark = df.sparkSession
+    nv = l2_normalize(F.col(embedding_col).cast("array<double>"))
+    staged = df.withColumn("__nv", nv).persist(StorageLevel.MEMORY_AND_DISK)
+
+    cent = (
+        staged.select(
+            "__nv", F.xxhash64(F.col(id_col).cast("string"), F.lit(seed)).alias("__o")
+        )
+        .orderBy("__o")
+        .limit(n_clusters)
+        .select("__nv")
+        .collect()
+    )
+    centers = np.array([r["__nv"] for r in cent], dtype=np.float64)
+    k, dim = centers.shape
+
+    def _argmax(X: "np.ndarray", C: "np.ndarray") -> "np.ndarray":
+        # snap BEFORE argmax: identical-direction rows see identical
+        # snapped score vectors, first-max breaks ties the same way
+        return np.round(X @ C.T, 6).argmax(axis=1)
+
+    for _ in range(iters):
+        bc = spark.sparkContext.broadcast(centers)
+
+        def _partials(batches):
+            C = bc.value
+            sums = np.zeros((k, dim))
+            cnts = np.zeros(k, dtype=np.int64)
+            seen = False
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                seen = True
+                X = np.stack(pdf["__nv"].to_numpy())
+                a = _argmax(X, C)
+                cnts += np.bincount(a, minlength=k)
+                for j in range(dim):
+                    sums[:, j] += np.bincount(a, weights=X[:, j], minlength=k)
+            if seen:
+                yield pd.DataFrame(
+                    {"cid": np.arange(k), "cnt": cnts, "sums": list(sums)}
+                )
+
+        parts = staged.select("__nv").mapInPandas(
+            _partials, "cid long, cnt long, sums array<double>"
+        )
+        red = (
+            parts.select("cid", "cnt", F.posexplode("sums").alias("pos", "v"))
+            .groupBy("cid", "pos")
+            .agg(F.sum("v").alias("v"), F.sum("cnt").alias("c"))
+            .collect()
+        )
+        new_sums = np.zeros((k, dim))
+        new_cnts = np.zeros(k, dtype=np.int64)
+        for r in red:
+            new_sums[r["cid"], r["pos"]] = r["v"]
+            if r["pos"] == 0:
+                # cnt rides every exploded row identically within one
+                # partial; the (cid, pos=0) group sums one cnt per
+                # partial, i.e. the true total for cid — read it there
+                new_cnts[r["cid"]] = r["c"]
+        nonzero = new_cnts > 0
+        means = np.where(
+            nonzero[:, None], new_sums / np.maximum(new_cnts, 1)[:, None], centers
+        )
+        norms = np.linalg.norm(means, axis=1, keepdims=True)
+        centers = np.where(norms > 0, means / np.maximum(norms, 1e-300), centers)
+
+    bc_final = spark.sparkContext.broadcast(centers)
+    out_fields = [f for f in staged.schema.fields if f.name != "__nv"]
+    out_schema = (
+        ", ".join(f"`{f.name}` {f.dataType.simpleString()}" for f in out_fields)
+        + ", cluster_id long"
+    )
+    out_names = [f.name for f in out_fields]
+
+    def _assign(batches):
+        C = bc_final.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = np.stack(pdf["__nv"].to_numpy())
+            res = pdf[out_names].copy()
+            res["cluster_id"] = _argmax(X, C)
+            yield res
+
+    return staged.mapInPandas(_assign, out_schema)
+
+
 def assign_clusters(
     df: DataFrame,
     *,
@@ -149,31 +284,12 @@ def assign_clusters(
             n_rows_hint if n_rows_hint is not None else df.count()
         )
     if n_clusters > LITERAL_CODEBOOK_MAX:
-        from pyspark.ml.clustering import KMeans
-        from pyspark.ml.functions import array_to_vector
-
-        nv = l2_normalize(F.col(embedding_col).cast("array<double>"))
-        feat = df.withColumn("__feat", array_to_vector(nv))
-        # Codebook fits on a bounded deterministic sample (>= 50 rows
-        # per centroid), assignment runs over everything — the standard
-        # large-corpus k-means shape (a Lloyd pass over the full corpus
-        # per iteration is iterations x assignment cost for marginal
-        # centroid movement; measured 820 s for q89 at the 100x smoke
-        # before sampling). Blocking quality only affects which
-        # near-misses share a cluster; the exact-cosine verify keeps
-        # precision regardless.
-        fit_rows = max(50 * n_clusters, 50_000)
-        fit_df = (
-            feat.select("__feat", F.xxhash64(F.col(id_col).cast("string"), F.lit(seed)).alias("__o"))
-            .orderBy("__o")
-            .limit(fit_rows)
-            .select("__feat")
-        )
-        model = KMeans(
-            k=n_clusters, seed=seed, maxIter=8, featuresCol="__feat", predictionCol="cluster_id"
-        ).fit(fit_df)
-        return model.transform(feat).select(
-            F.col(id_col), F.col(embedding_col), F.col("cluster_id").cast("long")
+        return _lloyd_blocking(
+            df,
+            id_col=id_col,
+            embedding_col=embedding_col,
+            n_clusters=n_clusters,
+            seed=seed,
         )
     if refine_kmeans:
         from usajobs_etl_service_spark.operators.similarity import _kmeans_centroids

@@ -96,7 +96,7 @@ def auto_n_clusters(n_rows: int, *, target_cluster: int = 200, floor: int = 16) 
 
 # above this codebook size the literal-argmax expression stops being a
 # codegen win (q82's measured compile-cost territory: 128 x 64 dims =
-# 8k literals) and assignment switches to pyspark.ml KMeans
+# 8k literals) and assignment switches to the Arrow-batched Lloyd path
 LITERAL_CODEBOOK_MAX = 128
 
 
@@ -266,13 +266,13 @@ def assign_clusters(
     ``n_clusters=None`` derives the count from the corpus
     (auto_n_clusters — constant expected occupancy, the scale-correct
     production setting). Codebooks above LITERAL_CODEBOOK_MAX switch
-    from the literal-argmax expression to pyspark.ml KMeans over the
-    normalized vectors (spherical k-means, the SemDeDup paper's own
-    clustering): JVM-broadcast centers scale to thousands of clusters
-    where an 8k+-literal expression would blow up codegen. The ml path
-    trades the snap-tie determinism guarantee for scale — it is the
-    production shape, not the oracle shape (oracle corpora stay under
-    the literal threshold).
+    from the literal-argmax expression to the Arrow-batched numpy
+    Lloyd path (_lloyd_blocking — spherical k-means, the SemDeDup
+    paper's own clustering): broadcast centers and per-batch GEMM
+    scale to thousands of clusters where an 8k+-literal expression
+    would blow up codegen, and the same round-6 snap-before-argmax
+    keeps the identical-direction tie guarantee. It is the production
+    shape; oracle corpora stay under the literal threshold.
 
     ``n_rows_hint`` skips the auto-count's full pass when the caller
     already knows the cardinality (parquet footers, a prior count) —

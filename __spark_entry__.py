@@ -3186,6 +3186,24 @@ def q151_cms_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cms_estimate(sk, probes, "item", depth=4, width=4096).orderBy("item")
 
 
+def q153_winnow_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extension (contiguous-overlap screening — the guarantee-bearing
+    complement of MinHash's probabilistic screen): winnowing
+    fingerprints (Schleimer-Wilkerson-Aiken 2003, the MOSS algorithm;
+    operators/winnow.py) with k=4, w=4 — any shared run of >= 7 tokens
+    between two documents is caught with CERTAINTY, not probability.
+    Selection is pure expression work in the scan stage (k-gram hash ->
+    per-window array_min -> distinct); exchanges are the fp hot-key
+    guard (ubiquitous-fingerprint drop, which is MOSS's own boilerplate
+    rule, observe-counted like every LSH cap here) and the fp equi-join
+    + pair count. md5-prefix hashing makes the DuckDB oracle reproduce
+    identical fingerprint sets, so the full pipeline is value-checked."""
+    from usajobs_etl_service_spark.operators.winnow import winnow_candidate_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    return winnow_candidate_pairs(docs, k=4, w=4, min_shared=2)
+
+
 def q152_dsir_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Extension (importance-based data selection — the recipe the
     quality-gate q80, surprisal q92, and KL q142 build toward): DSIR
@@ -3357,6 +3375,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q150_ops_dashboard": q150_ops_dashboard,
     "q151_cms_frequency": q151_cms_frequency,
     "q152_dsir_selection": q152_dsir_selection,
+    "q153_winnow_candidates": q153_winnow_candidates,
 }
 
 
@@ -5652,6 +5671,40 @@ ORACLES: dict[str, str] = {
         FROM scored
         ORDER BY importance DESC, doc_id ASC
         LIMIT 50
+    """,
+    "q153_winnow_candidates": """
+        WITH t AS (
+            SELECT doc_id,
+                   string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS toks
+            FROM documents
+        ), g AS (
+            SELECT doc_id,
+                   CASE WHEN len(toks) >= 4
+                        THEN list_transform(generate_series(1, len(toks) - 3),
+                                            x -> array_to_string(list_slice(toks, x, x + 3), ' '))
+                        ELSE [array_to_string(toks, ' ')]
+                   END AS grams
+            FROM t
+        ), h AS (
+            SELECT doc_id,
+                   list_transform(grams, s -> CAST(('0x' || substr(md5(s || '#win'), 1, 8)) AS BIGINT)) AS hs
+            FROM g
+        ), fp AS (
+            SELECT doc_id,
+                   list_distinct(list_transform(generate_series(1, greatest(len(hs) - 3, 1)),
+                                 i -> list_aggregate(list_slice(hs, i, i + 3), 'min'))) AS fps
+            FROM h
+        ), e AS (
+            SELECT doc_id, unnest(fps) AS fp FROM fp
+        ), kept AS (
+            SELECT fp FROM e GROUP BY fp HAVING count(*) BETWEEN 2 AND 500
+        ), ke AS (
+            SELECT e.doc_id, e.fp FROM e JOIN kept USING (fp)
+        )
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared_fps
+        FROM ke a JOIN ke b ON a.fp = b.fp AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+        HAVING count(*) >= 2
     """,
 }
 

@@ -1,0 +1,112 @@
+"""Winnowing fingerprints (operators/winnow.py): the
+Schleimer-Wilkerson-Aiken detection guarantee, fallbacks, and the
+ubiquitous-fingerprint cap."""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+from pyspark.sql import Observation
+from pyspark.sql import functions as F
+
+from usajobs_etl_service_spark.operators.winnow import (
+    winnow_candidate_pairs,
+    winnow_fingerprints,
+)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def _words(rng, n, pool):
+    return " ".join(rng.choice(pool) for _ in range(n))
+
+
+POOL = [f"w{i}" for i in range(500)]
+
+
+def test_shared_run_of_k_plus_w_minus_1_always_detected(spark):
+    # guarantee: a shared run of >= k + w - 1 tokens (4 + 4 - 1 = 7)
+    # forces at least one common selected fingerprint
+    rng = random.Random(7)
+    shared = _words(rng, 7, POOL)
+    rows = [
+        (1, _words(rng, 40, POOL) + " " + shared + " " + _words(rng, 40, POOL)),
+        (2, _words(rng, 35, POOL) + " " + shared + " " + _words(rng, 35, POOL)),
+    ]
+    fps = winnow_fingerprints(_docs(spark, rows), k=4, w=4)
+    a = {r["fp"] for r in fps.filter(F.col("id") == 1).collect()}
+    b = {r["fp"] for r in fps.filter(F.col("id") == 2).collect()}
+    assert a & b
+
+
+def test_identical_docs_share_all_fingerprints(spark):
+    rng = random.Random(11)
+    text = _words(rng, 60, POOL)
+    fps = winnow_fingerprints(_docs(spark, [(1, text), (2, text)]), k=4, w=4)
+    a = sorted(r["fp"] for r in fps.filter(F.col("id") == 1).collect())
+    b = sorted(r["fp"] for r in fps.filter(F.col("id") == 2).collect())
+    assert a == b and len(a) >= 1
+
+
+def test_density_bound(spark):
+    # selected fingerprints <= number of windows (n_grams - w + 1) and
+    # far fewer in expectation (the 2/(w+1) winnowing density)
+    rng = random.Random(13)
+    text = _words(rng, 200, POOL)
+    fps = winnow_fingerprints(_docs(spark, [(1, text)]), k=4, w=4)
+    n_fp = fps.count()
+    n_windows = 200 - 4 + 1 - 3  # n_grams - (w - 1)
+    assert 1 <= n_fp <= n_windows
+
+
+def test_short_doc_fallback_still_pairs_with_copy(spark):
+    rows = [(1, "one two"), (2, "one two")]
+    pairs = winnow_candidate_pairs(_docs(spark, rows), k=4, w=4, min_shared=1).collect()
+    assert [(r["id_a"], r["id_b"]) for r in pairs] == [(1, 2)]
+
+
+def test_ubiquitous_fingerprint_dropped_and_counted(spark):
+    # every doc contains the same boilerplate; with max_postings below
+    # the doc count the boilerplate fingerprints are dropped (counted),
+    # so unrelated docs produce NO pairs
+    rng = random.Random(17)
+    boiler = _words(rng, 12, POOL)
+    rows = [(i, boiler + " " + _words(rng, 30, POOL)) for i in range(10)]
+    obs = Observation()
+    pairs = winnow_candidate_pairs(
+        _docs(spark, rows), k=4, w=4, min_shared=1, max_postings=5, observation=obs
+    )
+    got = pairs.collect()
+    assert got == []
+    # AQE caveat (_cap_buckets docstring): empty result may elide the
+    # metrics node; re-check with AQE off
+    try:
+        metrics = dict(obs.get)
+        if metrics.get("dropped_rows") is None:
+            raise ValueError("metrics elided")
+    except Exception:
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        try:
+            obs2 = Observation()
+            winnow_candidate_pairs(
+                _docs(spark, rows), k=4, w=4, min_shared=1, max_postings=5,
+                observation=obs2,
+            ).collect()
+            metrics = dict(obs2.get)
+        finally:
+            spark.conf.set("spark.sql.adaptive.enabled", "true")
+    assert metrics["dropped_rows"] > 0 and metrics["dropped_buckets"] > 0
+
+
+def test_disjoint_docs_no_pairs(spark):
+    rows = [(1, " ".join(f"a{i}" for i in range(30))),
+            (2, " ".join(f"b{i}" for i in range(30)))]
+    assert winnow_candidate_pairs(_docs(spark, rows), min_shared=1).collect() == []
+
+
+def test_bad_params_raise(spark):
+    with pytest.raises(ValueError):
+        winnow_fingerprints(_docs(spark, [(1, "a")]), k=0, w=4)

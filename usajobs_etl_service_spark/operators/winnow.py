@@ -1,0 +1,135 @@
+"""Winnowing document fingerprints (Schleimer, Wilkerson & Aiken 2003,
+"Winnowing: Local Algorithms for Document Fingerprinting" — the MOSS
+plagiarism-detector's algorithm).
+
+Guarantee that makes winnowing different from MinHash/SimHash: any
+shared substring of at least ``k + w - 1`` tokens between two documents
+is DETECTED with certainty — each sliding window of ``w`` consecutive
+k-gram hashes contributes its minimum, so a long-enough match forces at
+least one identical selected fingerprint in both documents. MinHash
+bounds the MISS PROBABILITY; winnowing bounds the miss LENGTH. That
+makes it the right primitive for contiguous-overlap detection
+(plagiarism, license-text reuse, boilerplate clusters), complementing
+the set-similarity family (neardup.py) and the positional-span family
+(substring_dedup.py, which finds the spans themselves; winnowing is the
+cheap candidate-pair screen in front of such an alignment).
+
+Spark-first shape:
+- Fingerprint selection is PURE expression work inside the scan stage
+  (tokens -> k-gram hashes -> per-window array_min -> array_distinct):
+  no shuffle, no UDF, whole-stage codegen.
+- The only exchanges are the fp hot-key guard (window count — the
+  exact `_cap_buckets` discipline every LSH path here uses; dropping
+  ubiquitous fingerprints is ALSO what MOSS itself does to ignore
+  boilerplate) and the fp equi-join + pair aggregate.
+- Hashing is the repo-standard md5-prefix scheme, so the DuckDB oracle
+  reproduces the identical fingerprint sets (q153).
+
+At 100 TB: per-document fingerprint count is ~n_tokens/w on average
+(the winnowing density bound 2/(w+1) per hash), so the exploded
+posting table is a bounded fraction of the token stream; the cap
+bounds every posting list, and the pair aggregate shuffles only
+(id_a, id_b) longs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from usajobs_etl_service_spark.functions.text import (
+    _WS,
+    normalized_text,
+    shingles_from_tokens,
+)
+from usajobs_etl_service_spark.operators.neardup import _cap_buckets
+
+
+def _gram_hash(gram: Column) -> Column:
+    """md5-prefix long of ``gram#win`` — engine-reproducible (the
+    DuckDB oracle repeats the identical expression)."""
+    return F.conv(
+        F.substring(F.md5(F.concat(gram, F.lit("#win"))), 1, 8), 16, 10
+    ).cast("long")
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 4,
+    w: int = 4,
+) -> DataFrame:
+    """One row per selected fingerprint: ``(id, fp long)``, distinct
+    per document.
+
+    Selection: hash every word k-gram, slide a window of ``w``
+    consecutive hashes, keep each window's minimum. Documents shorter
+    than ``k`` tokens fall back to one whole-text gram (the
+    shingles_from_tokens contract); documents with fewer than ``w``
+    windows contribute the global minimum (the single window that
+    exists is the whole hash array).
+    """
+    if k < 1 or w < 1:
+        raise ValueError(f"k/w must be >= 1, got {k}/{w}")
+    toks = df.select(
+        F.col(id_col).alias("id"), F.split(normalized_text(F.col(text_col)), _WS).alias("__t")
+    )
+    grams = toks.select("id", shingles_from_tokens(F.col("__t"), k).alias("__g"))
+    hashed = grams.select(
+        "id", F.transform(F.col("__g"), _gram_hash).alias("__h")
+    )
+    n = F.size(F.col("__h"))
+    idx = F.sequence(F.lit(1), F.greatest(n - (w - 1), F.lit(1)))
+    fps = hashed.select(
+        "id",
+        F.array_distinct(
+            F.transform(idx, lambda i: F.array_min(F.slice(F.col("__h"), i, w)))
+        ).alias("__fps"),
+    )
+    return fps.select("id", F.explode("__fps").alias("fp"))
+
+
+def winnow_candidate_pairs(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 4,
+    w: int = 4,
+    min_shared: int = 2,
+    max_postings: int = 500,
+    observation=None,
+) -> DataFrame:
+    """Document pairs sharing >= ``min_shared`` selected fingerprints:
+    ``(id_a, id_b, shared_fps long)`` with ``id_a < id_b``.
+
+    Fingerprints held by more than ``max_postings`` documents are
+    dropped before the quadratic join — never silently (`_cap_buckets`
+    observe counters); MOSS does the same to ignore boilerplate, so
+    unlike the LSH caps this drop is part of the PUBLISHED recipe, not
+    only a scale guard. Singleton fingerprints cannot pair and are
+    dropped by the same pass.
+    """
+    fps = winnow_fingerprints(df, id_col=id_col, text_col=text_col, k=k, w=w)
+    keyed = fps.select(F.lit(0).alias("band"), F.col("fp").alias("key"), "id")
+    capped = _cap_buckets(
+        keyed, max_postings, metric_name="winnow_fp_cap", observation=observation
+    )
+    # single consumption of the observed plan (an Observation node may
+    # appear in ONE plan branch only — a self-join over `capped` would
+    # embed it twice and the metrics silently never populate), and the
+    # bounded posexplode+slice pair expansion instead of a second
+    # fp-keyed exchange — the `_bucket_pairs` shape, ids only
+    buckets = capped.groupBy("band", "key").agg(
+        F.sort_array(F.collect_set("id")).alias("ids")
+    )
+    lhs = buckets.select(F.posexplode("ids").alias("i", "id_a"), "ids")
+    pairs = lhs.select(
+        "id_a",
+        F.explode(F.slice(F.col("ids"), F.col("i") + F.lit(2), F.size("ids"))).alias("id_b"),
+    )
+    return pairs.groupBy("id_a", "id_b").agg(
+        F.count(F.lit(1)).alias("shared_fps")
+    ).filter(F.col("shared_fps") >= min_shared)

@@ -3204,6 +3204,40 @@ def q153_winnow_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     return winnow_candidate_pairs(docs, k=4, w=4, min_shared=2)
 
 
+def q154_token_budget_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extension (budget-constrained corpus assembly — the step after
+    every quality/dedup gate: 'best documents until the token budget is
+    spent'): greedy highest-quality-first selection under a global
+    budget of 10% of corpus tokens. Greedy-by-score IS optimal here
+    (uniform value density), and the order statistic is exact at scale:
+    global (score desc, doc_id) running token sum via
+    distributed_order.ordered_cumsum — range exchange + per-partition
+    windows + carry-in offsets, no single-task WindowExec. The budget
+    scalar rides a 1-row broadcast; floor(sum/10.0) is IEEE-exact for
+    counts < 2^53 so the cutoff is engine-identical; integer token
+    cumsums make the <= test exact; (score, doc_id) is a total order so
+    tie groups can't straddle nondeterministically."""
+    from usajobs_etl_service_spark.operators.distributed_order import ordered_cumsum
+
+    docs = _t(spark, sf_dir, "documents")
+    scored = docs.select(
+        "doc_id",
+        TX.quality_score(F.col("text")).alias("score"),
+        TX.token_count_ws(F.col("text")).cast("long").alias("n_tokens"),
+    )
+    cum = ordered_cumsum(
+        scored, [F.col("score").desc(), F.col("doc_id").asc()], ["n_tokens"]
+    )
+    budget = scored.agg(
+        F.floor(F.sum("n_tokens") / F.lit(10.0)).cast("long").alias("budget")
+    )
+    return (
+        cum.crossJoin(F.broadcast(budget))
+        .filter(F.col("cum_n_tokens") <= F.col("budget"))
+        .select("doc_id", "score", "n_tokens", F.col("cum_n_tokens").alias("cum_tokens"))
+    )
+
+
 def q152_dsir_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Extension (importance-based data selection — the recipe the
     quality-gate q80, surprisal q92, and KL q142 build toward): DSIR
@@ -3376,6 +3410,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q151_cms_frequency": q151_cms_frequency,
     "q152_dsir_selection": q152_dsir_selection,
     "q153_winnow_candidates": q153_winnow_candidates,
+    "q154_token_budget_mix": q154_token_budget_mix,
 }
 
 
@@ -5705,6 +5740,40 @@ ORACLES: dict[str, str] = {
         FROM ke a JOIN ke b ON a.fp = b.fp AND a.doc_id < b.doc_id
         GROUP BY a.doc_id, b.doc_id
         HAVING count(*) >= 2
+    """,
+    "q154_token_budget_mix": """
+        WITH f AS (
+            SELECT doc_id,
+                   length(text) AS n_chars,
+                   len(list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '')) AS n_tokens,
+                   length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS n_alpha,
+                   length(regexp_replace(text, '[^0-9]', '', 'g')) AS n_digit,
+                   length(text) - length(regexp_replace(text, '\\s', '', 'g')) AS n_space,
+                   len(list_filter(string_split_regex(lower(text), '\\s+'),
+                       x -> x IN ('the','and','of','to','is','in','that','with'))) AS stop_hits
+            FROM documents
+        ), scored AS (
+            SELECT doc_id,
+                   round(
+                       least(CAST(n_tokens AS DOUBLE) / 20.0, 1.0) * 0.3
+                     + (CASE WHEN n_chars > 0 THEN CAST(n_alpha AS DOUBLE) / n_chars ELSE 0.0 END) * 0.3
+                     + (1 - least((CASE WHEN n_chars > 0 THEN CAST(n_digit AS DOUBLE) / n_chars ELSE 0.0 END) * 4, 1.0)) * 0.15
+                     + (1 - least((CASE WHEN n_chars > 0 THEN CAST(n_chars - n_alpha - n_digit - n_space AS DOUBLE) / n_chars ELSE 0.0 END) * 4, 1.0)) * 0.15
+                     + least(CAST(stop_hits AS DOUBLE) / 5.0, 1.0) * 0.1
+                   , 4) AS score,
+                   CAST(n_tokens AS BIGINT) AS n_tokens
+            FROM f
+        ), b AS (
+            SELECT CAST(floor(sum(n_tokens) / 10.0) AS BIGINT) AS budget FROM scored
+        ), cum AS (
+            SELECT doc_id, score, n_tokens,
+                   CAST(sum(n_tokens) OVER (ORDER BY score DESC, doc_id ASC
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens
+            FROM scored
+        )
+        SELECT doc_id, score, n_tokens, cum_tokens
+        FROM cum CROSS JOIN b
+        WHERE cum_tokens <= budget
     """,
 }
 

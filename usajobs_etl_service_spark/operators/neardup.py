@@ -449,9 +449,11 @@ def minhash_near_dup_pairs(
     for b_n, r_n in configs[1:]:
         if b_n * r_n > num_hashes:
             raise ValueError(f"band config ({b_n}, {r_n}) needs {b_n * r_n} lanes > num_hashes ({num_hashes})")
+    from pyspark.storagelevel import StorageLevel
+
     sigs = minhash_signatures_df(
         df, id_col=id_col, text_col=text_col, num_hashes=num_hashes, shingle_k=shingle_k, seed=seed
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     from functools import reduce
     from itertools import accumulate
 
@@ -460,42 +462,48 @@ def minhash_near_dup_pairs(
         lambda x, y: x.unionByName(y),
         (
             sigs.select(
-                "id", "sig", F.explode(lsh_band_keys(F.col("sig"), b_n, r_n, band_offset=off)).alias("bk")
+                "id", F.explode(lsh_band_keys(F.col("sig"), b_n, r_n, band_offset=off)).alias("bk")
             )
             for off, (b_n, r_n) in zip(offsets, configs)
         ),
     )
-    banded = banded.select("id", "sig", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    banded = banded.select("id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
 
-    # Candidate generation WITHOUT a self-join. A self-join's two sides are
-    # separate subtrees to the planner (AQE does not reuse the exchange, and
-    # broadcasting one side replans it outright), so the expensive signature
-    # pipeline ran twice. Instead:
-    #   1. window count over (band, key) — ONE shuffle of the banded set,
-    #      spill-safe (WindowExec sorts/spills, no per-key buffer), dropping
-    #      singleton buckets (the overwhelming majority) and degenerate hot
-    #      keys > max_bucket BEFORE anything quadratic can happen;
-    #   2. collect_list per surviving bucket — same (band, key) partitioning,
-    #      so NO new exchange, and the agg buffer is bounded by max_bucket;
-    #   3. expression-level i<j pair expansion inside each bucket array.
-    # The signature aggregate appears exactly once in the plan under any
-    # planner; total shuffles: sig agg, band-key, pair dedup.
+    # Candidate generation WITHOUT a self-join, and WITHOUT signatures in
+    # the hot exchange. The banded stream is (id, band, key) — ~24 B/row
+    # instead of the ~1 KB/row of carrying the 128-lane signature, which
+    # at the 100x smoke was the family's only spill (8.2 GB through the
+    # window sort). Shape:
+    #   1. window count over (band, key) — ONE narrow-row shuffle,
+    #      spill-safe, dropping singleton buckets (the overwhelming
+    #      majority) and degenerate hot keys > max_bucket BEFORE anything
+    #      quadratic can happen;
+    #   2. collect_list per surviving bucket — same (band, key)
+    #      partitioning, no new exchange, agg buffer bounded by
+    #      max_bucket ids;
+    #   3. expression-level i<j pair expansion, then the pair dedup on
+    #      16 B rows (cheap now, and it shrinks the verify joins);
+    #   4. exact signature-similarity verify via two id-keyed joins
+    #      against the PERSISTED signature frame — the persist is what
+    #      keeps the expensive signature pipeline computed once even
+    #      though the plan now references it three times (banding + two
+    #      verify sides); the join exchanges move each signature once,
+    #      bounded by corpus size, not by banded-duplicate count.
     banded = _cap_buckets(banded, max_bucket, metric_name="minhash_lsh_cap", observation=observation)
     buckets = banded.groupBy("band", "key").agg(
-        F.array_sort(F.collect_list(F.struct("id", "sig"))).alias("ms")
+        F.sort_array(F.collect_list("id")).alias("ids")
     )
-    # Verify BEFORE the dedup shuffle: est_jaccard is deterministic per
-    # pair, so computing it on every banded duplicate costs one cheap
-    # codegen'd 128-lane fold per extra band hit, while the
-    # dropDuplicates exchange shrinks from 2 KB/row (two full
-    # signatures) to 24 B/row (ids + estimate) — and only pairs passing
-    # the threshold are shuffled at all.
+    lhs = buckets.select(F.posexplode("ids").alias("i", "id_a"), "ids")
+    pairs = lhs.select(
+        "id_a",
+        F.explode(F.slice(F.col("ids"), F.col("i") + F.lit(2), F.size("ids"))).alias("id_b"),
+    ).dropDuplicates(["id_a", "id_b"])
     return (
-        _bucket_pairs(buckets)
+        pairs.join(sigs.select(F.col("id").alias("id_a"), F.col("sig").alias("sig_a")), "id_a")
+        .join(sigs.select(F.col("id").alias("id_b"), F.col("sig").alias("sig_b")), "id_b")
         .withColumn("est_jaccard", F.round(signature_similarity(F.col("sig_a"), F.col("sig_b")), 4))
         .filter(F.col("est_jaccard") >= threshold)
         .select("id_a", "id_b", "est_jaccard")
-        .dropDuplicates(["id_a", "id_b"])
     )
 
 

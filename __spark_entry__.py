@@ -3256,6 +3256,196 @@ def q152_dsir_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dsir_select(docs, F.col("lang") == "en", 50, width=4096)
 
 
+def q155_unimax_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extension (language-balanced budget allocation — UniMax, Chung
+    et al. 2023): spend 50% of corpus tokens as uniformly as possible
+    across languages, capping every language at 0.6 epochs
+    (operators/sampling.unimax_allocation). The greedy waterfall is a
+    closed-form window pass over the per-language aggregate (one
+    corpus-scan groupBy; the windows see one row per language). At
+    these parameters the corpus sits in the MIXED regime — the four
+    smaller languages hit their epoch caps, 'en' absorbs the
+    remainder — so both branches of the allocation rule are exercised
+    and oracle-checked. Engine parity: both engines run the running
+    cumsum in the same (cap, lang) total order, so the sequential
+    float sums are bit-identical."""
+    from usajobs_etl_service_spark.operators.sampling import unimax_allocation
+
+    docs = _t(spark, sf_dir, "documents")
+    sized = docs.select(
+        "lang", TX.token_count_ws(F.col("text")).cast("long").alias("n_tokens")
+    )
+    return unimax_allocation(
+        sized, group_col="lang", size_col="n_tokens", budget_frac=0.5, max_epochs=0.6
+    )
+
+
+def q156_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extension (order-2 perplexity-proxy quality gate): per-document
+    Jelinek-Mercer interpolated bigram-LM surprisal
+    (operators/retrieval.bigram_lm_scores) — the upgrade of q92's
+    CCNet-style unigram score that catches repetitive/boilerplate
+    documents whose unigram mix looks ordinary but whose transitions
+    are predictable. Per-(doc, prev, cur) transition counts (not token
+    instances) join the corpus bigram and unigram tables — three
+    open-vocabulary equi-joins, no broadcast hints (AQE decides); the
+    token total rides as a 1-row broadcast. At 100 TB the n-gram
+    tables are build-once artifacts (the posting-table seam)."""
+    from usajobs_etl_service_spark.operators.retrieval import bigram_lm_scores
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return bigram_lm_scores(docs)
+
+
+def q157_prototypicality_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extension (prototypicality pruning — Sorscher et al. 2022,
+    "Beyond neural scaling laws"): cosine-to-cluster-mean scores with
+    the most prototypical 25% of each cluster marked for removal
+    (operators/semdedup.prototypicality_prune). Completes the pruning
+    family: q89 drops semantic DUPLICATES, this drops semantic
+    REDUNDANCY. md5-ordered centroid seeds + the round-6 snapped
+    literal-argmax assignment make the full pipeline — seeds,
+    assignment, per-cluster means, scores, prune flags —
+    engine-replayable, so unlike most clustering operators the oracle
+    checks every stage, not a clustering-invariant projection."""
+    from usajobs_etl_service_spark.operators.semdedup import prototypicality_prune
+
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    return prototypicality_prune(emb, n_clusters=32, prune_frac=0.25)
+
+
+def q158_nation_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extension (TPC-H Q8 shape): NATION_1's share of ASIA-customer
+    PROMO-part revenue by order year — the canonical 7-table star with
+    a conditional-share aggregate. Every dimension side (part,
+    supplier, nation x2, region, customer) broadcasts; the only
+    big-big exchange is lineitem-orders on the order key. The share is
+    a single conditional-sum pass (FILTER-style numerator over the
+    same grouped rows), not a join of two aggregates."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    supp = _t(spark, sf_dir, "supplier")
+    part = _t(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    cust_asia = (
+        cust.join(
+            F.broadcast(nation.select("n_nationkey", "n_regionkey")),
+            cust.c_nationkey == F.col("n_nationkey"),
+        )
+        .join(F.broadcast(region), F.col("n_regionkey") == region.r_regionkey)
+        .select("c_custkey")
+    )
+    supp_n = supp.join(
+        F.broadcast(nation.select(F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation"))),
+        supp.s_nationkey == F.col("sn_key"),
+    ).select("s_suppkey", "supp_nation")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust_asia), orders.o_custkey == F.col("c_custkey"))
+        .join(F.broadcast(part.select("p_partkey")), li.l_partkey == F.col("p_partkey"))
+        .join(F.broadcast(supp_n), li.l_suppkey == F.col("s_suppkey"))
+        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            F.round(
+                F.sum(F.when(F.col("supp_nation") == "NATION_1", rev).otherwise(F.lit(0.0)))
+                / F.sum(rev),
+                6,
+            ).alias("mkt_share"),
+            F.round(F.sum(rev), 2).alias("total_revenue"),
+        )
+    )
+
+
+def q159_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extension (TPC-H Q15 shape): the supplier(s) with maximum
+    quarterly revenue — aggregate, max-of-aggregate, equality join
+    back. The max rides a 1-row broadcast onto the 100-row supplier
+    revenue table; revenue rounds to 2 BEFORE the max comparison so
+    the float tie is exact cross-engine."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1998-01-01")) & (F.col("l_shipdate") < F.lit("1998-04-01"))
+    )
+    supp = _t(spark, sf_dir, "supplier")
+    rev = (
+        li.groupBy("l_suppkey")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("total_revenue"))
+    )
+    mx = rev.agg(F.max("total_revenue").alias("max_rev"))
+    return (
+        rev.crossJoin(F.broadcast(mx))
+        .filter(F.col("total_revenue") == F.col("max_rev"))
+        .join(F.broadcast(supp.select("s_suppkey", "s_name")), rev.l_suppkey == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+def q160_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extension (TPC-H Q9 shape, adapted — the testdata carries no
+    partsupp, so supply cost is modeled as 60% of p_retailprice):
+    profit per supplier nation per order year over 'widget' parts.
+    part/supplier/nation broadcast; lineitem-orders is the one big-big
+    exchange; the profit expression folds into the scan stage."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    part = _t(spark, sf_dir, "part").filter(F.col("p_name").contains("widget"))
+    supp = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    amount = F.col("l_extendedprice") * (1 - F.col("l_discount")) - F.lit(0.6) * F.col(
+        "p_retailprice"
+    ) * F.col("l_quantity")
+    return (
+        li.join(F.broadcast(part.select("p_partkey", "p_retailprice")), li.l_partkey == F.col("p_partkey"))
+        .join(F.broadcast(supp.select("s_suppkey", "s_nationkey")), li.l_suppkey == F.col("s_suppkey"))
+        .join(F.broadcast(nation.select("n_nationkey", "n_name")), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(orders.select("o_orderkey", "o_orderdate"), li.l_orderkey == F.col("o_orderkey"))
+        .groupBy(F.col("n_name").alias("nation"), F.year("o_orderdate").alias("o_year"))
+        .agg(F.round(F.sum(amount), 2).alias("sum_profit"))
+    )
+
+
+def q161_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extension (TPC-H Q21 shape, adapted — no l_commitdate/
+    l_receiptdate in the testdata, so 'late' = shipped > 120 days
+    after the order date): suppliers who were the SOLE late supplier
+    on a finished multi-supplier order. The reference Q21 formulation
+    is a correlated EXISTS + NOT EXISTS self-join pair; here the same
+    predicate is two layered aggregations over one lineitem-orders
+    join — per-(order, supplier) lateness, then per-order counts —
+    which Spark executes as ONE shuffle on the order key feeding both
+    aggregates, with no self-join of the fact table at all. Top 20 by
+    count with a name tiebreak."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    supp = _t(spark, sf_dir, "supplier")
+    j = (
+        li.join(orders.select("o_orderkey", "o_orderdate"), li.l_orderkey == F.col("o_orderkey"))
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(
+            F.max(
+                (F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 120 DAYS")).cast("int")
+            ).alias("late")
+        )
+    )
+    ord_stats = j.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("n_supp"), F.sum("late").alias("n_late")
+    )
+    waiting = (
+        j.join(ord_stats, "l_orderkey")
+        .filter((F.col("late") == 1) & (F.col("n_supp") >= 2) & (F.col("n_late") == 1))
+        .groupBy("l_suppkey")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+    )
+    return (
+        waiting.join(F.broadcast(supp.select("s_suppkey", "s_name")), waiting.l_suppkey == F.col("s_suppkey"))
+        .orderBy(F.col("numwait").desc(), F.col("s_name").asc())
+        .limit(20)
+        .select("s_suppkey", "s_name", "numwait")
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_job_statistics": q01_job_statistics,
     "q02_metric_union": q02_metric_union,
@@ -3411,6 +3601,13 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q152_dsir_selection": q152_dsir_selection,
     "q153_winnow_candidates": q153_winnow_candidates,
     "q154_token_budget_mix": q154_token_budget_mix,
+    "q155_unimax_mix": q155_unimax_mix,
+    "q156_bigram_surprisal": q156_bigram_surprisal,
+    "q157_prototypicality_prune": q157_prototypicality_prune,
+    "q158_nation_market_share": q158_nation_market_share,
+    "q159_top_supplier": q159_top_supplier,
+    "q160_product_profit": q160_product_profit,
+    "q161_waiting_suppliers": q161_waiting_suppliers,
 }
 
 
@@ -5774,6 +5971,215 @@ ORACLES: dict[str, str] = {
         SELECT doc_id, score, n_tokens, cum_tokens
         FROM cum CROSS JOIN b
         WHERE cum_tokens <= budget
+    """,
+    # q155: both engines run the running cap-cumsum in the same
+    # (cap, lang) total order, so the sequential float sums match
+    # bit-for-bit; trunc() mirrors Spark's truncating long cast.
+    "q155_unimax_mix": """
+        WITH sized AS (
+            SELECT lang,
+                   len(list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '')) AS n_tokens
+            FROM documents
+        ), sizes AS (
+            SELECT lang, CAST(sum(n_tokens) AS DOUBLE) AS n_tokens FROM sized GROUP BY lang
+        ), tot AS (
+            SELECT sum(n_tokens) * 0.5 AS budget FROM sizes
+        ), s AS (
+            SELECT lang, n_tokens, n_tokens * 0.6 AS cap, budget,
+                   row_number() OVER (ORDER BY n_tokens * 0.6 ASC, lang ASC) AS r,
+                   coalesce(sum(n_tokens * 0.6) OVER (
+                       ORDER BY n_tokens * 0.6 ASC, lang ASC
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0.0) AS csum_prev,
+                   count(*) OVER () AS n_groups
+            FROM sizes CROSS JOIN tot
+        ), c AS (
+            SELECT *, CASE WHEN cap * (n_groups - r + 1) <= budget - csum_prev
+                           THEN 1 ELSE 0 END AS cond
+            FROM s
+        ), cc AS (
+            SELECT *, min(cond) OVER (ORDER BY cap ASC, lang ASC
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS capped
+            FROM c
+        ), agg AS (
+            SELECT *, sum(CASE WHEN capped = 1 THEN cap ELSE 0.0 END) OVER () AS capped_total,
+                      sum(CASE WHEN capped = 1 THEN 0 ELSE 1 END) OVER () AS n_uncapped
+            FROM cc
+        )
+        SELECT lang,
+               CAST(trunc(n_tokens) AS BIGINT) AS n_tokens,
+               CAST(trunc(cap) AS BIGINT) AS cap_tokens,
+               round(CASE WHEN capped = 1 OR n_uncapped = 0 THEN cap
+                          ELSE (budget - capped_total) / n_uncapped END, 4) AS alloc_tokens,
+               round(CASE WHEN capped = 1 OR n_uncapped = 0 THEN cap
+                          ELSE (budget - capped_total) / n_uncapped END / n_tokens, 6) AS epochs
+        FROM agg
+    """,
+    # q156: parallel unnest of the shifted token slices zips
+    # (prev, cur) transitions; integer counts, one float expression per
+    # joined row, round-4 after the per-doc mean (the q92 contract).
+    "q156_bigram_surprisal": """
+        WITH t AS (
+            SELECT doc_id,
+                   list_filter(string_split_regex(trim(lower(text)), '\\s+'), x -> x <> '') AS ts
+            FROM documents
+        ), base AS (
+            SELECT doc_id, ts, len(ts) AS n_tokens FROM t WHERE len(ts) >= 1
+        ), tr0 AS (
+            SELECT doc_id,
+                   unnest(list_slice(ts, 1, len(ts) - 1)) AS prev,
+                   unnest(list_slice(ts, 2, len(ts))) AS cur
+            FROM base WHERE len(ts) >= 2
+        ), tr AS (
+            SELECT doc_id, prev, cur, count(*) AS tf_b FROM tr0 GROUP BY 1, 2, 3
+        ), uni AS (
+            SELECT term, count(*) AS cu
+            FROM (SELECT unnest(ts) AS term FROM base) GROUP BY term
+        ), bi AS (
+            SELECT prev, cur, sum(tf_b) AS cb FROM tr GROUP BY 1, 2
+        ), tot AS (
+            SELECT CAST(sum(cu) AS DOUBLE) AS t_total FROM uni
+        ), bigram_nats AS (
+            SELECT tr.doc_id,
+                   -tr.tf_b * ln(0.75 * bi.cb / up.cu + 0.25 * uc.cu / tot.t_total) AS nats
+            FROM tr
+            JOIN bi ON tr.prev = bi.prev AND tr.cur = bi.cur
+            JOIN uni up ON tr.prev = up.term
+            JOIN uni uc ON tr.cur = uc.term
+            CROSS JOIN tot
+        ), first_nats AS (
+            SELECT base.doc_id, -ln(uni.cu / tot.t_total) AS nats
+            FROM base JOIN uni ON ts[1] = uni.term CROSS JOIN tot
+        ), nats AS (
+            SELECT doc_id, sum(nats) AS sum_nats
+            FROM (SELECT * FROM bigram_nats UNION ALL SELECT * FROM first_nats)
+            GROUP BY doc_id
+        )
+        SELECT n.doc_id,
+               round(n.sum_nats / b.n_tokens, 4) AS surprisal_nats,
+               CAST(b.n_tokens AS BIGINT) AS n_tokens
+        FROM nats n JOIN base b ON n.doc_id = b.doc_id
+    """,
+    # q157: the full pipeline replays — md5-ordered seeds, round-6
+    # snapped argmax assignment (first-max = lowest centroid_id),
+    # per-cluster per-dim means via zipped unnest, round-4 scores
+    # ranked on the ROUNDED value so the prune flags are
+    # engine-identical.
+    "q157_prototypicality_prune": """
+        WITH nv AS (
+            SELECT vec_id,
+                   list_transform(CAST(embedding AS DOUBLE[]),
+                       x -> x / sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]), y -> y * y)))) AS v
+            FROM embeddings
+        ), seeds AS (
+            SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR) || '#proto') ASC, vec_id ASC) AS centroid_id,
+                   v
+            FROM nv
+            QUALIFY centroid_id <= 32
+        ), scored0 AS (
+            SELECT n.vec_id, n.v, s.centroid_id,
+                   round(list_dot_product(n.v, s.v), 6) AS sc
+            FROM nv n CROSS JOIN seeds s
+        ), assigned AS (
+            SELECT vec_id, v, centroid_id AS cluster_id
+            FROM scored0
+            QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY sc DESC, centroid_id ASC) = 1
+        ), mexp AS (
+            SELECT cluster_id,
+                   unnest(v) AS val,
+                   unnest(generate_series(1, len(v))) AS pos
+            FROM assigned
+        ), m AS (
+            SELECT cluster_id, pos, avg(val) AS mv FROM mexp GROUP BY 1, 2
+        ), mnorm AS (
+            SELECT cluster_id, sqrt(sum(mv * mv)) AS mn FROM m GROUP BY 1
+        ), rexp AS (
+            SELECT vec_id, cluster_id,
+                   unnest(v) AS val,
+                   unnest(generate_series(1, len(v))) AS pos
+            FROM assigned
+        ), dots AS (
+            SELECT r.vec_id, r.cluster_id, sum(r.val * m.mv) AS d
+            FROM rexp r JOIN m ON r.cluster_id = m.cluster_id AND r.pos = m.pos
+            GROUP BY 1, 2
+        ), sc AS (
+            SELECT d.vec_id, d.cluster_id, round(d.d / n.mn, 4) AS proto_cos
+            FROM dots d JOIN mnorm n ON d.cluster_id = n.cluster_id
+        )
+        SELECT vec_id,
+               CAST(cluster_id AS BIGINT) AS cluster_id,
+               proto_cos,
+               CAST(CASE WHEN row_number() OVER (PARTITION BY cluster_id ORDER BY proto_cos DESC, vec_id ASC)
+                              <= floor(0.25 * count(*) OVER (PARTITION BY cluster_id))
+                         THEN 1 ELSE 0 END AS INTEGER) AS pruned
+        FROM sc
+    """,
+    "q158_nation_market_share": """
+        SELECT CAST(year(o.o_orderdate) AS INTEGER) AS o_year,
+               round(sum(CASE WHEN sn.n_name = 'NATION_1'
+                              THEN l.l_extendedprice * (1 - l.l_discount) ELSE 0.0 END)
+                     / sum(l.l_extendedprice * (1 - l.l_discount)), 6) AS mkt_share,
+               round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS total_revenue
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation cn ON c.c_nationkey = cn.n_nationkey
+        JOIN region r ON cn.n_regionkey = r.r_regionkey AND r.r_name = 'ASIA'
+        JOIN part p ON l.l_partkey = p.p_partkey AND p.p_type = 'PROMO'
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        JOIN nation sn ON s.s_nationkey = sn.n_nationkey
+        GROUP BY 1
+    """,
+    # q159: revenue rounds to 2 BEFORE the max comparison, so the
+    # float tie is exact cross-engine.
+    "q159_top_supplier": """
+        WITH rev AS (
+            SELECT l_suppkey,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1998-01-01' AND l_shipdate < TIMESTAMP '1998-04-01'
+            GROUP BY 1
+        ), mx AS (SELECT max(total_revenue) AS max_rev FROM rev)
+        SELECT s.s_suppkey, s.s_name, rev.total_revenue
+        FROM rev CROSS JOIN mx
+        JOIN supplier s ON rev.l_suppkey = s.s_suppkey
+        WHERE rev.total_revenue = mx.max_rev
+    """,
+    "q160_product_profit": """
+        SELECT sn.n_name AS nation,
+               CAST(year(o.o_orderdate) AS INTEGER) AS o_year,
+               round(sum(l.l_extendedprice * (1 - l.l_discount)
+                         - 0.6 * p.p_retailprice * l.l_quantity), 2) AS sum_profit
+        FROM lineitem l
+        JOIN part p ON l.l_partkey = p.p_partkey AND p.p_name LIKE '%widget%'
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        JOIN nation sn ON s.s_nationkey = sn.n_nationkey
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        GROUP BY 1, 2
+    """,
+    # q161: the EXISTS/NOT-EXISTS pair of TPC-H Q21 as two layered
+    # aggregations; (numwait DESC, s_name) is a total order, so the
+    # LIMIT 20 cut is deterministic.
+    "q161_waiting_suppliers": """
+        WITH j AS (
+            SELECT l.l_orderkey, l.l_suppkey,
+                   max(CASE WHEN l.l_shipdate > o.o_orderdate + INTERVAL 120 DAY
+                            THEN 1 ELSE 0 END) AS late
+            FROM lineitem l
+            JOIN orders o ON l.l_orderkey = o.o_orderkey
+            WHERE o.o_orderstatus = 'F'
+            GROUP BY 1, 2
+        ), os AS (
+            SELECT l_orderkey, count(*) AS n_supp, sum(late) AS n_late FROM j GROUP BY 1
+        ), w AS (
+            SELECT j.l_suppkey, count(*) AS numwait
+            FROM j JOIN os USING (l_orderkey)
+            WHERE j.late = 1 AND os.n_supp >= 2 AND os.n_late = 1
+            GROUP BY 1
+        )
+        SELECT s.s_suppkey, s.s_name, w.numwait
+        FROM w JOIN supplier s ON w.l_suppkey = s.s_suppkey
+        ORDER BY w.numwait DESC, s.s_name ASC
+        LIMIT 20
     """,
 }
 

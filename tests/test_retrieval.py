@@ -150,3 +150,50 @@ def test_edit_distance_threshold_is_exact_on_kept_rows(spark):
     assert got[(1, 2)] == 1 and got[(2, 3)] == 2
     assert got[(1, 4)] == 0 and got[(2, 4)] == 1
     assert (1, 3) not in got and (3, 4) not in got  # dist 3 dropped
+
+def test_bigram_lm_hand_computed(spark):
+    """Full hand-check of the interpolated bigram surprisal on a
+    2-document corpus (lam=0.75): unigrams a:4 b:2 (T=6), bigrams
+    (a,b):2 (b,a):1 (a,a):1."""
+    from usajobs_etl_service_spark.operators.retrieval import bigram_lm_scores
+
+    docs = _docs(spark, [(1, "a b a b"), (2, "a a")])
+    got = {r["doc_id"]: r for r in bigram_lm_scores(docs).collect()}
+    lam = 0.75
+    p_ab = lam * 2 / 4 + (1 - lam) * 2 / 6
+    p_ba = lam * 1 / 2 + (1 - lam) * 4 / 6
+    p_aa = lam * 1 / 4 + (1 - lam) * 4 / 6
+    d1 = (-math.log(4 / 6) - 2 * math.log(p_ab) - math.log(p_ba)) / 4
+    d2 = (-math.log(4 / 6) - math.log(p_aa)) / 2
+    assert got[1]["surprisal_nats"] == round(d1, 4)
+    assert got[2]["surprisal_nats"] == round(d2, 4)
+    assert got[1]["n_tokens"] == 4 and got[2]["n_tokens"] == 2
+
+
+def test_bigram_lm_single_token_doc(spark):
+    """A 1-token document has no transitions — it scores under the
+    unigram term alone, and must not be dropped."""
+    from usajobs_etl_service_spark.operators.retrieval import bigram_lm_scores
+
+    docs = _docs(spark, [(1, "z"), (2, "z q")])
+    got = {r["doc_id"]: r for r in bigram_lm_scores(docs).collect()}
+    # corpus unigrams: z:2 q:1 (T=3)
+    assert got[1]["n_tokens"] == 1
+    assert got[1]["surprisal_nats"] == round(-math.log(2 / 3), 4)
+
+
+def test_bigram_lm_flags_repetitive_transitions(spark):
+    """Two documents with the SAME unigram distribution: the one with
+    predictable transitions scores strictly lower — the failure mode
+    of the order-1 score this operator exists to catch."""
+    from usajobs_etl_service_spark.operators.retrieval import bigram_lm_scores
+
+    docs = _docs(
+        spark,
+        [
+            (1, "a b a b a b a b a b a b"),  # fully predictable
+            (2, "a a b b a b b a a b a b"),  # same unigrams, mixed transitions
+        ],
+    )
+    got = {r["doc_id"]: r["surprisal_nats"] for r in bigram_lm_scores(docs).collect()}
+    assert got[1] < got[2]

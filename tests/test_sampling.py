@@ -203,3 +203,70 @@ def test_adaptive_quality_gate_null_group_parity(spark):
     }
     assert {i for i in exact if i < 100}, "exact mode must keep null-group rows"
     assert exact == approx
+
+
+def test_unimax_all_uncapped_equal_share(spark):
+    """Budget below every cap: everyone gets the equal share B/n."""
+    from usajobs_etl_service_spark.operators.sampling import unimax_allocation
+
+    rows = [("a", 100), ("b", 100), ("c", 800)]
+    df = spark.createDataFrame(rows, "lang string, n long")
+    got = {
+        r["lang"]: r
+        for r in unimax_allocation(
+            df, group_col="lang", size_col="n", budget_frac=0.5, max_epochs=2.0
+        ).collect()
+    }
+    # B = 500; caps 200/200/1600; 200*3 > 500 so nobody is capped
+    for k in ("a", "b", "c"):
+        assert got[k]["alloc_tokens"] == round(500 / 3, 4)
+    assert got["a"]["epochs"] == round(500 / 3 / 100, 6)
+
+
+def test_unimax_mixed_regime_waterfall(spark):
+    """Hand-run of the paper's greedy: caps 100/100/800, B=500 ->
+    a and b capped at 100, c absorbs the remaining 300; the budget is
+    exactly spent."""
+    from usajobs_etl_service_spark.operators.sampling import unimax_allocation
+
+    rows = [("a", 100), ("b", 100), ("c", 800)]
+    df = spark.createDataFrame(rows, "lang string, n long")
+    got = {
+        r["lang"]: r
+        for r in unimax_allocation(
+            df, group_col="lang", size_col="n", budget_frac=0.5, max_epochs=1.0
+        ).collect()
+    }
+    assert got["a"]["alloc_tokens"] == 100.0 and got["b"]["alloc_tokens"] == 100.0
+    assert got["c"]["alloc_tokens"] == 300.0
+    assert sum(r["alloc_tokens"] for r in got.values()) == 500.0
+    assert got["c"]["epochs"] == round(300 / 800, 6)
+
+
+def test_unimax_budget_exceeds_all_caps(spark):
+    """Budget above the total cap mass: every group pins at its cap
+    and the surplus is (correctly) unspendable."""
+    from usajobs_etl_service_spark.operators.sampling import unimax_allocation
+
+    rows = [("a", 10), ("b", 20)]
+    df = spark.createDataFrame(rows, "lang string, n long")
+    got = {
+        r["lang"]: r
+        for r in unimax_allocation(
+            df, group_col="lang", size_col="n", budget_frac=10.0, max_epochs=2.0
+        ).collect()
+    }
+    assert got["a"]["alloc_tokens"] == 20.0 and got["b"]["alloc_tokens"] == 40.0
+    assert got["a"]["epochs"] == 2.0 and got["b"]["epochs"] == 2.0
+
+
+def test_unimax_validation(spark):
+    import pytest
+
+    from usajobs_etl_service_spark.operators.sampling import unimax_allocation
+
+    df = spark.createDataFrame([("a", 1)], "lang string, n long")
+    with pytest.raises(ValueError):
+        unimax_allocation(df, group_col="lang", size_col="n", budget_frac=0.0)
+    with pytest.raises(ValueError):
+        unimax_allocation(df, group_col="lang", size_col="n", max_epochs=-1.0)

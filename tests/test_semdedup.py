@@ -240,3 +240,56 @@ def test_threshold_excludes_distant_vectors(spark):
     assert (
         semantic_dup_pairs(df, threshold=0.85, n_clusters=1).count() == 1
     )
+
+
+def test_prototypicality_prune_counts_and_invariants(spark):
+    """Per-cluster prune counts are exactly floor(prune_frac * n_c);
+    scores live in [-1, 1]; no row is lost."""
+    from usajobs_etl_service_spark.operators.semdedup import prototypicality_prune
+
+    import random
+
+    rng = random.Random(7)
+    rows = []
+    for i in range(24):
+        base = [0.0, 0.0, 0.0, 0.0]
+        base[i % 3] = 1.0  # three direction groups
+        rows.append((i, [x + rng.uniform(-0.05, 0.05) for x in base]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = prototypicality_prune(df, n_clusters=3, prune_frac=0.25).collect()
+    assert len(out) == 24
+    assert all(-1.0001 <= r["proto_cos"] <= 1.0001 for r in out)
+    from collections import Counter
+
+    per_cluster = Counter(r["cluster_id"] for r in out)
+    pruned = Counter(r["cluster_id"] for r in out if r["pruned"] == 1)
+    for cid, n_c in per_cluster.items():
+        assert pruned.get(cid, 0) == int(0.25 * n_c)
+
+
+def test_prototypicality_scale_invariant_scores(spark):
+    """A positively-scaled copy has the same direction -> same cluster
+    and the same proto_cos (the q89 norm-invariance contract)."""
+    from usajobs_etl_service_spark.operators.semdedup import prototypicality_prune
+
+    rows = [(i, [float(i % 4 == j) + 0.01 * j for j in range(4)]) for i in range(8)]
+    rows += [(100 + i, [2.5 * x for x in v]) for i, v in rows[:4]]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = {r["vec_id"]: r for r in prototypicality_prune(df, n_clusters=2, prune_frac=0.0).collect()}
+    for i in range(4):
+        assert got[i]["cluster_id"] == got[100 + i]["cluster_id"]
+        assert got[i]["proto_cos"] == got[100 + i]["proto_cos"]
+    assert all(r["pruned"] == 0 for r in got.values())
+
+
+def test_prototypicality_prune_frac_one_prunes_all(spark):
+    from usajobs_etl_service_spark.operators.semdedup import prototypicality_prune
+
+    df = spark.createDataFrame(
+        [(i, [1.0, float(i), 0.0, 0.0]) for i in range(6)],
+        "vec_id long, embedding array<double>",
+    )
+    out = prototypicality_prune(df, n_clusters=2, prune_frac=1.0).collect()
+    assert all(r["pruned"] == 1 for r in out)
+    with pytest.raises(ValueError):
+        prototypicality_prune(df, prune_frac=1.5)

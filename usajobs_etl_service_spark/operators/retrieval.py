@@ -153,6 +153,101 @@ def unigram_lm_scores(
     )
 
 
+def bigram_lm_scores(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lam: float = 0.75,
+) -> DataFrame:
+    """Per-document interpolated bigram-LM surprisal (mean nats/token)
+    — the order-2 upgrade of :func:`unigram_lm_scores`'s CCNet-style
+    quality proxy. A Jelinek-Mercer mixture scores each transition:
+
+        P(w_i | w_{i-1}) = lam * C(w_{i-1} w_i) / C(w_{i-1})
+                         + (1 - lam) * C(w_i) / T
+
+    (the first token scores under the unigram term alone), and
+    surprisal(d) = mean over d's tokens of -ln P. Repetitive documents
+    — exactly the boilerplate a perplexity gate exists to catch — have
+    predictable transitions and score LOW even when their unigram mix
+    looks ordinary, which is the failure mode of the order-1 score.
+
+    Shuffle shape: per-(doc, prev, cur) transition counts (NOT token
+    instances) join the corpus bigram table on (prev, cur) and the
+    unigram table on each side — three open-vocabulary equi-joins with
+    no broadcast hint (AQE decides); T rides as a 1-row broadcast. At
+    100 TB the bigram/unigram tables are the build-once artifacts (the
+    posting-table seam); the per-doc pass touches only the document's
+    own distinct transitions.
+
+    Engine-reproducible: integer counts, one float expression per
+    joined row, round-4 after the per-doc mean (the q92 contract)."""
+    base = (
+        df.select(
+            F.col(id_col).alias("doc_id"),
+            F.filter(tokens_ws(F.lower(F.col(text_col))), lambda t: t != "").alias("ts"),
+        )
+        .filter(F.size("ts") >= 1)
+        .select("doc_id", "ts", F.size("ts").alias("n_tokens"))
+    )
+    trans = (
+        base.select(
+            "doc_id",
+            "n_tokens",
+            F.explode(
+                F.arrays_zip(
+                    F.slice(F.col("ts"), 1, F.greatest(F.size("ts") - 1, F.lit(0))).alias("p"),
+                    F.slice(F.col("ts"), 2, F.greatest(F.size("ts") - 1, F.lit(0))).alias("c"),
+                )
+            ).alias("bg"),
+        )
+        .select("doc_id", F.col("bg.p").alias("prev"), F.col("bg.c").alias("cur"))
+        .groupBy("doc_id", "prev", "cur")
+        .agg(F.count(F.lit(1)).alias("tf_b"))
+    )
+    unigrams = (
+        base.select("doc_id", F.explode("ts").alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("cu"))
+    )
+    bigrams = trans.groupBy("prev", "cur").agg(F.sum("tf_b").alias("cb"))
+    total = unigrams.agg(F.sum("cu").cast("double").alias("t_total"))
+    bigram_nats = (
+        trans.join(bigrams, ["prev", "cur"])
+        .join(unigrams.select(F.col("term").alias("prev"), F.col("cu").alias("cu_prev")), "prev")
+        .join(unigrams.select(F.col("term").alias("cur"), F.col("cu").alias("cu_cur")), "cur")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "doc_id",
+            (
+                -F.col("tf_b")
+                * F.log(
+                    F.lit(lam) * F.col("cb") / F.col("cu_prev")
+                    + F.lit(1.0 - lam) * F.col("cu_cur") / F.col("t_total")
+                )
+            ).alias("nats"),
+        )
+    )
+    first_nats = (
+        base.select("doc_id", F.element_at("ts", 1).alias("term"))
+        .join(unigrams, "term")
+        .crossJoin(F.broadcast(total))
+        .select("doc_id", (-F.log(F.col("cu") / F.col("t_total"))).alias("nats"))
+    )
+    return (
+        bigram_nats.unionByName(first_nats)
+        .groupBy("doc_id")
+        .agg(F.sum("nats").alias("sum_nats"))
+        .join(base.select("doc_id", "n_tokens"), "doc_id")
+        .select(
+            "doc_id",
+            F.round(F.col("sum_nats") / F.col("n_tokens"), 4).alias("surprisal_nats"),
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+        )
+    )
+
+
 def pmi_collocations(
     df: DataFrame,
     *,

@@ -130,3 +130,72 @@ def adaptive_quality_gate(
         .filter(F.col("__cd") >= F.lit(1.0) - F.lit(float(keep_frac)))
         .drop("__cd")
     )
+
+
+def unimax_allocation(
+    df: DataFrame,
+    *,
+    group_col: str,
+    size_col: str,
+    budget_frac: float = 0.5,
+    max_epochs: float = 4.0,
+) -> DataFrame:
+    """UniMax language-sampling allocation (Chung et al. 2023): spend a
+    token budget as uniformly as possible across groups (languages)
+    without repeating any group more than ``max_epochs`` times.
+
+    The paper's greedy waterfall — visit groups by ascending corpus
+    size; give each min(its epoch cap, an equal share of the remaining
+    budget) — has a closed form this implements in ONE pass of window
+    algebra over the per-group aggregate: once a group is UNCAPPED the
+    equal share stays constant for every later (larger) group, so the
+    capped set is the maximal contiguous prefix (ascending cap order)
+    where cap_r * (n - r + 1) <= budget - cumsum_prev(cap), i.e. a
+    running-AND over a windowed inequality.
+
+    The global windows run over the GROUPED result (one row per
+    language — bounded, driver-size cardinality), never over corpus
+    rows; corpus tokens are consumed by a single groupBy aggregate.
+    Budget = ``budget_frac`` * total corpus tokens rides a 1-row
+    broadcast.
+
+    Engine-reproducible: both engines order the running sums by the
+    same (cap, group) total order, so the sequential float cumsums are
+    bit-identical; allocations round to 4, epochs to 6.
+    """
+    from pyspark.sql import Window
+
+    if not 0.0 < budget_frac:
+        raise ValueError(f"budget_frac must be > 0, got {budget_frac}")
+    if not 0.0 < max_epochs:
+        raise ValueError(f"max_epochs must be > 0, got {max_epochs}")
+    sizes = df.groupBy(group_col).agg(F.sum(size_col).cast("double").alias("n_tokens"))
+    total = sizes.agg((F.sum("n_tokens") * F.lit(float(budget_frac))).alias("budget"))
+    w = Window.orderBy(F.col("cap").asc(), F.col(group_col).asc())
+    wp = w.rowsBetween(Window.unboundedPreceding, -1)
+    wr = w.rowsBetween(Window.unboundedPreceding, 0)
+    wall = Window.partitionBy(F.lit(1))
+    s = (
+        sizes.withColumn("cap", F.col("n_tokens") * F.lit(float(max_epochs)))
+        .crossJoin(F.broadcast(total))
+        .withColumn("r", F.row_number().over(w))
+        .withColumn("csum_prev", F.coalesce(F.sum("cap").over(wp), F.lit(0.0)))
+        .withColumn("n_groups", F.count(F.lit(1)).over(wall))
+        .withColumn(
+            "cond",
+            (F.col("cap") * (F.col("n_groups") - F.col("r") + 1) <= F.col("budget") - F.col("csum_prev")).cast("int"),
+        )
+        .withColumn("capped", F.min("cond").over(wr) == 1)
+        .withColumn("capped_total", F.sum(F.when(F.col("capped"), F.col("cap")).otherwise(F.lit(0.0))).over(wall))
+        .withColumn("n_uncapped", F.sum(F.when(F.col("capped"), 0).otherwise(1)).over(wall))
+    )
+    alloc = F.when(
+        F.col("capped") | (F.col("n_uncapped") == 0), F.col("cap")
+    ).otherwise((F.col("budget") - F.col("capped_total")) / F.col("n_uncapped"))
+    return s.select(
+        F.col(group_col),
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.col("cap").cast("long").alias("cap_tokens"),
+        F.round(alloc, 4).alias("alloc_tokens"),
+        F.round(alloc / F.col("n_tokens"), 6).alias("epochs"),
+    )

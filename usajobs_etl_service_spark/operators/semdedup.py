@@ -47,7 +47,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from usajobs_etl_service_spark.functions.vectors import cosine, dot, l2_normalize
+from usajobs_etl_service_spark.functions.vectors import cosine, dot, l2_normalize, norm
 
 
 def _cap_metrics(id_col: str, max_cluster: int) -> tuple[Column, Column]:
@@ -598,3 +598,105 @@ def semantic_dedup_drops(
         )
     )
     return d_rep.unionByName(d_chain)
+
+
+def prototypicality_prune(
+    df: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    embedding_col: str = "embedding",
+    n_clusters: int = 32,
+    prune_frac: float = 0.25,
+    seed_tag: str = "#proto",
+) -> DataFrame:
+    """Prototypicality-based data pruning (Sorscher et al. 2022,
+    "Beyond neural scaling laws: beating power law scaling via data
+    pruning"): score every example by cosine similarity to its
+    cluster's mean direction, then mark the most PROTOTYPICAL
+    ``prune_frac`` of each cluster for removal — the paper's
+    abundant-data regime, where easy/redundant points near the
+    prototype contribute least to the loss.
+
+    Spark-first shape (three bounded exchanges, no row blowup):
+    1. Cluster seeds are an md5-ordered deterministic sample (the
+       engine-reproducible ordering device of operators/sampling.py —
+       any engine with md5 picks the SAME seeds, which is what lets
+       the DuckDB oracle replay the full pipeline, unlike
+       assign_clusters's xxhash64 sample). Assignment is the same
+       literal-codebook argmax projection as assign_clusters: score
+       the L2-normalized vector, snap to 6 decimals, first-max
+       tiebreak — a codegen'd expression in the scan stage.
+    2. Cluster mean directions: ONE groupBy(cluster_id) aggregate of
+       per-dimension avg() columns (dim avg expressions, no
+       posexplode row blowup), broadcast back — C x dim values.
+    3. proto_cos = round(cos(nv, mean), 4); rank within cluster by
+       (proto_cos DESC, id) — a per-cluster window bounded by cluster
+       occupancy (~corpus/C; same discipline as semantic_dup_pairs) —
+       and prune rank <= floor(prune_frac * cluster size).
+
+    Ranking uses the ROUNDED score, so the cross-engine order is
+    identical everywhere the 1e-15-scale float-sum divergence does not
+    cross a 0.5e-4 rounding boundary (~1e-11/row — the q92 contract).
+    """
+    if not 0.0 <= prune_frac <= 1.0:
+        raise ValueError(f"prune_frac must be in [0, 1], got {prune_frac}")
+    from pyspark.sql import Window
+
+    nv = l2_normalize(F.col(embedding_col).cast("array<double>"))
+    staged = df.select(F.col(id_col), nv.alias("__nv"))
+    seeds = (
+        staged.orderBy(
+            F.md5(F.concat(F.col(id_col).cast("string"), F.lit(seed_tag))).asc(),
+            F.col(id_col).asc(),
+        )
+        .limit(n_clusters)
+        .select("__nv")
+        .collect()
+    )
+    cent_rows = [[float(x) for x in r["__nv"]] for r in seeds]
+    if not cent_rows:
+        raise ValueError("prototypicality_prune: empty input")
+    dim = len(cent_rows[0])
+    # literal block as ONE parsed SQL string (the assign_clusters
+    # py4j-round-trip lesson)
+    cents_lit = F.expr(
+        "array("
+        + ", ".join(
+            "array(" + ", ".join(f"{x!r}D" for x in cv) + ")" for cv in cent_rows
+        )
+        + ")"
+    )
+    scores = F.transform(cents_lit, lambda c: F.round(dot(F.col("__nv"), c), 6))
+    assigned = staged.withColumn(
+        "cluster_id", F.array_position(scores, F.array_max(scores)).cast("int")
+    )
+    means = assigned.groupBy("cluster_id").agg(
+        *[F.avg(F.element_at("__nv", i + 1)).alias(f"__m{i}") for i in range(dim)]
+    )
+    means = means.select(
+        "cluster_id", F.array(*[F.col(f"__m{i}") for i in range(dim)]).alias("__m")
+    )
+    scored = (
+        assigned.join(F.broadcast(means), "cluster_id")
+        .select(
+            F.col(id_col),
+            "cluster_id",
+            F.round(F.try_divide(dot(F.col("__nv"), F.col("__m")), norm(F.col("__m"))), 4).alias(
+                "proto_cos"
+            ),
+        )
+    )
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.col("proto_cos").desc(), F.col(id_col).asc()
+    )
+    wc = Window.partitionBy("cluster_id")
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .withColumn("__nc", F.count(F.lit(1)).over(wc))
+        .select(
+            F.col(id_col),
+            F.col("cluster_id").cast("long").alias("cluster_id"),
+            "proto_cos",
+            (F.col("__rn") <= F.floor(F.lit(float(prune_frac)) * F.col("__nc"))).cast("int").alias("pruned"),
+        )
+    )

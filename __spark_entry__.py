@@ -3446,6 +3446,24 @@ def q161_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q162_mannwhitney_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extension (rank-based drift test): exact tie-corrected
+    Mann-Whitney U between view and purchase event values
+    (operators/profiling.mann_whitney_u) — the nonparametric
+    location-shift companion to KS (q123), chi-square (q126), PSI
+    (q148), and KL (q142). Midranks come from the distributed ordered
+    cumsum over the per-value aggregate (the q123 shape) — no
+    single-task window; U and the rank sum are exact half-integer
+    doubles in both engines, so only the final z division is float."""
+    from usajobs_etl_service_spark.operators.profiling import mann_whitney_u
+
+    events = _t(spark, sf_dir, "events")
+    return mann_whitney_u(
+        events, value_col="value", label_col="event_type",
+        label_a="view", label_b="purchase",
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_job_statistics": q01_job_statistics,
     "q02_metric_union": q02_metric_union,
@@ -3608,6 +3626,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q159_top_supplier": q159_top_supplier,
     "q160_product_profit": q160_product_profit,
     "q161_waiting_suppliers": q161_waiting_suppliers,
+    "q162_mannwhitney_drift": q162_mannwhitney_drift,
 }
 
 
@@ -6180,6 +6199,35 @@ ORACLES: dict[str, str] = {
         FROM w JOIN supplier s ON w.l_suppkey = s.s_suppkey
         ORDER BY w.numwait DESC, s.s_name ASC
         LIMIT 20
+    """,
+    # q162: U and the rank sum are exact half-integer doubles in any
+    # summation order; only the final z division is float (round-6).
+    "q162_mannwhitney_drift": """
+        WITH pts AS (
+            SELECT value,
+                   sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS a,
+                   sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS b
+            FROM events
+            WHERE event_type IN ('view', 'purchase') AND value IS NOT NULL
+            GROUP BY value
+        ), c AS (
+            SELECT *, a + b AS t,
+                   sum(a + b) OVER (ORDER BY value ASC
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_t
+            FROM pts
+        ), s AS (
+            SELECT CAST(sum(a) AS DOUBLE) AS na,
+                   CAST(sum(b) AS DOUBLE) AS nb,
+                   sum(a * ((cum_t - t) + (t + 1) / 2.0)) AS r_a,
+                   sum(CAST(t AS DOUBLE) * t * t - t) AS tie_sum
+            FROM c
+        )
+        SELECT CAST(na AS BIGINT) AS n_a,
+               CAST(nb AS BIGINT) AS n_b,
+               round(r_a - na * (na + 1) / 2.0, 4) AS u_stat,
+               round((r_a - na * (na + 1) / 2.0 - na * nb / 2.0)
+                     / sqrt(na * nb / 12.0 * ((na + nb + 1) - tie_sum / ((na + nb) * (na + nb - 1.0)))), 6) AS z
+        FROM s
     """,
 }
 

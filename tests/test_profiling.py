@@ -49,3 +49,35 @@ def test_zscore_flags_only_true_outliers(spark):
 def test_zscore_single_row_entity_no_flags(spark):
     df = spark.createDataFrame([(1, 7, 42.0)], "event_id long, user_id long, value double")
     assert zscore_anomalies(df).collect() == []
+
+def test_mann_whitney_hand_computed(spark):
+    """Hand-check with ties: a = {1, 2, 2}, b = {2, 3}.
+    Pooled midranks: 1 -> 1; 2,2,2 -> 3; 3 -> 5. R_a = 1 + 3 + 3 = 7,
+    U = 7 - 3*4/2 = 1; mu = 3; tie_sum = 3^3 - 3 = 24;
+    sigma = sqrt(6/12 * (6 - 24/20)) = sqrt(2.4)."""
+    import math
+
+    from usajobs_etl_service_spark.operators.profiling import mann_whitney_u
+
+    rows = [("a", 1.0), ("a", 2.0), ("a", 2.0), ("b", 2.0), ("b", 3.0), ("x", 99.0)]
+    df = spark.createDataFrame(rows, "lab string, v double")
+    got = mann_whitney_u(
+        df, value_col="v", label_col="lab", label_a="a", label_b="b"
+    ).collect()[0]
+    assert got["n_a"] == 3 and got["n_b"] == 2
+    assert got["u_stat"] == 1.0
+    assert got["z"] == round((1.0 - 3.0) / math.sqrt(2.4), 6)
+
+
+def test_mann_whitney_shift_direction(spark):
+    """A clearly shifted group gives a large-magnitude z with the
+    expected sign (a below b -> negative U deviation -> negative z)."""
+    from usajobs_etl_service_spark.operators.profiling import mann_whitney_u
+
+    rows = [("a", float(i)) for i in range(50)] + [("b", float(i + 100)) for i in range(50)]
+    df = spark.createDataFrame(rows, "lab string, v double")
+    got = mann_whitney_u(
+        df, value_col="v", label_col="lab", label_a="a", label_b="b"
+    ).collect()[0]
+    assert got["u_stat"] == 0.0  # total separation
+    assert got["z"] < -8

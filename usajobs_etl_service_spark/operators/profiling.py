@@ -114,3 +114,66 @@ def histogram(
         df.groupBy(*group_cols, b.alias("bucket"))
         .agg(F.count(F.lit(1)).alias("n"))
     )
+
+
+def mann_whitney_u(
+    df: DataFrame,
+    *,
+    value_col: str,
+    label_col: str,
+    label_a: str,
+    label_b: str,
+) -> DataFrame:
+    """Exact tie-corrected Mann-Whitney U (Wilcoxon rank-sum) test
+    between the ``value_col`` distributions of two labeled groups —
+    the nonparametric drift test complementing KS (q123: max CDF gap)
+    with a rank-sum location statistic, robust where moment-based
+    z-tests (q131) assume normality.
+
+    Scale shape mirrors the KS query: per-value group counts aggregate
+    first (ONE shuffle on the value; bounded by the distinct support),
+    then the cumulative pooled count — which yields every tie group's
+    midrank ((csum - t) + (t+1)/2 — comes from
+    distributed_order.ordered_cumsum's range exchange + carry-in
+    offsets, never a single-task window over the support. The final
+    reduction is a scalar aggregate.
+
+    Exactness: midranks are half-integers and per-value products stay
+    below 2^53, so U and the rank sum are EXACT doubles in any engine
+    and any summation order; the tie-corrected normal approximation
+
+        z = (U - n_a*n_b/2) / sqrt(n_a*n_b/12 * ((N+1) - sum(t^3-t)/(N(N-1))))
+
+    is one deterministic float expression over those exact inputs
+    (round-6, the engine-parity contract)."""
+    from usajobs_etl_service_spark.operators.distributed_order import ordered_cumsum
+
+    pts = (
+        df.filter(F.col(label_col).isin(label_a, label_b) & F.col(value_col).isNotNull())
+        .groupBy(value_col)
+        .agg(
+            F.sum(F.when(F.col(label_col) == label_a, 1).otherwise(0)).alias("a"),
+            F.sum(F.when(F.col(label_col) == label_b, 1).otherwise(0)).alias("b"),
+        )
+        .withColumn("t", F.col("a") + F.col("b"))
+    )
+    cum = ordered_cumsum(pts, [F.col(value_col).asc()], ["t"])
+    avg_rank = (F.col("cum_t") - F.col("t")) + (F.col("t") + 1) / 2.0
+    s = cum.agg(
+        F.sum("a").alias("na"),
+        F.sum("b").alias("nb"),
+        F.sum(F.col("a") * avg_rank).alias("r_a"),
+        F.sum(F.col("t").cast("double") * F.col("t") * F.col("t") - F.col("t")).alias("tie_sum"),
+    )
+    na = F.col("na").cast("double")
+    nb = F.col("nb").cast("double")
+    n = na + nb
+    u = F.col("r_a") - na * (na + 1) / 2.0
+    mu = na * nb / 2.0
+    sigma = F.sqrt(na * nb / 12.0 * ((n + 1) - F.col("tie_sum") / (n * (n - 1.0))))
+    return s.select(
+        F.col("na").cast("long").alias("n_a"),
+        F.col("nb").cast("long").alias("n_b"),
+        F.round(u, 4).alias("u_stat"),
+        F.round(F.try_divide(u - mu, sigma), 6).alias("z"),
+    )

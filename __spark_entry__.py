@@ -3464,6 +3464,24 @@ def q162_mannwhitney_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q163_contamination_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extension (graded eval-contamination report): per-document
+    fraction of distinct word 8-grams appearing in a benchmark slice
+    (every 97th doc_id plays the benchmark; the planted near-dup
+    copies guarantee real nonzero overlap) —
+    operators/decontam.contamination_fraction, the overlap-percentage
+    upgrade of q66's binary gate. Benchmark gram hashes broadcast;
+    the corpus explodes once to distinct (doc, gram-hash) rows; one
+    per-doc aggregate. Oracle carries gram STRINGS (equality up to a
+    ~1e-13 xxhash64 collision — the q83/q90 argument)."""
+    from usajobs_etl_service_spark.operators.decontam import contamination_fraction
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    corpus = docs.filter(F.col("doc_id") % 97 != 0)
+    return contamination_fraction(corpus, bench, n=8)
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_job_statistics": q01_job_statistics,
     "q02_metric_union": q02_metric_union,
@@ -3627,6 +3645,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q160_product_profit": q160_product_profit,
     "q161_waiting_suppliers": q161_waiting_suppliers,
     "q162_mannwhitney_drift": q162_mannwhitney_drift,
+    "q163_contamination_report": q163_contamination_report,
 }
 
 
@@ -6228,6 +6247,31 @@ ORACLES: dict[str, str] = {
                round((r_a - na * (na + 1) / 2.0 - na * nb / 2.0)
                      / sqrt(na * nb / 12.0 * ((na + nb + 1) - tie_sum / ((na + nb) * (na + nb - 1.0)))), 6) AS z
         FROM s
+    """,
+    # q163: gram STRINGS here vs xxhash64 keys in the engine —
+    # equality up to a ~1e-13 collision (the q83/q90 argument).
+    "q163_contamination_report": """
+        WITH t AS (
+            SELECT doc_id,
+                   list_filter(string_split_regex(trim(lower(text)), '\\s+'), x -> x <> '') AS ts
+            FROM documents
+        ), g AS (
+            SELECT DISTINCT doc_id,
+                   array_to_string(list_slice(ts, i, i + 7), ' ') AS gram
+            FROM t, unnest(generate_series(1, len(ts) - 7)) AS u(i)
+            WHERE len(ts) >= 8
+        ), bench AS (
+            SELECT DISTINCT gram FROM g WHERE doc_id % 97 = 0
+        ), dg AS (
+            SELECT doc_id, gram FROM g WHERE doc_id % 97 <> 0
+        )
+        SELECT dg.doc_id,
+               count(*) AS n_grams,
+               CAST(sum(CASE WHEN b.gram IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
+               round(CAST(sum(CASE WHEN b.gram IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+                     / count(*), 6) AS contam_frac
+        FROM dg LEFT JOIN bench b ON dg.gram = b.gram
+        GROUP BY dg.doc_id
     """,
 }
 

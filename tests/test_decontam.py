@@ -51,3 +51,41 @@ def test_no_false_positives_on_real_corpus(spark, sf_dir):
         [(0, "zqx wvu tsr qpo nml kji hgf edc baz yxw")], "doc_id long, text string"
     )
     assert contaminated_docs(docs, bench, n=8).count() == 0
+
+
+def test_contamination_fraction_graded(spark):
+    """Hand-check: doc 1 shares exactly half its distinct 3-grams with
+    the benchmark; doc 2 shares none; a short doc has no grams and no
+    output row."""
+    from usajobs_etl_service_spark.operators.decontam import contamination_fraction
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e"),  # grams: abc bcd cde
+            (2, "x y z w"),    # grams: xyz yzw
+            (3, "t u"),        # too short
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame([(100, "a b c d q")], "doc_id long, text string")
+    # bench grams: abc, bcd, cdq -> doc1 hits abc+bcd (2/3), doc2 none
+    got = {r["doc_id"]: r for r in contamination_fraction(docs, bench, n=3).collect()}
+    assert set(got) == {1, 2}
+    assert got[1]["n_grams"] == 3 and got[1]["n_hit"] == 2
+    assert got[1]["contam_frac"] == round(2 / 3, 6)
+    assert got[2]["n_hit"] == 0 and got[2]["contam_frac"] == 0.0
+
+
+def test_contamination_fraction_counts_distinct_grams_once(spark):
+    """A repeated gram inside one document counts once (distinct
+    grams), so repetition cannot dilute or inflate the fraction."""
+    from usajobs_etl_service_spark.operators.decontam import contamination_fraction
+
+    docs = spark.createDataFrame(
+        [(1, "a b a b a b")],  # distinct 3-grams: aba, bab
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame([(9, "a b a")], "doc_id long, text string")
+    got = contamination_fraction(docs, bench, n=3).collect()[0]
+    assert got["n_grams"] == 2 and got["n_hit"] == 1
+    assert got["contam_frac"] == 0.5

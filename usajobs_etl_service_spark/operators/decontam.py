@@ -72,3 +72,49 @@ def decontaminate(
         docs, benchmark, n=n, id_col=id_col, text_col=text_col, bench_text_col=bench_text_col
     )
     return docs.join(bad, id_col, "left_anti")
+
+
+def contamination_fraction(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    *,
+    n: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bench_text_col: str = "text",
+) -> DataFrame:
+    """GRADED contamination: per document, the fraction of its DISTINCT
+    word ``n``-grams that appear anywhere in the benchmark set — the
+    overlap-percentage report behind the binary gate
+    (:func:`contaminated_docs`), as published eval-hygiene appendices
+    report it (contamination as a per-example overlap percentage, not
+    a single bit).
+
+    Same scale shape as the gate: benchmark grams hash to 64-bit keys
+    and broadcast; the corpus explodes to distinct (doc, gram-hash)
+    rows and takes a broadcast LEFT join (hit bit), then ONE per-doc
+    aggregate. The corpus is scanned once and nothing shuffles except
+    the per-doc count combine. Documents shorter than ``n`` tokens
+    have no grams and are absent from the output (no 0/0 row).
+
+    Fractions are exact integer ratios rounded to 6; cross-engine
+    equality holds up to xxhash64 collisions (~1e-13 per distinct-gram
+    pair — the q83/q90 argument; an oracle carries gram strings)."""
+    bench = _exploded_gram_hashes(benchmark, bench_text_col, n, keep=[]).distinct()
+    dg = _exploded_gram_hashes(docs, text_col, n, keep=[id_col]).distinct()
+    hit = dg.join(
+        F.broadcast(bench.withColumn("__hit", F.lit(1))), "g", "left"
+    )
+    return (
+        hit.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(F.coalesce(F.col("__hit"), F.lit(0))).cast("long").alias("n_hit"),
+        )
+        .select(
+            id_col,
+            "n_grams",
+            "n_hit",
+            F.round(F.col("n_hit") / F.col("n_grams"), 6).alias("contam_frac"),
+        )
+    )

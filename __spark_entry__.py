@@ -3482,6 +3482,202 @@ def q163_contamination_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     return contamination_fraction(corpus, bench, n=8)
 
 
+def _derived_partsupp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The testdata carries no partsupp table, so the TPC-H shapes
+    that need one (Q2/Q11/Q20) derive it from lineitem: a supplier
+    'offers' a part iff it ever shipped it, at a supply cost of its
+    best observed unit price. One hash aggregate on (part, supplier);
+    unit price is an IEEE double division both engines compute
+    identically, and min() selects (never combines) values, so the
+    derived costs are bit-exact cross-engine. ``supplycost_c`` is the
+    same cost in integer cents (floor(100x + 0.5) — floor on an
+    identical double is engine-deterministic, unlike decimal
+    rounding) for consumers that must sum money exactly (q165);
+    ``availqty`` is a long (quantities are integral)."""
+    li = _t(spark, sf_dir, "lineitem")
+    unit_cents = F.floor(
+        F.lit(100.0) * F.col("l_extendedprice") / F.col("l_quantity") + F.lit(0.5)
+    ).cast("long")
+    return li.groupBy("l_partkey", "l_suppkey").agg(
+        F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("supplycost"),
+        F.min(unit_cents).alias("supplycost_c"),
+        F.sum("l_quantity").cast("long").alias("availqty"),
+    )
+
+
+def q164_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extension (TPC-H Q2 shape, adapted to the derived partsupp):
+    for each SMALL part of size <= 15, the EUROPE supplier(s) offering
+    it at the region-minimum supply cost. The reference formulation is
+    a correlated MIN subquery; here it is the decorrelated form
+    Catalyst would produce — grouped min over the region-filtered
+    offers, equality join back. supplier/nation/region and the
+    filtered part dim broadcast; the only fact exchange is the
+    derived-partsupp aggregate itself. (s_name, p_partkey) is unique,
+    so the (acctbal DESC, n_name, s_name, partkey) cut is a total
+    order. Completes the 22/22 TPC-H shape sweep with q165-q168."""
+    ps = _derived_partsupp(spark, sf_dir)
+    supp = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    part = _t(spark, sf_dir, "part").filter(
+        (F.col("p_type") == "SMALL") & (F.col("p_size") <= 15)
+    )
+    eur_supp = (
+        supp.join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    offers = ps.join(F.broadcast(eur_supp), ps.l_suppkey == F.col("s_suppkey")).join(
+        F.broadcast(part.select("p_partkey")), ps.l_partkey == F.col("p_partkey")
+    )
+    mn = offers.groupBy("p_partkey").agg(F.min("supplycost").alias("min_cost"))
+    return (
+        offers.join(mn, ["p_partkey"])
+        .filter(F.col("supplycost") == F.col("min_cost"))
+        .select(
+            "s_acctbal",
+            "s_name",
+            "n_name",
+            "p_partkey",
+            F.round("supplycost", 4).alias("supplycost"),
+        )
+        .orderBy(F.col("s_acctbal").desc(), "n_name", "s_name", "p_partkey")
+        .limit(100)
+    )
+
+
+def q165_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extension (TPC-H Q11 shape, adapted to the derived partsupp):
+    parts whose stock value (supplycost * availqty, summed over
+    EUROPE-region suppliers) exceeds 0.01% of the region's total
+    stock value. The correlated HAVING-over-global-sum is the q121
+    posture: the 1-row total stays in-plan via a broadcast cross
+    join — no collect. Money stays in INTEGER CENTS end-to-end
+    (supplycost_c = floor(100 * unit price + 0.5) — floor on an
+    identically-computed double is engine-deterministic, unlike
+    decimal rounding), so per-part values, the global total, and the
+    10000*value > total threshold compare are all exact integer
+    arithmetic with no float summation-order or half-cent rounding
+    hazard — the round()-based form diverged by one cent on one part
+    at sf0.01 via Spark's shortest-decimal HALF_UP vs DuckDB's binary
+    rounding."""
+    ps = _derived_partsupp(spark, sf_dir)
+    supp = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    eur = (
+        supp.join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .select("s_suppkey")
+    )
+    vals = (
+        ps.join(F.broadcast(eur), ps.l_suppkey == F.col("s_suppkey"))
+        .groupBy("l_partkey")
+        .agg(F.sum(F.col("supplycost_c") * F.col("availqty")).alias("value_c"))
+    )
+    total = vals.agg(F.sum("value_c").alias("total_c"))
+    return (
+        vals.crossJoin(F.broadcast(total))
+        .filter(F.lit(10000) * F.col("value_c") > F.col("total_c"))
+        .select(
+            F.col("l_partkey").alias("p_partkey"),
+            (F.col("value_c") / F.lit(100.0)).alias("value"),
+        )
+    )
+
+
+def q166_shipmode_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extension (TPC-H Q12 shape, adapted — the testdata has no
+    l_shipmode/l_commitdate/l_receiptdate, so l_returnflag plays the
+    mode class and 'late' = shipped > 90 days after the order date):
+    for lineitems shipped in 1997 that were late, counts of high-
+    priority (1-URGENT / 2-HIGH) vs lower-priority orders per mode
+    class. The date predicates push to the lineitem scan; the only
+    exchange is the 3-group final aggregate after the fact-fact join
+    on the order key. All-integer conditional counts — exact."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    orders = _t(spark, sf_dir, "orders")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH").cast("long")
+    return (
+        li.join(orders.select("o_orderkey", "o_orderdate", "o_orderpriority"),
+                li.l_orderkey == F.col("o_orderkey"))
+        .filter(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS"))
+        .groupBy(F.col("l_returnflag").alias("ship_mode"))
+        .agg(
+            F.sum(high).alias("high_line_count"),
+            F.sum(F.lit(1) - high).alias("low_line_count"),
+        )
+    )
+
+
+def q167_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extension (TPC-H Q16 shape, adapted): distinct-supplier counts
+    per (brand, type, size) for mid-range part classes, excluding
+    suppliers with negative account balance (the s_comment
+    'complaints' exclusion proxy — the testdata has no comments). The
+    NOT IN becomes a broadcast left_anti join (the excluded set is a
+    handful of rows); the distinct pair set comes straight from
+    lineitem; part dim broadcast. countDistinct is the one exchange.
+    All-integer — exact."""
+    pairs = _t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey").distinct()
+    bad = _t(spark, sf_dir, "supplier").filter(F.col("s_acctbal") < 0).select("s_suppkey")
+    part = _t(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#1")
+        & (F.col("p_type") != "ECONOMY")
+        & F.col("p_size").isin(1, 5, 11, 15, 21, 28, 37, 44)
+    )
+    return (
+        pairs.join(F.broadcast(bad), pairs.l_suppkey == bad.s_suppkey, "left_anti")
+        .join(
+            F.broadcast(part.select("p_partkey", "p_brand", "p_type", "p_size")),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+def q168_potential_promotion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extension (TPC-H Q20 shape, adapted): EUROPE suppliers holding
+    excess 'widget' stock — 1996 shipments play the stocking year
+    (availqty) and 1997 shipments the demand year; a supplier
+    qualifies if, for some widget part, it stocked more than half of
+    what it shipped the following year. The reference's nested
+    IN-chains become two semi-join hops: qualifying (part, supplier)
+    pairs -> distinct suppliers -> region-filtered supplier dim.
+    Quantities are integral, so the 0.5x threshold compare is exact
+    in doubles. Both year slices aggregate in ONE pass over the
+    part-filtered fact (conditional sums), not two scans."""
+    part = _t(spark, sf_dir, "part").filter(F.col("p_name").contains("widget"))
+    li = _t(spark, sf_dir, "lineitem").join(
+        F.broadcast(part.select("p_partkey")), F.col("l_partkey") == F.col("p_partkey")
+    )
+    yr = F.year("l_shipdate")
+    flows = (
+        li.filter(yr.isin(1996, 1997))
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(
+            F.sum(F.when(yr == 1996, F.col("l_quantity")).otherwise(F.lit(0.0))).alias("stocked"),
+            F.sum(F.when(yr == 1997, F.col("l_quantity")).otherwise(F.lit(0.0))).alias("demand"),
+        )
+        .filter((F.col("demand") > 0) & (F.col("stocked") > F.lit(0.5) * F.col("demand")))
+    )
+    qual = flows.select("l_suppkey").distinct()
+    supp = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    return (
+        supp.join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .join(qual, supp.s_suppkey == qual.l_suppkey, "left_semi")
+        .select("s_suppkey", "s_name")
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_job_statistics": q01_job_statistics,
     "q02_metric_union": q02_metric_union,
@@ -3646,6 +3842,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q161_waiting_suppliers": q161_waiting_suppliers,
     "q162_mannwhitney_drift": q162_mannwhitney_drift,
     "q163_contamination_report": q163_contamination_report,
+    "q164_min_cost_supplier": q164_min_cost_supplier,
+    "q165_important_stock": q165_important_stock,
+    "q166_shipmode_priority": q166_shipmode_priority,
+    "q167_supplier_part_counts": q167_supplier_part_counts,
+    "q168_potential_promotion": q168_potential_promotion,
 }
 
 
@@ -6272,6 +6473,115 @@ ORACLES: dict[str, str] = {
                      / count(*), 6) AS contam_frac
         FROM dg LEFT JOIN bench b ON dg.gram = b.gram
         GROUP BY dg.doc_id
+    """,
+    # q164-q168 share the derived partsupp (no partsupp in the
+    # testdata): supplycost = min observed unit price, availqty =
+    # total shipped quantity, per (part, supplier). Unit price is an
+    # IEEE double division both engines compute identically; min
+    # SELECTS a value (never combines), so costs are bit-exact
+    # cross-engine and the Q2 equality join back is safe.
+    "q164_min_cost_supplier": """
+        WITH ps AS (
+            SELECT l_partkey, l_suppkey,
+                   min(l_extendedprice / l_quantity) AS supplycost
+            FROM lineitem GROUP BY 1, 2
+        ), eur AS (
+            SELECT s.s_suppkey, s.s_name, s.s_acctbal, n.n_name
+            FROM supplier s
+            JOIN nation n ON s.s_nationkey = n.n_nationkey
+            JOIN region r ON n.n_regionkey = r.r_regionkey AND r.r_name = 'EUROPE'
+        ), offers AS (
+            SELECT p.p_partkey, ps.supplycost, e.s_name, e.s_acctbal, e.n_name
+            FROM ps
+            JOIN eur e ON ps.l_suppkey = e.s_suppkey
+            JOIN part p ON ps.l_partkey = p.p_partkey
+                       AND p.p_type = 'SMALL' AND p.p_size <= 15
+        ), mn AS (
+            SELECT p_partkey, min(supplycost) AS min_cost FROM offers GROUP BY 1
+        )
+        SELECT o.s_acctbal, o.s_name, o.n_name, o.p_partkey,
+               round(o.supplycost, 4) AS supplycost
+        FROM offers o JOIN mn ON o.p_partkey = mn.p_partkey
+        WHERE o.supplycost = mn.min_cost
+        ORDER BY o.s_acctbal DESC, o.n_name, o.s_name, o.p_partkey
+        LIMIT 100
+    """,
+    # q165: money stays in integer cents end-to-end (floor on an
+    # identically-computed double is engine-deterministic, unlike
+    # decimal rounding), so the sum and the 10000*value > total
+    # threshold are exact integer arithmetic in both engines.
+    "q165_important_stock": """
+        WITH ps AS (
+            SELECT l_partkey, l_suppkey,
+                   min(CAST(floor(100 * l_extendedprice / l_quantity + 0.5) AS BIGINT))
+                       AS supplycost_c,
+                   CAST(sum(l_quantity) AS BIGINT) AS availqty
+            FROM lineitem GROUP BY 1, 2
+        ), eur AS (
+            SELECT s.s_suppkey FROM supplier s
+            JOIN nation n ON s.s_nationkey = n.n_nationkey
+            JOIN region r ON n.n_regionkey = r.r_regionkey AND r.r_name = 'EUROPE'
+        ), vals AS (
+            SELECT ps.l_partkey AS p_partkey,
+                   CAST(sum(ps.supplycost_c * ps.availqty) AS BIGINT) AS value_c
+            FROM ps JOIN eur ON ps.l_suppkey = eur.s_suppkey
+            GROUP BY 1
+        )
+        SELECT p_partkey, value_c / 100.0 AS value FROM vals
+        WHERE 10000 * value_c > (SELECT sum(value_c) FROM vals)
+    """,
+    "q166_shipmode_priority": """
+        SELECT l.l_returnflag AS ship_mode,
+               sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                        THEN 1 ELSE 0 END) AS high_line_count,
+               sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                        THEN 0 ELSE 1 END) AS low_line_count
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        WHERE l.l_shipdate >= TIMESTAMP '1997-01-01'
+          AND l.l_shipdate < TIMESTAMP '1998-01-01'
+          AND l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY
+        GROUP BY 1
+    """,
+    "q167_supplier_part_counts": """
+        WITH pairs AS (
+            SELECT DISTINCT l_partkey, l_suppkey FROM lineitem
+        ), ok AS (
+            SELECT pairs.l_partkey, pairs.l_suppkey FROM pairs
+            WHERE pairs.l_suppkey NOT IN (
+                SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+        )
+        SELECT p.p_brand, p.p_type, p.p_size,
+               count(DISTINCT ok.l_suppkey) AS supplier_cnt
+        FROM ok
+        JOIN part p ON ok.l_partkey = p.p_partkey
+        WHERE p.p_brand <> 'Brand#1' AND p.p_type <> 'ECONOMY'
+          AND p.p_size IN (1, 5, 11, 15, 21, 28, 37, 44)
+        GROUP BY 1, 2, 3
+    """,
+    # q168: quantities are integral, so sums and the 0.5x threshold
+    # compare are exact in doubles.
+    "q168_potential_promotion": """
+        WITH flows AS (
+            SELECT l.l_partkey, l.l_suppkey,
+                   sum(CASE WHEN year(l.l_shipdate) = 1996
+                            THEN l.l_quantity ELSE 0.0 END) AS stocked,
+                   sum(CASE WHEN year(l.l_shipdate) = 1997
+                            THEN l.l_quantity ELSE 0.0 END) AS demand
+            FROM lineitem l
+            JOIN part p ON l.l_partkey = p.p_partkey
+                       AND p.p_name LIKE '%widget%'
+            WHERE year(l.l_shipdate) IN (1996, 1997)
+            GROUP BY 1, 2
+        ), qual AS (
+            SELECT DISTINCT l_suppkey FROM flows
+            WHERE demand > 0 AND stocked > 0.5 * demand
+        )
+        SELECT s.s_suppkey, s.s_name
+        FROM supplier s
+        JOIN nation n ON s.s_nationkey = n.n_nationkey
+        JOIN region r ON n.n_regionkey = r.r_regionkey AND r.r_name = 'EUROPE'
+        WHERE s.s_suppkey IN (SELECT l_suppkey FROM qual)
     """,
 }
 

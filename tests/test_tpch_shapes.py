@@ -1,0 +1,133 @@
+"""Shape checks for the TPC-H-sweep completion queries (q164-q168:
+Q2/Q11/Q12/Q16/Q20 adapted to the derived partsupp). Value-level
+parity is covered by test_oracle_parity; these assert the plans keep
+their scale posture (dims broadcast, no cartesian fact joins, fact
+touched once where the docstring claims it) plus the semantics the
+oracle can't see locally (exclusion sets, min-selection)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+import __spark_entry__ as entrymod
+from usajobs_etl_service_spark.session import read_table
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_q164_min_cost_is_group_min(spark, sf_dir):
+    rows = entrymod.queries()["q164_min_cost_supplier"](spark, sf_dir).collect()
+    assert rows, "q164 empty at this sf"
+    best = {}
+    for r in rows:
+        best.setdefault(r["p_partkey"], set()).add(r["supplycost"])
+    # equality join back against the group min: every emitted cost for a
+    # part is THE minimum, so each part carries exactly one cost value
+    for part, costs in best.items():
+        assert len(costs) == 1, (part, costs)
+
+
+def test_q164_plan_broadcasts_dims_no_cartesian(spark, sf_dir):
+    p = _plan(entrymod.queries()["q164_min_cost_supplier"](spark, sf_dir))
+    assert "CartesianProduct" not in p
+    assert "BroadcastHashJoin" in p
+
+
+def test_q165_single_fact_aggregate_one_row_cross(spark, sf_dir):
+    p = _plan(entrymod.queries()["q165_important_stock"](spark, sf_dir))
+    assert "CartesianProduct" not in p
+    # the only nested-loop join is the 1-row total broadcast
+    assert p.count("BroadcastNestedLoopJoin") <= 1
+
+
+def test_q165_threshold_is_exact_integer(spark, sf_dir):
+    df = entrymod.queries()["q165_important_stock"](spark, sf_dir)
+    vals = [r["value"] for r in df.collect()]
+    assert vals
+    # integer-cents end-to-end: every value is an exact multiple of 0.01
+    # (tolerance = a few ulps at the value's own magnitude, far below
+    # the 1.0 grid spacing of v*100)
+    for v in vals:
+        assert abs(v * 100 - round(v * 100)) < 1e-7 * max(1.0, abs(v))
+
+
+def test_q166_counts_partition_late_lineitems(spark, sf_dir):
+    df = entrymod.queries()["q166_shipmode_priority"](spark, sf_dir)
+    got = df.agg(
+        F.sum(F.col("high_line_count") + F.col("low_line_count")).alias("n")
+    ).first()["n"]
+    li = read_table(spark, sf_dir, "lineitem")
+    orders = read_table(spark, sf_dir, "orders")
+    expect = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS"))
+        )
+        .count()
+    )
+    assert got == expect
+
+
+def test_q167_excludes_negative_balance_suppliers(spark, sf_dir):
+    # plant nothing: the testdata ships suppliers with s_acctbal < 0.
+    # Re-run the count WITHOUT the exclusion and check it can only grow.
+    df = entrymod.queries()["q167_supplier_part_counts"](spark, sf_dir)
+    with_excl = {
+        (r["p_brand"], r["p_type"], r["p_size"]): r["supplier_cnt"] for r in df.collect()
+    }
+    pairs = read_table(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey").distinct()
+    part = read_table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#1")
+        & (F.col("p_type") != "ECONOMY")
+        & F.col("p_size").isin(1, 5, 11, 15, 21, 28, 37, 44)
+    )
+    no_excl = {
+        (r["p_brand"], r["p_type"], r["p_size"]): r["supplier_cnt"]
+        for r in pairs.join(
+            F.broadcast(part), F.col("l_partkey") == F.col("p_partkey")
+        )
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .collect()
+    }
+    assert set(with_excl) <= set(no_excl)
+    assert all(with_excl[k] <= no_excl[k] for k in with_excl)
+
+
+def test_q167_anti_join_is_broadcast(spark, sf_dir):
+    p = _plan(entrymod.queries()["q167_supplier_part_counts"](spark, sf_dir))
+    assert "CartesianProduct" not in p
+    # the NOT-IN exclusion set is a handful of rows — must not shuffle
+    # the distinct pair set to execute it
+    assert "BroadcastHashJoin" in p and "LeftAnti" in p
+
+
+def test_q168_qualifying_suppliers_shipped_widgets(spark, sf_dir):
+    df = entrymod.queries()["q168_potential_promotion"](spark, sf_dir)
+    qual = {r["s_suppkey"] for r in df.collect()}
+    if not qual:
+        return
+    li = read_table(spark, sf_dir, "lineitem")
+    part = read_table(spark, sf_dir, "part").filter(F.col("p_name").contains("widget"))
+    widget_shippers = {
+        r["l_suppkey"]
+        for r in li.join(
+            F.broadcast(part.select("p_partkey")), F.col("l_partkey") == F.col("p_partkey")
+        )
+        .select("l_suppkey")
+        .distinct()
+        .collect()
+    }
+    assert qual <= widget_shippers
+
+
+def test_q168_one_pass_over_fact(spark, sf_dir):
+    # both year slices come from ONE conditional aggregate, not two
+    # scans: the plan reads lineitem exactly twice in total (the flows
+    # aggregate + nothing else touches it; supplier path reads dims only)
+    p = _plan(entrymod.queries()["q168_potential_promotion"](spark, sf_dir))
+    assert p.count("lineitem.parquet") <= 1 or p.count("Scan parquet") <= 2

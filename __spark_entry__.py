@@ -3678,6 +3678,54 @@ def q168_potential_promotion(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q169_gopher_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extension (Gopher document-quality rules — Rae et al. 2021,
+    table A1 subset): per-document quality signals and the conjunctive
+    keep/drop gate over word-count bounds, mean word length, symbol
+    ratio, alphabetic-word fraction, and distinct-stopword presence
+    (functions/text.gopher_flags). min_stop_hits adapts to 1 for this
+    synthetic vocabulary (only 'the' from the published 8-word list
+    occurs); every other threshold is the published default. All
+    signals are JVM expressions over ONE tokenization — zero UDFs,
+    zero shuffles (a pure map over the scan); the gate compares
+    UNROUNDED doubles (identical cross-engine single divisions of
+    integers) and display-rounds once."""
+    from usajobs_etl_service_spark.functions.text import gopher_flags
+
+    docs = _t(spark, sf_dir, "documents")
+    fl = gopher_flags(F.col("text"), min_stop_hits=1)
+    return docs.select(
+        "doc_id",
+        fl["n_words"].alias("n_words"),
+        F.round(fl["mean_word_len"], 6).alias("mean_word_len"),
+        F.round(fl["alpha_word_frac"], 6).alias("alpha_word_frac"),
+        F.round(fl["symbol_ratio"], 6).alias("symbol_ratio"),
+        fl["stop_hits"].alias("stop_hits"),
+        fl["passes"].alias("passes"),
+    )
+
+
+def q170_copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extension (distributed graph census): exact triangle count and
+    global clustering coefficient of the part co-purchase graph (two
+    parts are adjacent iff some order contains both) —
+    operators/graphrank.triangle_stats. Edge derivation is a per-order
+    self equi-join of the distinct (order, part) table, bounded by the
+    per-order line count (single digits), never a part cross product;
+    the census orients edges by (degree, id) so the out-neighbor-pair
+    expansion is O(m^1.5) under any hub skew (Suri-Vassilvitskii).
+    20k nodes / 1.2M edges / 1.9M triangles at sf0.1. The count is
+    orientation-independent, so the id-ordered SQL oracle checks it
+    exactly; transitivity is one double division of exact integers."""
+    from usajobs_etl_service_spark.operators.graphrank import triangle_stats
+
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    a = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("u"))
+    b = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("v"))
+    edges = a.join(b, "ok").filter(F.col("u") < F.col("v")).select("u", "v")
+    return triangle_stats(edges)
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_job_statistics": q01_job_statistics,
     "q02_metric_union": q02_metric_union,
@@ -3847,6 +3895,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q166_shipmode_priority": q166_shipmode_priority,
     "q167_supplier_part_counts": q167_supplier_part_counts,
     "q168_potential_promotion": q168_potential_promotion,
+    "q169_gopher_gate": q169_gopher_gate,
+    "q170_copurchase_triangles": q170_copurchase_triangles,
 }
 
 
@@ -6582,6 +6632,83 @@ ORACLES: dict[str, str] = {
         JOIN nation n ON s.s_nationkey = n.n_nationkey
         JOIN region r ON n.n_regionkey = r.r_regionkey AND r.r_name = 'EUROPE'
         WHERE s.s_suppkey IN (SELECT l_suppkey FROM qual)
+    """,
+    # q169: the gate compares UNROUNDED doubles (single divisions of
+    # integers — identical cross-engine); display rounds once at 6.
+    "q169_gopher_gate": """
+        WITH t AS (
+            SELECT doc_id,
+                   list_filter(string_split_regex(trim(text), '\\s+'),
+                               x -> x <> '') AS ts,
+                   list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                               x -> x <> '') AS tsl,
+                   len(regexp_extract_all(text, '#|\\.\\.\\.')) AS n_sym
+            FROM documents
+        ), s AS (
+            SELECT doc_id,
+                   len(ts) AS n_words,
+                   len(array_to_string(ts, '')) AS wc,
+                   len(list_filter(ts, x -> regexp_matches(x, '[A-Za-z]'))) AS n_alpha,
+                   n_sym,
+                   (CASE WHEN list_contains(tsl, 'the') THEN 1 ELSE 0 END
+                    + CASE WHEN list_contains(tsl, 'be') THEN 1 ELSE 0 END
+                    + CASE WHEN list_contains(tsl, 'to') THEN 1 ELSE 0 END
+                    + CASE WHEN list_contains(tsl, 'of') THEN 1 ELSE 0 END
+                    + CASE WHEN list_contains(tsl, 'and') THEN 1 ELSE 0 END
+                    + CASE WHEN list_contains(tsl, 'that') THEN 1 ELSE 0 END
+                    + CASE WHEN list_contains(tsl, 'have') THEN 1 ELSE 0 END
+                    + CASE WHEN list_contains(tsl, 'with') THEN 1 ELSE 0 END
+                   ) AS stop_hits
+            FROM t
+        ), m AS (
+            SELECT doc_id, n_words, stop_hits,
+                   CASE WHEN n_words > 0 THEN CAST(wc AS DOUBLE) / n_words
+                        ELSE 0.0 END AS mwl,
+                   CASE WHEN n_words > 0 THEN CAST(n_alpha AS DOUBLE) / n_words
+                        ELSE 0.0 END AS awf,
+                   CASE WHEN n_words > 0 THEN CAST(n_sym AS DOUBLE) / n_words
+                        ELSE 0.0 END AS sr
+            FROM s
+        )
+        SELECT doc_id, n_words,
+               round(mwl, 6) AS mean_word_len,
+               round(awf, 6) AS alpha_word_frac,
+               round(sr, 6) AS symbol_ratio,
+               stop_hits,
+               (n_words >= 50 AND n_words <= 100000
+                AND mwl >= 3.0 AND mwl <= 10.0
+                AND sr <= 0.1 AND awf >= 0.8
+                AND stop_hits >= 1) AS passes
+        FROM m
+    """,
+    # q170: the triangle count is orientation-independent — the engine
+    # runs degree-oriented (skew-safe), the oracle id-ordered; wedges
+    # come from degrees (orientation-free), so every output integer is
+    # exact and only the final transitivity division is float.
+    "q170_copurchase_triangles": """
+        WITH pl AS (
+            SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+        ), e AS (
+            SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+            FROM pl a JOIN pl b ON a.l_orderkey = b.l_orderkey
+                               AND a.l_partkey < b.l_partkey
+        ), deg AS (
+            SELECT node, count(*) AS d
+            FROM (SELECT u AS node FROM e UNION ALL SELECT v AS node FROM e)
+            GROUP BY 1
+        ), tri AS (
+            SELECT count(*) AS n_triangles
+            FROM e e1
+            JOIN e e2 ON e1.v = e2.u
+            JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v
+        )
+        SELECT (SELECT count(*) FROM deg) AS n_nodes,
+               (SELECT count(*) FROM e) AS n_edges,
+               (SELECT CAST(sum(d * (d - 1) // 2) AS BIGINT) FROM deg) AS n_wedges,
+               tri.n_triangles,
+               round(3.0 * tri.n_triangles
+                     / (SELECT sum(d * (d - 1) // 2) FROM deg), 6) AS transitivity
+        FROM tri
     """,
 }
 

@@ -49,3 +49,44 @@ def test_textrank_hub_term_ranks_first(spark):
     out = textrank_terms(docs, min_cooccur=5, n_iter=3, top_k=5).collect()
     assert out[0]["term"] == "hub" and out[0]["rank"] == 1
     assert out[0]["pr"] > out[1]["pr"]
+
+
+def test_triangle_stats_k4_plus_tail(spark):
+    # K4 on {1,2,3,4} (4 triangles, every edge) + pendant 5-1: hand
+    # census: 7 edges, wedges = C(4,2)*... degrees: 1->4, 2/3/4->3,
+    # 5->1 => wedges = 6 + 3*3 + 0 = 15, triangles = 4,
+    # transitivity = 12/15 = 0.8
+    from usajobs_etl_service_spark.operators.graphrank import triangle_stats
+
+    edges = spark.createDataFrame(
+        [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4), (1, 5)], ["u", "v"]
+    )
+    row = triangle_stats(edges).first()
+    assert row["n_nodes"] == 5
+    assert row["n_edges"] == 7
+    assert row["n_wedges"] == 15
+    assert row["n_triangles"] == 4
+    assert abs(row["transitivity"] - 0.8) < 1e-9
+
+
+def test_triangle_stats_normalizes_unordered_and_dup_edges(spark):
+    # same triangle given as unordered / duplicated pairs: filter+distinct
+    # inside the operator must normalize (u<v kept, rest dropped)
+    from usajobs_etl_service_spark.operators.graphrank import triangle_stats
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (1, 3), (1, 2)], ["u", "v"]
+    )
+    row = triangle_stats(edges).first()
+    assert row["n_edges"] == 3 and row["n_triangles"] == 1
+    assert abs(row["transitivity"] - 1.0) < 1e-9
+
+
+def test_triangle_stats_triangle_free_bipartite(spark):
+    from usajobs_etl_service_spark.operators.graphrank import triangle_stats
+
+    # C4: 1-2, 2-3(via 1-3? no) -- bipartite square 1-2, 2-4(nope)
+    edges = spark.createDataFrame([(1, 2), (2, 3), (3, 4), (1, 4)], ["u", "v"])
+    row = triangle_stats(edges).first()
+    assert row["n_triangles"] == 0
+    assert abs(row["transitivity"] - 0.0) < 1e-9

@@ -131,3 +131,41 @@ def test_q168_one_pass_over_fact(spark, sf_dir):
     # aggregate + nothing else touches it; supplier path reads dims only)
     p = _plan(entrymod.queries()["q168_potential_promotion"](spark, sf_dir))
     assert p.count("lineitem.parquet") <= 1 or p.count("Scan parquet") <= 2
+
+
+def test_gopher_flags_hand_case(spark):
+    from usajobs_etl_service_spark.functions.text import gopher_flags
+
+    # 4 words, mean len (3+2+3+4)/4 = 3.0, one non-alpha word, one
+    # stopword hit ('the'), one '#' symbol
+    df = spark.createDataFrame([("the 42 cat say#",)], ["text"])
+    fl = gopher_flags(
+        F.col("text"), min_words=4, min_stop_hits=1, min_alpha_word_frac=0.7
+    )
+    row = df.select(
+        fl["n_words"].alias("n"),
+        fl["mean_word_len"].alias("mwl"),
+        fl["alpha_word_frac"].alias("awf"),
+        fl["symbol_ratio"].alias("sr"),
+        fl["stop_hits"].alias("sh"),
+        fl["passes"].alias("p"),
+    ).first()
+    assert row["n"] == 4
+    assert abs(row["mwl"] - 3.0) < 1e-9
+    assert abs(row["awf"] - 0.75) < 1e-9
+    assert abs(row["sr"] - 0.25) < 1e-9
+    assert row["sh"] == 1
+    # symbol_ratio 0.25 > 0.1 kills it despite every other rule passing
+    assert row["p"] is False
+
+
+def test_gopher_gate_word_count_bound(spark):
+    from usajobs_etl_service_spark.functions.text import gopher_flags
+
+    short = "the cat sat"
+    long_ok = " ".join(["the"] * 30 + ["with"] * 30)
+    df = spark.createDataFrame([(1, short), (2, long_ok)], ["doc_id", "text"])
+    fl = gopher_flags(F.col("text"))
+    rows = {r["doc_id"]: r["p"] for r in df.select("doc_id", fl["passes"].alias("p")).collect()}
+    assert rows[1] is False  # 3 words < 50
+    assert rows[2] is True  # 60 words, mean len 3.5, 2 stopword types

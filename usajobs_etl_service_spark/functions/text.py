@@ -99,6 +99,71 @@ def quality_features(col: Column) -> dict[str, Column]:
     }
 
 
+_GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_flags(
+    col: Column,
+    *,
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_ratio: float = 0.1,
+    min_alpha_word_frac: float = 0.8,
+    min_stop_hits: int = 2,
+) -> dict[str, Column]:
+    """The Gopher document-quality rules (Rae et al. 2021, "Scaling
+    Language Models: ... Gopher", table A1 subset) as named expression
+    columns plus the conjunctive ``passes`` gate: word-count bounds,
+    mean-word-length bounds, symbol-to-word ratio (# and ellipsis),
+    fraction of words containing an alphabetic character, and presence
+    of >= ``min_stop_hits`` DISTINCT stopwords from the published
+    8-word list. The line-level rules (bullet/ellipsis line starts)
+    are omitted — this corpus carries no newlines — and the
+    repetition rules live in operators/repetition.py (q72).
+
+    Everything is a JVM-side expression over one whitespace
+    tokenization (no UDFs): all counts are integers and the two
+    ratios are single divisions of integers, so both engines compute
+    identical doubles (display-rounded once at 6 decimals by the
+    caller)."""
+    toks = tokens_ws(col)
+    toks_l = tokens_ws(F.lower(col))
+    n_words = F.size(toks)
+    word_chars = F.length(F.concat_ws("", toks))
+    mean_wl = F.when(n_words > 0, word_chars.cast("double") / n_words).otherwise(F.lit(0.0))
+    n_alpha_words = F.size(F.filter(toks, lambda w: w.rlike("[A-Za-z]")))
+    alpha_frac = F.when(n_words > 0, n_alpha_words.cast("double") / n_words).otherwise(
+        F.lit(0.0)
+    )
+    n_symbols = F.size(F.regexp_extract_all(col, F.lit(r"#|\.\.\."), 0))
+    symbol_ratio = F.when(n_words > 0, n_symbols.cast("double") / n_words).otherwise(
+        F.lit(0.0)
+    )
+    stop_hits = None
+    for w in _GOPHER_STOPWORDS:
+        hit = F.array_contains(toks_l, w).cast("int")
+        stop_hits = hit if stop_hits is None else stop_hits + hit
+    passes = (
+        (n_words >= min_words)
+        & (n_words <= max_words)
+        & (mean_wl >= min_mean_word_len)
+        & (mean_wl <= max_mean_word_len)
+        & (symbol_ratio <= max_symbol_ratio)
+        & (alpha_frac >= min_alpha_word_frac)
+        & (stop_hits >= min_stop_hits)
+    )
+    return {
+        "n_words": n_words,
+        "mean_word_len": mean_wl,
+        "alpha_word_frac": alpha_frac,
+        "symbol_ratio": symbol_ratio,
+        "stop_hits": stop_hits,
+        "passes": passes,
+    }
+
+
 def quality_score(col: Column) -> Column:
     """Scalar 0-1 quality score: penalize too-short docs, low alpha ratio,
     high digit/punct ratios; reward stopword presence. Deterministic."""

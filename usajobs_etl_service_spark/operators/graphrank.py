@@ -120,3 +120,77 @@ def textrank_terms(
         .filter(F.col("rank") <= top_k)
         .select("rank", "term", "pr")
     )
+
+
+def triangle_stats(
+    edges: DataFrame,
+    *,
+    u: str = "u",
+    v: str = "v",
+) -> DataFrame:
+    """Exact global triangle census of an undirected graph — one row:
+    (n_nodes, n_edges, n_wedges, n_triangles, transitivity). Input is
+    the id-ordered distinct edge set (u < v, no self-loops); wedges =
+    sum over nodes of C(degree, 2), transitivity = 3*triangles/wedges
+    (Newman's global clustering coefficient).
+
+    Scale posture (the Suri-Vassilvitskii / Cohen MapReduce triangle
+    recipe): edges are ORIENTED from the lower-(degree, id) endpoint
+    to the higher one, so every node's out-degree is O(sqrt(m)) and
+    the out-neighbor-pair expansion — the only superlinear step — is
+    bounded by O(m^1.5) total regardless of hub skew; an id-only
+    orientation would explode on a low-id hub (a celebrity node
+    produces C(deg, 2) wedges). Each candidate closing pair is checked
+    against the id-ordered edge set with one hash semi-join. Degrees
+    attach via two hash joins on node keys (the degree table is
+    node-sized — NOT broadcast, deliberately, for open-vocabulary
+    graphs); every exchange hashes on a node or pair key. The
+    triangle count is orientation-independent, so a plain id-ordered
+    SQL oracle checks it exactly.
+    """
+    e = edges.select(F.col(u).alias("u"), F.col(v).alias("v")).filter(F.col("u") < F.col("v")).distinct()
+    deg = (
+        e.select(F.col("u").alias("node"))
+        .unionAll(e.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    ed = (
+        e.join(deg.select(F.col("node").alias("u"), F.col("d").alias("du")), "u")
+        .join(deg.select(F.col("node").alias("v"), F.col("d").alias("dv")), "v")
+    )
+    u_first = (F.col("du") < F.col("dv")) | (
+        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
+    )
+    oe = ed.select(
+        F.when(u_first, F.col("u")).otherwise(F.col("v")).alias("s"),
+        F.when(u_first, F.col("v")).otherwise(F.col("u")).alias("t"),
+    )
+    o1 = oe.select("s", F.col("t").alias("t1"))
+    o2 = oe.select("s", F.col("t").alias("t2"))
+    cand = (
+        o1.join(o2, "s")
+        .filter(F.col("t1") < F.col("t2"))
+        .select(F.col("t1").alias("u"), F.col("t2").alias("v"))
+    )
+    tri = cand.join(e, ["u", "v"], "left_semi").agg(
+        F.count(F.lit(1)).alias("n_triangles")
+    )
+    counts = e.agg(F.count(F.lit(1)).alias("n_edges"))
+    nodes = deg.agg(
+        F.count(F.lit(1)).alias("n_nodes"),
+        F.sum(F.col("d") * (F.col("d") - 1) / 2).cast("long").alias("n_wedges"),
+    )
+    return (
+        nodes.crossJoin(F.broadcast(counts))
+        .crossJoin(F.broadcast(tri))
+        .select(
+            "n_nodes",
+            "n_edges",
+            "n_wedges",
+            "n_triangles",
+            F.round(
+                F.lit(3.0) * F.col("n_triangles") / F.col("n_wedges"), 6
+            ).alias("transitivity"),
+        )
+    )

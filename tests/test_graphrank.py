@@ -90,3 +90,40 @@ def test_triangle_stats_triangle_free_bipartite(spark):
     row = triangle_stats(edges).first()
     assert row["n_triangles"] == 0
     assert abs(row["transitivity"] - 0.0) < 1e-9
+
+
+def test_triangle_stats_matches_bruteforce_random_graphs(spark):
+    """Property check without per-example Spark jobs being too slow:
+    a handful of seeded Erdos-Renyi graphs, censused by brute force
+    (itertools) and by the degree-oriented operator."""
+    import itertools
+    import random
+
+    from usajobs_etl_service_spark.operators.graphrank import triangle_stats
+
+    for seed in (1, 7, 42):
+        rng = random.Random(seed)
+        n = 14
+        edges = [
+            (a, b)
+            for a, b in itertools.combinations(range(n), 2)
+            if rng.random() < 0.35
+        ]
+        if not edges:
+            continue
+        adj = {x: set() for x in range(n)}
+        for a, b in edges:
+            adj[a].add(b)
+            adj[b].add(a)
+        nodes = [x for x in range(n) if adj[x]]
+        tri = sum(
+            1
+            for a, b, c in itertools.combinations(nodes, 3)
+            if b in adj[a] and c in adj[a] and c in adj[b]
+        )
+        wedges = sum(len(adj[x]) * (len(adj[x]) - 1) // 2 for x in nodes)
+        row = triangle_stats(spark.createDataFrame(edges, ["u", "v"])).first()
+        assert row["n_nodes"] == len(nodes), seed
+        assert row["n_edges"] == len(edges), seed
+        assert row["n_wedges"] == wedges, seed
+        assert row["n_triangles"] == tri, seed

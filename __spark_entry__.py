@@ -3719,11 +3719,65 @@ def q170_copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     exactly; transitivity is one double division of exact integers."""
     from usajobs_etl_service_spark.operators.graphrank import triangle_stats
 
+    return triangle_stats(_copurchase_edges(spark, sf_dir))
+
+
+def _copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct id-ordered part co-purchase edges (u < v iff some
+    order contains both parts) — the q170/q171 graph. Per-order self
+    equi-join of the distinct (order, part) incidence table, bounded
+    by the per-order line count (single digits), never a part cross
+    product."""
     li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
     a = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("u"))
     b = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("v"))
-    edges = a.join(b, "ok").filter(F.col("u") < F.col("v")).select("u", "v")
-    return triangle_stats(edges)
+    return a.join(b, "ok").filter(F.col("u") < F.col("v")).select("u", "v").distinct()
+
+
+def q171_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extension (Newman 2002 degree assortativity): Pearson
+    correlation of endpoint degrees over the symmetrized co-purchase
+    edge list — do high-degree parts co-purchase with other
+    high-degree parts? Cross-engine exactness by construction: the
+    five correlation moments (n, sum dx, sum dx*dy, sum dx^2 and the
+    symmetric y-terms) are INTEGER sums of integer degrees, computed
+    exactly as longs in any summation order; the Pearson formula is
+    then ONE float expression over identical integers, so both
+    engines produce the identical double (never engine corr(), whose
+    streaming-moment float accumulation is summation-order-
+    dependent). Shuffles: the edge distinct, one degree aggregate,
+    two degree-attach hash joins, one scalar aggregate
+    (operators/graphrank.degree_assortativity)."""
+    from usajobs_etl_service_spark.operators.graphrank import degree_assortativity
+
+    return degree_assortativity(_copurchase_edges(spark, sf_dir))
+
+
+def q172_common_neighbor_links(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extension (link prediction by common-neighbor count — the
+    integer-exact member of the Liben-Nowell/Kleinberg score family;
+    Adamic-Adar's 1/log weights would float-sum in engine-dependent
+    order): the top-50 NON-adjacent part pairs of the Brand#1
+    co-purchase subgraph ranked by shared neighbors. Wedges expand
+    center-by-center from the symmetrized adjacency (sum C(deg, 2)
+    rows — the subgraph bounds it; on an open graph apply q170's
+    degree orientation or a hub cap), one (pair) aggregate, then a
+    left_anti against the edge set removes existing links.
+    (cnt DESC, u, v) is a total order, so the cut is deterministic
+    (operators/graphrank.common_neighbor_links)."""
+    from usajobs_etl_service_spark.operators.graphrank import common_neighbor_links
+
+    part = _t(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#1")
+    e = _copurchase_edges(spark, sf_dir)
+    keep = part.select(F.col("p_partkey").alias("u"))
+    e = (
+        e.join(F.broadcast(keep), "u", "left_semi")
+        .join(F.broadcast(keep.select(F.col("u").alias("v"))), "v", "left_semi")
+        # using-column joins move the join column first — (v, u) after
+        # the second hop; re-pin the order because unions are positional
+        .select("u", "v")
+    )
+    return common_neighbor_links(e, top_k=50)
 
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -3897,6 +3951,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q168_potential_promotion": q168_potential_promotion,
     "q169_gopher_gate": q169_gopher_gate,
     "q170_copurchase_triangles": q170_copurchase_triangles,
+    "q171_degree_assortativity": q171_degree_assortativity,
+    "q172_common_neighbor_links": q172_common_neighbor_links,
 }
 
 
@@ -6709,6 +6765,67 @@ ORACLES: dict[str, str] = {
                round(3.0 * tri.n_triangles
                      / (SELECT sum(d * (d - 1) // 2) FROM deg), 6) AS transitivity
         FROM tri
+    """,
+    # q171: the five correlation moments are exact integer sums (any
+    # order); the Pearson formula is one float expression over
+    # identical integers — engine corr() is deliberately avoided.
+    "q171_degree_assortativity": """
+        WITH pl AS (
+            SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+        ), e AS (
+            SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+            FROM pl a JOIN pl b ON a.l_orderkey = b.l_orderkey
+                               AND a.l_partkey < b.l_partkey
+        ), deg AS (
+            SELECT node, count(*) AS d
+            FROM (SELECT u AS node FROM e UNION ALL SELECT v AS node FROM e)
+            GROUP BY 1
+        ), sym AS (
+            SELECT u, v FROM e UNION ALL SELECT v AS u, u AS v FROM e
+        ), j AS (
+            SELECT d1.d AS dx, d2.d AS dy
+            FROM sym JOIN deg d1 ON sym.u = d1.node
+                     JOIN deg d2 ON sym.v = d2.node
+        ), s AS (
+            SELECT count(*) AS n, sum(dx) AS sx, sum(dy) AS sy,
+                   sum(dx * dy) AS sxy, sum(dx * dx) AS sxx,
+                   sum(dy * dy) AS syy
+            FROM j
+        )
+        SELECT CAST(n // 2 AS BIGINT) AS n_edges,
+               round(CAST(n * sxy - sx * sy AS DOUBLE)
+                     / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+                            * CAST(n * syy - sy * sy AS DOUBLE)), 6)
+                   AS assortativity
+        FROM s
+    """,
+    # q172: integer wedge counts; (cnt DESC, u, v) is a total order so
+    # the top-50 cut is deterministic in both engines.
+    "q172_common_neighbor_links": """
+        WITH pl AS (
+            SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+        ), e0 AS (
+            SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+            FROM pl a JOIN pl b ON a.l_orderkey = b.l_orderkey
+                               AND a.l_partkey < b.l_partkey
+        ), bp AS (
+            SELECT p_partkey FROM part WHERE p_brand = 'Brand#1'
+        ), e AS (
+            SELECT u, v FROM e0
+            WHERE u IN (SELECT p_partkey FROM bp)
+              AND v IN (SELECT p_partkey FROM bp)
+        ), sym AS (
+            SELECT u, v FROM e UNION ALL SELECT v AS u, u AS v FROM e
+        ), w AS (
+            SELECT s1.v AS u, s2.v AS v, count(*) AS common_neighbors
+            FROM sym s1 JOIN sym s2 ON s1.u = s2.u AND s1.v < s2.v
+            GROUP BY 1, 2
+        )
+        SELECT w.u, w.v, w.common_neighbors
+        FROM w
+        WHERE NOT EXISTS (SELECT 1 FROM e WHERE e.u = w.u AND e.v = w.v)
+        ORDER BY common_neighbors DESC, u, v
+        LIMIT 50
     """,
 }
 

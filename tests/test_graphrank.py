@@ -127,3 +127,37 @@ def test_triangle_stats_matches_bruteforce_random_graphs(spark):
         assert row["n_edges"] == len(edges), seed
         assert row["n_wedges"] == wedges, seed
         assert row["n_triangles"] == tri, seed
+
+
+def test_assortativity_star_is_minus_one(spark):
+    # star S3: hub degree 3, leaves degree 1 — the textbook r = -1 graph
+    from usajobs_etl_service_spark.operators.graphrank import degree_assortativity
+
+    edges = spark.createDataFrame([(1, 2), (1, 3), (1, 4)], ["u", "v"])
+    row = degree_assortativity(edges).first()
+    assert row["n_edges"] == 3
+    assert abs(row["assortativity"] - (-1.0)) < 1e-9
+
+
+def test_assortativity_matches_hand_moments(spark):
+    # path 1-2-3-4: degrees 1,2,2,1; directed pairs (dx,dy):
+    # (1,2),(2,1),(2,2),(2,2),(2,1),(1,2) -> n=6, sx=sy=10,
+    # sxy=16, sxx=syy=18 -> r = (96-100)/(108-100) = -0.5
+    from usajobs_etl_service_spark.operators.graphrank import degree_assortativity
+
+    edges = spark.createDataFrame([(1, 2), (2, 3), (3, 4)], ["u", "v"])
+    row = degree_assortativity(edges).first()
+    assert abs(row["assortativity"] - (-0.5)) < 1e-9
+
+
+def test_common_neighbor_links_square_and_path(spark):
+    from usajobs_etl_service_spark.operators.graphrank import common_neighbor_links
+
+    # square 1-2-3-4-1: the two diagonals each share 2 neighbors
+    edges = spark.createDataFrame([(1, 2), (2, 3), (3, 4), (1, 4)], ["u", "v"])
+    rows = [(r["u"], r["v"], r["common_neighbors"]) for r in common_neighbor_links(edges).collect()]
+    assert rows == [(1, 3, 2), (2, 4, 2)]
+    # path 1-2-3: one candidate link
+    edges = spark.createDataFrame([(1, 2), (2, 3)], ["u", "v"])
+    rows = [(r["u"], r["v"], r["common_neighbors"]) for r in common_neighbor_links(edges).collect()]
+    assert rows == [(1, 3, 1)]

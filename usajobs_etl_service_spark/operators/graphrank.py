@@ -194,3 +194,84 @@ def triangle_stats(
             ).alias("transitivity"),
         )
     )
+
+
+def degree_assortativity(edges: DataFrame, *, u: str = "u", v: str = "v") -> DataFrame:
+    """Newman (2002) degree assortativity of an undirected graph —
+    one row (n_edges, assortativity): the Pearson correlation of
+    endpoint degrees over the symmetrized edge list.
+
+    Cross-engine exactness by construction: the five correlation
+    moments (n, sum dx, sum dx*dy, sum dx^2 and the symmetric
+    y-terms) are INTEGER sums of integer degrees — exact as longs in
+    any summation order — and the Pearson formula is then ONE float
+    expression over identical integers, so any two engines produce
+    the identical double. Engine corr() is deliberately avoided: its
+    streaming-moment float accumulation is summation-order-dependent.
+    Long arithmetic holds to ~1e9 directed edges with ~1e5 max
+    degree; past that, lift the moments to decimal(38,0).
+    Shuffles: edge distinct, one degree aggregate, two degree-attach
+    hash joins (degree table node-sized, not broadcast), one scalar
+    aggregate."""
+    e = edges.select(F.col(u).alias("u"), F.col(v).alias("v")).filter(F.col("u") < F.col("v")).distinct()
+    deg = (
+        e.select(F.col("u").alias("node"))
+        .unionAll(e.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    sym = e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    j = (
+        sym.join(deg.select(F.col("node").alias("u"), F.col("d").alias("dx")), "u")
+        .join(deg.select(F.col("node").alias("v"), F.col("d").alias("dy")), "v")
+    )
+    s = j.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("dx").alias("sx"),
+        F.sum("dy").alias("sy"),
+        F.sum(F.col("dx") * F.col("dy")).alias("sxy"),
+        F.sum(F.col("dx") * F.col("dx")).alias("sxx"),
+        F.sum(F.col("dy") * F.col("dy")).alias("syy"),
+    )
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    varx = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    vary = (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+    return s.select(
+        (F.col("n") / 2).cast("long").alias("n_edges"),
+        F.round(num / F.sqrt(varx * vary), 6).alias("assortativity"),
+    )
+
+
+def common_neighbor_links(
+    edges: DataFrame,
+    *,
+    u: str = "u",
+    v: str = "v",
+    top_k: int = 50,
+) -> DataFrame:
+    """Link prediction by common-neighbor count (the integer-exact
+    member of the Liben-Nowell/Kleinberg score family — Adamic-Adar's
+    1/log weights would float-sum in engine-dependent order): the
+    top-``top_k`` NON-adjacent pairs ranked by shared neighbors,
+    (count DESC, u, v)-ordered so the cut is a total order.
+
+    Wedges expand center-by-center from the symmetrized adjacency
+    (sum over nodes of C(degree, 2) rows); bound the input graph
+    (subgraph, hub cap, or q170's degree orientation) before calling
+    on an open-vocabulary graph. One (pair) aggregate; existing links
+    removed with a left_anti hash join."""
+    e = edges.select(F.col(u).alias("u"), F.col(v).alias("v")).filter(F.col("u") < F.col("v")).distinct()
+    sym = e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    n1 = sym.select(F.col("u").alias("z"), F.col("v").alias("a"))
+    n2 = sym.select(F.col("u").alias("z"), F.col("v").alias("b"))
+    wedges = (
+        n1.join(n2, "z")
+        .filter(F.col("a") < F.col("b"))
+        .groupBy(F.col("a").alias("u"), F.col("b").alias("v"))
+        .agg(F.count(F.lit(1)).alias("common_neighbors"))
+    )
+    return (
+        wedges.join(e, ["u", "v"], "left_anti")
+        .orderBy(F.col("common_neighbors").desc(), "u", "v")
+        .limit(top_k)
+    )

@@ -3780,6 +3780,76 @@ def q172_common_neighbor_links(spark: SparkSession, sf_dir: str) -> DataFrame:
     return common_neighbor_links(e, top_k=50)
 
 
+def q173_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extension (hybrid retrieval): reciprocal-rank fusion (Cormack,
+    Clarke & Buettcher 2009) of a sparse BM25 leg (q91's scorer, query
+    {spark, window, merge}) and a dense cosine leg (q18's brute-force
+    scorer against the vec_id=0 embedding; the 1:1 doc_id==vec_id
+    alignment of the test corpus) — the standard calibration-free
+    sparse+dense combiner (operators/retrieval.rrf_fuse). Each leg is
+    cut to its top-100 by TakeOrderedAndProject before a bounded
+    single-partition rank window (rank() over pre-rounded scores so
+    ties share a rank engine-independently); the fuse is one groupBy
+    over <= 200 rows. At 100 TB the legs are posting-table / ANN-index
+    probes; the fusion never touches the corpus."""
+    from usajobs_etl_service_spark.operators.retrieval import bm25_scores, rrf_fuse
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    sparse = bm25_scores(docs, ["spark", "window", "merge"]).select(
+        "doc_id", F.col("bm25").alias("score")
+    )
+    emb = _t(spark, sf_dir, "embeddings")
+    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]]
+    dense = SIM.topk_cosine(emb, qvec, k=100, round_digits=4).select(
+        F.col("vec_id").alias("doc_id"), F.col("sim").alias("score")
+    )
+    return rrf_fuse(
+        [("bm25", sparse), ("cosine", dense)], rrf_k=60, top_n=100, top_k=50
+    )
+
+
+def q174_kcore_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extension (iterative distributed graph): bounded-round 3-core
+    peel of the Brand#1 co-purchase subgraph — repeatedly delete parts
+    co-purchased with < 3 surviving peers, 6 rounds (measured
+    convergence is 1-3 rounds at sf0.001/0.01/0.1, so 6 IS the 3-core
+    here; the fixed round count is the contract and the oracle unrolls
+    the identical 6 rounds, the q105 bounded-iteration pattern) —
+    operators/graphrank.kcore_membership. Each round materializes the
+    (shrinking) survivor edges via the parquet-superstep pattern
+    (clustering.py's lineage/executor-loss argument: a round reads its
+    predecessor three times) and early-exits on a stable edge count,
+    which provably equals the full 6-round result. Output: surviving
+    (node, core_degree)."""
+    from usajobs_etl_service_spark.operators.graphrank import kcore_membership
+
+    part = _t(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#1")
+    keep = part.select(F.col("p_partkey").alias("u"))
+    e = (
+        _copurchase_edges(spark, sf_dir)
+        .join(F.broadcast(keep), "u", "left_semi")
+        .join(F.broadcast(keep.select(F.col("u").alias("v"))), "v", "left_semi")
+        .select("u", "v")
+    )
+    return kcore_membership(e, k=3, rounds=6)
+
+
+def q175_kneser_ney_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extension (quality gate, order-2 smoothed): per-document
+    surprisal under an interpolated Kneser-Ney bigram LM (Kneser & Ney
+    1995 / Chen & Goodman 1998, absolute discount 0.75) trained on the
+    corpus itself (operators/retrieval.kneser_ney_scores) — the
+    smoothing family KenLM-backed perplexity gates actually use; backs
+    off to CONTINUATION probability where q156's Jelinek-Mercer backs
+    off to raw unigram frequency. Every model statistic is an exact
+    integer count; one float expression per transition row; per-doc
+    mean rounds to 4 (the q92/q156 cross-engine contract)."""
+    from usajobs_etl_service_spark.operators.retrieval import kneser_ney_scores
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return kneser_ney_scores(docs, discount=0.75)
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_job_statistics": q01_job_statistics,
     "q02_metric_union": q02_metric_union,
@@ -3953,6 +4023,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q170_copurchase_triangles": q170_copurchase_triangles,
     "q171_degree_assortativity": q171_degree_assortativity,
     "q172_common_neighbor_links": q172_common_neighbor_links,
+    "q173_hybrid_rrf": q173_hybrid_rrf,
+    "q174_kcore_parts": q174_kcore_parts,
+    "q175_kneser_ney_surprisal": q175_kneser_ney_surprisal,
 }
 
 
@@ -3966,6 +4039,45 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 _ANCHOR_ORDERS = "(SELECT max(CAST(o_orderdate AS DATE)) FROM orders)"
 _ANCHOR_EVENTS = "(SELECT max(CAST(ts AS DATE)) FROM events)"
+
+def _kcore_oracle_sql(k: int, rounds: int) -> str:
+    """Round-for-round unrolled SQL for q174's bounded-round k-core
+    peel (the engine's early-exit provably equals the full unrolled
+    form — a fixpoint round is an identity, see
+    graphrank.kcore_membership)."""
+    sql = """
+        WITH pl AS (
+            SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+            WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_brand = 'Brand#1')
+        ), e0 AS MATERIALIZED (
+            SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+            FROM pl a JOIN pl b ON a.l_orderkey = b.l_orderkey
+                               AND a.l_partkey < b.l_partkey
+        )"""
+    prev = "e0"
+    # MATERIALIZED is load-bearing: DuckDB inlines plain CTEs, and each
+    # round references its predecessor three times, so the unrolled
+    # query would otherwise expand to 3^rounds copies of the base scan
+    # (observed: fd exhaustion at rounds=6).
+    for i in range(1, rounds + 1):
+        sql += f""", d{i} AS MATERIALIZED (
+            SELECT node, count(*) AS d
+            FROM (SELECT u AS node FROM {prev} UNION ALL SELECT v AS node FROM {prev})
+            GROUP BY 1
+        ), k{i} AS MATERIALIZED (
+            SELECT node FROM d{i} WHERE d >= {k}
+        ), e{i} AS MATERIALIZED (
+            SELECT u, v FROM {prev}
+            WHERE u IN (SELECT node FROM k{i}) AND v IN (SELECT node FROM k{i})
+        )"""
+        prev = f"e{i}"
+    sql += f"""
+        SELECT node, count(*) AS core_degree
+        FROM (SELECT u AS node FROM {prev} UNION ALL SELECT v AS node FROM {prev})
+        GROUP BY 1
+    """
+    return sql
+
 
 ORACLES: dict[str, str] = {
     "q01_job_statistics": f"""
@@ -6062,7 +6174,7 @@ ORACLES: dict[str, str] = {
         ), toks AS (
             SELECT first_half, token FROM (
                 SELECT doc_id <= mid AS first_half,
-                       unnest(string_split_regex(lower(text), '\s+')) AS token
+                       unnest(string_split_regex(lower(text), '\\s+')) AS token
                 FROM documents, mid
             ) WHERE token <> ''
         ), counts AS (
@@ -6826,6 +6938,106 @@ ORACLES: dict[str, str] = {
         WHERE NOT EXISTS (SELECT 1 FROM e WHERE e.u = w.u AND e.v = w.v)
         ORDER BY common_neighbors DESC, u, v
         LIMIT 50
+    """,
+    # q173: both legs rank on PRE-ROUNDED scores with rank() (ties
+    # share a rank engine-independently); each shortlist cut keeps a
+    # prefix of the same (score DESC, id ASC) total order the rank
+    # window uses, so shortlist ranks == corpus ranks; the 2-term
+    # reciprocal sum is order-insensitive and rounds to 6.
+    "q173_hybrid_rrf": """
+        WITH lens AS (
+            SELECT doc_id,
+                   list_filter(string_split_regex(trim(lower(text)), '\\s+'), x -> x <> '') AS ts
+            FROM documents
+        ), scalars AS (
+            SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(CAST(len(ts) AS DOUBLE)) AS avgdl FROM lens
+        ), toks AS (
+            SELECT doc_id, len(ts) AS dl, unnest(ts) AS term FROM lens
+        ), tf AS (
+            SELECT doc_id, dl, term, count(*) AS tf FROM toks
+            WHERE term IN ('merge', 'spark', 'window')
+            GROUP BY doc_id, dl, term
+        ), dfreq AS (
+            SELECT term, count(*) AS df FROM tf GROUP BY term
+        ), bm AS (
+            SELECT tf.doc_id,
+                   round(sum(
+                       ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+                       * (tf * (1.2 + 1.0))
+                       / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))
+                   ), 6) AS s
+            FROM tf JOIN dfreq USING (term) CROSS JOIN scalars
+            GROUP BY tf.doc_id
+        ), bm_short AS (
+            SELECT doc_id, s FROM bm ORDER BY s DESC, doc_id ASC LIMIT 100
+        ), bm_rank AS (
+            SELECT doc_id, rank() OVER (ORDER BY s DESC) AS r FROM bm_short
+        ), dn AS (
+            SELECT vec_id AS doc_id,
+                   round(list_cosine_similarity(CAST(embedding AS DOUBLE[]),
+                         (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 0)), 4) AS s
+            FROM embeddings
+        ), dn_short AS (
+            SELECT doc_id, s FROM dn ORDER BY s DESC, doc_id ASC LIMIT 100
+        ), dn_rank AS (
+            SELECT doc_id, rank() OVER (ORDER BY s DESC) AS r FROM dn_short
+        ), legs AS (
+            SELECT doc_id, r, 'bm25' AS leg FROM bm_rank
+            UNION ALL
+            SELECT doc_id, r, 'cosine' AS leg FROM dn_rank
+        )
+        SELECT doc_id,
+               round(sum(1.0 / (60.0 + r)), 6) AS rrf,
+               max(CASE WHEN leg = 'bm25' THEN r END) AS rank_bm25,
+               max(CASE WHEN leg = 'cosine' THEN r END) AS rank_cosine
+        FROM legs
+        GROUP BY doc_id
+        ORDER BY rrf DESC, doc_id ASC
+        LIMIT 50
+    """,
+    "q174_kcore_parts": _kcore_oracle_sql(3, 6),
+    # q175: every KN statistic (bigram count, context total/fan-out,
+    # continuation fan-in, distinct-bigram total) is an exact integer;
+    # one float expression per transition row, per-doc mean rounds to 4.
+    "q175_kneser_ney_surprisal": """
+        WITH t AS (
+            SELECT doc_id,
+                   list_filter(string_split_regex(trim(lower(text)), '\\s+'), x -> x <> '') AS ts
+            FROM documents
+        ), base AS (
+            SELECT doc_id, ts, len(ts) - 1 AS n_transitions FROM t WHERE len(ts) >= 2
+        ), tr0 AS (
+            SELECT doc_id,
+                   unnest(list_slice(ts, 1, len(ts) - 1)) AS prev,
+                   unnest(list_slice(ts, 2, len(ts))) AS cur
+            FROM base
+        ), tr AS (
+            SELECT doc_id, prev, cur, count(*) AS tf_b FROM tr0 GROUP BY 1, 2, 3
+        ), bi AS (
+            SELECT prev, cur, sum(tf_b) AS cb FROM tr GROUP BY 1, 2
+        ), ctx AS (
+            SELECT prev, sum(cb) AS c_ctx, count(*) AS n_follow FROM bi GROUP BY 1
+        ), cont AS (
+            SELECT cur, count(*) AS n_prec FROM bi GROUP BY 1
+        ), btot AS (
+            SELECT CAST(count(*) AS DOUBLE) AS b_total FROM bi
+        ), nats AS (
+            SELECT tr.doc_id,
+                   -tr.tf_b * ln(
+                       greatest(bi.cb - 0.75, 0.0) / ctx.c_ctx
+                       + (0.75 * ctx.n_follow / ctx.c_ctx) * (cont.n_prec / btot.b_total)
+                   ) AS nats
+            FROM tr
+            JOIN bi ON tr.prev = bi.prev AND tr.cur = bi.cur
+            JOIN ctx ON tr.prev = ctx.prev
+            JOIN cont ON tr.cur = cont.cur
+            CROSS JOIN btot
+        )
+        SELECT n.doc_id,
+               round(sum(n.nats) / b.n_transitions, 4) AS kn_surprisal_nats,
+               CAST(b.n_transitions AS BIGINT) AS n_transitions
+        FROM nats n JOIN base b USING (doc_id)
+        GROUP BY n.doc_id, b.n_transitions
     """,
 }
 

@@ -161,3 +161,80 @@ def test_common_neighbor_links_square_and_path(spark):
     edges = spark.createDataFrame([(1, 2), (2, 3)], ["u", "v"])
     rows = [(r["u"], r["v"], r["common_neighbors"]) for r in common_neighbor_links(edges).collect()]
     assert rows == [(1, 3, 1)]
+
+
+def _kcore_py(edges, k, rounds):
+    """Python replay of the bounded-round peel: dict node -> degree."""
+    E = {tuple(sorted(e)) for e in edges}
+    for _ in range(rounds):
+        deg = {}
+        for a, b in E:
+            deg[a] = deg.get(a, 0) + 1
+            deg[b] = deg.get(b, 0) + 1
+        bad = {n for n, d in deg.items() if d < k}
+        if not bad:
+            break
+        E = {(a, b) for a, b in E if a not in bad and b not in bad}
+    deg = {}
+    for a, b in E:
+        deg[a] = deg.get(a, 0) + 1
+        deg[b] = deg.get(b, 0) + 1
+    return deg
+
+
+def test_kcore_triangle_with_pendant_chain(spark):
+    # triangle {1,2,3} + chain 3-4-5: round 1 peels 5 (deg 1), round 2
+    # peels the now-degree-1 node 4 — the 2-core is the triangle, and
+    # finding it NEEDS the second round (a one-shot degree filter
+    # keeps 4).
+    from usajobs_etl_service_spark.operators.graphrank import kcore_membership
+
+    edges = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 3), (3, 4), (4, 5)], ["u", "v"]
+    )
+    got = {r["node"]: r["core_degree"] for r in kcore_membership(edges, k=2, rounds=4).collect()}
+    assert got == {1: 2, 2: 2, 3: 2}
+
+
+def test_kcore_path_peels_to_empty(spark):
+    from usajobs_etl_service_spark.operators.graphrank import kcore_membership
+
+    edges = spark.createDataFrame([(1, 2), (2, 3), (3, 4)], ["u", "v"])
+    assert kcore_membership(edges, k=2, rounds=6).count() == 0
+
+
+def test_kcore_bounded_rounds_pre_convergence(spark):
+    # 7-path with k=2 and only TWO rounds: each round trims one node
+    # off each end — the contract is the bounded-round result (the
+    # unrolled-oracle semantics), not the converged core (empty here).
+    from usajobs_etl_service_spark.operators.graphrank import kcore_membership
+
+    edges = spark.createDataFrame([(i, i + 1) for i in range(1, 7)], ["u", "v"])
+    got = {r["node"]: r["core_degree"] for r in kcore_membership(edges, k=2, rounds=2).collect()}
+    assert got == _kcore_py([(i, i + 1) for i in range(1, 7)], 2, 2)
+    assert got == {3: 1, 4: 2, 5: 1}
+
+
+def test_kcore_matches_python_replay_on_random_graphs(spark):
+    import random
+
+    from usajobs_etl_service_spark.operators.graphrank import kcore_membership
+
+    for seed in (7, 19, 23):
+        rng = random.Random(seed)
+        n = 40
+        edges = sorted(
+            {
+                (a, b)
+                for _ in range(90)
+                for a, b in [sorted(rng.sample(range(n), 2))]
+            }
+        )
+        for k in (2, 3, 4):
+            got = {
+                r["node"]: r["core_degree"]
+                for r in kcore_membership(
+                    spark.createDataFrame(edges, ["u", "v"]), k=k, rounds=8
+                ).collect()
+            }
+            assert got == _kcore_py(edges, k, 8), (seed, k)

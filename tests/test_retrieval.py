@@ -197,3 +197,94 @@ def test_bigram_lm_flags_repetitive_transitions(spark):
     )
     got = {r["doc_id"]: r["surprisal_nats"] for r in bigram_lm_scores(docs).collect()}
     assert got[1] < got[2]
+
+
+def _kn_py(docs, d=0.75):
+    """Python replay of interpolated Kneser-Ney bigram surprisal."""
+    trans = {}
+    for _, text in docs:
+        ts = text.lower().split()
+        for p, c in zip(ts, ts[1:]):
+            trans[(p, c)] = trans.get((p, c), 0) + 1
+    ctx_tot, ctx_fan, cont_fan = {}, {}, {}
+    for (p, c), n in trans.items():
+        ctx_tot[p] = ctx_tot.get(p, 0) + n
+        ctx_fan[p] = ctx_fan.get(p, 0) + 1
+        cont_fan[c] = cont_fan.get(c, 0) + 1
+    b_total = len(trans)
+    out = {}
+    for doc_id, text in docs:
+        ts = text.lower().split()
+        if len(ts) < 2:
+            continue
+        nats = 0.0
+        for p, c in zip(ts, ts[1:]):
+            prob = (trans[(p, c)] - d) / ctx_tot[p] + (
+                d * ctx_fan[p] / ctx_tot[p]
+            ) * (cont_fan[c] / b_total)
+            nats += -math.log(prob)
+        out[doc_id] = (round(nats / (len(ts) - 1), 4), len(ts) - 1)
+    return out
+
+
+def test_kneser_ney_matches_python_replay(spark):
+    from usajobs_etl_service_spark.operators.retrieval import kneser_ney_scores
+
+    rows = [
+        (1, "a b a b a c"),
+        (2, "b a b a"),
+        (3, "c a d b"),
+        (4, "one"),  # single token: no transitions, excluded
+    ]
+    got = {
+        r["doc_id"]: (r["kn_surprisal_nats"], r["n_transitions"])
+        for r in kneser_ney_scores(_docs(spark, rows)).collect()
+    }
+    assert got == _kn_py(rows)
+    assert 4 not in got
+
+
+def test_kneser_ney_repetition_scores_low(spark):
+    # the repetitive doc's transitions are all high-count; the varied
+    # doc pays for rare transitions — the gate's sort order.
+    from usajobs_etl_service_spark.operators.retrieval import kneser_ney_scores
+
+    rows = [
+        (1, "spam spam spam spam spam spam spam spam"),
+        (2, "the quick brown fox jumps over lazy dogs"),
+    ]
+    got = {r["doc_id"]: r["kn_surprisal_nats"] for r in kneser_ney_scores(_docs(spark, rows)).collect()}
+    assert got[1] < got[2]
+
+
+def test_rrf_fuse_hand_example_with_ties_and_missing_docs(spark):
+    from usajobs_etl_service_spark.operators.retrieval import rrf_fuse
+
+    # leg A: doc 1 rank 1; docs 2,3 TIE on score 0.5 -> both rank 2
+    # (rank(), not row_number); doc 4 rank 4. leg B: doc 3 rank 1,
+    # doc 1 rank 2; docs 2,4 absent (contribute nothing).
+    a = spark.createDataFrame(
+        [(1, 0.9), (2, 0.5), (3, 0.5), (4, 0.1)], "doc_id long, score double"
+    )
+    b = spark.createDataFrame([(3, 0.8), (1, 0.2)], "doc_id long, score double")
+    rows = rrf_fuse([("a", a), ("b", b)], rrf_k=60, top_n=10, top_k=10).collect()
+    got = {r["doc_id"]: (r["rrf"], r["rank_a"], r["rank_b"]) for r in rows}
+    assert got == {
+        1: (round(1 / 61 + 1 / 62, 6), 1, 2),
+        3: (round(1 / 62 + 1 / 61, 6), 2, 1),
+        2: (round(1 / 62, 6), 2, None),
+        4: (round(1 / 64, 6), 4, None),
+    }
+    # fused order: ties in rrf (docs 1 and 3 are symmetric) break by id
+    assert [r["doc_id"] for r in rows] == [1, 3, 2, 4]
+
+
+def test_rrf_fuse_top_n_cut_is_rank_stable(spark):
+    from usajobs_etl_service_spark.operators.retrieval import rrf_fuse
+
+    # 10-doc leg cut at top_n=3: surviving ranks equal full-leg ranks
+    leg = spark.createDataFrame(
+        [(i, 1.0 - i / 10.0) for i in range(1, 11)], "doc_id long, score double"
+    )
+    rows = rrf_fuse([("only", leg)], rrf_k=60, top_n=3, top_k=10).collect()
+    assert {r["doc_id"]: r["rank_only"] for r in rows} == {1: 1, 2: 2, 3: 3}

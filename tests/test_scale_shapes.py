@@ -106,15 +106,20 @@ def test_bucketed_join_avoids_shuffle(spark, sf_dir, tmp_path):
 
 
 def test_minhash_plan_single_signature_pass(spark, sf_dir):
-    """The LSH candidate stage must not replan the signature aggregate:
-    a banded self-join's two sides are separate subtrees to AQE and the
-    64-lane aggregate executed twice until the in-bucket rewrite."""
+    """The LSH candidate stage must not recompute the signature
+    aggregate: the banding/verify rewrite references the signature
+    frame three times (band keys + both verify sides), so the frame is
+    PERSISTED — every textual copy of the lane aggregate in the plan
+    must be the print-out of a cached-relation scan (one real
+    execution), never an uncached duplicate subtree."""
     import __spark_entry__ as e
 
     p = _plan(e.q24_minhash_near_dup(spark, sf_dir))
-    assert p.count("partial_min(xxhash64") == 1 * 25 or p.count("partial_min") <= 64, p[:500]
-    # one partial/final pair -> the lane aggregates appear exactly once
-    assert len(re.findall(r"HashAggregate\(keys=\[id#\d+L\], functions=\[partial_min", p)) == 1
+    n_agg = len(re.findall(r"HashAggregate\(keys=\[id#\d+L\], functions=\[partial_min", p))
+    n_cache = p.count("InMemoryTableScan")
+    # either a single uncached pass, or every aggregate copy is a
+    # cache-scan print of the one persisted signature frame
+    assert n_agg == 1 or (n_cache >= 1 and n_agg == n_cache), (n_agg, n_cache, p[:500])
 
 
 def test_simhash_plan_single_signature_pass(spark, sf_dir):

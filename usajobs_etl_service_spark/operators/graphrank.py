@@ -275,3 +275,97 @@ def common_neighbor_links(
         .orderBy(F.col("common_neighbors").desc(), "u", "v")
         .limit(top_k)
     )
+
+
+def kcore_membership(
+    edges: DataFrame,
+    *,
+    k: int = 3,
+    rounds: int = 6,
+    u: str = "u",
+    v: str = "v",
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """Bounded-round k-core peel (Seidman 1983 cores; the distributed
+    peel is the Montresor/De Pellegrini/Miorandi one-hop iteration):
+    repeatedly delete every node whose degree in the SURVIVING
+    subgraph is < ``k``, ``rounds`` times, and return the survivors as
+    (node, core_degree) with their within-subgraph degree. With enough
+    rounds to converge this is exactly the k-core; the FIXED round
+    count is the contract (the same bounded-iteration semantics as
+    :func:`pagerank` and q105's TextRank), so a round-for-round
+    unrolled SQL oracle checks it exactly even short of convergence.
+    A round that deletes nothing is a fixpoint — every later round is
+    an identity — so the loop early-exits on a stable edge count
+    (any deleted node had degree >= 1, so node loss always shows in
+    the edge count) and the early-exited result equals the full
+    ``rounds``-round result.
+
+    Third member of the iterative-graph family (connected components,
+    PageRank). Each round is: one symmetrized degree aggregate (hash
+    on node), two semi-joins of the edge list against the surviving
+    node set (hash on each endpoint) — nothing proportional to
+    anything but the live edge count, which only shrinks. Each round
+    MATERIALIZES survivors via the parquet-superstep pattern
+    (clustering.py's argument: a round references its predecessor
+    three times, so lazy lineage would triple per round — 3^rounds
+    plan copies — and parquet supersteps are executor-loss-safe where
+    localCheckpoint is not); the per-round count() that drives
+    early-exit rides on the same materialized files.
+    """
+    import atexit
+    import os
+    import shutil
+    import tempfile
+
+    if k < 1 or rounds < 1:
+        raise ValueError("k and rounds must be >= 1")
+    spark = edges.sparkSession
+    base = checkpoint_dir or tempfile.mkdtemp(prefix="kcore_rounds_")
+    if checkpoint_dir:
+        os.makedirs(base, exist_ok=True)
+    else:
+        atexit.register(shutil.rmtree, base, ignore_errors=True)
+
+    e = (
+        edges.select(F.col(u).alias("u"), F.col(v).alias("v"))
+        .filter(F.col("u") < F.col("v"))
+        .distinct()
+    )
+    path0 = os.path.join(base, "r0")
+    e.write.mode("overwrite").parquet(path0)
+    e = spark.read.parquet(path0)
+    n_edges = e.count()
+    prev_path = path0
+
+    for r in range(1, rounds + 1):
+        deg = (
+            e.select(F.col("u").alias("node"))
+            .unionAll(e.select(F.col("v").alias("node")))
+            .groupBy("node")
+            .agg(F.count(F.lit(1)).alias("d"))
+        )
+        keep = deg.filter(F.col("d") >= k).select("node")
+        survived = (
+            e.join(keep.withColumnRenamed("node", "u"), "u", "left_semi")
+            .join(keep.withColumnRenamed("node", "v"), "v", "left_semi")
+            .select("u", "v")
+        )
+        out_path = os.path.join(base, f"r{r}")
+        survived.write.mode("overwrite").parquet(out_path)
+        e = spark.read.parquet(out_path)
+        n_new = e.count()
+        shutil.rmtree(prev_path, ignore_errors=True)
+        prev_path = out_path
+        if n_new == n_edges:  # fixpoint: every remaining round is an identity
+            break
+        n_edges = n_new
+
+    # the final round's parquet backs the result (lazy) — kept until
+    # process exit / caller-owned checkpoint_dir cleanup
+    return (
+        e.select(F.col("u").alias("node"))
+        .unionAll(e.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("core_degree"))
+    )

@@ -350,3 +350,161 @@ def zipf_fit(
         F.round(F.regr_intercept(ly, lx), 6).alias("zipf_intercept"),
         F.count(F.lit(1)).alias("n_terms"),
     )
+
+
+def kneser_ney_scores(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    discount: float = 0.75,
+) -> DataFrame:
+    """Per-document surprisal under an interpolated Kneser-Ney bigram
+    LM (Kneser & Ney 1995; the Chen & Goodman 1998 interpolated form
+    with a single absolute discount D) trained on the corpus itself —
+    the smoothing family production perplexity gates (KenLM/CCNet)
+    actually use, where :func:`bigram_lm_scores`'s Jelinek-Mercer
+    mixture backs off to raw unigram frequency, KN backs off to
+    CONTINUATION probability (in how many distinct contexts does this
+    word appear?), which is what demotes high-frequency-but-bound
+    tokens (the "Francisco" problem).
+
+        P(w | p) = (C(p,w) - D) / C(p)
+                 + (D * N1+(p, *) / C(p)) * (N1+(*, w) / B)
+
+    with C(p) = sum_w C(p, w), N1+(p, *) = |{w : C(p,w) > 0}|,
+    N1+(*, w) = |{p : C(p,w) > 0}|, and B = |distinct bigrams|.
+    Train == eval corpus, so every scored bigram has C(p,w) >= 1 > D
+    and the max(.-D, 0) clamp never binds. surprisal(d) = mean nats
+    over d's transitions (docs with >= 2 tokens).
+
+    Shuffle shape (all open-vocabulary aggregates, no broadcast
+    hints — AQE decides): per-(doc, prev, cur) transition counts, the
+    corpus bigram table grouped from them, context totals/fan-out by
+    ``prev``, continuation fan-in by ``cur``, then three equi-joins
+    back onto the transition rows; B rides as a 1-row broadcast. At
+    100 TB the bigram/context/continuation tables are build-once
+    artifacts (the posting-table seam). Engine-reproducible: every
+    model statistic is an exact integer count, each joined row applies
+    ONE float expression, and the per-doc mean rounds to 4 (the
+    q92/q156 contract)."""
+    base = (
+        df.select(
+            F.col(id_col).alias("doc_id"),
+            F.filter(tokens_ws(F.lower(F.col(text_col))), lambda t: t != "").alias("ts"),
+        )
+        .filter(F.size("ts") >= 2)
+        .select("doc_id", "ts", (F.size("ts") - 1).alias("n_transitions"))
+    )
+    trans = (
+        base.select(
+            "doc_id",
+            F.explode(
+                F.arrays_zip(
+                    F.slice(F.col("ts"), 1, F.size("ts") - 1).alias("p"),
+                    F.slice(F.col("ts"), 2, F.size("ts") - 1).alias("c"),
+                )
+            ).alias("bg"),
+        )
+        .select("doc_id", F.col("bg.p").alias("prev"), F.col("bg.c").alias("cur"))
+        .groupBy("doc_id", "prev", "cur")
+        .agg(F.count(F.lit(1)).alias("tf_b"))
+    )
+    bigrams = trans.groupBy("prev", "cur").agg(F.sum("tf_b").alias("cb"))
+    ctx = bigrams.groupBy("prev").agg(
+        F.sum("cb").alias("c_ctx"), F.count(F.lit(1)).alias("n_follow")
+    )
+    cont = bigrams.groupBy("cur").agg(F.count(F.lit(1)).alias("n_prec"))
+    b_total = bigrams.agg(F.count(F.lit(1)).cast("double").alias("b_total"))
+    d = F.lit(discount)
+    prob = (
+        F.greatest(F.col("cb") - d, F.lit(0.0)) / F.col("c_ctx")
+        + (d * F.col("n_follow") / F.col("c_ctx")) * (F.col("n_prec") / F.col("b_total"))
+    )
+    return (
+        trans.join(bigrams, ["prev", "cur"])
+        .join(ctx, "prev")
+        .join(cont, "cur")
+        .crossJoin(F.broadcast(b_total))
+        .select("doc_id", (-F.col("tf_b") * F.log(prob)).alias("nats"))
+        .groupBy("doc_id")
+        .agg(F.sum("nats").alias("sum_nats"))
+        .join(base.select("doc_id", "n_transitions"), "doc_id")
+        .select(
+            "doc_id",
+            F.round(F.col("sum_nats") / F.col("n_transitions"), 4).alias("kn_surprisal_nats"),
+            F.col("n_transitions").cast("long").alias("n_transitions"),
+        )
+    )
+
+
+def rrf_fuse(
+    legs: list[tuple[str, DataFrame]],
+    *,
+    id_col: str = "doc_id",
+    score_col: str = "score",
+    rrf_k: int = 60,
+    top_n: int = 100,
+    top_k: int = 50,
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack, Clarke & Buettcher 2009) of
+    N ranked retrieval legs — the standard hybrid-search combiner for
+    sparse (BM25) + dense (embedding cosine) legs, used because it
+    needs NO score calibration: only ranks enter the fused score
+
+        rrf(d) = sum over legs of 1 / (rrf_k + rank_leg(d)).
+
+    Each leg is (name, DataFrame[id_col, score_col]); ranks are
+    F.rank() over (score desc, id asc) — ties share a rank, which is
+    engine-independent when the leg scores are pre-rounded (the
+    callers round: BM25 to 6, cosine to 4), where row_number would tie
+    -break on engine-internal order. Docs absent from a leg's top
+    ``top_n`` contribute nothing for that leg (the standard RRF
+    convention).
+
+    Scale posture: each leg is FIRST cut to its top ``top_n`` by a
+    TakeOrderedAndProject (never a global sort), and the rank window
+    runs on that bounded shortlist — a single-partition window over
+    <= top_n rows, which is exactly when a single-partition window is
+    legitimate. Because the cut keeps a prefix of the same total
+    order the window ranks by, shortlist ranks equal corpus ranks.
+    The fuse itself is one groupBy over <= N*top_n rows. At 100 TB
+    the legs' own top-n machinery (posting tables, ANN indexes) bound
+    the work; the fusion never touches the corpus. The <= N-term
+    float sum is order-insensitive for the contract's two legs
+    (2-operand FP addition commutes) and rounds to 6."""
+    from pyspark.sql import Window
+
+    if not legs:
+        raise ValueError("rrf_fuse needs at least one leg")
+    ranked = []
+    for name, leg in legs:
+        short = (
+            leg.select(F.col(id_col).alias("id"), F.col(score_col).alias("s"))
+            .orderBy(F.col("s").desc(), F.col("id").asc())
+            .limit(top_n)
+        )
+        # rank over the SCORE ALONE (the id may not appear in the window
+        # order: rank() defines ties by the full ORDER BY list, so an id
+        # tiebreak would degenerate rank into row_number); every row with
+        # a strictly greater score precedes any tie-group member in the
+        # shortlist's cut order, so shortlist ranks equal corpus ranks.
+        w = Window.orderBy(F.col("s").desc())
+        ranked.append(
+            short.select("id", F.rank().over(w).alias("r"), F.lit(name).alias("leg"))
+        )
+    allranks = ranked[0]
+    for r in ranked[1:]:
+        allranks = allranks.unionByName(r)
+    aggs = [
+        F.round(F.sum(F.lit(1.0) / (F.lit(float(rrf_k)) + F.col("r"))), 6).alias("rrf"),
+    ] + [
+        F.max(F.when(F.col("leg") == name, F.col("r"))).alias(f"rank_{name}")
+        for name, _ in legs
+    ]
+    return (
+        allranks.groupBy(F.col("id").alias(id_col))
+        .agg(*aggs)
+        .orderBy(F.col("rrf").desc(), F.col(id_col).asc())
+        .limit(top_k)
+    )

@@ -192,8 +192,12 @@ def test_kcore_triangle_with_pendant_chain(spark):
     edges = spark.createDataFrame(
         [(1, 2), (1, 3), (2, 3), (3, 4), (4, 5)], ["u", "v"]
     )
-    got = {r["node"]: r["core_degree"] for r in kcore_membership(edges, k=2, rounds=4).collect()}
-    assert got == {1: 2, 2: 2, 3: 2}
+    for thr in (0, 500_000):  # distributed supersteps AND driver peel
+        got = {
+            r["node"]: r["core_degree"]
+            for r in kcore_membership(edges, k=2, rounds=4, small_graph_edges=thr).collect()
+        }
+        assert got == {1: 2, 2: 2, 3: 2}, thr
 
 
 def test_kcore_path_peels_to_empty(spark):
@@ -231,10 +235,17 @@ def test_kcore_matches_python_replay_on_random_graphs(spark):
             }
         )
         for k in (2, 3, 4):
-            got = {
-                r["node"]: r["core_degree"]
-                for r in kcore_membership(
-                    spark.createDataFrame(edges, ["u", "v"]), k=k, rounds=8
-                ).collect()
-            }
-            assert got == _kcore_py(edges, k, 8), (seed, k)
+            # small_graph_edges=0 forces the distributed parquet-
+            # superstep path; the default exercises the driver peel —
+            # both must equal the Python replay
+            for thr in (0, 500_000):
+                got = {
+                    r["node"]: r["core_degree"]
+                    for r in kcore_membership(
+                        spark.createDataFrame(edges, ["u", "v"]),
+                        k=k,
+                        rounds=8,
+                        small_graph_edges=thr,
+                    ).collect()
+                }
+                assert got == _kcore_py(edges, k, 8), (seed, k, thr)

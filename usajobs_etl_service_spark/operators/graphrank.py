@@ -284,6 +284,7 @@ def kcore_membership(
     rounds: int = 6,
     u: str = "u",
     v: str = "v",
+    small_graph_edges: int = 500_000,
     checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Bounded-round k-core peel (Seidman 1983 cores; the distributed
@@ -312,6 +313,15 @@ def kcore_membership(
     plan copies — and parquet supersteps are executor-loss-safe where
     localCheckpoint is not); the per-round count() that drives
     early-exit rides on the same materialized files.
+
+    Small-graph finish (clustering.py's measured posture, same
+    threshold): below ``small_graph_edges`` the per-round fixed costs
+    (plan analysis, parquet round-trip, driver action) dwarf the work,
+    so ONE ``limit(threshold + 1)`` probe both decides the path and,
+    when it fits, already holds every edge for a driver-side peel —
+    the exact Python replay of the bounded-round semantics. A 100 TB
+    co-occurrence graph overflows the probe and stays distributed;
+    ``small_graph_edges=0`` forces the distributed path (tests do).
     """
     import atexit
     import os
@@ -321,17 +331,47 @@ def kcore_membership(
     if k < 1 or rounds < 1:
         raise ValueError("k and rounds must be >= 1")
     spark = edges.sparkSession
-    base = checkpoint_dir or tempfile.mkdtemp(prefix="kcore_rounds_")
-    if checkpoint_dir:
-        os.makedirs(base, exist_ok=True)
-    else:
-        atexit.register(shutil.rmtree, base, ignore_errors=True)
 
     e = (
         edges.select(F.col(u).alias("u"), F.col(v).alias("v"))
         .filter(F.col("u") < F.col("v"))
         .distinct()
     )
+
+    if small_graph_edges > 0:
+        probe = e.limit(small_graph_edges + 1).collect()
+        if len(probe) <= small_graph_edges:
+            live = {(r["u"], r["v"]) for r in probe}
+            for _ in range(rounds):
+                deg: dict = {}
+                for a, b in live:
+                    deg[a] = deg.get(a, 0) + 1
+                    deg[b] = deg.get(b, 0) + 1
+                drop = {n for n, d in deg.items() if d < k}
+                if not drop:
+                    break
+                live = {(a, b) for a, b in live if a not in drop and b not in drop}
+            deg = {}
+            for a, b in live:
+                deg[a] = deg.get(a, 0) + 1
+                deg[b] = deg.get(b, 0) + 1
+            from pyspark.sql.types import LongType, StructField, StructType
+
+            schema = StructType(
+                [
+                    StructField("node", e.schema["u"].dataType, True),
+                    StructField("core_degree", LongType(), False),
+                ]
+            )
+            return spark.createDataFrame(sorted(deg.items()), schema)
+        del probe
+
+    base = checkpoint_dir or tempfile.mkdtemp(prefix="kcore_rounds_")
+    if checkpoint_dir:
+        os.makedirs(base, exist_ok=True)
+    else:
+        atexit.register(shutil.rmtree, base, ignore_errors=True)
+
     path0 = os.path.join(base, "r0")
     e.write.mode("overwrite").parquet(path0)
     e = spark.read.parquet(path0)

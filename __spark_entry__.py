@@ -3850,6 +3850,25 @@ def q175_kneser_ney_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kneser_ney_scores(docs, discount=0.75)
 
 
+def q176_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extension (diversity-aware retrieval closer): Maximal Marginal
+    Relevance (Carbonell & Goldstein 1998) — greedily select 10 of the
+    exact top-30 cosine candidates for the vec_id=0 query, each step
+    maximizing lam*rel - (1-lam)*max-sim-to-already-selected (lam=0.7)
+    — operators/similarity.mmr_rerank. The relevance pass is the full
+    distributed scan (TakeOrderedAndProject); only the k-bounded
+    shortlist and its <= k^2 pairwise-sim rows reach the driver for
+    the inherently-sequential greedy (the IVF-centroid/PQ-ADC bounded-
+    collect posture). rel and pair sims round to 4 BEFORE the greedy
+    and ties break (score desc, id asc), so the oracle replays the
+    selection round-for-round as an unrolled CTE chain."""
+    from usajobs_etl_service_spark.operators.similarity import mmr_rerank
+
+    emb = _t(spark, sf_dir, "embeddings")
+    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]]
+    return mmr_rerank(emb, qvec, k_candidates=30, k_select=10, lam=0.7)
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_job_statistics": q01_job_statistics,
     "q02_metric_union": q02_metric_union,
@@ -4026,6 +4045,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q173_hybrid_rrf": q173_hybrid_rrf,
     "q174_kcore_parts": q174_kcore_parts,
     "q175_kneser_ney_surprisal": q175_kneser_ney_surprisal,
+    "q176_mmr_rerank": q176_mmr_rerank,
 }
 
 
@@ -4075,6 +4095,55 @@ def _kcore_oracle_sql(k: int, rounds: int) -> str:
         SELECT node, count(*) AS core_degree
         FROM (SELECT u AS node FROM {prev} UNION ALL SELECT v AS node FROM {prev})
         GROUP BY 1
+    """
+    return sql
+
+
+def _mmr_oracle_sql(lam: float, k_candidates: int, k_select: int) -> str:
+    """Unrolled greedy-selection SQL for q176's MMR re-rank. The float
+    constants are embedded via repr() so the oracle multiplies by the
+    EXACT doubles the operator uses (0.3 written literally would not
+    equal Python's 1.0 - 0.7); CTEs are MATERIALIZED for the same
+    exponential-inlining reason as the k-core oracle."""
+    l_str, oml_str = repr(float(lam)), repr(1.0 - float(lam))
+    sql = f"""
+        WITH cand AS MATERIALIZED (
+            SELECT vec_id AS id,
+                   round(list_cosine_similarity(CAST(embedding AS DOUBLE[]),
+                         (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 0)), 4) AS rel
+            FROM embeddings
+            ORDER BY rel DESC, id ASC LIMIT {k_candidates}
+        ), pair AS MATERIALIZED (
+            SELECT ca.id AS a, cb.id AS b,
+                   round(list_cosine_similarity(CAST(ea.embedding AS DOUBLE[]),
+                                                CAST(eb.embedding AS DOUBLE[])), 4) AS s
+            FROM cand ca JOIN cand cb ON ca.id <> cb.id
+            JOIN embeddings ea ON ea.vec_id = ca.id
+            JOIN embeddings eb ON eb.vec_id = cb.id
+        ), s1 AS MATERIALIZED (
+            SELECT id, rel, {l_str} * rel - {oml_str} * 0.0 AS score
+            FROM cand ORDER BY {l_str} * rel - {oml_str} * 0.0 DESC, id ASC LIMIT 1
+        ), sel1 AS MATERIALIZED (
+            SELECT id, 1 AS selection_rank, rel, score FROM s1
+        )"""
+    for i in range(2, k_select + 1):
+        p = i - 1
+        sql += f""", s{i} AS MATERIALIZED (
+            SELECT c.id, c.rel,
+                   {l_str} * c.rel - {oml_str} * coalesce(mx.m, 0.0) AS score
+            FROM cand c LEFT JOIN (
+                SELECT p.a AS id, max(p.s) AS m FROM pair p
+                WHERE p.b IN (SELECT id FROM sel{p}) GROUP BY p.a
+            ) mx ON c.id = mx.id
+            WHERE c.id NOT IN (SELECT id FROM sel{p})
+            ORDER BY score DESC, c.id ASC LIMIT 1
+        ), sel{i} AS MATERIALIZED (
+            SELECT * FROM sel{p}
+            UNION ALL SELECT id, {i} AS selection_rank, rel, score FROM s{i}
+        )"""
+    sql += f"""
+        SELECT id AS vec_id, selection_rank, rel, round(score, 6) AS mmr_score
+        FROM sel{k_select}
     """
     return sql
 
@@ -7039,6 +7108,7 @@ ORACLES: dict[str, str] = {
         FROM nats n JOIN base b USING (doc_id)
         GROUP BY n.doc_id, b.n_transitions
     """,
+    "q176_mmr_rerank": _mmr_oracle_sql(0.7, 30, 10),
 }
 
 

@@ -70,3 +70,62 @@ def test_approx_count_distinct_accuracy(spark, sf_dir):
         F.countDistinct("o_custkey").alias("exact"),
     ).first()
     assert abs(row["approx"] - row["exact"]) / row["exact"] < 0.1
+
+
+def test_mmr_diversifies_past_a_near_duplicate(spark):
+    from usajobs_etl_service_spark.operators.similarity import mmr_rerank
+
+    # exact unit vectors, query [1,0]: rels are C=.96, A=.8, B=.6 and
+    # sims are (C,A)=.6, (C,B)=.352, (A,B)=.96. Pure relevance picks
+    # C then A; MMR at lam=0.5 scores step 2 as A: .5*.8-.5*.6=.1,
+    # B: .5*.6-.5*.352=.124 — diversity flips the second pick to B.
+    rows = [
+        (1, [0.8, 0.6]),    # A
+        (2, [0.6, 0.8]),    # B
+        (3, [0.96, -0.28]), # C
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = mmr_rerank(df, [1.0, 0.0], k_candidates=3, k_select=2, lam=0.5)
+    assert [r["vec_id"] for r in out.orderBy("selection_rank").collect()] == [3, 2]
+
+
+def test_mmr_matches_python_replay(spark):
+    import itertools
+    import math
+    import random
+
+    from usajobs_etl_service_spark.operators.similarity import mmr_rerank
+
+    rng = random.Random(11)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(4)]) for i in range(12)]
+    q = [rng.uniform(-1, 1) for _ in range(4)]
+
+    def cos(a, b):
+        d = sum(x * y for x, y in zip(a, b))
+        return d / (math.sqrt(sum(x * x for x in a)) * math.sqrt(sum(y * y for y in b)))
+
+    lam = 0.7
+    rel = {i: round(cos(v, q), 4) for i, v in rows}
+    cand = sorted(rel, key=lambda i: (-rel[i], i))[:8]
+    sim = {
+        (a, b): round(cos(dict(rows)[a], dict(rows)[b]), 4)
+        for a, b in itertools.permutations(cand, 2)
+    }
+    chosen, remaining = [], sorted(cand)
+    expect = []
+    for rank in range(1, 6):
+        best = min(
+            remaining,
+            key=lambda i: (
+                -(lam * rel[i] - (1 - lam) * max((sim[(i, s)] for s in chosen), default=0.0)),
+                i,
+            ),
+        )
+        expect.append((best, rank))
+        chosen.append(best)
+        remaining.remove(best)
+
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = mmr_rerank(df, q, k_candidates=8, k_select=5, lam=lam)
+    got = [(r["vec_id"], r["selection_rank"]) for r in out.orderBy("selection_rank").collect()]
+    assert got == expect

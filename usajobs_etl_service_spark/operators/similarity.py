@@ -327,3 +327,84 @@ def ivf_topk_cosine(
     ]
     pruned = index.filter(F.col("centroid_id").isin(probe_ids))
     return topk_cosine(pruned, vec, embedding_col=embedding_col, id_col=id_col, k=k)
+
+
+def mmr_rerank(
+    df: DataFrame,
+    vec: list[float],
+    *,
+    embedding_col: str = "embedding",
+    id_col: str = "vec_id",
+    k_candidates: int = 30,
+    k_select: int = 10,
+    lam: float = 0.7,
+) -> DataFrame:
+    """Maximal Marginal Relevance re-ranking (Carbonell & Goldstein
+    1998): greedily pick ``k_select`` results from the exact top-
+    ``k_candidates`` cosine shortlist, each step maximizing
+
+        score(i) = lam * rel(i) - (1 - lam) * max_{s in S} sim(i, s)
+
+    (max over the empty selected set S is 0, so the first pick is the
+    plain relevance argmax) — the standard diversity-aware closer over
+    a retrieval/ANN shortlist, killing the near-duplicate pile-up at
+    the top that pure relevance ranking produces.
+
+    Distribution of labor — the 100 TB shape: the RELEVANCE pass is
+    the full distributed scan (:func:`topk_cosine`'s codegen dot +
+    TakeOrderedAndProject; or an IVF/PQ probe), and the candidate
+    pairwise-similarity matrix is a bounded self-join of the
+    k_candidates shortlist rows (k^2 <= 900 pairs here) computed
+    engine-side; ONLY that k-bounded matrix and the k relevance scores
+    reach the driver, where the inherently-sequential greedy argmax
+    runs (the same bounded-collect posture as IVF's centroid pull and
+    PQ's ADC tables — never corpus-proportional). Determinism: rel and
+    pairwise sims round to 4 BEFORE the greedy, score is one float
+    expression over rounded inputs, ties break (score desc, id asc) —
+    so a round-for-round SQL oracle replays the identical selection.
+
+    Returns (id_col, selection_rank, rel, mmr_score) for the selected
+    rows, mmr_score rounded to 6.
+    """
+    if k_select > k_candidates:
+        raise ValueError("k_select must be <= k_candidates")
+    spark = df.sparkSession
+    shortlist = topk_cosine(
+        df, vec, embedding_col=embedding_col, id_col=id_col, k=k_candidates, round_digits=4
+    ).withColumnRenamed(id_col, "id")
+    cand_vecs = df.select(
+        F.col(id_col).alias("id"), _as_double_array(F.col(embedding_col)).alias("v")
+    ).join(shortlist.select("id"), "id", "left_semi")
+    a = cand_vecs.select(F.col("id").alias("a"), F.col("v").alias("va"))
+    b = cand_vecs.select(F.col("id").alias("b"), F.col("v").alias("vb"))
+    pair_rows = (
+        a.join(b, F.col("a") != F.col("b"))
+        .select("a", "b", F.round(cosine(F.col("va"), F.col("vb")), 4).alias("s"))
+        .collect()
+    )
+    rel = {r["id"]: r["sim"] for r in shortlist.collect()}
+    sim = {(r["a"], r["b"]): r["s"] for r in pair_rows}
+
+    selected: list[tuple] = []  # (id, rank, rel, score)
+    chosen: list = []
+    remaining = sorted(rel)
+    for rank in range(1, k_select + 1):
+        best = None
+        for i in remaining:
+            pen = max((sim[(i, s)] for s in chosen), default=0.0)
+            score = lam * rel[i] - (1.0 - lam) * pen
+            key = (-score, i)
+            if best is None or key < best[0]:
+                best = (key, i, score)
+        _, pick, score = best
+        selected.append((pick, rank, rel[pick], score))
+        chosen.append(pick)
+        remaining.remove(pick)
+    # display-round engine-side: Python round() is half-EVEN where
+    # Spark/DuckDB round half-away-from-zero — the cross-engine contract
+    # rounds with the engines, never with Python
+    return spark.createDataFrame(
+        selected, f"{id_col} long, selection_rank int, rel double, mmr_score double"
+    ).select(
+        id_col, "selection_rank", "rel", F.round("mmr_score", 6).alias("mmr_score")
+    )

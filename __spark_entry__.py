@@ -3869,6 +3869,46 @@ def q176_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mmr_rerank(emb, qvec, k_candidates=30, k_select=10, lam=0.7)
 
 
+def q177_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extension (contrastive-training data prep): hard-negative
+    mining — for each of 5 anchor embeddings, the 5 most-similar
+    vectors with a DIFFERENT label (DPR/SimCSE-style maximally-
+    confusable negatives) — operators/similarity.hard_negatives.
+    Bounded anchor rows broadcast against ONE corpus scan; the
+    per-anchor top-k is SALTED (salting.salted_topk_per_key) because
+    5 anchors is the hottest possible window skew. Sims round to 6
+    before ranking; ties (sim desc, match_id)."""
+    from usajobs_etl_service_spark.operators.similarity import hard_negatives
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return hard_negatives(emb, [1, 2, 3, 4, 5], k=5)
+
+
+def q178_hits_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extension (mutual-reinforcement ranking): HITS hubs/authorities
+    (Kleinberg 1999), 3 fixed rounds over the bipartite customer->part
+    purchase graph (distinct (o_custkey, l_partkey) via orders x
+    lineitem) — which customers are broad buyers (hubs) and which
+    parts anchor broad baskets (authorities) —
+    operators/graphrank.hits_scores. Integer-exact contract (the q171
+    move): h_0 = 1 and NO per-round normalization makes every iterate
+    an integer sum (order-independent, hash-identical cross-engine)
+    where textbook per-round normalization would compound float-sum
+    noise through every iteration; ranks are unchanged by
+    proportionality and score_norm divides by the side max once at
+    display. Top-20 per side, long form."""
+    from usajobs_etl_service_spark.operators.graphrank import hits_scores
+
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    e = (
+        orders.join(li, orders["o_orderkey"] == li["l_orderkey"])
+        .select(F.col("o_custkey").alias("s"), F.col("l_partkey").alias("t"))
+        .distinct()
+    )
+    return hits_scores(e, n_iter=3, top_k=20)
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_job_statistics": q01_job_statistics,
     "q02_metric_union": q02_metric_union,
@@ -4046,6 +4086,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q174_kcore_parts": q174_kcore_parts,
     "q175_kneser_ney_surprisal": q175_kneser_ney_surprisal,
     "q176_mmr_rerank": q176_mmr_rerank,
+    "q177_hard_negatives": q177_hard_negatives,
+    "q178_hits_copurchase": q178_hits_copurchase,
 }
 
 
@@ -7109,6 +7151,58 @@ ORACLES: dict[str, str] = {
         GROUP BY n.doc_id, b.n_transitions
     """,
     "q176_mmr_rerank": _mmr_oracle_sql(0.7, 30, 10),
+    # q177: rank is row_number over (round-6 sim DESC, match_id) — a
+    # total order, so the salted two-phase top-k equals this window.
+    "q177_hard_negatives": """
+        WITH a AS MATERIALIZED (
+            SELECT vec_id AS anchor_id, label AS anchor_label,
+                   CAST(embedding AS DOUBLE[]) AS av
+            FROM embeddings WHERE vec_id IN (1, 2, 3, 4, 5)
+        ), scored AS (
+            SELECT a.anchor_id, e.vec_id AS match_id, e.label AS match_label,
+                   round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), a.av), 6) AS sim
+            FROM embeddings e JOIN a ON e.label <> a.anchor_label
+        )
+        SELECT anchor_id, match_id, match_label, sim, rank FROM (
+            SELECT *, CAST(row_number() OVER (
+                PARTITION BY anchor_id ORDER BY sim DESC, match_id ASC) AS INT) AS rank
+            FROM scored
+        ) WHERE rank <= 5
+    """,
+    # q178: every iterate is an integer sum (h0 = 1, no per-round
+    # normalization) — order-independent, so no float contract is
+    # needed until the single display division by the side max.
+    "q178_hits_copurchase": """
+        WITH e AS MATERIALIZED (
+            SELECT DISTINCT o_custkey AS s, l_partkey AS t
+            FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        ), h0 AS (
+            SELECT DISTINCT s, CAST(1 AS BIGINT) AS h FROM e
+        ), a1 AS MATERIALIZED (
+            SELECT t, sum(h) AS a FROM e JOIN h0 USING (s) GROUP BY t
+        ), h1 AS MATERIALIZED (
+            SELECT s, sum(a) AS h FROM e JOIN a1 USING (t) GROUP BY s
+        ), a2 AS MATERIALIZED (
+            SELECT t, sum(h) AS a FROM e JOIN h1 USING (s) GROUP BY t
+        ), h2 AS MATERIALIZED (
+            SELECT s, sum(a) AS h FROM e JOIN a2 USING (t) GROUP BY s
+        ), a3 AS MATERIALIZED (
+            SELECT t, sum(h) AS a FROM e JOIN h2 USING (s) GROUP BY t
+        ), h3 AS MATERIALIZED (
+            SELECT s, sum(a) AS h FROM e JOIN a3 USING (t) GROUP BY s
+        ), hub AS (
+            SELECT 'hub' AS kind, s AS node, h AS score,
+                   round(CAST(h AS DOUBLE) / (SELECT max(h) FROM h3), 6) AS score_norm,
+                   CAST(row_number() OVER (ORDER BY h DESC, s ASC) AS INT) AS rank
+            FROM h3 ORDER BY h DESC, s ASC LIMIT 20
+        ), auth AS (
+            SELECT 'authority' AS kind, t AS node, a AS score,
+                   round(CAST(a AS DOUBLE) / (SELECT max(a) FROM a3), 6) AS score_norm,
+                   CAST(row_number() OVER (ORDER BY a DESC, t ASC) AS INT) AS rank
+            FROM a3 ORDER BY a DESC, t ASC LIMIT 20
+        )
+        SELECT * FROM hub UNION ALL SELECT * FROM auth
+    """,
 }
 
 

@@ -249,3 +249,36 @@ def test_kcore_matches_python_replay_on_random_graphs(spark):
                     ).collect()
                 }
                 assert got == _kcore_py(edges, k, 8), (seed, k, thr)
+
+
+def test_hits_hand_bipartite_is_fibonacci(spark):
+    # s1->{t1,t2}, s2->{t1}: with h0=1 the unnormalized iterates are
+    # Fibonacci — a1=(2,1), h1=(3,2), a2=(5,3), h2=(8,5), a3=(13,8),
+    # h3=(21,13) — integer-exact by construction.
+    from usajobs_etl_service_spark.operators.graphrank import hits_scores
+
+    edges = spark.createDataFrame([(1, 10), (1, 20), (2, 10)], ["s", "t"])
+    rows = {(r["kind"], r["node"]): (r["score"], r["score_norm"], r["rank"])
+            for r in hits_scores(edges, n_iter=3, top_k=20).collect()}
+    assert rows == {
+        ("hub", 1): (21, 1.0, 1),
+        ("hub", 2): (13, round(13 / 21, 6), 2),
+        ("authority", 10): (13, 1.0, 1),
+        ("authority", 20): (8, round(8 / 13, 6), 2),
+    }
+
+
+def test_hits_top_k_cut_and_determinism(spark):
+    from pyspark.sql import functions as F
+
+    from usajobs_etl_service_spark.operators.graphrank import hits_scores
+
+    edges = spark.createDataFrame(
+        [(s, t) for s in range(5) for t in range(100, 103)] + [(9, 100)],
+        ["s", "t"],
+    )
+    out = hits_scores(edges, n_iter=2, top_k=3)
+    hubs = [r["node"] for r in out.filter(F.col("kind") == "hub").orderBy("rank").collect()]
+    # 0-4 are symmetric full hubs (tie -> id asc), 9 is the weak hub
+    assert hubs == [0, 1, 2]
+    assert out.filter(F.col("kind") == "authority").count() == 3

@@ -129,3 +129,59 @@ def test_mmr_matches_python_replay(spark):
     out = mmr_rerank(df, q, k_candidates=8, k_select=5, lam=lam)
     got = [(r["vec_id"], r["selection_rank"]) for r in out.orderBy("selection_rank").collect()]
     assert got == expect
+
+
+def test_hard_negatives_excludes_same_label_and_ranks(spark):
+    from usajobs_etl_service_spark.operators.similarity import hard_negatives
+
+    rows = [
+        (1, [1.0, 0.0], 0),   # anchor, label 0
+        (2, [1.0, 0.01], 0),  # same label: excluded however similar
+        (3, [0.9, 0.1], 1),   # nearest different-label
+        (4, [0.5, 0.5], 1),
+        (5, [-1.0, 0.0], 2),  # far
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>, label int")
+    got = [
+        (r["match_id"], r["rank"])
+        for r in hard_negatives(df, [1], k=2).orderBy("rank").collect()
+    ]
+    assert got == [(3, 1), (4, 2)]
+
+
+def test_hard_negatives_matches_unsalted_window(spark):
+    import random
+
+    from usajobs_etl_service_spark.operators.similarity import hard_negatives
+
+    rng = random.Random(5)
+    rows = [
+        (i, [rng.uniform(-1, 1) for _ in range(8)], rng.randrange(4))
+        for i in range(200)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>, label int")
+    got = hard_negatives(df, [0, 1, 2], k=4)
+    # unsalted reference: plain window over the same scored frame
+    import math
+
+    by_id = {i: (v, l) for i, v, l in rows}
+
+    def cos(a, b):
+        d = sum(x * y for x, y in zip(a, b))
+        return d / (math.sqrt(sum(x * x for x in a)) * math.sqrt(sum(y * y for y in b)))
+
+    expect = []
+    for aid in (0, 1, 2):
+        av, al = by_id[aid]
+        scored = sorted(
+            (
+                (round(cos(av, v), 6), i)
+                for i, (v, l) in by_id.items()
+                if l != al
+            ),
+            key=lambda t: (-t[0], t[1]),
+        )[:4]
+        expect += [(aid, mid, rank + 1) for rank, (_, mid) in enumerate(scored)]
+    assert sorted(
+        (r["anchor_id"], r["match_id"], r["rank"]) for r in got.collect()
+    ) == sorted(expect)

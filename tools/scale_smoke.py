@@ -190,6 +190,7 @@ def run(outdir: str) -> None:
         "lsh_cap_drop_counters": _cap_drop_counters(spark, outdir),
         "minhash_persisted_vs_inline": _minhash_crossover(spark, outdir, big),
         "cc_distributed_rounds": _cc_rounds(spark, outdir),
+        "kcore_distributed": _kcore_smoke(spark),
         "distributed_order": _dist_order_smoke(spark, outdir, big),
         "queries": out,
     }
@@ -323,6 +324,68 @@ def _cc_rounds(spark, outdir: str) -> dict:
         "sec": round(time.perf_counter() - t0, 3),
         "n_clusters": n_clusters,
     }
+
+
+def _kcore_smoke(spark) -> dict[str, dict]:
+    """q174's k-core engine on synthetic hash-random graphs at 1M and
+    10M edges, FORCED onto the distributed parquet-superstep path
+    (small_graph_edges=0) — the Brand#1 contract graph is tiny, so
+    without this the peel's scale posture would be a plan-shape
+    argument only. Edges are deterministic hash expressions (no data
+    files); the u<v filter keeps ~m/2 edges over m/10 nodes (avg
+    degree ~10), and k=6 peels ~6 real rounds yet leaves a ~90%%
+    core — the interesting regime (k=8 empties the graph, k=7 sits on
+    the critical slope with ~50-round convergence). Correctness at
+    the 1M scale is a full Python replay (exact dict equality), at 10M
+    the recorded invariants + the time/shuffle ratio."""
+    from pyspark.sql import functions as F
+
+    from usajobs_etl_service_spark.operators.graphrank import kcore_membership
+
+    def edges_df(m: int):
+        n = m // 10
+        return (
+            spark.range(m)
+            .select(
+                F.pmod(F.xxhash64("id", F.lit(1)), F.lit(n)).alias("u"),
+                F.pmod(F.xxhash64("id", F.lit(2)), F.lit(n)).alias("v"),
+            )
+            .filter(F.col("u") < F.col("v"))
+        )
+
+    out: dict[str, dict] = {}
+    for label, m in (("e1M", 1_000_000), ("e10M", 10_000_000)):
+        t0 = time.perf_counter()
+        core = kcore_membership(edges_df(m), k=6, rounds=8, small_graph_edges=0)
+        rows = core.collect()
+        sec = round(time.perf_counter() - t0, 3)
+        out[label] = {
+            "sec": sec,
+            "core_nodes": len(rows),
+            "min_core_degree": min((r["core_degree"] for r in rows), default=None),
+        }
+        if label == "e1M":
+            got = {r["node"]: r["core_degree"] for r in rows}
+            edges = [(r["u"], r["v"]) for r in edges_df(m).distinct().collect()]
+            live = set(edges)
+            for _ in range(8):
+                deg: dict = {}
+                for a, b in live:
+                    deg[a] = deg.get(a, 0) + 1
+                    deg[b] = deg.get(b, 0) + 1
+                bad = {x for x, d in deg.items() if d < 6}
+                if not bad:
+                    break
+                live = {(a, b) for a, b in live if a not in bad and b not in bad}
+            deg = {}
+            for a, b in live:
+                deg[a] = deg.get(a, 0) + 1
+                deg[b] = deg.get(b, 0) + 1
+            out[label]["python_replay_equal"] = got == deg
+    out["time_ratio_10x_edges"] = round(
+        out["e10M"]["sec"] / max(out["e1M"]["sec"], 1e-9), 2
+    )
+    return out
 
 
 def _cap_drop_counters(spark, outdir: str) -> dict[str, dict]:

@@ -409,3 +409,78 @@ def kcore_membership(
         .groupBy("node")
         .agg(F.count(F.lit(1)).alias("core_degree"))
     )
+
+
+def hits_scores(
+    edges: DataFrame,
+    *,
+    n_iter: int = 3,
+    top_k: int = 20,
+    src: str = "s",
+    dst: str = "t",
+) -> DataFrame:
+    """HITS hubs-and-authorities (Kleinberg 1999) on a directed edge
+    list, fixed ``n_iter`` mutual-reinforcement rounds: a_i(t) =
+    sum_{(s,t)} h_{i-1}(s), h_i(s) = sum_{(s,t)} a_i(t). Returns the
+    top-``top_k`` rows per side in long form (kind, node, score,
+    score_norm, rank).
+
+    Determinism trick (the q171 integer-moments move): h_0 = 1 and NO
+    per-iteration normalization, so every iterate is an INTEGER sum of
+    integers — exact in any summation order, hence hash-identical
+    cross-engine, where the textbook's per-round L2/max normalization
+    would compound float-sum order noise through every iteration.
+    Unnormalized iterates are proportional to normalized ones, so
+    ranks are identical; ``score_norm`` divides by the side's max ONCE
+    at display (one exactly-rounded division of exact integers).
+    Magnitudes grow like (d_src*d_dst)^n_iter — bounded by ~1e10 for
+    this graph family at n_iter=3, far from long overflow; for deep
+    iteration switch to per-round max-norm and accept the q105 float
+    contract.
+
+    Per iteration: one hash equi-join edge->score + one (node) sum
+    aggregate per side — node-keyed exchanges only, the
+    :func:`pagerank` superstep shape. Fixed small n_iter keeps the
+    lazy lineage bounded (each iterate is referenced once by the next
+    level); the edge list is persisted — it is read by every round."""
+    from pyspark.storagelevel import StorageLevel
+
+    if n_iter < 1:
+        raise ValueError("n_iter must be >= 1")
+    e = (
+        edges.select(F.col(src).alias("s"), F.col(dst).alias("t"))
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    h = e.select("s").distinct().select("s", F.lit(1).cast("long").alias("h"))
+    for _ in range(n_iter):
+        a = (
+            e.join(h, "s")
+            .groupBy("t")
+            .agg(F.sum("h").alias("a"))
+        )
+        h = (
+            e.join(a, "t")
+            .groupBy("s")
+            .agg(F.sum("a").alias("h"))
+        )
+    from pyspark.sql import Window
+
+    def side(df: DataFrame, node_col: str, score_col: str, kind: str) -> DataFrame:
+        mx = df.agg(F.max(score_col).alias("mx"))
+        w = Window.orderBy(F.col(score_col).desc(), F.col(node_col).asc())
+        return (
+            df.orderBy(F.col(score_col).desc(), F.col(node_col).asc())
+            .limit(top_k)
+            .withColumn("rank", F.row_number().over(w))
+            .crossJoin(F.broadcast(mx))
+            .select(
+                F.lit(kind).alias("kind"),
+                F.col(node_col).alias("node"),
+                F.col(score_col).alias("score"),
+                F.round(F.col(score_col) / F.col("mx"), 6).alias("score_norm"),
+                "rank",
+            )
+        )
+
+    return side(h, "s", "h", "hub").unionByName(side(a, "t", "a", "authority"))

@@ -408,3 +408,62 @@ def mmr_rerank(
     ).select(
         id_col, "selection_rank", "rel", F.round("mmr_score", 6).alias("mmr_score")
     )
+
+
+def hard_negatives(
+    df: DataFrame,
+    anchor_ids: list[int],
+    *,
+    k: int = 5,
+    id_col: str = "vec_id",
+    label_col: str = "label",
+    embedding_col: str = "embedding",
+) -> DataFrame:
+    """Hard-negative mining for contrastive/metric training (the
+    in-batch-negatives upgrade used by DPR/SimCSE-style pipelines): for
+    each anchor vector, the k most-similar corpus vectors whose LABEL
+    DIFFERS from the anchor's — maximally confusable negatives, the
+    pairs a contrastive loss learns the most from.
+
+    Shape: the anchor rows (bounded: |anchor_ids|) broadcast against
+    ONE corpus scan — a per-anchor ANN probe fused into a single pass,
+    with the label-inequality filter applied before scoring. The
+    per-anchor top-k runs SALTED (salting.salted_topk_per_key): with a
+    handful of anchors a plain window would sort the whole scored scan
+    in |anchors| tasks — the hottest possible key skew — so phase 1
+    takes per-(anchor, salt) top-k and phase 2 re-ranks <= k * buckets
+    survivors. Determinism: sims round to 6, ties (sim desc, match_id
+    asc); ``rank`` (1..k per anchor) rides out for training-weight use.
+    At 100 TB the corpus scan is the cost and is embarrassingly
+    parallel; swap it for an IVF/PQ probe per anchor when k_anchors
+    grows past scan amortization."""
+    from usajobs_etl_service_spark.operators.salting import salted_topk_per_key
+
+    if not anchor_ids:
+        raise ValueError("anchor_ids must be non-empty")
+    anchors = df.filter(F.col(id_col).isin([int(a) for a in anchor_ids])).select(
+        F.col(id_col).alias("anchor_id"),
+        F.col(label_col).alias("anchor_label"),
+        _as_double_array(F.col(embedding_col)).alias("av"),
+    )
+    cand = df.select(
+        F.col(id_col).alias("match_id"),
+        F.col(label_col).alias("match_label"),
+        _as_double_array(F.col(embedding_col)).alias("mv"),
+    )
+    scored = (
+        cand.crossJoin(F.broadcast(anchors))
+        .filter(F.col("match_label") != F.col("anchor_label"))
+        .select(
+            "anchor_id",
+            "match_id",
+            "match_label",
+            F.round(cosine(F.col("av"), F.col("mv")), 6).alias("sim"),
+        )
+    )
+    return salted_topk_per_key(
+        scored,
+        ["anchor_id"],
+        [F.col("sim").desc(), F.col("match_id").asc()],
+        k,
+    )

@@ -3909,6 +3909,44 @@ def q178_hits_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hits_scores(e, n_iter=3, top_k=20)
 
 
+def q179_ranking_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extension (hybrid-retrieval diagnostics): agreement metrics
+    between q173's sparse (BM25) and dense (cosine) top-20 rankings —
+    overlap@20, Jaccard@20, MRR of the sparse list under dense ranks,
+    Kendall tau-a over the intersection
+    (operators/retrieval.ranking_agreement). All metrics except MRR
+    are INTEGER-EXACT until one final division (Kendall's concordant/
+    discordant are integer sign tests over the bounded n^2 pair
+    expansion); MRR sums <= 20 integer reciprocals and rounds to 6
+    (the q105 float posture). Tail work is bounded by top_n rows —
+    the corpus cost is the legs' own."""
+    from usajobs_etl_service_spark.operators.retrieval import bm25_scores, ranking_agreement
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    sparse = bm25_scores(docs, ["spark", "window", "merge"]).select(
+        "doc_id", F.col("bm25").alias("score")
+    )
+    emb = _t(spark, sf_dir, "embeddings")
+    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]]
+    dense = SIM.topk_cosine(emb, qvec, k=20, round_digits=4).select(
+        F.col("vec_id").alias("doc_id"), F.col("sim").alias("score")
+    )
+    return ranking_agreement(sparse, dense, top_n=20)
+
+
+def q180_llr_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extension (collocation significance): Dunning log-likelihood-
+    ratio bigram collocations (Dunning 1993) — the significance-tested
+    upgrade of q95's PMI, which over-ranks rare pairs; G2 weighs
+    evidence mass (operators/retrieval.llr_collocations). Every 2x2
+    contingency cell is an exact integer; G2 is one fixed-shape float
+    expression per bigram row, round-6 total-ordered top-20."""
+    from usajobs_etl_service_spark.operators.retrieval import llr_collocations
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return llr_collocations(docs, min_count=5, top_k=20)
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_job_statistics": q01_job_statistics,
     "q02_metric_union": q02_metric_union,
@@ -4088,6 +4126,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q176_mmr_rerank": q176_mmr_rerank,
     "q177_hard_negatives": q177_hard_negatives,
     "q178_hits_copurchase": q178_hits_copurchase,
+    "q179_ranking_agreement": q179_ranking_agreement,
+    "q180_llr_collocations": q180_llr_collocations,
 }
 
 
@@ -7202,6 +7242,102 @@ ORACLES: dict[str, str] = {
             FROM a3 ORDER BY a DESC, t ASC LIMIT 20
         )
         SELECT * FROM hub UNION ALL SELECT * FROM auth
+    """,
+    # q179: legs replicate q173's scoring; every metric but MRR is an
+    # integer count until one final division; MRR rounds to 6.
+    "q179_ranking_agreement": """
+        WITH lens AS (
+            SELECT doc_id,
+                   list_filter(string_split_regex(trim(lower(text)), '\\s+'), x -> x <> '') AS ts
+            FROM documents
+        ), scalars AS (
+            SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(CAST(len(ts) AS DOUBLE)) AS avgdl FROM lens
+        ), toks AS (
+            SELECT doc_id, len(ts) AS dl, unnest(ts) AS term FROM lens
+        ), tf AS (
+            SELECT doc_id, dl, term, count(*) AS tf FROM toks
+            WHERE term IN ('merge', 'spark', 'window')
+            GROUP BY doc_id, dl, term
+        ), dfreq AS (
+            SELECT term, count(*) AS df FROM tf GROUP BY term
+        ), bm AS (
+            SELECT tf.doc_id,
+                   round(sum(
+                       ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+                       * (tf * (1.2 + 1.0))
+                       / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))
+                   ), 6) AS s
+            FROM tf JOIN dfreq USING (term) CROSS JOIN scalars
+            GROUP BY tf.doc_id
+        ), bm_short AS MATERIALIZED (
+            SELECT doc_id, s FROM bm ORDER BY s DESC, doc_id ASC LIMIT 20
+        ), bm_rank AS MATERIALIZED (
+            SELECT doc_id, rank() OVER (ORDER BY s DESC) AS ra FROM bm_short
+        ), dn AS (
+            SELECT vec_id AS doc_id,
+                   round(list_cosine_similarity(CAST(embedding AS DOUBLE[]),
+                         (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 0)), 4) AS s
+            FROM embeddings
+        ), dn_short AS MATERIALIZED (
+            SELECT doc_id, s FROM dn ORDER BY s DESC, doc_id ASC LIMIT 20
+        ), dn_rank AS MATERIALIZED (
+            SELECT doc_id, rank() OVER (ORDER BY s DESC) AS rb FROM dn_short
+        ), inter AS MATERIALIZED (
+            SELECT bm_rank.doc_id, ra, rb FROM bm_rank JOIN dn_rank USING (doc_id)
+        ), prs AS (
+            SELECT i1.ra AS ra1, i1.rb AS rb1, i2.ra AS ra2, i2.rb AS rb2
+            FROM inter i1 JOIN inter i2 ON i1.doc_id < i2.doc_id
+        ), kend AS (
+            SELECT sum(CASE WHEN (ra1 - ra2) * (rb1 - rb2) > 0 THEN 1 ELSE 0 END) AS concordant,
+                   sum(CASE WHEN (ra1 - ra2) * (rb1 - rb2) < 0 THEN 1 ELSE 0 END) AS discordant,
+                   count(*) AS n_pairs
+            FROM prs
+        ), mrr AS (
+            SELECT sum(coalesce(1.0 / rb, 0.0)) / 20.0 AS mrr_raw
+            FROM bm_rank LEFT JOIN dn_rank USING (doc_id)
+        ), counts AS (
+            SELECT count(*) AS overlap FROM inter
+        ), na AS (SELECT count(*) AS n_a FROM bm_rank
+        ), nb AS (SELECT count(*) AS n_b FROM dn_rank)
+        SELECT overlap,
+               round(overlap / (n_a + n_b - overlap), 6) AS jaccard,
+               round(mrr_raw, 6) AS mrr_a_in_b,
+               CASE WHEN n_pairs > 0
+                    THEN round((concordant - discordant) / n_pairs, 6) END AS kendall_tau,
+               concordant, discordant, n_pairs
+        FROM counts, na, nb, mrr, kend
+    """,
+    # q180: marginals computed over ALL bigrams, the min_count filter
+    # applies only to the scored rows; G2 terms added left-to-right in
+    # the identical order as the engine expression.
+    "q180_llr_collocations": """
+        WITH t AS (
+            SELECT list_filter(string_split_regex(trim(lower(text)), '\\s+'), x -> x <> '') AS ts
+            FROM documents
+        ), bg AS (
+            SELECT unnest(list_slice(ts, 1, len(ts) - 1)) AS a,
+                   unnest(list_slice(ts, 2, len(ts))) AS b
+            FROM t
+        ), bigrams AS MATERIALIZED (
+            SELECT a, b, count(*) AS k11x FROM bg GROUP BY 1, 2
+        ), l AS (
+            SELECT a, sum(k11x) AS ca FROM bigrams GROUP BY a
+        ), r AS (
+            SELECT b, sum(k11x) AS cb FROM bigrams GROUP BY b
+        ), tot AS (
+            SELECT CAST(sum(k11x) AS DOUBLE) AS n FROM bigrams
+        )
+        SELECT a, b, k11x AS pair_count,
+               round(2.0 * (
+                   (CASE WHEN k11x > 0 THEN k11x * ln(k11x * n / (ca * cb)) ELSE 0.0 END)
+                 + (CASE WHEN ca - k11x > 0 THEN (ca - k11x) * ln((ca - k11x) * n / (ca * (n - cb))) ELSE 0.0 END)
+                 + (CASE WHEN cb - k11x > 0 THEN (cb - k11x) * ln((cb - k11x) * n / ((n - ca) * cb)) ELSE 0.0 END)
+                 + (CASE WHEN n - ca - cb + k11x > 0 THEN (n - ca - cb + k11x) * ln((n - ca - cb + k11x) * n / ((n - ca) * (n - cb))) ELSE 0.0 END)
+               ), 6) AS g2
+        FROM bigrams JOIN l USING (a) JOIN r USING (b) CROSS JOIN tot
+        WHERE k11x >= 5
+        ORDER BY g2 DESC, a ASC, b ASC
+        LIMIT 20
     """,
 }
 

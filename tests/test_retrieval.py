@@ -288,3 +288,100 @@ def test_rrf_fuse_top_n_cut_is_rank_stable(spark):
     )
     rows = rrf_fuse([("only", leg)], rrf_k=60, top_n=3, top_k=10).collect()
     assert {r["doc_id"]: r["rank_only"] for r in rows} == {1: 1, 2: 2, 3: 3}
+
+
+def test_ranking_agreement_hand_metrics(spark):
+    from usajobs_etl_service_spark.operators.retrieval import ranking_agreement
+
+    # A ranks 1,2,3,4; B ranks 3,1,2 (doc 4 absent from B).
+    a = spark.createDataFrame(
+        [(1, 0.9), (2, 0.8), (3, 0.7), (4, 0.6)], "doc_id long, score double"
+    )
+    b = spark.createDataFrame([(3, 0.9), (1, 0.5), (2, 0.4)], "doc_id long, score double")
+    row = ranking_agreement(a, b, top_n=4).first()
+    assert row["overlap"] == 3
+    assert row["jaccard"] == round(3 / (4 + 3 - 3), 6)
+    # MRR of A's 4 docs under B's ranks: 1/2 + 1/3 + 1/1 + 0, over 4
+    assert row["mrr_a_in_b"] == round((1 / 2 + 1 / 3 + 1 + 0) / 4, 6)
+    # intersection {1,2,3}: A ranks (1,2,3), B ranks (2,3,1) ->
+    # pairs (1,2): concordant; (1,3): discordant; (2,3): discordant
+    assert (row["concordant"], row["discordant"], row["n_pairs"]) == (1, 2, 3)
+    assert row["kendall_tau"] == round((1 - 2) / 3, 6)
+
+
+def test_ranking_agreement_disjoint_legs(spark):
+    from usajobs_etl_service_spark.operators.retrieval import ranking_agreement
+
+    a = spark.createDataFrame([(1, 1.0), (2, 0.5)], "doc_id long, score double")
+    b = spark.createDataFrame([(3, 1.0), (4, 0.5)], "doc_id long, score double")
+    row = ranking_agreement(a, b, top_n=2).first()
+    assert row["overlap"] == 0 and row["jaccard"] == 0.0
+    assert row["mrr_a_in_b"] == 0.0
+    assert row["kendall_tau"] is None and row["n_pairs"] == 0
+
+
+def test_llr_ranks_true_collocation_over_equal_count_independents(spark):
+    from usajobs_etl_service_spark.operators.retrieval import llr_collocations
+
+    # 'strong bond' is always adjacent (20x, never apart); the
+    # background tokens are iid-shuffled, so their pairs occur at
+    # ~independence expectation (MORE often than 20, but with no
+    # association evidence) — G2 must rank the true collocation first.
+    import random
+
+    rng = random.Random(9)
+    rows = [
+        (i, "strong bond " + " ".join(rng.choice("x y z".split()) for _ in range(12)))
+        for i in range(20)
+    ]
+    docs = _docs(spark, rows)
+    out = llr_collocations(docs, min_count=5, top_k=10).collect()
+    assert out[0]["a"] == "strong" and out[0]["b"] == "bond"
+    background = [r["g2"] for r in out if (r["a"], r["b"]) != ("strong", "bond")]
+    assert all(out[0]["g2"] > g for g in background)
+
+
+def test_llr_matches_python_replay(spark):
+    import math
+    import random
+
+    from usajobs_etl_service_spark.operators.retrieval import llr_collocations
+
+    rng = random.Random(3)
+    vocab = ["aa", "bb", "cc", "dd"]
+    rows = [
+        (i, " ".join(rng.choice(vocab) for _ in range(30))) for i in range(40)
+    ]
+    # python replay
+    bi, ca, cb = {}, {}, {}
+    n = 0
+    for _, text in rows:
+        ts = text.split()
+        for p, c in zip(ts, ts[1:]):
+            bi[(p, c)] = bi.get((p, c), 0) + 1
+            ca[p] = ca.get(p, 0) + 1
+            cb[c] = cb.get(c, 0) + 1
+            n += 1
+    nf = float(n)
+
+    def g2(p, c):
+        k11 = bi[(p, c)]
+        terms = [
+            (k11, ca[p], cb[c]),
+            (ca[p] - k11, ca[p], nf - cb[c]),
+            (cb[c] - k11, nf - ca[p], cb[c]),
+            (nf - ca[p] - cb[c] + k11, nf - ca[p], nf - cb[c]),
+        ]
+        return 2.0 * sum(
+            k * math.log(k * nf / (r * col)) if k > 0 else 0.0 for k, r, col in terms
+        )
+
+    expect = sorted(
+        ((p, c, bi[(p, c)], round(g2(p, c), 6)) for (p, c), k in bi.items() if k >= 5),
+        key=lambda t: (-t[3], t[0], t[1]),
+    )[:10]
+    got = [
+        (r["a"], r["b"], r["pair_count"], r["g2"])
+        for r in llr_collocations(_docs(spark, rows), min_count=5, top_k=10).collect()
+    ]
+    assert got == expect

@@ -508,3 +508,151 @@ def rrf_fuse(
         .orderBy(F.col("rrf").desc(), F.col(id_col).asc())
         .limit(top_k)
     )
+
+
+def ranking_agreement(
+    leg_a: DataFrame,
+    leg_b: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    score_col: str = "score",
+    top_n: int = 20,
+) -> DataFrame:
+    """Agreement diagnostics between two retrieval rankings (the
+    sparse-vs-dense sanity report a hybrid-search rollout reads before
+    trusting RRF): one row with overlap@n, Jaccard@n, MRR of leg A's
+    list under leg B's ranks, and Kendall tau-a over the intersection.
+
+    Determinism: ranks come from :func:`rrf_fuse`'s contract (rank()
+    over pre-rounded scores, prefix-stable top-n cut), so every metric
+    except MRR is INTEGER-EXACT until one final division — Kendall's
+    concordant/discordant counts are integer sign tests, overlap and
+    the Jaccard numerator/denominator are counts. MRR sums <= top_n
+    reciprocals of integers and rounds to 6 (the q105 float posture).
+    Everything downstream of the two top-n cuts is bounded by top_n
+    rows (the pair expansion by top_n^2), so at 100 TB the corpus cost
+    is the legs' own — the diagnostics are driver-free tail work."""
+    from pyspark.sql import Window
+
+    def ranked(leg: DataFrame, rcol: str) -> DataFrame:
+        short = (
+            leg.select(F.col(id_col).alias("id"), F.col(score_col).alias("s"))
+            .orderBy(F.col("s").desc(), F.col("id").asc())
+            .limit(top_n)
+        )
+        w = Window.orderBy(F.col("s").desc())
+        return short.select("id", F.rank().over(w).alias(rcol))
+
+    ra = ranked(leg_a, "ra")
+    rb = ranked(leg_b, "rb")
+    inter = ra.join(rb, "id")
+    # Kendall tau-a over the intersection: bounded m^2 pair expansion
+    p1 = inter.select(F.col("id").alias("i"), F.col("ra").alias("ra1"), F.col("rb").alias("rb1"))
+    p2 = inter.select(F.col("id").alias("j"), F.col("ra").alias("ra2"), F.col("rb").alias("rb2"))
+    pairs = p1.join(p2, F.col("i") < F.col("j"))
+    sign = (F.col("ra1") - F.col("ra2")) * (F.col("rb1") - F.col("rb2"))
+    kendall = pairs.agg(
+        F.sum(F.when(sign > 0, 1).otherwise(0)).alias("concordant"),
+        F.sum(F.when(sign < 0, 1).otherwise(0)).alias("discordant"),
+        F.count(F.lit(1)).alias("n_pairs"),
+    )
+    mrr = (
+        ra.join(rb, "id", "left")
+        .agg(
+            (
+                F.sum(F.coalesce(F.lit(1.0) / F.col("rb"), F.lit(0.0)))
+                / F.lit(float(top_n))
+            ).alias("mrr_raw")
+        )
+    )
+    counts = inter.agg(F.count(F.lit(1)).alias("overlap"))
+    na = ra.agg(F.count(F.lit(1)).alias("n_a"))
+    nb = rb.agg(F.count(F.lit(1)).alias("n_b"))
+    return (
+        counts.crossJoin(F.broadcast(na))
+        .crossJoin(F.broadcast(nb))
+        .crossJoin(F.broadcast(mrr))
+        .crossJoin(F.broadcast(kendall))
+        .select(
+            "overlap",
+            F.round(
+                F.col("overlap") / (F.col("n_a") + F.col("n_b") - F.col("overlap")), 6
+            ).alias("jaccard"),
+            F.round(F.col("mrr_raw"), 6).alias("mrr_a_in_b"),
+            F.when(F.col("n_pairs") > 0, F.round(
+                (F.col("concordant") - F.col("discordant")) / F.col("n_pairs"), 6
+            )).alias("kendall_tau"),
+            "concordant",
+            "discordant",
+            "n_pairs",
+        )
+    )
+
+
+def llr_collocations(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_count: int = 5,
+    top_k: int = 20,
+) -> DataFrame:
+    """Dunning log-likelihood-ratio collocations (Dunning 1993) — the
+    significance-tested upgrade of :func:`pmi_collocations` (PMI
+    over-ranks rare pairs; G2 weighs evidence mass): for each adjacent
+    bigram, G2 = 2 * sum over the 2x2 contingency table of
+    k_ij * ln(k_ij * N / (R_i * C_j)), zero cells contributing zero.
+
+    Every contingency cell is an exact integer (bigram count, marginal
+    prefix/suffix counts, total); G2 is ONE fixed-shape float
+    expression per surviving bigram row, rounded to 6 before the
+    total-ordered (g2 desc, a, b) top-k — the q95/q171 cross-engine
+    contract. Shuffles: one (a, b) bigram aggregate, two marginal
+    aggregates joined back on open-vocabulary keys (no broadcast
+    hints), N as a 1-row broadcast."""
+    base = df.select(
+        F.filter(tokens_ws(F.lower(F.col(text_col))), lambda t: t != "").alias("ts")
+    )
+    bigrams = (
+        base.select(
+            F.explode(
+                F.arrays_zip(
+                    F.slice(F.col("ts"), 1, F.greatest(F.size("ts") - 1, F.lit(0))).alias("a"),
+                    F.slice(F.col("ts"), 2, F.greatest(F.size("ts") - 1, F.lit(0))).alias("b"),
+                )
+            ).alias("bg")
+        )
+        .select(F.col("bg.a").alias("a"), F.col("bg.b").alias("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("k11x"))
+    )
+    left = bigrams.groupBy("a").agg(F.sum("k11x").alias("ca"))
+    right = bigrams.groupBy("b").agg(F.sum("k11x").alias("cb"))
+    total = bigrams.agg(F.sum("k11x").cast("double").alias("n"))
+
+    def term(k, r, c):
+        return F.when(k > 0, k * F.log(k * F.col("n") / (r * c))).otherwise(F.lit(0.0))
+
+    k11 = F.col("k11x")
+    k12 = F.col("ca") - k11
+    k21 = F.col("cb") - k11
+    k22 = F.col("n") - F.col("ca") - F.col("cb") + k11
+    r1, r2 = F.col("ca"), F.col("n") - F.col("ca")
+    c1, c2 = F.col("cb"), F.col("n") - F.col("cb")
+    g2 = F.lit(2.0) * (
+        term(k11, r1, c1) + term(k12, r1, c2) + term(k21, r2, c1) + term(k22, r2, c2)
+    )
+    return (
+        bigrams.filter(F.col("k11x") >= min_count)
+        .join(left, "a")
+        .join(right, "b")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "a",
+            "b",
+            F.col("k11x").alias("pair_count"),
+            F.round(g2, 6).alias("g2"),
+        )
+        .orderBy(F.col("g2").desc(), F.col("a").asc(), F.col("b").asc())
+        .limit(top_k)
+    )

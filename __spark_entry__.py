@@ -3947,6 +3947,22 @@ def q180_llr_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     return llr_collocations(docs, min_count=5, top_k=20)
 
 
+def q181_novelty_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extension (dedup residual / memorization-risk profiling):
+    per-document fraction of distinct word 8-grams first seen IN that
+    document (first-seen = min doc_id; deterministic tie attribution)
+    — operators/decontam.novelty_profile, the graded companion to
+    q90's duplicated-span extraction: low-novelty documents are the
+    near-copies a loose dedup leaves behind. One gram-keyed min
+    aggregate + one gram-keyed join back, 8-byte gram hashes
+    engine-side; the oracle carries gram strings (q83/q90 collision
+    argument)."""
+    from usajobs_etl_service_spark.operators.decontam import novelty_profile
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return novelty_profile(docs, n=8)
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_job_statistics": q01_job_statistics,
     "q02_metric_union": q02_metric_union,
@@ -4128,6 +4144,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q178_hits_copurchase": q178_hits_copurchase,
     "q179_ranking_agreement": q179_ranking_agreement,
     "q180_llr_collocations": q180_llr_collocations,
+    "q181_novelty_profile": q181_novelty_profile,
 }
 
 
@@ -7338,6 +7355,27 @@ ORACLES: dict[str, str] = {
         WHERE k11x >= 5
         ORDER BY g2 DESC, a ASC, b ASC
         LIMIT 20
+    """,
+    "q181_novelty_profile": """
+        WITH t AS (
+            SELECT doc_id,
+                   list_filter(string_split_regex(trim(lower(text)), '\\s+'), x -> x <> '') AS ts
+            FROM documents
+        ), dg AS MATERIALIZED (
+            SELECT DISTINCT doc_id,
+                   array_to_string(list_slice(ts, i, i + 7), ' ') AS gram
+            FROM t, unnest(generate_series(1, len(ts) - 7)) AS u(i)
+            WHERE len(ts) >= 8
+        ), fs AS (
+            SELECT gram, min(doc_id) AS first_doc FROM dg GROUP BY gram
+        )
+        SELECT dg.doc_id,
+               count(*) AS n_grams,
+               CAST(sum(CASE WHEN fs.first_doc = dg.doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+               round(CAST(sum(CASE WHEN fs.first_doc = dg.doc_id THEN 1 ELSE 0 END) AS DOUBLE)
+                     / count(*), 6) AS novelty_frac
+        FROM dg JOIN fs USING (gram)
+        GROUP BY dg.doc_id
     """,
 }
 

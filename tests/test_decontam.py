@@ -89,3 +89,33 @@ def test_contamination_fraction_counts_distinct_grams_once(spark):
     got = contamination_fraction(docs, bench, n=3).collect()[0]
     assert got["n_grams"] == 2 and got["n_hit"] == 1
     assert got["contam_frac"] == 0.5
+
+
+def test_novelty_first_seen_attribution(spark):
+    from usajobs_etl_service_spark.operators.decontam import novelty_profile
+
+    # doc 1 introduces "a b c" and "b c d"; doc 2 repeats "a b c" (not
+    # novel there) and introduces "c d e" via its tail; doc 3 is a pure
+    # copy of doc 1 — zero novelty.
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d"),      # grams: abc, bcd -> both novel
+            (2, "a b c e"),      # grams: abc (seen), bce (novel)
+            (3, "a b c d"),      # grams: abc, bcd -> both first seen in doc 1
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: (r["n_grams"], r["n_novel"], r["novelty_frac"])
+           for r in novelty_profile(docs, n=3).collect()}
+    assert got == {1: (2, 2, 1.0), 2: (2, 1, 0.5), 3: (2, 0, 0.0)}
+
+
+def test_novelty_short_docs_absent_and_dup_grams_once(spark):
+    from usajobs_etl_service_spark.operators.decontam import novelty_profile
+
+    docs = spark.createDataFrame(
+        [(1, "a b"), (2, "x y x y x y")],  # doc 1: no 3-grams; doc 2: 2 distinct
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: (r["n_grams"], r["n_novel"]) for r in novelty_profile(docs, n=3).collect()}
+    assert got == {2: (2, 2)}

@@ -118,3 +118,44 @@ def contamination_fraction(
             F.round(F.col("n_hit") / F.col("n_grams"), 6).alias("contam_frac"),
         )
     )
+
+
+def novelty_profile(
+    docs: DataFrame,
+    *,
+    n: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document n-gram NOVELTY under first-seen attribution: the
+    fraction of a document's distinct word n-grams whose first corpus
+    occurrence (minimum ``id_col`` among documents containing the
+    gram) is this document — the memorization-risk / dedup-residual
+    profile behind Lee et al.'s duplicated-text analysis: a crawl
+    snapshot's tail of low-novelty documents is exactly what substring
+    dedup (q90) and near-dup removal leave behind when thresholds are
+    loose. Attribution is deterministic: ties on a shared gram go to
+    the lowest doc id (ingestion order at 100 TB — use an ingest_seq).
+
+    Shape: distinct (doc, gram-hash) rows (the :func:`decontaminate`
+    explode, 8-byte keys, never gram strings), ONE gram-keyed min
+    aggregate for first-seen, one gram-keyed join back (both
+    open-vocabulary — no broadcast hints), one per-doc aggregate.
+    Cross-engine equality up to xxhash64 collisions (the q83/q90
+    argument; the oracle carries gram strings)."""
+    dg = _exploded_gram_hashes(docs, text_col, n, keep=[id_col]).distinct()
+    first = dg.groupBy("g").agg(F.min(id_col).alias("__first"))
+    return (
+        dg.join(first, "g")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum((F.col("__first") == F.col(id_col)).cast("long")).alias("n_novel"),
+        )
+        .select(
+            id_col,
+            "n_grams",
+            "n_novel",
+            F.round(F.col("n_novel") / F.col("n_grams"), 6).alias("novelty_frac"),
+        )
+    )

@@ -3192,9 +3192,12 @@ def q153_winnow_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     fingerprints (Schleimer-Wilkerson-Aiken 2003, the MOSS algorithm;
     operators/winnow.py) with k=4, w=4 — any shared run of >= 7 tokens
     between two documents is caught with CERTAINTY, not probability.
-    Selection is pure expression work in the scan stage (k-gram hash ->
-    per-window array_min -> distinct); exchanges are the fp hot-key
-    guard (ubiquitous-fingerprint drop, which is MOSS's own boilerplate
+    Selection is fully row-wise JVM work (token explode -> lead-window
+    k-grams -> md5 -> frame-clipped window min -> per-doc distinct;
+    zero interpreted HOF lambdas — the round-7 385 s CollapseProject
+    O(n^2) inlining is structurally impossible in this shape);
+    exchanges are the id-keyed window exchange, the fp hot-key guard
+    (ubiquitous-fingerprint drop, which is MOSS's own boilerplate
     rule, observe-counted like every LSH cap here) and the fp equi-join
     + pair count. md5-prefix hashing makes the DuckDB oracle reproduce
     identical fingerprint sets, so the full pipeline is value-checked."""

@@ -110,3 +110,26 @@ def test_disjoint_docs_no_pairs(spark):
 def test_bad_params_raise(spark):
     with pytest.raises(ValueError):
         winnow_fingerprints(_docs(spark, [(1, "a")]), k=0, w=4)
+
+
+def test_no_interpreted_lambda_and_single_tokenize_in_plan(spark):
+    """Round-7 regression guard: the 385 s q153 defect was
+    CollapseProject inlining the tokenize->shingle->md5 chain into a
+    per-window HOF lambda (O(n^2) interpreted work per doc). The
+    row-wise rewrite must keep the executed plan free of HOF lambdas
+    entirely and derive the tokenizer expression exactly once (the
+    generator-inferred size()>0 filter re-running regexp_replace per
+    row was the residual 2x)."""
+    rows = [(i, " ".join(f"w{i}_{j}" for j in range(40))) for i in range(20)]
+    p = (
+        winnow_fingerprints(_docs(spark, rows), k=4, w=4)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "lambdafunction" not in p, p[:800]
+    # the tokenizer may be re-derived by the generator-inferred
+    # size()>0 / isnotnull filter (2 extra evals PER DOC — constant),
+    # but never inside a per-gram or per-window construct: all
+    # occurrences must sit at or below the Generate node's subtree
+    assert p.count("regexp_replace") <= 3, p[:800]
+    gen_pos = p.index("Generate posexplode")
+    assert p.count("regexp_replace", 0, gen_pos) == 0, p[:800]

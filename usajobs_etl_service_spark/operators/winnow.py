@@ -15,13 +15,24 @@ the set-similarity family (neardup.py) and the positional-span family
 cheap candidate-pair screen in front of such an alignment).
 
 Spark-first shape:
-- Fingerprint selection is PURE expression work inside the scan stage
-  (tokens -> k-gram hashes -> per-window array_min -> array_distinct):
-  no shuffle, no UDF, whole-stage codegen.
-- The only exchanges are the fp hot-key guard (window count — the
-  exact `_cap_buckets` discipline every LSH path here uses; dropping
-  ubiquitous fingerprints is ALSO what MOSS itself does to ignore
-  boilerplate) and the fp equi-join + pair aggregate.
+- Fully ROW-WISE: tokens are exploded once, k-grams are built with
+  ``lead()`` windows, and each sliding window's minimum is a window
+  ``min`` over a ``rowsBetween(0, w-1)`` frame — every stage is plain
+  JVM expression/window work, zero higher-order-function lambdas. The
+  obvious all-expression form — ``transform(idx, i ->
+  array_min(slice(__h, i, w)))`` over aliased token/hash arrays — is a
+  trap twice over: CollapseProject inlines the whole
+  tokenize->shingle->md5 chain into the per-index lambda (O(n^2)
+  interpreted md5/regex per doc — measured 385 s for 5,000 ~54-token
+  docs at sf0.1 in round 7), and even the linearized array form leaves
+  the generator-inferred ``size(...) > 0`` filter re-deriving the full
+  shingle transform per row in interpreted mode.
+- Exchanges: ONE id-keyed window exchange (grams, counts and window
+  minima all share it), the per-doc fingerprint dedup, the fp hot-key
+  guard (window count — the exact `_cap_buckets` discipline every LSH
+  path here uses; dropping ubiquitous fingerprints is ALSO what MOSS
+  itself does to ignore boilerplate), and the fp equi-join + pair
+  aggregate.
 - Hashing is the repo-standard md5-prefix scheme, so the DuckDB oracle
   reproduces the identical fingerprint sets (q153).
 
@@ -37,11 +48,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from usajobs_etl_service_spark.functions.text import (
-    _WS,
-    normalized_text,
-    shingles_from_tokens,
-)
+from usajobs_etl_service_spark.functions.text import _WS, normalized_text
 from usajobs_etl_service_spark.operators.neardup import _cap_buckets
 
 
@@ -70,25 +77,59 @@ def winnow_fingerprints(
     shingles_from_tokens contract); documents with fewer than ``w``
     windows contribute the global minimum (the single window that
     exists is the whole hash array).
+
+    Row-wise plan (module docstring has the why): posexplode tokens ->
+    ``lead()``-window k-gram concat -> md5 per gram row -> window
+    ``min`` over a ``rowsBetween(0, w-1)`` frame -> per-doc distinct.
+    The frame CLIPS at the partition end, so the fewer-than-w-windows
+    fallback (global minimum) needs no special case — the one surviving
+    window start (gram position 0) sees exactly the grams that exist.
+    The only wide ops are the id-keyed window exchange and the (id, fp)
+    dedup — ~24 B per token of corpus, comparable to the posting
+    explode downstream; nothing is quadratic and nothing is an
+    interpreted lambda.
     """
     if k < 1 or w < 1:
         raise ValueError(f"k/w must be >= 1, got {k}/{w}")
+    from pyspark.sql import Window
+
     toks = df.select(
         F.col(id_col).alias("id"), F.split(normalized_text(F.col(text_col)), _WS).alias("__t")
     )
-    grams = toks.select("id", shingles_from_tokens(F.col("__t"), k).alias("__g"))
-    hashed = grams.select(
-        "id", F.transform(F.col("__g"), _gram_hash).alias("__h")
+    tok_rows = toks.select("id", F.posexplode("__t").alias("__p", "__tok"))
+    part = Window.partitionBy("id")
+    ordered = Window.partitionBy("id").orderBy("__p")
+    # k-gram at token position p = this token + the next k-1; concat_ws
+    # SKIPS the NULL leads past the end, so a doc with n < k tokens
+    # yields its whole-text gram at p == 0 (the shingles_from_tokens
+    # short-doc contract) and nothing elsewhere
+    gram = F.concat_ws(
+        " ", F.col("__tok"), *[F.lead("__tok", i).over(ordered) for i in range(1, k)]
     )
-    n = F.size(F.col("__h"))
-    idx = F.sequence(F.lit(1), F.greatest(n - (w - 1), F.lit(1)))
-    fps = hashed.select(
-        "id",
-        F.array_distinct(
-            F.transform(idx, lambda i: F.array_min(F.slice(F.col("__h"), i, w)))
-        ).alias("__fps"),
+    n_tok = F.count(F.lit(1)).over(part)
+    g_rows = (
+        tok_rows.select(
+            "id", "__p", gram.alias("__gram"), n_tok.alias("__n")
+        )
+        # valid gram starts: every full k-gram, or position 0 of a short doc
+        .filter((F.col("__p") + k <= F.col("__n")) | ((F.col("__n") < k) & (F.col("__p") == 0)))
     )
-    return fps.select("id", F.explode("__fps").alias("fp"))
+    h_rows = g_rows.select("id", "__p", _gram_hash(F.col("__gram")).alias("__hv"))
+    # sliding minima: window starts are gram positions 0..g-w (or the
+    # single position 0 when g < w — the frame clips to what exists)
+    g_cnt = F.count(F.lit(1)).over(part)
+    win_min = F.min("__hv").over(ordered.rowsBetween(0, w - 1))
+    fps = (
+        h_rows.select(
+            "id",
+            F.row_number().over(ordered).alias("__gp"),
+            g_cnt.alias("__g"),
+            win_min.alias("fp"),
+        )
+        .filter(F.col("__gp") - 1 <= F.greatest(F.col("__g") - w, F.lit(0)))
+        .select("id", "fp")
+    )
+    return fps.dropDuplicates(["id", "fp"])
 
 
 def winnow_candidate_pairs(

@@ -7313,7 +7313,7 @@ ORACLES: dict[str, str] = {
                    count(*) AS n_pairs
             FROM prs
         ), mrr AS (
-            SELECT sum(coalesce(1.0 / rb, 0.0)) / 20.0 AS mrr_raw
+            SELECT sum(coalesce(1.0 / rb, 0.0)) AS mrr_sum
             FROM bm_rank LEFT JOIN dn_rank USING (doc_id)
         ), counts AS (
             SELECT count(*) AS overlap FROM inter
@@ -7321,7 +7321,7 @@ ORACLES: dict[str, str] = {
         ), nb AS (SELECT count(*) AS n_b FROM dn_rank)
         SELECT overlap,
                round(overlap / (n_a + n_b - overlap), 6) AS jaccard,
-               round(mrr_raw, 6) AS mrr_a_in_b,
+               round(mrr_sum / n_a, 6) AS mrr_a_in_b,
                CASE WHEN n_pairs > 0
                     THEN round((concordant - discordant) / n_pairs, 6) END AS kendall_tau,
                concordant, discordant, n_pairs

@@ -14,9 +14,11 @@ also persisted to BENCH_DETAIL.json next to this file.
 
 Each query is materialized with the noop sink (full computation, no
 driver collect). The headline value is the sum of per-query seconds;
-sub-2s queries contribute their median of 3 runs (single-shot GC noise
-was ±40% on them — see SCALE.md), with {median,min,max} per query in
-BENCH_DETAIL.json.
+queries under 15 s contribute their median of 3 runs (single-shot GC
+noise was ±40% on the short ones — see SCALE.md), with
+{median,min,max} per query in BENCH_DETAIL.json. Any query slower than
+10x the registry median (and > 5 s) is named in "slow_outliers" on the
+headline line and flagged loudly on stderr — the round-7 q153 lesson.
 Reference floors for context (BASELINE.md): upsert >50 rows/s, JSON
 extract >100 rows/s, end-to-end >20 rows/s.
 """
@@ -32,6 +34,15 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 import __spark_entry__ as entrymod
 from usajobs_etl_service_spark.session import get_spark
+
+
+def _bench_tmp_base() -> str:
+    """Temp-dir base anchored to THIS file (never the CWD): a missing
+    CWD-relative spark-warehouse silently nulled pq_warm_adc_probe_sec
+    with no diagnostic (round-7 ADVICE)."""
+    base = os.path.join(os.path.dirname(os.path.abspath(__file__)), "spark-warehouse")
+    os.makedirs(base, exist_ok=True)
+    return base
 
 
 def materialize(df) -> int:
@@ -70,8 +81,8 @@ def stage_totals(spark, after_stage: int = -1) -> dict[str, int]:
                     out["peak_exec_mem_new"] = max(
                         out["peak_exec_mem_new"], s.get("peakExecutionMemory", 0)
                     )
-    except Exception:
-        pass
+    except Exception as _ex:
+        print(f"bench: stage_totals UI fetch failed: {type(_ex).__name__}: {_ex}", file=sys.stderr)
     return out
 
 
@@ -97,13 +108,14 @@ def main() -> None:
         t0 = time.perf_counter()
         materialize(fn(spark, sf_dir))
         runs = [time.perf_counter() - t0]
-        # Sub-2s queries report the MEDIAN of 3 runs: a single shot draws
-        # the GC-pause lottery (documented ±40% phantom round-over-round
-        # swings on q21/q26/q27/q28/q32 — SCALE.md bench-variance note),
-        # so a driver reading BENCH_rN alone couldn't tell noise from
-        # regression. Long queries stay single-shot: their GC share is
-        # small and tripling them would dominate bench wall-clock.
-        if runs[0] < 2.0:
+        # Queries under 15 s report the MEDIAN of 3 runs: a single shot
+        # draws the GC-pause lottery (documented ±40% phantom
+        # round-over-round swings on q21/q26/q27/q28/q32 — SCALE.md
+        # bench-variance note; round 7 extended the treatment from <2 s
+        # to <15 s so the 2–13 s graph queries aren't single samples
+        # either). Genuinely long queries stay single-shot: their GC
+        # share is small and tripling them would dominate wall-clock.
+        if runs[0] < 15.0:
             for _ in range(2):
                 t0 = time.perf_counter()
                 materialize(fn(spark, sf_dir))
@@ -122,6 +134,30 @@ def main() -> None:
         before = after
 
     total = round(sum(timings.values()), 3)
+
+    # Time-regression tripwire (round-7 lesson: q153 shipped at 385 s —
+    # 64% of the whole bench — and nothing screamed). Any query slower
+    # than 10x the registry median AND over an absolute 5 s floor is a
+    # named outlier: loud top-N table on stderr, machine-readable list
+    # in the headline JSON and BENCH_DETAIL so the round snapshot
+    # carries the flag even if stderr is dropped.
+    slow_outliers: dict[str, float] = {}
+    if timings:
+        med = sorted(timings.values())[len(timings) // 2]
+        bar = max(10.0 * med, 5.0)
+        slow_outliers = {q: t for q, t in timings.items() if t > bar}
+        top = sorted(timings.items(), key=lambda kv: -kv[1])[:10]
+        print("== bench: top queries by time ==", file=sys.stderr)
+        for q, t in top:
+            flag = "  << SLOW OUTLIER (>10x median %.2fs)" % med if q in slow_outliers else ""
+            print(f"  {q}: {t:.2f}s{flag}", file=sys.stderr)
+        if slow_outliers:
+            print(
+                f"WARNING: {len(slow_outliers)} quer{'y' if len(slow_outliers)==1 else 'ies'} "
+                f"exceed 10x the registry median ({med:.2f}s): "
+                + ", ".join(f"{q}={t:.1f}s" for q, t in sorted(slow_outliers.items())),
+                file=sys.stderr,
+            )
     # derived throughput on the ETL-shaped path (S4 flatten): rows/s at this sf
     flatten_rows = entrymod.q20_flatten_ingest(spark, sf_dir).count()
     t0 = time.perf_counter()
@@ -146,7 +182,7 @@ def main() -> None:
         emb = read_table(spark, sf_dir, "embeddings")
         qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
         index, cents = ivf_build(emb.filter(F.col("vec_id") != 0), n_centroids=16)
-        tmp = tempfile.mkdtemp(prefix="ivf_bench_", dir="spark-warehouse")
+        tmp = tempfile.mkdtemp(prefix="ivf_bench_", dir=_bench_tmp_base())
         try:
             ivf_write(index, cents, tmp)
             lindex, lcents = ivf_load(spark, tmp)
@@ -155,8 +191,8 @@ def main() -> None:
             ivf_probe_sec = round(time.perf_counter() - t0, 3)
         finally:
             shutil.rmtree(tmp, ignore_errors=True)
-    except Exception:
-        pass
+    except Exception as _ex:
+        print(f"bench: ivf_warm_probe_sec skipped: {type(_ex).__name__}: {_ex}", file=sys.stderr)
 
     # MinHash build-once contract (the IVF pattern): persist the
     # signature table (untimed), then time candidates+verify against
@@ -173,7 +209,7 @@ def main() -> None:
         from usajobs_etl_service_spark.session import read_table
 
         docs = read_table(spark, sf_dir, "documents")
-        tmp = tempfile.mkdtemp(prefix="mh_bench_", dir="spark-warehouse")
+        tmp = tempfile.mkdtemp(prefix="mh_bench_", dir=_bench_tmp_base())
         try:
             minhash_write(docs, tmp)
             sigs = minhash_load(spark, tmp)
@@ -182,8 +218,8 @@ def main() -> None:
             minhash_probe_sec = round(time.perf_counter() - t0, 3)
         finally:
             shutil.rmtree(tmp, ignore_errors=True)
-    except Exception:
-        pass
+    except Exception as _ex:
+        print(f"bench: minhash_warm_pairs_sec skipped: {type(_ex).__name__}: {_ex}", file=sys.stderr)
 
     # LSH/cluster hot-bucket counters ride the STANDARD bench (VERDICT
     # r6 #5), not only the scale smokes: a future banding regression
@@ -197,8 +233,8 @@ def main() -> None:
             from scale_smoke import _cap_drop_counters
 
             cap_counters = _cap_drop_counters(spark, sf_dir)
-        except Exception:
-            pass
+        except Exception as _ex:
+            print(f"bench: lsh_cap_drop_counters skipped: {type(_ex).__name__}: {_ex}", file=sys.stderr)
 
     # PQ build-once contract (the IVF/MinHash pattern): train + encode +
     # persist (untimed), then time a WARM ADC probe against the loaded
@@ -226,7 +262,7 @@ def main() -> None:
         qv = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
         data = emb.filter(F.col("vec_id") != 0)
         books = pq_train_distinct(data, m=16)
-        tmp = tempfile.mkdtemp(prefix="pq_bench_", dir="spark-warehouse")
+        tmp = tempfile.mkdtemp(prefix="pq_bench_", dir=_bench_tmp_base())
         try:
             pq_write(pq_encode(data, books), books, tmp)
             codes, lbooks = pq_load(spark, tmp)
@@ -235,8 +271,8 @@ def main() -> None:
             pq_probe_sec = round(time.perf_counter() - t0, 3)
         finally:
             shutil.rmtree(tmp, ignore_errors=True)
-    except Exception:
-        pass
+    except Exception as _ex:
+        print(f"bench: pq_warm_adc_probe_sec skipped: {type(_ex).__name__}: {_ex}", file=sys.stderr)
 
     # Two stdout lines. The per-query dict (~3 KB for 79 queries) rides
     # on the FIRST line; the LAST line is a compact (< 200 byte) headline.
@@ -253,6 +289,7 @@ def main() -> None:
         "queries": timings,
         "sf": float(sf),
         "detail_file": "BENCH_DETAIL.json",
+        "slow_outliers": slow_outliers,
     }
     compact = {
         "metric": "sum_query_seconds",
@@ -261,6 +298,7 @@ def main() -> None:
         "sf": float(sf),
         "n_queries": len(timings),
         "detail_file": "BENCH_DETAIL.json",
+        "n_slow_outliers": len(slow_outliers),
     }
     detail = {
         "queries_sec": timings,
@@ -275,6 +313,7 @@ def main() -> None:
         "peak_stage_exec_mem_mb": peak_mem_mb,
         "disk_spilled_bytes_total": before["spilled_disk"],
         "lsh_cap_drop_counters": cap_counters,
+        "slow_outliers_10x_median": slow_outliers,
     }
     detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json")
     try:

@@ -309,6 +309,18 @@ def test_ranking_agreement_hand_metrics(spark):
     assert row["kendall_tau"] == round((1 - 2) / 3, 6)
 
 
+def test_ranking_agreement_short_leg_uses_measured_denominator(spark):
+    from usajobs_etl_service_spark.operators.retrieval import ranking_agreement
+
+    # leg A yields only 2 rows under top_n=10: MRR must average over
+    # the MEASURED shortlist (2), not the requested cut (10) — a sparse
+    # leg is not ten absent candidates
+    a = spark.createDataFrame([(1, 0.9), (2, 0.8)], "doc_id long, score double")
+    b = spark.createDataFrame([(2, 0.9), (1, 0.5)], "doc_id long, score double")
+    row = ranking_agreement(a, b, top_n=10).first()
+    assert row["mrr_a_in_b"] == round((1 / 2 + 1 / 1) / 2, 6)
+
+
 def test_ranking_agreement_disjoint_legs(spark):
     from usajobs_etl_service_spark.operators.retrieval import ranking_agreement
 

@@ -28,8 +28,17 @@ def cosine(a: Column, b: Column) -> Column:
 
 
 def l2_normalize(a: Column) -> Column:
-    n = norm(a)
-    return F.transform(a, lambda x: F.try_divide(x, n))
+    """Unit-normalize. The naive ``transform(a, x -> x / norm(a))``
+    re-evaluates the O(dim) norm fold inside the per-element lambda —
+    O(dim^2) interpreted work per evaluation (half of round-7's q157
+    32 s). ``array_repeat`` evaluates the norm ONCE per row and
+    ``zip_with`` divides element-wise: O(dim), bit-identical values
+    (same division, same operand order)."""
+    return F.zip_with(
+        a,
+        F.array_repeat(norm(a), F.size(a)),
+        lambda x, n: F.try_divide(x, n),
+    )
 
 
 def l2_distance(a: Column, b: Column) -> Column:

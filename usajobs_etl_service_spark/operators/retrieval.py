@@ -556,13 +556,13 @@ def ranking_agreement(
         F.sum(F.when(sign < 0, 1).otherwise(0)).alias("discordant"),
         F.count(F.lit(1)).alias("n_pairs"),
     )
+    # denominator is leg A's MEASURED shortlist size, not top_n: a
+    # sparse leg that returns fewer than top_n rows must not silently
+    # deflate the mean (an absent candidate is not a rank-infinity hit)
     mrr = (
         ra.join(rb, "id", "left")
         .agg(
-            (
-                F.sum(F.coalesce(F.lit(1.0) / F.col("rb"), F.lit(0.0)))
-                / F.lit(float(top_n))
-            ).alias("mrr_raw")
+            F.sum(F.coalesce(F.lit(1.0) / F.col("rb"), F.lit(0.0))).alias("mrr_sum")
         )
     )
     counts = inter.agg(F.count(F.lit(1)).alias("overlap"))
@@ -578,7 +578,7 @@ def ranking_agreement(
             F.round(
                 F.col("overlap") / (F.col("n_a") + F.col("n_b") - F.col("overlap")), 6
             ).alias("jaccard"),
-            F.round(F.col("mrr_raw"), 6).alias("mrr_a_in_b"),
+            F.round(F.col("mrr_sum") / F.col("n_a"), 6).alias("mrr_a_in_b"),
             F.when(F.col("n_pairs") > 0, F.round(
                 (F.col("concordant") - F.col("discordant")) / F.col("n_pairs"), 6
             )).alias("kendall_tau"),

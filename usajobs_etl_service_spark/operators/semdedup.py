@@ -159,6 +159,8 @@ def _lloyd_blocking(
         .select("__nv")
         .collect()
     )
+    if not cent:
+        raise ValueError("assign_clusters: empty input (no rows to seed centroids)")
     centers = np.array([r["__nv"] for r in cent], dtype=np.float64)
     k, dim = centers.shape
 
@@ -642,8 +644,19 @@ def prototypicality_prune(
         raise ValueError(f"prune_frac must be in [0, 1], got {prune_frac}")
     from pyspark.sql import Window
 
+    from pyspark.storagelevel import StorageLevel
+
     nv = l2_normalize(F.col(embedding_col).cast("array<double>"))
-    staged = df.select(F.col(id_col), nv.alias("__nv"))
+    # persist the normalized frame: __nv must reach the 32-dot scoring
+    # fold, the per-dim mean aggregate (dim references) and the
+    # proto_cos projection as a STORED attribute — un-persisted, the
+    # round-7 plan inlined l2_normalize (an O(dim^2) interpreted
+    # expression) into every consumer and q157 cost 32.4 s for 2,000
+    # 64-dim rows (~16 ms/row for ~4k useful flops). The seeds collect
+    # below warms the cache, so nothing here adds a pass.
+    staged = df.select(F.col(id_col), nv.alias("__nv")).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     seeds = (
         staged.orderBy(
             F.md5(F.concat(F.col(id_col).cast("string"), F.lit(seed_tag))).asc(),
@@ -667,9 +680,30 @@ def prototypicality_prune(
         + ")"
     )
     scores = F.transform(cents_lit, lambda c: F.round(dot(F.col("__nv"), c), 6))
-    assigned = staged.withColumn(
-        "cluster_id", F.array_position(scores, F.array_max(scores)).cast("int")
+    # single-pass argmax: ONE fold over the scores array, carrying
+    # (position, best position, best score). The obvious
+    # array_position(scores, array_max(scores)) evaluates the whole
+    # 32-dot transform twice (round-7 q157 defect); `aggregate`
+    # evaluates its input array exactly once, and the strict `>` keeps
+    # array_position's first-max tiebreak on the snapped scores.
+    best = F.aggregate(
+        scores,
+        F.struct(
+            F.lit(0).alias("i"),
+            F.lit(0).alias("best_i"),
+            F.lit(None).cast("double").alias("best_s"),
+        ),
+        lambda acc, s: F.struct(
+            (acc["i"] + 1).alias("i"),
+            F.when(acc["best_s"].isNull() | (s > acc["best_s"]), acc["i"] + 1)
+            .otherwise(acc["best_i"])
+            .alias("best_i"),
+            F.when(acc["best_s"].isNull() | (s > acc["best_s"]), s)
+            .otherwise(acc["best_s"])
+            .alias("best_s"),
+        ),
     )
+    assigned = staged.withColumn("cluster_id", best["best_i"].cast("int"))
     means = assigned.groupBy("cluster_id").agg(
         *[F.avg(F.element_at("__nv", i + 1)).alias(f"__m{i}") for i in range(dim)]
     )

@@ -403,8 +403,11 @@ def mmr_rerank(
     # display-round engine-side: Python round() is half-EVEN where
     # Spark/DuckDB round half-away-from-zero — the cross-engine contract
     # rounds with the engines, never with Python
+    # derive the id field's type from the input schema — a hardcoded
+    # `long` would fail (or silently coerce) for string/UUID id columns
+    id_ddl = df.schema[id_col].dataType.simpleString()
     return spark.createDataFrame(
-        selected, f"{id_col} long, selection_rank int, rel double, mmr_score double"
+        selected, f"{id_col} {id_ddl}, selection_rank int, rel double, mmr_score double"
     ).select(
         id_col, "selection_rank", "rel", F.round("mmr_score", 6).alias("mmr_score")
     )

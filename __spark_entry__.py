@@ -3966,6 +3966,39 @@ def q181_novelty_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return novelty_profile(docs, n=8)
 
 
+def q182_zorder_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extension (data-layout optimization — the 100 TB capability that
+    makes every OTHER predicate cheap): Z-order / Morton-curve
+    clustering (operators/layout.py) of lineitem on
+    (l_partkey, l_suppkey), 16 bits per dimension, cut into 32
+    buckets. Output is the measured skipping quality: each bucket's
+    per-dimension min/max — tight ranges on BOTH columns are what let
+    a parquet reader prune files for predicates on EITHER key, where a
+    single-column sort leaves the other dimension's ranges useless.
+    Everything is integer-exact (min/max normalize via bigint DIV, bit
+    interleave as one codegen'd shift/mask sum, balanced bucket cuts
+    over distributed_order's exact global numbering with a unique
+    (orderkey, linenumber) tiebreak), so DuckDB reproduces the
+    identical bucket boundaries and extrema."""
+    from usajobs_etl_service_spark.operators.layout import layout_skipping_stats
+
+    li = _t(spark, sf_dir, "lineitem")
+    return layout_skipping_stats(
+        li.select("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey"),
+        ["l_partkey", "l_suppkey"],
+        num_partitions=32,
+        bits=16,
+        tiebreak_cols=["l_orderkey", "l_linenumber"],
+    ).select(
+        F.col("bucket").cast("long").alias("bucket"),
+        F.col("n_rows").cast("long").alias("n_rows"),
+        F.col("min_l_partkey"),
+        F.col("max_l_partkey"),
+        F.col("min_l_suppkey"),
+        F.col("max_l_suppkey"),
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_job_statistics": q01_job_statistics,
     "q02_metric_union": q02_metric_union,
@@ -4148,6 +4181,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q179_ranking_agreement": q179_ranking_agreement,
     "q180_llr_collocations": q180_llr_collocations,
     "q181_novelty_profile": q181_novelty_profile,
+    "q182_zorder_skipping": q182_zorder_skipping,
 }
 
 
@@ -7379,6 +7413,39 @@ ORACLES: dict[str, str] = {
                      / count(*), 6) AS novelty_frac
         FROM dg JOIN fs USING (gram)
         GROUP BY dg.doc_id
+    """,
+    # q182: the full z-layout replays — integer min/max normalize,
+    # 32-term Morton interleave, exact global order with a unique
+    # tiebreak, balanced integer bucket cuts
+    "q182_zorder_skipping": """
+        WITH mm AS (
+            SELECT min(l_partkey) AS mn0, max(l_partkey) AS mx0,
+                   min(l_suppkey) AS mn1, max(l_suppkey) AS mx1
+            FROM lineitem
+        ), s AS (
+            SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+                   CASE WHEN mx0 > mn0 THEN ((l_partkey - mn0) * 65535) // (mx0 - mn0) ELSE 0 END AS z0,
+                   CASE WHEN mx1 > mn1 THEN ((l_suppkey - mn1) * 65535) // (mx1 - mn1) ELSE 0 END AS z1
+            FROM lineitem CROSS JOIN mm
+        ), z AS (
+            SELECT l_partkey, l_suppkey,
+                   (((z0 >> 0) & 1) << 0) + (((z1 >> 0) & 1) << 1) + (((z0 >> 1) & 1) << 2) + (((z1 >> 1) & 1) << 3) + (((z0 >> 2) & 1) << 4) + (((z1 >> 2) & 1) << 5) + (((z0 >> 3) & 1) << 6) + (((z1 >> 3) & 1) << 7) + (((z0 >> 4) & 1) << 8) + (((z1 >> 4) & 1) << 9) + (((z0 >> 5) & 1) << 10) + (((z1 >> 5) & 1) << 11) + (((z0 >> 6) & 1) << 12) + (((z1 >> 6) & 1) << 13) + (((z0 >> 7) & 1) << 14) + (((z1 >> 7) & 1) << 15) + (((z0 >> 8) & 1) << 16) + (((z1 >> 8) & 1) << 17) + (((z0 >> 9) & 1) << 18) + (((z1 >> 9) & 1) << 19) + (((z0 >> 10) & 1) << 20) + (((z1 >> 10) & 1) << 21) + (((z0 >> 11) & 1) << 22) + (((z1 >> 11) & 1) << 23) + (((z0 >> 12) & 1) << 24) + (((z1 >> 12) & 1) << 25) + (((z0 >> 13) & 1) << 26) + (((z1 >> 13) & 1) << 27) + (((z0 >> 14) & 1) << 28) + (((z1 >> 14) & 1) << 29) + (((z0 >> 15) & 1) << 30) + (((z1 >> 15) & 1) << 31) AS zval,
+                   l_orderkey, l_linenumber
+            FROM s
+        ), r AS (
+            SELECT l_partkey, l_suppkey, zval,
+                   row_number() OVER (
+                       ORDER BY zval, l_partkey, l_suppkey, l_orderkey, l_linenumber
+                   ) AS rn,
+                   count(*) OVER () AS n
+            FROM z
+        )
+        SELECT ((rn - 1) * 32) // n AS bucket,
+               count(*) AS n_rows,
+               min(l_partkey) AS min_l_partkey, max(l_partkey) AS max_l_partkey,
+               min(l_suppkey) AS min_l_suppkey, max(l_suppkey) AS max_l_suppkey
+        FROM r
+        GROUP BY 1
     """,
 }
 

@@ -1,0 +1,105 @@
+"""Z-order layout: Morton-code correctness on a hand grid, measured
+multi-dimension locality vs a single-column sort, repartition
+integrity, and the no-UDF/no-lambda plan posture."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from usajobs_etl_service_spark.operators.layout import (
+    layout_skipping_stats,
+    zorder_repartition,
+    zorder_values,
+)
+
+
+def _grid(spark, n):
+    return (
+        spark.range(n * n)
+        .select((F.col("id") % n).alias("x"), (F.col("id") / n).cast("long").alias("y"))
+    )
+
+
+def _morton(x: int, y: int, bits: int) -> int:
+    z = 0
+    for i in range(bits):
+        z |= ((x >> i) & 1) << (2 * i)
+        z |= ((y >> i) & 1) << (2 * i + 1)
+    return z
+
+
+def test_zorder_matches_hand_morton_codes(spark):
+    # 4x4 grid, bits=2: min=0, max=3, span=3 -> scaled value == raw value
+    rows = zorder_values(_grid(spark, 4), ["x", "y"], bits=2).collect()
+    got = {(r["x"], r["y"]): r["zval"] for r in rows}
+    want = {(x, y): _morton(x, y, 2) for x in range(4) for y in range(4)}
+    assert got == want
+
+
+def test_zorder_scaling_is_integer_exact_and_null_safe(spark):
+    df = spark.createDataFrame(
+        [(0, 10), (None, 20), (100, 30)], "a int, b int"
+    )
+    rows = {r["b"]: r["zval"] for r in zorder_values(df, ["a", "b"], bits=4).collect()}
+    # a: min 0 max 100, span 15 -> 0, NULL->min->0, 100->15
+    # b: min 10 max 30 -> 0, 7 ((10*15) DIV 20), 15
+    def mz(a, b):
+        return _morton(a, b, 4)
+
+    assert rows[10] == mz(0, 0)
+    assert rows[20] == mz(0, 7)
+    assert rows[30] == mz(15, 15)
+
+
+def test_constant_column_contributes_zero_bits(spark):
+    df = spark.createDataFrame([(1, 5), (2, 5), (3, 5)], "a int, b int")
+    rows = zorder_values(df, ["a", "b"], bits=4).collect()
+    # b constant -> scaled 0 everywhere; zval is a's bits spread at even positions
+    for r in rows:
+        assert r["zval"] == _morton(((r["a"] - 1) * 15) // 2, 0, 4)
+
+
+def test_zorder_buckets_are_tighter_than_single_column_sort(spark):
+    """The point of the layout, measured: cut a 32x32 grid into 16
+    buckets. Sorted by x alone, every bucket spans y's FULL range
+    (skipping on y prunes nothing). Z-ordered, both dimensions' average
+    in-bucket range must be a small fraction of the span."""
+    g = _grid(spark, 32)
+    stats = layout_skipping_stats(g, ["x", "y"], num_partitions=16, bits=5).collect()
+    assert len(stats) == 16
+    assert sum(r["n_rows"] for r in stats) == 32 * 32
+    avg_rng_x = sum(r["max_x"] - r["min_x"] for r in stats) / 16 / 31.0
+    avg_rng_y = sum(r["max_y"] - r["min_y"] for r in stats) / 16 / 31.0
+    # x-sorted baseline: y covers the full span in every bucket (1.0),
+    # x covers ~1/16 (0.0625). Z-order balances both near sqrt(1/16).
+    assert avg_rng_x < 0.5 and avg_rng_y < 0.5, (avg_rng_x, avg_rng_y)
+    assert max(avg_rng_x, avg_rng_y) < 0.9  # strictly better than full-span
+
+
+def test_zorder_repartition_preserves_rows_and_sets_partitions(spark):
+    g = _grid(spark, 16)
+    out = zorder_repartition(g, ["x", "y"], num_partitions=8, bits=4)
+    assert out.columns == ["x", "y"]
+    assert out.count() == 256
+    assert out.rdd.getNumPartitions() == 8
+
+
+def test_zorder_plan_is_pure_expression(spark):
+    g = _grid(spark, 8)
+    p = (
+        zorder_values(g, ["x", "y"], bits=3)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    assert "lambdafunction" not in p
+    # the only join is the broadcast of the 1-row min/max aggregate
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastExchange" in p
+
+
+def test_zorder_param_validation(spark):
+    g = _grid(spark, 4)
+    with pytest.raises(ValueError):
+        zorder_values(g, [], bits=8)
+    with pytest.raises(ValueError):
+        zorder_values(g, ["x", "y"], bits=32)  # 64 bits > 62

@@ -1,0 +1,167 @@
+"""Z-order (Morton-curve) data layout for multi-column file skipping.
+
+The 100 TB problem this solves: parquet row-group pruning works off
+per-file min/max ranges, and a table sorted by ONE column has useless
+ranges for every OTHER predicate column. Interleaving the bits of
+several normalized sort keys (the Morton / Z-curve — Morton 1966, the
+same layout OPTIMIZE ZORDER BY applies in lakehouse engines) makes
+files cluster in ALL participating dimensions at once: a range
+predicate on any z-dimension then touches a small fraction of files
+instead of all of them.
+
+Spark-first shape:
+- Per-column normalization is integer-exact: one tiny aggregate
+  produces each column's (min, max), broadcast as a 1-row cross join,
+  and each value maps to ``(v - min) * (2^bits - 1) DIV (max - min)``
+  — all bigint arithmetic, so the SAME z-values fall out of any
+  engine (the DuckDB oracle replays them bit-for-bit; no float
+  rounding anywhere).
+- Bit interleave is ONE generated expression (sum of shift/mask
+  terms), codegen'd in the scan stage — no UDF, no per-row Python.
+- ``zorder_repartition`` hands the z-value to ``repartitionByRange``:
+  ONE range exchange (sampled boundaries), after which each output
+  file covers a compact z-interval — which is exactly a small
+  hyper-rectangle set in the original column space. Writers then get
+  tight per-file min/max on EVERY z-dimension.
+
+Reference basis: public Z-ordering literature and lakehouse docs
+(Morton curves for data skipping); no reference-repo counterpart —
+this is part of the beyond-reference large-scale pipeline surface.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _interleave_expr(scaled_cols: list[str], bits: int) -> Column:
+    """Morton-interleave ``len(scaled_cols)`` ``bits``-wide non-negative
+    bigints into one bigint: bit ``i`` of column ``j`` lands at
+    position ``i * ncols + j``. Generated as one SQL string so the
+    driver ships a single parsed expression (the q89/q98 literal-block
+    lesson) and the oracle can repeat it verbatim."""
+    ncols = len(scaled_cols)
+    terms = [
+        f"(shiftleft(shiftright({c}, {i}) & 1, {i * ncols + j}))"
+        for j, c in enumerate(scaled_cols)
+        for i in range(bits)
+    ]
+    return F.expr(" + ".join(terms))
+
+
+def zorder_values(
+    df: DataFrame,
+    cols: list[str],
+    *,
+    bits: int = 16,
+) -> DataFrame:
+    """All input columns plus ``zval`` (bigint Morton code over
+    ``cols``). Columns must be integral (bigint-castable without loss);
+    constant columns contribute zero bits (min == max -> scaled 0),
+    NULLs scale to 0 (sort first — the same convention NULLS FIRST
+    range sorting applies).
+
+    Total z-width is ``bits * len(cols)`` and must fit a signed 64-bit
+    value; 16 bits x up to 3 columns is the sweet spot — per-file
+    skipping needs only enough resolution to separate FILES, not rows.
+    """
+    if not cols:
+        raise ValueError("zorder_values: need at least one column")
+    if bits < 1 or bits * len(cols) > 62:
+        raise ValueError(
+            f"bits * len(cols) must be in [1, 62], got {bits} * {len(cols)}"
+        )
+    span = (1 << bits) - 1
+    mm = df.agg(
+        *[F.min(F.col(c).cast("long")).alias(f"__mn_{j}") for j, c in enumerate(cols)],
+        *[F.max(F.col(c).cast("long")).alias(f"__mx_{j}") for j, c in enumerate(cols)],
+    )
+    staged = df.crossJoin(F.broadcast(mm))
+    scaled_names = []
+    scaled_exprs = []
+    for j, c in enumerate(cols):
+        # integer DIV: exact and engine-portable (no float path)
+        scaled = F.expr(
+            f"CASE WHEN __mx_{j} > __mn_{j} THEN "
+            f"((coalesce(cast({c} as bigint), __mn_{j}) - __mn_{j}) * {span}) DIV (__mx_{j} - __mn_{j}) "
+            f"ELSE 0 END"
+        )
+        name = f"__z_{j}"
+        scaled_names.append(name)
+        scaled_exprs.append(scaled.alias(name))
+    staged = staged.select(*df.columns, *scaled_exprs)
+    return staged.select(
+        *df.columns, _interleave_expr(scaled_names, bits).alias("zval")
+    )
+
+
+def zorder_repartition(
+    df: DataFrame,
+    cols: list[str],
+    *,
+    num_partitions: int,
+    bits: int = 16,
+) -> DataFrame:
+    """Physically cluster ``df`` into ``num_partitions`` z-ordered
+    partitions (ONE range exchange on the Morton code; write the result
+    partitioned to get per-file multi-column min/max locality). The
+    helper column is dropped — the layout is carried by partition
+    placement, as a writer wants it."""
+    zed = zorder_values(df, cols, bits=bits)
+    return (
+        zed.repartitionByRange(num_partitions, F.col("zval"))
+        .sortWithinPartitions("zval")
+        .drop("zval")
+    )
+
+
+def layout_skipping_stats(
+    df: DataFrame,
+    cols: list[str],
+    *,
+    num_partitions: int,
+    bits: int = 16,
+    tiebreak_cols: list[str] | None = None,
+) -> DataFrame:
+    """Measured (not asserted) skipping quality of the z-layout: one
+    row per z-bucket with each dimension's in-bucket min/max. The
+    figure of merit downstream is the average fractional RANGE each
+    bucket covers per dimension — tight ranges are what lets a reader
+    prune files. Buckets are equal-size cuts of the exact global
+    (zval, cols...) order via distributed_order.global_row_number (one
+    materialized range exchange — never a single-task global window),
+    deterministic and oracle-replayable; the production path is
+    ``zorder_repartition``'s sampled range exchange."""
+    from usajobs_etl_service_spark.operators.distributed_order import (
+        global_row_number,
+    )
+
+    zed = zorder_values(df, cols, bits=bits)
+    # ``tiebreak_cols`` must make the order TOTAL: bucket boundaries
+    # that split a tie group nondeterministically would make the
+    # per-bucket min/max engine-dependent (the q28 contract)
+    order = (
+        [F.col("zval").asc()]
+        + [F.col(c).asc() for c in cols]
+        + [F.col(c).asc() for c in (tiebreak_cols or [])]
+    )
+    rn = global_row_number(zed, order)
+    total = rn.agg(F.count(F.lit(1)).alias("__n"))
+    bucketed = rn.crossJoin(F.broadcast(total)).select(
+        *zed.columns,
+        # balanced contiguous cuts of the exact global order (sizes
+        # differ by <= 1): pure integer math, engine-portable
+        F.expr(f"((global_rn - 1) * {int(num_partitions)}) DIV __n").alias("bucket"),
+    )
+    return bucketed.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        *[
+            agg
+            for c in cols
+            for agg in (
+                F.min(F.col(c).cast("long")).alias(f"min_{c}"),
+                F.max(F.col(c).cast("long")).alias(f"max_{c}"),
+            )
+        ],
+    )

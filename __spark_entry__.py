@@ -3999,6 +3999,29 @@ def q182_zorder_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q183_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extension (one-pass data-quality profiling — the 'can I trust
+    this table?' primitive a 100 TB lake runs nightly): per-column
+    null / exact-distinct / extrema stats for documents
+    (operators/profile.py). ONE aggregate pass regardless of column
+    count (parallel agg expressions in a single HashAggregate, the
+    multi-distinct planned through one Expand), 1-row result unpivoted
+    driver-free with stack(). Extrema render as strings so mixed types
+    share a schema; bigint/varchar rendering is engine-identical, which
+    the oracle checks column by column."""
+    from usajobs_etl_service_spark.operators.profile import profile_table
+
+    docs = _t(spark, sf_dir, "documents")
+    return profile_table(docs, ["doc_id", "lang", "source", "n_chars"]).select(
+        "column",
+        F.col("n_rows").cast("long").alias("n_rows"),
+        F.col("n_nulls").cast("long").alias("n_nulls"),
+        F.col("n_distinct").cast("long").alias("n_distinct"),
+        "min_value",
+        "max_value",
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_job_statistics": q01_job_statistics,
     "q02_metric_union": q02_metric_union,
@@ -4182,6 +4205,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q180_llr_collocations": q180_llr_collocations,
     "q181_novelty_profile": q181_novelty_profile,
     "q182_zorder_skipping": q182_zorder_skipping,
+    "q183_table_profile": q183_table_profile,
 }
 
 
@@ -7446,6 +7470,29 @@ ORACLES: dict[str, str] = {
                min(l_suppkey) AS min_l_suppkey, max(l_suppkey) AS max_l_suppkey
         FROM r
         GROUP BY 1
+    """,
+    "q183_table_profile": """
+        WITH n AS (SELECT count(*) AS n_rows FROM documents)
+        SELECT * FROM (
+            SELECT 'doc_id' AS "column", n_rows,
+                   n_rows - count(doc_id) AS n_nulls,
+                   count(DISTINCT doc_id) AS n_distinct,
+                   CAST(min(doc_id) AS VARCHAR) AS min_value,
+                   CAST(max(doc_id) AS VARCHAR) AS max_value
+            FROM documents CROSS JOIN n GROUP BY n_rows
+            UNION ALL
+            SELECT 'lang', n_rows, n_rows - count(lang), count(DISTINCT lang),
+                   CAST(min(lang) AS VARCHAR), CAST(max(lang) AS VARCHAR)
+            FROM documents CROSS JOIN n GROUP BY n_rows
+            UNION ALL
+            SELECT 'source', n_rows, n_rows - count(source), count(DISTINCT source),
+                   CAST(min(source) AS VARCHAR), CAST(max(source) AS VARCHAR)
+            FROM documents CROSS JOIN n GROUP BY n_rows
+            UNION ALL
+            SELECT 'n_chars', n_rows, n_rows - count(n_chars), count(DISTINCT n_chars),
+                   CAST(min(n_chars) AS VARCHAR), CAST(max(n_chars) AS VARCHAR)
+            FROM documents CROSS JOIN n GROUP BY n_rows
+        )
     """,
 }
 

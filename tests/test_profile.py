@@ -1,0 +1,52 @@
+"""profile_table: hand-checked stats, null/all-null handling, and the
+one-aggregate-pass plan invariant."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from usajobs_etl_service_spark.operators.profile import profile_table
+
+
+def _df(spark):
+    return spark.createDataFrame(
+        [(1, "a", None), (2, "b", None), (2, None, None), (4, "a", None)],
+        "k int, s string, z string",
+    )
+
+
+def test_profile_hand_values(spark):
+    rows = {r["column"]: r for r in profile_table(_df(spark)).collect()}
+    assert set(rows) == {"k", "s", "z"}
+    k = rows["k"]
+    assert (k["n_rows"], k["n_nulls"], k["n_distinct"]) == (4, 0, 3)
+    assert (k["min_value"], k["max_value"]) == ("1", "4")
+    s = rows["s"]
+    assert (s["n_nulls"], s["n_distinct"], s["min_value"], s["max_value"]) == (1, 2, "a", "b")
+    z = rows["z"]  # all-NULL column
+    assert (z["n_nulls"], z["n_distinct"]) == (4, 0)
+    assert z["min_value"] is None and z["max_value"] is None
+
+
+def test_profile_column_subset_and_validation(spark):
+    out = profile_table(_df(spark), ["k"]).collect()
+    assert len(out) == 1 and out[0]["column"] == "k"
+    with pytest.raises(ValueError):
+        profile_table(_df(spark), [])
+    with pytest.raises(ValueError):
+        profile_table(_df(spark), ["nope"])
+
+
+def test_profile_is_one_scan(spark, sf_dir):
+    """Profiling k columns must read the table ONCE: a single scan node
+    in the executed plan, no unions of per-column passes."""
+    from usajobs_etl_service_spark.session import read_table
+
+    docs = read_table(spark, sf_dir, "documents")
+    p = (
+        profile_table(docs, ["doc_id", "lang", "source", "n_chars"])
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert p.count("Scan parquet") == 1, p[:800]
+    assert "Union" not in p

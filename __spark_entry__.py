@@ -4002,14 +4002,14 @@ def q182_zorder_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q183_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Extension (one-pass data-quality profiling — the 'can I trust
     this table?' primitive a 100 TB lake runs nightly): per-column
-    null / exact-distinct / extrema stats for documents
-    (operators/profile.py). ONE aggregate pass regardless of column
+    null / exact-distinct / extrema stats for documents (operators/profiling.profile_table —
+    the wide, string-extrema companion to q101's long-form profile). ONE aggregate pass regardless of column
     count (parallel agg expressions in a single HashAggregate, the
     multi-distinct planned through one Expand), 1-row result unpivoted
     driver-free with stack(). Extrema render as strings so mixed types
     share a schema; bigint/varchar rendering is engine-identical, which
     the oracle checks column by column."""
-    from usajobs_etl_service_spark.operators.profile import profile_table
+    from usajobs_etl_service_spark.operators.profiling import profile_table
 
     docs = _t(spark, sf_dir, "documents")
     return profile_table(docs, ["doc_id", "lang", "source", "n_chars"]).select(

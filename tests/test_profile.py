@@ -6,7 +6,7 @@ from __future__ import annotations
 import pytest
 from pyspark.sql import functions as F
 
-from usajobs_etl_service_spark.operators.profile import profile_table
+from usajobs_etl_service_spark.operators.profiling import profile_table
 
 
 def _df(spark):

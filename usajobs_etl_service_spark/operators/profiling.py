@@ -177,3 +177,40 @@ def mann_whitney_u(
         F.round(u, 4).alias("u_stat"),
         F.round(F.try_divide(u - mu, sigma), 6).alias("z"),
     )
+
+
+def profile_table(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
+    """One row per profiled column — the WIDE companion to ``profile``
+    (whose long form carries only double values and so cannot report
+    extrema of string/timestamp columns):
+    (column, n_rows, n_nulls, n_distinct, min_value, max_value).
+
+    ``n_distinct`` is EXACT (count distinct, NULLs excluded — the SQL
+    convention); ``min_value``/``max_value`` are the column extrema
+    cast to string (NULL when the column is all-NULL). One aggregate
+    pass total.
+    """
+    cols = list(cols) if cols is not None else list(df.columns)
+    if not cols:
+        raise ValueError("profile_table: need at least one column")
+    missing = [c for c in cols if c not in df.columns]
+    if missing:
+        raise ValueError(f"profile_table: unknown columns {missing}")
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for j, c in enumerate(cols):
+        aggs += [
+            F.count(F.col(c)).alias(f"__nn_{j}"),
+            F.countDistinct(F.col(c)).alias(f"__nd_{j}"),
+            F.min(F.col(c)).cast("string").alias(f"__mn_{j}"),
+            F.max(F.col(c)).cast("string").alias(f"__mx_{j}"),
+        ]
+    one = df.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{c}', __n - __nn_{j}, __nd_{j}, __mn_{j}, __mx_{j}"
+        for j, c in enumerate(cols)
+    )
+    return one.selectExpr(
+        "__n as n_rows",
+        f"stack({len(cols)}, {stack_args}) as "
+        "(column, n_nulls, n_distinct, min_value, max_value)",
+    ).select("column", "n_rows", "n_nulls", "n_distinct", "min_value", "max_value")

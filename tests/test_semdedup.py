@@ -293,3 +293,28 @@ def test_prototypicality_prune_frac_one_prunes_all(spark):
     assert all(r["pruned"] == 1 for r in out)
     with pytest.raises(ValueError):
         prototypicality_prune(df, prune_frac=1.5)
+
+
+def test_prototypicality_plan_single_score_pass(spark):
+    """Round-7 q157 regression guard (32.4 s for 2,000 rows): the
+    cluster argmax must be ONE fold over the scores array — no
+    array_position(scores, array_max(scores)) double evaluation — and
+    the normalized vector must reach the scoring fold as a persisted
+    attribute (InMemoryTableScan), never as an inlined l2_normalize
+    chain re-evaluated per centroid."""
+    from usajobs_etl_service_spark.operators.semdedup import prototypicality_prune
+
+    spark.catalog.clearCache()
+    try:
+        df = spark.createDataFrame(
+            [(i, [float(i % 3 == j) for j in range(4)]) for i in range(12)],
+            "vec_id long, embedding array<double>",
+        )
+        p = (
+            prototypicality_prune(df, n_clusters=2, prune_frac=0.5)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "array_position" not in p, p[:600]
+        assert "InMemoryTableScan" in p, p[:600]
+    finally:
+        spark.catalog.clearCache()

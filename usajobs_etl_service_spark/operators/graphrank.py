@@ -464,6 +464,12 @@ def hits_scores(
             .groupBy("s")
             .agg(F.sum("a").alias("h"))
         )
+    # the output references each final iterate twice (max + top-k) and
+    # h's lineage CONTAINS a's — unpersisted, the whole n_iter join
+    # chain executed 4x (measured 6.3 s for q178 at sf0.1; ~1.7 s with
+    # the iterates persisted). Same discipline as the edge persist.
+    a = a.persist(StorageLevel.MEMORY_AND_DISK)
+    h = h.persist(StorageLevel.MEMORY_AND_DISK)
     from pyspark.sql import Window
 
     def side(df: DataFrame, node_col: str, score_col: str, kind: str) -> DataFrame:

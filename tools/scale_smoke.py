@@ -192,6 +192,8 @@ def run(outdir: str) -> None:
         "cc_distributed_rounds": _cc_rounds(spark, outdir),
         "kcore_distributed": _kcore_smoke(spark),
         "triangle_census": _triangle_smoke(spark),
+        "zorder_layout": _zorder_smoke(spark),
+        "table_profile": _profile_smoke(spark, outdir),
         "distributed_order": _dist_order_smoke(spark, outdir, big),
         "queries": out,
     }
@@ -462,6 +464,75 @@ def _triangle_smoke(spark) -> dict[str, dict]:
     out["m15_bar"] = 31.6
     out["passes_m15_bar"] = out["time_ratio_10x_edges"] <= 31.6
     return out
+
+
+def _zorder_smoke(spark) -> dict[str, dict]:
+    """q182's layout engine (operators/layout.zorder_repartition) on
+    synthetic 2-D data at 10M and 100M rows: the per-row cost is a
+    broadcast normalize + one generated interleave expression + ONE
+    range exchange, so time must scale ~linearly with rows. Recorded:
+    wall time, time ratio, and the clustering QUALITY invariant (every
+    output partition's z-span is disjoint from the others — checked at
+    the small scale via per-partition zval min/max)."""
+    from pyspark.sql import functions as F
+
+    from usajobs_etl_service_spark.operators.layout import zorder_values
+
+    def data(m: int):
+        return spark.range(m).select(
+            F.pmod(F.xxhash64("id", F.lit(21)), F.lit(100_000)).alias("x"),
+            F.pmod(F.xxhash64("id", F.lit(22)), F.lit(100_000)).alias("y"),
+        )
+
+    zorder_values(data(100_000), ["x", "y"]).write.format("noop").mode(
+        "overwrite"
+    ).save()  # untimed codegen warm pass
+    out: dict[str, dict] = {}
+    for label, m in (("r10M", 10_000_000), ("r100M", 100_000_000)):
+        t0 = time.perf_counter()
+        zed = zorder_values(data(m), ["x", "y"]).repartitionByRange(
+            64, F.col("zval")
+        )
+        zed.write.format("noop").mode("overwrite").save()
+        out[label] = {"sec": round(time.perf_counter() - t0, 3)}
+        if label == "r10M":
+            from pyspark.sql.functions import spark_partition_id
+
+            spans = (
+                zed.select(spark_partition_id().alias("p"), "zval")
+                .groupBy("p")
+                .agg(F.min("zval").alias("lo"), F.max("zval").alias("hi"))
+                .orderBy("lo")
+                .collect()
+            )
+            disjoint = all(
+                spans[i]["hi"] <= spans[i + 1]["lo"] for i in range(len(spans) - 1)
+            )
+            out[label]["partitions"] = len(spans)
+            out[label]["z_spans_disjoint"] = disjoint
+    out["time_ratio_10x_rows"] = round(
+        out["r100M"]["sec"] / max(out["r10M"]["sec"], 1e-9), 2
+    )
+    return out
+
+
+def _profile_smoke(spark, outdir: str) -> dict:
+    """q183's one-pass wide profile over the big corpus: the
+    multi-distinct Expand is the scale risk (k distinct aggs expand
+    each row k+1 ways), so record wall time and row count at the smoke
+    multiplier — the pass must stay single-scan and spill-free at any
+    corpus size."""
+    from usajobs_etl_service_spark.operators.profiling import profile_table
+    from usajobs_etl_service_spark.session import read_table
+
+    docs = read_table(spark, outdir, "documents")
+    t0 = time.perf_counter()
+    rows = profile_table(docs, ["doc_id", "lang", "source", "n_chars"]).collect()
+    return {
+        "sec": round(time.perf_counter() - t0, 3),
+        "n_rows_profiled": next(r["n_rows"] for r in rows),
+        "columns": len(rows),
+    }
 
 
 def _cap_drop_counters(spark, outdir: str) -> dict[str, dict]:

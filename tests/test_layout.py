@@ -103,3 +103,11 @@ def test_zorder_param_validation(spark):
         zorder_values(g, [], bits=8)
     with pytest.raises(ValueError):
         zorder_values(g, ["x", "y"], bits=32)  # 64 bits > 62
+
+
+def test_zorder_rejects_non_integral_columns(spark):
+    df = spark.createDataFrame([(1, 2.5)], "a int, f double")
+    with pytest.raises(ValueError, match="integral"):
+        zorder_values(df, ["a", "f"], bits=8)
+    with pytest.raises(ValueError, match="unknown"):
+        zorder_values(df, ["nope"], bits=8)

@@ -72,6 +72,17 @@ def zorder_values(
         raise ValueError(
             f"bits * len(cols) must be in [1, 62], got {bits} * {len(cols)}"
         )
+    integral = {"byte", "tinyint", "short", "smallint", "int", "integer", "long", "bigint"}
+    for c in cols:
+        if c not in df.columns:
+            raise ValueError(f"zorder_values: unknown column {c!r}")
+        t = df.schema[c].dataType.simpleString()
+        if t not in integral:
+            raise ValueError(
+                f"zorder_values: column {c!r} is {t}; only integral types "
+                "z-order losslessly (bucket floats/timestamps to ints first "
+                "— e.g. epoch seconds, fixed-point cents)"
+            )
     span = (1 << bits) - 1
     mm = df.agg(
         *[F.min(F.col(c).cast("long")).alias(f"__mn_{j}") for j, c in enumerate(cols)],

@@ -133,3 +133,12 @@ def test_no_interpreted_lambda_and_single_tokenize_in_plan(spark):
     assert p.count("regexp_replace") <= 3, p[:800]
     gen_pos = p.index("Generate posexplode")
     assert p.count("regexp_replace", 0, gen_pos) == 0, p[:800]
+
+
+def test_null_text_yields_no_fingerprints_empty_text_one(spark):
+    """Contract: NULL text contributes nothing (no phantom
+    empty-string fingerprint); empty text degenerates to the single
+    whole-text gram (the short-doc fallback)."""
+    df = _docs(spark, [(1, None), (2, ""), (3, "a b c d e f")])
+    got = {r["id"] for r in winnow_fingerprints(df).collect()}
+    assert 1 not in got and {2, 3} <= got

@@ -4022,6 +4022,25 @@ def q183_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q184_join_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extension (pre-flight join diagnostics — the look-before-you-
+    join primitive a 100 TB cluster runs to decide between AQE skew
+    handling, salting, or dropping a degenerate key): top-20 heaviest
+    lineitem-x-orders join keys by OUTPUT cardinality
+    (operators/salting.join_skew_report). Cost is key-sized, never
+    data-sized: one map-combined count per side + a join of the two
+    key-cardinality tables + TakeOrdered (plan-asserted in
+    tests/test_salting.py). Integer counts and one rounded share
+    division; (pairs desc, key asc) is a total order."""
+    from usajobs_etl_service_spark.operators.salting import join_skew_report
+
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    return join_skew_report(
+        li, orders, left_key="l_orderkey", right_key="o_orderkey", top_k=20
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_job_statistics": q01_job_statistics,
     "q02_metric_union": q02_metric_union,
@@ -4206,6 +4225,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q181_novelty_profile": q181_novelty_profile,
     "q182_zorder_skipping": q182_zorder_skipping,
     "q183_table_profile": q183_table_profile,
+    "q184_join_skew_report": q184_join_skew_report,
 }
 
 
@@ -7493,6 +7513,23 @@ ORACLES: dict[str, str] = {
                    CAST(min(n_chars) AS VARCHAR), CAST(max(n_chars) AS VARCHAR)
             FROM documents CROSS JOIN n GROUP BY n_rows
         )
+    """,
+    "q184_join_skew_report": """
+        WITH lc AS (
+            SELECT CAST(l_orderkey AS VARCHAR) AS key, count(*) AS n_left
+            FROM lineitem WHERE l_orderkey IS NOT NULL GROUP BY 1
+        ), rc AS (
+            SELECT CAST(o_orderkey AS VARCHAR) AS key, count(*) AS n_right
+            FROM orders WHERE o_orderkey IS NOT NULL GROUP BY 1
+        ), j AS (
+            SELECT key, n_left, n_right, n_left * n_right AS pairs
+            FROM lc JOIN rc USING (key)
+        ), t AS (SELECT sum(pairs) AS tot FROM j)
+        SELECT key, n_left, n_right, pairs,
+               round(pairs / tot, 4) AS pct_of_output
+        FROM j CROSS JOIN t
+        ORDER BY pairs DESC, key ASC
+        LIMIT 20
     """,
 }
 

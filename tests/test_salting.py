@@ -98,3 +98,40 @@ def test_salted_topk_real_data(spark, sf_dir):
         for r in salted_topk_per_key(events, ["user_id"], order, 2).collect()
     }
     assert salted == plain
+
+
+def test_join_skew_report_hand_values(spark):
+    from usajobs_etl_service_spark.operators.salting import join_skew_report
+
+    left = spark.createDataFrame(
+        [("hot",)] * 6 + [("a",)] * 2 + [(None,)] * 3, "k string"
+    )
+    right = spark.createDataFrame(
+        [("hot",)] * 5 + [("a",)] * 1 + [("only_right",)], "k2 string"
+    )
+    rows = join_skew_report(left, right, left_key="k", right_key="k2").collect()
+    assert [r["key"] for r in rows] == ["hot", "a"]  # pairs desc; NULLs excluded
+    hot = rows[0]
+    assert (hot["n_left"], hot["n_right"], hot["pairs"]) == (6, 5, 30)
+    assert hot["pct_of_output"] == round(30 / 32, 4)
+    assert rows[1]["pairs"] == 2
+
+
+def test_join_skew_report_plan_is_key_sized(spark, sf_dir):
+    """The report must join KEY-CARDINALITY tables, never the data:
+    no SortMergeJoin of the raw inputs, and the top-k is a
+    TakeOrdered, not a global sort exchange."""
+    from usajobs_etl_service_spark.operators.salting import join_skew_report
+    from usajobs_etl_service_spark.session import read_table
+
+    orders = read_table(spark, sf_dir, "orders")
+    li = read_table(spark, sf_dir, "lineitem")
+    p = (
+        join_skew_report(li, orders, left_key="l_orderkey", right_key="o_orderkey")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "TakeOrderedAndProject" in p
+    # both join inputs are aggregates (count tables), not raw scans:
+    # two per-side partial counts feed the join
+    import re
+    assert len(re.findall(r"partial_count\(1\)", p)) >= 2, p[:600]

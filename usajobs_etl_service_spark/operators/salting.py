@@ -139,3 +139,58 @@ def salted_topk_per_key(
         .drop("__rn", "__salt")
     )
     return phase1.withColumn("rank", F.row_number().over(w2)).filter(F.col("rank") <= k)
+
+
+def join_skew_report(
+    left: DataFrame,
+    right: DataFrame,
+    *,
+    left_key: str,
+    right_key: str | None = None,
+    top_k: int = 20,
+) -> DataFrame:
+    """Pre-flight skew diagnostic for an equi-join: the ``top_k``
+    heaviest join keys by OUTPUT cardinality (n_left * n_right — the
+    rows one reducer would materialize for that key), plus each key's
+    share of the total join output. Run this BEFORE a 100 TB join: a
+    key whose ``pairs`` is a large output share is the task that will
+    run for hours while the rest of the cluster idles, and the
+    actionable response (AQE skew-join, salting, or dropping a
+    degenerate key like NULL/empty-string) depends on seeing WHICH
+    keys those are — cluster-side, without ever running the join.
+
+    Cost: one count aggregate per side (map-side combined) + one
+    hash join of the two KEY-CARDINALITY tables (|distinct keys| rows,
+    not data rows) + a top-k. NULL keys are excluded, matching inner
+    equi-join semantics.
+
+    Output: (key string, n_left, n_right, pairs, pct_of_output) —
+    ``pct_of_output`` rounds to 4, an exact integer ratio underneath.
+    """
+    rk = right_key or left_key
+    lc = (
+        left.filter(F.col(left_key).isNotNull())
+        .groupBy(F.col(left_key).cast("string").alias("key"))
+        .agg(F.count(F.lit(1)).alias("n_left"))
+    )
+    rc = (
+        right.filter(F.col(rk).isNotNull())
+        .groupBy(F.col(rk).cast("string").alias("key"))
+        .agg(F.count(F.lit(1)).alias("n_right"))
+    )
+    j = lc.join(rc, "key").select(
+        "key", "n_left", "n_right", (F.col("n_left") * F.col("n_right")).alias("pairs")
+    )
+    tot = j.agg(F.sum("pairs").alias("__tot"))
+    return (
+        j.crossJoin(F.broadcast(tot))
+        .select(
+            "key",
+            "n_left",
+            "n_right",
+            "pairs",
+            F.round(F.col("pairs") / F.col("__tot"), 4).alias("pct_of_output"),
+        )
+        .orderBy(F.col("pairs").desc(), F.col("key").asc())
+        .limit(top_k)
+    )

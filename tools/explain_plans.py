@@ -40,6 +40,10 @@ HEADLINERS = {
     "q95_pmi_collocations": "bigram extraction as arrays_zip against the array's own tail inside the scan (no posexplode self-join); two open-vocabulary aggregates; rank window only over the min_count-filtered survivors",
     "q28_global_sort_rank": "distributed_order rank: rangepartitioning Exchange + per-partition-id windows + broadcast carry-in — the no-partition WindowExec over data is gone (the surviving SinglePartition window runs over the 32-row per-partition-count aggregate)",
     "q117_concurrency_peak": "sweep line: per-day windowed running sum + broadcast carry-in offsets; no global window over the event stream",
+    "q153_winnow_candidates": "row-wise winnowing: token posexplode -> lead()-window k-grams -> md5 -> frame-clipped window min, ZERO lambdafunctions in the executed plan (the round-7 O(n^2) CollapseProject inlining is structurally impossible); one id-keyed window Exchange feeds grams, counts and minima",
+    "q157_prototypicality_prune": "single-pass argmax: scores array evaluated once through an aggregate fold over the persisted normalized frame (InMemoryTableScan in-plan; no array_position double evaluation); per-dim avg means broadcast back",
+    "q182_zorder_skipping": "Z-order layout: 1-row min/max broadcast + generated shift/mask interleave in the scan stage, exact global numbering via rangepartitioning + per-partition windows — no single-task WindowExec, no UDF",
+    "q184_join_skew_report": "key-sized join diagnostics: per-side partial_count aggregates joined on the key (data rows never shuffle), TakeOrderedAndProject top-k",
     "q118_heavy_hitters": "Misra-Gries candidate pass in mapInPandas (no shuffle, O(k) state), candidate union broadcast into a LeftSemi BroadcastHashJoin — the exact-count aggregate shuffles only candidate-key rows, never the open token domain",
     "q122_revenue_gini": "rank-formula Gini over the distributed global rank: rangepartitioning + pid windows + scalar final aggregate",
     "q124_pareto_frontier": "skyline as per-price aggregate + strict distributed running min + one equi-join back: no quadratic dominance join anywhere",

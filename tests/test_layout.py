@@ -111,3 +111,48 @@ def test_zorder_rejects_non_integral_columns(spark):
         zorder_values(df, ["a", "f"], bits=8)
     with pytest.raises(ValueError, match="unknown"):
         zorder_values(df, ["nope"], bits=8)
+
+
+def test_zorder_parquet_files_have_tight_multi_dim_ranges(spark, tmp_path):
+    """File-level proof of the skipping story: write the same 64x64
+    grid as (a) 8 z-ordered parquet files and (b) 8 x-sorted files,
+    then recover each FILE's per-dimension min/max via
+    input_file_name(). A reader pruning on a y-predicate touches every
+    x-sorted file (each spans y's full range) but only a fraction of
+    the z-ordered ones. This is the same min/max machinery parquet
+    row-group skipping uses, measured on real files."""
+    from pyspark.sql.functions import input_file_name
+
+    g = _grid(spark, 64)
+    zdir, xdir = str(tmp_path / "z"), str(tmp_path / "x")
+    zorder_repartition(g, ["x", "y"], num_partitions=8, bits=6).write.parquet(zdir)
+    g.repartitionByRange(8, F.col("x")).write.parquet(xdir)
+
+    def file_ranges(path):
+        df = spark.read.parquet(path).select(
+            "x", "y", input_file_name().alias("f")
+        )
+        return (
+            df.groupBy("f")
+            .agg(
+                F.min("y").alias("lo"), F.max("y").alias("hi"),
+                F.count(F.lit(1)).alias("n"),
+            )
+            .collect()
+        )
+
+    span = 63.0
+    z_files, x_files = file_ranges(zdir), file_ranges(xdir)
+    assert sum(r["n"] for r in z_files) == 64 * 64
+    z_avg_y = sum((r["hi"] - r["lo"]) / span for r in z_files) / len(z_files)
+    x_avg_y = sum((r["hi"] - r["lo"]) / span for r in x_files) / len(x_files)
+    # x-sorted files each cover (nearly) all of y; z-ordered files
+    # cover a small fraction — at least 2x tighter, typically ~4x
+    assert x_avg_y > 0.9, x_avg_y
+    assert z_avg_y < x_avg_y / 2, (z_avg_y, x_avg_y)
+
+    # and the y-predicate file count: how many files COULD contain y<8
+    hit_z = sum(1 for r in z_files if r["lo"] < 8)
+    hit_x = sum(1 for r in x_files if r["lo"] < 8)
+    assert hit_x == len(x_files)  # every x-sorted file must be read
+    assert hit_z <= len(z_files) // 2  # z-layout prunes at least half

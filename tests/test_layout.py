@@ -156,3 +156,37 @@ def test_zorder_parquet_files_have_tight_multi_dim_ranges(spark, tmp_path):
     hit_x = sum(1 for r in x_files if r["lo"] < 8)
     assert hit_x == len(x_files)  # every x-sorted file must be read
     assert hit_z <= len(z_files) // 2  # z-layout prunes at least half
+
+
+def test_zorder_matches_python_reference_on_random_ints(spark):
+    """Property check against a direct Python transcription of the
+    scaling + Morton interleave, over random (possibly negative,
+    skewed) bigints and 3 columns."""
+    import random
+
+    rng = random.Random(31)
+    rows = [
+        (rng.randint(-1000, 10_000), rng.randint(0, 5), rng.randint(-7, -1))
+        for _ in range(200)
+    ]
+    bits = 8
+    df = spark.createDataFrame(rows, "a long, b long, c long")
+    got = {
+        (r["a"], r["b"], r["c"]): r["zval"]
+        for r in zorder_values(df, ["a", "b", "c"], bits=bits).collect()
+    }
+    span = (1 << bits) - 1
+    mins = [min(r[j] for r in rows) for j in range(3)]
+    maxs = [max(r[j] for r in rows) for j in range(3)]
+
+    def ref(row):
+        z = 0
+        for j in range(3):
+            rng_j = maxs[j] - mins[j]
+            s = ((row[j] - mins[j]) * span) // rng_j if rng_j > 0 else 0
+            for i in range(bits):
+                z |= ((s >> i) & 1) << (i * 3 + j)
+        return z
+
+    for row in rows:
+        assert got[row] == ref(row), row

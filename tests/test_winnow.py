@@ -142,3 +142,43 @@ def test_null_text_yields_no_fingerprints_empty_text_one(spark):
     df = _docs(spark, [(1, None), (2, ""), (3, "a b c d e f")])
     got = {r["id"] for r in winnow_fingerprints(df).collect()}
     assert 1 not in got and {2, 3} <= got
+
+
+def test_winnow_matches_python_reference_on_random_docs(spark):
+    """Property check of the round-8 row-wise rewrite: fingerprint sets
+    equal a direct Python transcription of Schleimer-Wilkerson-Aiken
+    selection (normalize -> k-grams -> md5-prefix hash -> sliding
+    window min -> distinct) over docs spanning every regime: empty,
+    shorter than k, fewer than w windows, long, duplicated tokens."""
+    import hashlib
+    import re as _re
+
+    k = w = 4
+    rng = random.Random(23)
+    docs = [
+        (0, ""),
+        (1, "one"),
+        (2, "a b c d"),            # exactly k tokens -> 1 gram, 1 window
+        (3, "a b c d e f"),        # 3 grams < w windows -> global min
+        (4, " ".join(["dup"] * 30)),
+        (5, "  Mixed   CASE\ttokens  here  " + _words(rng, 50, POOL)),
+    ] + [(10 + i, _words(rng, rng.randint(1, 120), POOL)) for i in range(20)]
+
+    def ref_fps(text):
+        toks = _re.sub(r"\s+", " ", text.lower()).strip().split(" ")
+        if len(toks) >= k:
+            grams = [" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)]
+        else:
+            grams = [" ".join(toks)]
+        hs = [
+            int(hashlib.md5((g + "#win").encode()).hexdigest()[:8], 16)
+            for g in grams
+        ]
+        n_win = max(len(hs) - w + 1, 1)
+        return {min(hs[i : i + w]) for i in range(n_win)}
+
+    got: dict = {}
+    for r in winnow_fingerprints(_docs(spark, docs), k=k, w=w).collect():
+        got.setdefault(r["id"], set()).add(r["fp"])
+    for doc_id, text in docs:
+        assert got.get(doc_id, set()) == ref_fps(text), (doc_id, text[:40])

@@ -1,0 +1,66 @@
+"""tools/maintain.py: z-order rewrite (stage-then-swap, data-identical,
+measurably clustered), profile sidecar, crash-leftover fail-fast."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from tools.maintain import profile_to_file, zorder_rewrite
+
+
+def _write_grid(spark, path, n=32, files=4):
+    (
+        spark.range(n * n)
+        .select((F.col("id") % n).alias("x"), (F.col("id") / n).cast("long").alias("y"))
+        .repartition(files)
+        .write.parquet(path)
+    )
+
+
+def test_zorder_rewrite_identical_rows_and_clustered(spark, tmp_path):
+    path = str(tmp_path / "t")
+    _write_grid(spark, path)
+    before = sorted(tuple(r) for r in spark.read.parquet(path).collect())
+    out = zorder_rewrite(spark, path, ["x", "y"], num_files=8, bits=5)
+    assert out["rows"] == len(before)
+    after = sorted(tuple(r) for r in spark.read.parquet(path).select("x", "y").collect())
+    assert after == before
+    # no staging/backup residue
+    assert not os.path.exists(path + ".zorder_staging")
+    assert not os.path.exists(path + ".zorder_backup")
+    # clustered: per-file y-ranges are fractional, not full-span
+    from pyspark.sql.functions import input_file_name
+
+    ranges = (
+        spark.read.parquet(path)
+        .select("y", input_file_name().alias("f"))
+        .groupBy("f")
+        .agg(F.min("y").alias("lo"), F.max("y").alias("hi"))
+        .collect()
+    )
+    avg = sum((r["hi"] - r["lo"]) / 31.0 for r in ranges) / len(ranges)
+    assert avg < 0.6, avg
+
+
+def test_zorder_rewrite_fails_fast_on_crash_leftover(spark, tmp_path):
+    path = str(tmp_path / "t2")
+    _write_grid(spark, path)
+    os.makedirs(path + ".zorder_staging")
+    with pytest.raises(RuntimeError, match="crashed mid-commit"):
+        zorder_rewrite(spark, path, ["x", "y"], num_files=4)
+
+
+def test_profile_sidecar_is_hidden_from_readers(spark, tmp_path):
+    path = str(tmp_path / "t3")
+    _write_grid(spark, path)
+    out = profile_to_file(spark, path, ["x", "y"])
+    assert out == {"profiled_columns": 2, "n_rows": 32 * 32}
+    sidecar = json.load(open(os.path.join(path, "_PROFILE.json")))
+    assert sidecar["columns"]["x"]["n_distinct"] == 32
+    assert sidecar["columns"]["y"]["min"] == "0"
+    # underscore-prefixed file is invisible to the parquet reader
+    assert spark.read.parquet(path).count() == 32 * 32

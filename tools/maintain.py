@@ -1,0 +1,128 @@
+"""Lake maintenance CLI: compact small files, re-cluster with Z-order,
+and drop a wide profile next to the table — the nightly-ops companion
+to the reference service's shell utilities (monitor/backup), re-based
+on this engine's operators.
+
+    python tools/maintain.py TABLE_DIR \
+        [--partition-cols day]            # compact_partitions per partition
+        [--zorder colA,colB [--files N]]  # rewrite whole table z-clustered
+        [--profile-cols colA,colB]        # write _PROFILE.json beside data
+        [--target-rows N]                 # compaction file sizing
+
+Emits ONE summary JSON line on stdout (the bench.py tail-capture
+convention). Z-order rewrite uses the same stage-then-swap posture as
+compact_partitions: the clustered copy is fully written to
+``<dir>.zorder_staging`` before the live directory is swapped out, and
+the previous data survives at ``<dir>.zorder_backup`` until the swap
+completes. ``_PROFILE.json`` starts with an underscore, so parquet
+readers ignore it (the Spark/Hadoop hidden-file convention).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def zorder_rewrite(spark, path: str, cols: list[str], *, num_files: int, bits: int = 16) -> dict:
+    """Rewrite ``path`` as ``num_files`` z-clustered parquet files.
+    Stage-then-swap: never deletes live data before the replacement is
+    durable; a crash mid-swap leaves either the old dir, or the backup
+    plus staged copy, never nothing."""
+    from usajobs_etl_service_spark.operators.layout import zorder_repartition
+
+    staging = path.rstrip("/") + ".zorder_staging"
+    backup = path.rstrip("/") + ".zorder_backup"
+    for d in (staging, backup):
+        if os.path.exists(d):
+            raise RuntimeError(
+                f"{d} exists — a previous rewrite crashed mid-commit; "
+                "inspect/restore it before re-running"
+            )
+    df = spark.read.parquet(path)
+    n_before = df.count()
+    zorder_repartition(df, cols, num_partitions=num_files, bits=bits).write.parquet(staging)
+    n_after = spark.read.parquet(staging).count()
+    if n_after != n_before:
+        shutil.rmtree(staging, ignore_errors=True)
+        raise RuntimeError(f"staged rewrite row mismatch: {n_before} -> {n_after}")
+    os.rename(path, backup)
+    os.rename(staging, path)
+    shutil.rmtree(backup)
+    return {"rows": n_after, "files": num_files, "zorder_cols": cols}
+
+
+def profile_to_file(spark, path: str, cols: list[str] | None) -> dict:
+    from usajobs_etl_service_spark.operators.profiling import profile_table
+
+    df = spark.read.parquet(path)
+    rows = profile_table(df, cols).collect()
+    out = {
+        "generated_unix": int(time.time()),
+        "n_rows": rows[0]["n_rows"] if rows else 0,
+        "columns": {
+            r["column"]: {
+                "n_nulls": r["n_nulls"],
+                "n_distinct": r["n_distinct"],
+                "min": r["min_value"],
+                "max": r["max_value"],
+            }
+            for r in rows
+        },
+    }
+    with open(os.path.join(path, "_PROFILE.json"), "w") as f:
+        json.dump(out, f, indent=1)
+    return {"profiled_columns": len(rows), "n_rows": out["n_rows"]}
+
+
+def main(argv: list[str]) -> None:
+    import argparse
+
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("table_dir")
+    ap.add_argument("--partition-cols", default=None)
+    ap.add_argument("--zorder", default=None)
+    ap.add_argument("--files", type=int, default=8)
+    ap.add_argument("--bits", type=int, default=16)
+    ap.add_argument("--profile-cols", default=None)
+    ap.add_argument("--do-profile", action="store_true")
+    ap.add_argument("--target-rows", type=int, default=1_000_000)
+    args = ap.parse_args(argv)
+
+    from usajobs_etl_service_spark.session import get_spark
+
+    spark = get_spark("maintain")
+    summary: dict = {"table": args.table_dir}
+    t0 = time.perf_counter()
+    if args.partition_cols:
+        from usajobs_etl_service_spark.sinks.partitioned import compact_partitions
+
+        n = compact_partitions(
+            spark,
+            args.table_dir,
+            partition_cols=[c for c in args.partition_cols.split(",") if c],
+            target_rows_per_file=args.target_rows,
+        )
+        summary["compacted_partitions"] = n
+    if args.zorder:
+        summary["zorder"] = zorder_rewrite(
+            spark,
+            args.table_dir,
+            [c for c in args.zorder.split(",") if c],
+            num_files=args.files,
+            bits=args.bits,
+        )
+    if args.profile_cols or args.do_profile:
+        cols = [c for c in (args.profile_cols or "").split(",") if c] or None
+        summary["profile"] = profile_to_file(spark, args.table_dir, cols)
+    summary["sec"] = round(time.perf_counter() - t0, 3)
+    print(json.dumps(summary), flush=True)
+
+
+if __name__ == "__main__":
+    main(sys.argv[1:])

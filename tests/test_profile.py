@@ -50,3 +50,15 @@ def test_profile_is_one_scan(spark, sf_dir):
     )
     assert p.count("Scan parquet") == 1, p[:800]
     assert "Union" not in p
+
+
+def test_profile_map_column_degrades_gracefully(spark):
+    """Map columns are neither orderable nor groupable in Spark: the
+    profile row still carries count/null stats with NULL
+    distinct/extrema instead of failing the whole pass."""
+    df = spark.createDataFrame([(1, {"a": 1}), (2, None)], "k int, m map<string,int>")
+    rows = {r["column"]: r for r in profile_table(df).collect()}
+    m = rows["m"]
+    assert (m["n_rows"], m["n_nulls"]) == (2, 1)
+    assert m["n_distinct"] is None and m["min_value"] is None and m["max_value"] is None
+    assert rows["k"]["n_distinct"] == 2

@@ -196,13 +196,18 @@ def profile_table(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
     missing = [c for c in cols if c not in df.columns]
     if missing:
         raise ValueError(f"profile_table: unknown columns {missing}")
+    from pyspark.sql.types import MapType
+
     aggs = [F.count(F.lit(1)).alias("__n")]
     for j, c in enumerate(cols):
+        orderable = not isinstance(df.schema[c].dataType, MapType)
         aggs += [
             F.count(F.col(c)).alias(f"__nn_{j}"),
-            F.countDistinct(F.col(c)).alias(f"__nd_{j}"),
-            F.min(F.col(c)).cast("string").alias(f"__mn_{j}"),
-            F.max(F.col(c)).cast("string").alias(f"__mx_{j}"),
+            # map columns are neither orderable nor groupable in Spark:
+            # report NULL distinct/extrema instead of failing the pass
+            (F.countDistinct(F.col(c)) if orderable else F.lit(None).cast("long")).alias(f"__nd_{j}"),
+            (F.min(F.col(c)).cast("string") if orderable else F.lit(None).cast("string")).alias(f"__mn_{j}"),
+            (F.max(F.col(c)).cast("string") if orderable else F.lit(None).cast("string")).alias(f"__mx_{j}"),
         ]
     one = df.agg(*aggs)
     stack_args = ", ".join(

@@ -7468,8 +7468,8 @@ ORACLES: dict[str, str] = {
             FROM lineitem
         ), s AS (
             SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
-                   CASE WHEN mx0 > mn0 THEN ((l_partkey - mn0) * 65535) // (mx0 - mn0) ELSE 0 END AS z0,
-                   CASE WHEN mx1 > mn1 THEN ((l_suppkey - mn1) * 65535) // (mx1 - mn1) ELSE 0 END AS z1
+                   CASE WHEN mx0 <= mn0 THEN 0 WHEN (mx0 - mn0) <= 140737488355327 THEN ((l_partkey - mn0) * 65535) // (mx0 - mn0) ELSE (l_partkey - mn0) // (((mx0 - mn0) // 65536) + 1) END AS z0,
+                   CASE WHEN mx1 <= mn1 THEN 0 WHEN (mx1 - mn1) <= 140737488355327 THEN ((l_suppkey - mn1) * 65535) // (mx1 - mn1) ELSE (l_suppkey - mn1) // (((mx1 - mn1) // 65536) + 1) END AS z1
             FROM lineitem CROSS JOIN mm
         ), z AS (
             SELECT l_partkey, l_suppkey,

@@ -190,3 +190,18 @@ def test_zorder_matches_python_reference_on_random_ints(spark):
 
     for row in rows:
         assert got[row] == ref(row), row
+
+
+def test_zorder_survives_nanosecond_scale_ranges(spark):
+    """Ranges past ~2^63/span overflow the multiply-first scaling under
+    ANSI; the divide-first fallback must kick in, stay in [0, span],
+    and keep the ordering monotone per dimension."""
+    lo, hi = 0, 1_600_000_000_000_000_000  # ~50 years of nanoseconds
+    rows = [(lo, 1), (hi // 3, 2), (2 * hi // 3, 3), (hi, 4)]
+    df = spark.createDataFrame(rows, "ts long, k int")
+    got = sorted(
+        (r["ts"], r["zval"]) for r in zorder_values(df, ["ts"], bits=16).collect()
+    )
+    zs = [z for _, z in got]
+    assert zs == sorted(zs) and len(set(zs)) == 4  # monotone, distinct
+    assert 0 <= min(zs) and max(zs) <= (1 << 16) - 1

@@ -91,12 +91,23 @@ def zorder_values(
     staged = df.crossJoin(F.broadcast(mm))
     scaled_names = []
     scaled_exprs = []
+    # overflow guard: the precise `(v - mn) * span DIV range` form
+    # multiplies before dividing, which overflows a signed long once
+    # range exceeds ~2^63/span (~1.4e14 at 16 bits — a NANOSECOND epoch
+    # column crosses it). Past that bar, switch to the divide-first
+    # bucket-width form `(v - mn) DIV (range DIV (span+1) + 1)`: no
+    # multiply, still in [0, span], still pure integer arithmetic —
+    # both branches engine-portable and replayed verbatim by the q182
+    # oracle. ANSI mode would otherwise fail the job at runtime.
+    mul_safe = (1 << 63) // (span + 1) - 1
     for j, c in enumerate(cols):
         # integer DIV: exact and engine-portable (no float path)
+        v = f"(coalesce(cast({c} as bigint), __mn_{j}) - __mn_{j})"
+        rng = f"(__mx_{j} - __mn_{j})"
         scaled = F.expr(
-            f"CASE WHEN __mx_{j} > __mn_{j} THEN "
-            f"((coalesce(cast({c} as bigint), __mn_{j}) - __mn_{j}) * {span}) DIV (__mx_{j} - __mn_{j}) "
-            f"ELSE 0 END"
+            f"CASE WHEN __mx_{j} <= __mn_{j} THEN 0 "
+            f"WHEN {rng} <= {mul_safe} THEN ({v} * {span}) DIV {rng} "
+            f"ELSE {v} DIV (({rng} DIV {span + 1}) + 1) END"
         )
         name = f"__z_{j}"
         scaled_names.append(name)

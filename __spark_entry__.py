@@ -7468,8 +7468,8 @@ ORACLES: dict[str, str] = {
             FROM lineitem
         ), s AS (
             SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
-                   CASE WHEN mx0 <= mn0 THEN 0 WHEN (mx0 - mn0) <= 140737488355327 THEN ((l_partkey - mn0) * 65535) // (mx0 - mn0) ELSE (l_partkey - mn0) // (((mx0 - mn0) // 65536) + 1) END AS z0,
-                   CASE WHEN mx1 <= mn1 THEN 0 WHEN (mx1 - mn1) <= 140737488355327 THEN ((l_suppkey - mn1) * 65535) // (mx1 - mn1) ELSE (l_suppkey - mn1) // (((mx1 - mn1) // 65536) + 1) END AS z1
+                   coalesce(CASE WHEN mx0 <= mn0 THEN 0 WHEN (mx0 - mn0) <= 140737488355327 THEN ((l_partkey - mn0) * 65535) // (mx0 - mn0) ELSE (l_partkey - mn0) // (((mx0 - mn0) // 65536) + 1) END, 0) AS z0,
+                   coalesce(CASE WHEN mx1 <= mn1 THEN 0 WHEN (mx1 - mn1) <= 140737488355327 THEN ((l_suppkey - mn1) * 65535) // (mx1 - mn1) ELSE (l_suppkey - mn1) // (((mx1 - mn1) // 65536) + 1) END, 0) AS z1
             FROM lineitem CROSS JOIN mm
         ), z AS (
             SELECT l_partkey, l_suppkey,
@@ -7522,11 +7522,12 @@ ORACLES: dict[str, str] = {
             SELECT CAST(o_orderkey AS VARCHAR) AS key, count(*) AS n_right
             FROM orders WHERE o_orderkey IS NOT NULL GROUP BY 1
         ), j AS (
-            SELECT key, n_left, n_right, n_left * n_right AS pairs
+            SELECT key, n_left, n_right,
+                   CAST(n_left AS HUGEINT) * n_right AS pairs
             FROM lc JOIN rc USING (key)
         ), t AS (SELECT sum(pairs) AS tot FROM j)
         SELECT key, n_left, n_right, pairs,
-               round(pairs / tot, 4) AS pct_of_output
+               round(CAST(pairs AS DOUBLE) / CAST(tot AS DOUBLE), 4) AS pct_of_output
         FROM j CROSS JOIN t
         ORDER BY pairs DESC, key ASC
         LIMIT 20

@@ -205,3 +205,15 @@ def test_zorder_survives_nanosecond_scale_ranges(spark):
     zs = [z for _, z in got]
     assert zs == sorted(zs) and len(set(zs)) == 4  # monotone, distinct
     assert 0 <= min(zs) and max(zs) <= (1 << 16) - 1
+
+
+def test_zorder_all_null_column_degrades_to_constant(spark):
+    """An all-NULL column contributes constant-0 bits; the other
+    dimension's clustering survives (zval never NULL)."""
+    df = spark.createDataFrame(
+        [(i, None) for i in range(8)], "a long, b long"
+    )
+    rows = zorder_values(df, ["a", "b"], bits=3).collect()
+    assert all(r["zval"] is not None for r in rows)
+    zs = sorted((r["a"], r["zval"]) for r in rows)
+    assert [z for _, z in zs] == sorted(z for _, z in zs)  # a-monotone

@@ -46,12 +46,37 @@ def test_zorder_rewrite_identical_rows_and_clustered(spark, tmp_path):
     assert avg < 0.6, avg
 
 
-def test_zorder_rewrite_fails_fast_on_crash_leftover(spark, tmp_path):
+def test_zorder_rewrite_self_heals_crash_leftovers(spark, tmp_path):
+    """Every crash point must converge on retry: stale staging is
+    discarded; a swap killed between the two renames (backup+staging,
+    live dir gone) is completed; a backup orphaned after a completed
+    swap is dropped."""
+    import shutil
+
+    # (a) stale staging beside a live dir -> discarded, rewrite succeeds
     path = str(tmp_path / "t2")
     _write_grid(spark, path)
     os.makedirs(path + ".zorder_staging")
-    with pytest.raises(RuntimeError, match="crashed mid-commit"):
-        zorder_rewrite(spark, path, ["x", "y"], num_files=4)
+    out = zorder_rewrite(spark, path, ["x", "y"], num_files=4)
+    assert out["rows"] == 32 * 32
+    assert not os.path.exists(path + ".zorder_staging")
+
+    # (b) killed between renames: live dir missing, backup + staged copy
+    pb = str(tmp_path / "t2b")
+    _write_grid(spark, pb)
+    os.rename(pb, pb + ".zorder_backup")
+    shutil.copytree(pb + ".zorder_backup", pb + ".zorder_staging")
+    out = zorder_rewrite(spark, pb, ["x", "y"], num_files=4)
+    assert out["rows"] == 32 * 32
+    assert spark.read.parquet(pb).count() == 32 * 32
+    assert not os.path.exists(pb + ".zorder_backup")
+
+    # (c) backup orphaned after a completed swap -> dropped on retry
+    pc = str(tmp_path / "t2c")
+    _write_grid(spark, pc)
+    shutil.copytree(pc, pc + ".zorder_backup")
+    zorder_rewrite(spark, pc, ["x", "y"], num_files=4)
+    assert not os.path.exists(pc + ".zorder_backup")
 
 
 def test_profile_sidecar_is_hidden_from_readers(spark, tmp_path):

@@ -62,3 +62,9 @@ def test_profile_map_column_degrades_gracefully(spark):
     assert (m["n_rows"], m["n_nulls"]) == (2, 1)
     assert m["n_distinct"] is None and m["min_value"] is None and m["max_value"] is None
     assert rows["k"]["n_distinct"] == 2
+
+
+def test_profile_handles_quoted_column_name(spark):
+    df = spark.range(3).select(F.col("id").alias("it's"))
+    rows = profile_table(df).collect()
+    assert rows[0]["column"] == "it's" and rows[0]["n_distinct"] == 3

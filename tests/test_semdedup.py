@@ -318,3 +318,16 @@ def test_prototypicality_plan_single_score_pass(spark):
         assert "InMemoryTableScan" in p, p[:600]
     finally:
         spark.catalog.clearCache()
+
+
+def test_prototypicality_zero_embedding_row_is_excluded(spark):
+    """A zero vector has NULL normalized form -> all-NULL scores; it
+    must vanish from the output (NULL cluster drops at the means
+    join), never land in an arbitrary cluster."""
+    from usajobs_etl_service_spark.operators.semdedup import prototypicality_prune
+
+    rows = [(i, [float(i % 2 == j) for j in range(4)]) for i in range(8)]
+    rows.append((99, [0.0, 0.0, 0.0, 0.0]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = {r["vec_id"] for r in prototypicality_prune(df, n_clusters=2, prune_frac=0.5).collect()}
+    assert 99 not in out and len(out) == 8

@@ -38,12 +38,22 @@ def zorder_rewrite(spark, path: str, cols: list[str], *, num_files: int, bits: i
 
     staging = path.rstrip("/") + ".zorder_staging"
     backup = path.rstrip("/") + ".zorder_backup"
-    for d in (staging, backup):
-        if os.path.exists(d):
-            raise RuntimeError(
-                f"{d} exists — a previous rewrite crashed mid-commit; "
-                "inspect/restore it before re-running"
-            )
+    # self-heal crash leftovers (a nightly cron retry must converge,
+    # not page an operator): every crash point leaves a recoverable
+    # combination — (backup + staging, no live dir) = killed between
+    # the two renames -> finish the swap; (backup + live dir) = killed
+    # before the backup cleanup -> drop the backup; (staging + live
+    # dir) = killed before the swap started or staging is unverified
+    # -> discard staging and rebuild it.
+    if os.path.exists(backup) and os.path.exists(staging) and not os.path.exists(path):
+        os.rename(staging, path)
+        shutil.rmtree(backup)
+    elif os.path.exists(backup) and os.path.exists(path):
+        shutil.rmtree(backup)
+    elif os.path.exists(backup) and not os.path.exists(path):
+        os.rename(backup, path)  # staged copy never became live
+    if os.path.exists(staging):
+        shutil.rmtree(staging)
     df = spark.read.parquet(path)
     n_before = df.count()
     zorder_repartition(df, cols, num_partitions=num_files, bits=bits).write.parquet(staging)

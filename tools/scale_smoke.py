@@ -451,12 +451,16 @@ def _triangle_smoke(spark) -> dict[str, dict]:
                 len(adj[a] & adj[b]) for a, b in pairs
             ) // 3
             wedges = sum(len(s) * (len(s) - 1) // 2 for s in adj.values())
+            # transitivity via tolerance, not Python round(): Python
+            # rounds half-EVEN where Spark rounds half-away-from-zero
+            # (the mmr_rerank lesson) — an exact .xxxxx5 tie would
+            # record a false mismatch for a correct census
             out[label]["python_replay_equal"] = (
                 tri == row["n_triangles"]
                 and len(pairs) == row["n_edges"]
                 and len(adj) == row["n_nodes"]
                 and wedges == row["n_wedges"]
-                and round(3.0 * tri / wedges, 6) == row["transitivity"]
+                and abs(3.0 * tri / wedges - row["transitivity"]) <= 5.1e-7
             )
     out["time_ratio_10x_edges"] = round(
         out["e3M"]["sec"] / max(out["e300k"]["sec"], 1e-9), 2

@@ -489,4 +489,14 @@ def hits_scores(
             )
         )
 
-    return side(h, "s", "h", "hub").unionByName(side(a, "t", "a", "authority"))
+    lazy = side(h, "s", "h", "hub").unionByName(side(a, "t", "a", "authority"))
+    # bounded finish (<= 2*top_k rows — the mmr_rerank sanctioned-
+    # collect posture): materialize the report, then RELEASE the three
+    # persisted frames. Returning the lazy union instead would pin
+    # e/a/h in the cache for the session lifetime with no handle for
+    # the caller to unpersist (round-8 review finding).
+    rows = lazy.collect()
+    schema = lazy.schema
+    for frame in (a, h, e):
+        frame.unpersist()
+    return e.sparkSession.createDataFrame(rows, schema)

@@ -104,10 +104,14 @@ def zorder_values(
         # integer DIV: exact and engine-portable (no float path)
         v = f"(coalesce(cast({c} as bigint), __mn_{j}) - __mn_{j})"
         rng = f"(__mx_{j} - __mn_{j})"
+        # outer coalesce: an ALL-NULL column (min/max NULL -> every
+        # CASE test NULL) must contribute constant-0 bits like a
+        # constant column, not poison the whole zval to NULL (which
+        # would collapse repartitionByRange to one partition)
         scaled = F.expr(
-            f"CASE WHEN __mx_{j} <= __mn_{j} THEN 0 "
+            f"coalesce(CASE WHEN __mx_{j} <= __mn_{j} THEN 0 "
             f"WHEN {rng} <= {mul_safe} THEN ({v} * {span}) DIV {rng} "
-            f"ELSE {v} DIV (({rng} DIV {span + 1}) + 1) END"
+            f"ELSE {v} DIV (({rng} DIV {span + 1}) + 1) END, 0)"
         )
         name = f"__z_{j}"
         scaled_names.append(name)

@@ -210,8 +210,14 @@ def profile_table(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
             (F.max(F.col(c)).cast("string") if orderable else F.lit(None).cast("string")).alias(f"__mx_{j}"),
         ]
     one = df.agg(*aggs)
+    def _sql_str(name: str) -> str:
+        # the column NAME becomes a SQL string literal in stack();
+        # escape it (a quote in a parquet column name is legal and
+        # would otherwise abort the whole profile pass)
+        return "'" + name.replace("\\", "\\\\").replace("'", "\\'") + "'"
+
     stack_args = ", ".join(
-        f"'{c}', __n - __nn_{j}, __nd_{j}, __mn_{j}, __mx_{j}"
+        f"{_sql_str(c)}, __n - __nn_{j}, __nd_{j}, __mn_{j}, __mx_{j}"
         for j, c in enumerate(cols)
     )
     return one.selectExpr(

@@ -178,8 +178,18 @@ def join_skew_report(
         .groupBy(F.col(rk).cast("string").alias("key"))
         .agg(F.count(F.lit(1)).alias("n_right"))
     )
+    # pairs in DECIMAL(38,0): a bigint product silently wraps negative
+    # once one degenerate key holds ~3e9 rows on each side (realistic
+    # at 100 TB) — and a wrapped-negative count would sort the hottest
+    # key LAST, making the report green-light exactly the join it
+    # exists to flag. Decimal keeps the product exact to 1e38.
     j = lc.join(rc, "key").select(
-        "key", "n_left", "n_right", (F.col("n_left") * F.col("n_right")).alias("pairs")
+        "key",
+        "n_left",
+        "n_right",
+        (F.col("n_left").cast("decimal(19,0)") * F.col("n_right").cast("decimal(19,0)"))
+        .cast("decimal(38,0)")
+        .alias("pairs"),
     )
     tot = j.agg(F.sum("pairs").alias("__tot"))
     return (
@@ -189,7 +199,9 @@ def join_skew_report(
             "n_left",
             "n_right",
             "pairs",
-            F.round(F.col("pairs") / F.col("__tot"), 4).alias("pct_of_output"),
+            F.round(
+                F.col("pairs").cast("double") / F.col("__tot").cast("double"), 4
+            ).alias("pct_of_output"),
         )
         .orderBy(F.col("pairs").desc(), F.col("key").asc())
         .limit(top_k)

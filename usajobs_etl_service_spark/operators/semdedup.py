@@ -653,7 +653,12 @@ def prototypicality_prune(
     # round-7 plan inlined l2_normalize (an O(dim^2) interpreted
     # expression) into every consumer and q157 cost 32.4 s for 2,000
     # 64-dim rows (~16 ms/row for ~4k useful flops). The seeds collect
-    # below warms the cache, so nothing here adds a pass.
+    # below warms the cache, so nothing here adds a pass. Persisted
+    # for the duration (the _lloyd_blocking convention): the returned
+    # corpus-sized frame keeps reading it, so there is no safe in-
+    # function unpersist point; repeated calls share one cache entry
+    # (same canonical plan), so a long session holds at most one copy
+    # per distinct input.
     staged = df.select(F.col(id_col), nv.alias("__nv")).persist(
         StorageLevel.MEMORY_AND_DISK
     )
@@ -703,7 +708,15 @@ def prototypicality_prune(
             .alias("best_s"),
         ),
     )
-    assigned = staged.withColumn("cluster_id", best["best_i"].cast("int"))
+    # all-NULL scores (zero-norm / NULL embedding -> NULL __nv) must
+    # yield a NULL cluster_id so the row drops at the means join — the
+    # array_position form's behavior; the bare fold would otherwise
+    # leave best_i at its n_clusters walking position (a silent
+    # arbitrary label)
+    assigned = staged.withColumn(
+        "cluster_id",
+        F.when(best["best_s"].isNotNull(), best["best_i"]).cast("int"),
+    )
     means = assigned.groupBy("cluster_id").agg(
         *[F.avg(F.element_at("__nv", i + 1)).alias(f"__m{i}") for i in range(dim)]
     )

@@ -135,3 +135,15 @@ def test_join_skew_report_plan_is_key_sized(spark, sf_dir):
     # two per-side partial counts feed the join
     import re
     assert len(re.findall(r"partial_count\(1\)", p)) >= 2, p[:600]
+
+
+def test_join_skew_report_pairs_is_decimal38(spark):
+    """Type pin: pairs must be DECIMAL(38,0) — a bigint product wraps
+    negative at ~3e9 x 3e9 rows on one key and would sort the hottest
+    key OUT of the report (round-8 review finding)."""
+    from usajobs_etl_service_spark.operators.salting import join_skew_report
+
+    l = spark.createDataFrame([("k",)], "a string")
+    r = spark.createDataFrame([("k",)], "b string")
+    out = join_skew_report(l, r, left_key="a", right_key="b")
+    assert dict(out.dtypes)["pairs"] == "decimal(38,0)"

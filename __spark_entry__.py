@@ -4041,6 +4041,43 @@ def q184_join_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q185_skew_safe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extension (the skew MITIGATION that closes q184's diagnose loop):
+    join lineitem to a part-derived dim on a PLANTED 80%-share hot key
+    (l_partkey folds to 0 unless divisible by 5) through
+    operators/salting.skew_safe_join in auto mode — the key-sized
+    report aggregate finds the hot key, its rows take a broadcast
+    branch (the skewed side never shuffles), cold keys take the plain
+    join, and the union is proven identical to DuckDB's plain inner
+    join. l_quantity is whole-number doubles, so the post-join sums
+    are exact in any engine. Reference anchor: the keyed ON CONFLICT
+    merge (etl/etl.py:467-488) is the join this protects at 100 TB."""
+    from usajobs_etl_service_spark.operators.salting import skew_safe_join
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.when(F.col("l_partkey") % 5 == 0, F.col("l_partkey"))
+        .otherwise(F.lit(0))
+        .alias("k"),
+        "l_quantity",
+    )
+    dim = (
+        _t(spark, sf_dir, "part")
+        .groupBy(
+            F.when(F.col("p_partkey") % 5 == 0, F.col("p_partkey"))
+            .otherwise(F.lit(0))
+            .alias("pk")
+        )
+        .agg(F.count(F.lit(1)).alias("n_parts"))
+    )
+    joined = skew_safe_join(
+        li, dim, left_key="k", right_key="pk", auto_min_share=0.5, auto_top_k=5
+    )
+    return joined.groupBy("k", "n_parts").agg(
+        F.count(F.lit(1)).cast("long").alias("n_li"),
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_job_statistics": q01_job_statistics,
     "q02_metric_union": q02_metric_union,
@@ -4226,6 +4263,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q182_zorder_skipping": q182_zorder_skipping,
     "q183_table_profile": q183_table_profile,
     "q184_join_skew_report": q184_join_skew_report,
+    "q185_skew_safe_join": q185_skew_safe_join,
 }
 
 
@@ -7531,6 +7569,24 @@ ORACLES: dict[str, str] = {
         FROM j CROSS JOIN t
         ORDER BY pairs DESC, key ASC
         LIMIT 20
+    """,
+    # q185: the skew-safe join must equal the PLAIN inner join — the
+    # oracle is the unsplit query; branch bookkeeping is engine-side
+    "q185_skew_safe_join": """
+        WITH l AS (
+            SELECT CASE WHEN l_partkey % 5 = 0 THEN l_partkey ELSE 0 END AS k,
+                   l_quantity
+            FROM lineitem
+        ), p AS (
+            SELECT CASE WHEN p_partkey % 5 = 0 THEN p_partkey ELSE 0 END AS k,
+                   count(*) AS n_parts
+            FROM part GROUP BY 1
+        )
+        SELECT l.k AS k, n_parts,
+               count(*) AS n_li,
+               round(sum(l_quantity), 2) AS sum_qty
+        FROM l JOIN p USING (k)
+        GROUP BY 1, 2
     """,
 }
 

@@ -137,6 +137,26 @@ def test_join_skew_report_plan_is_key_sized(spark, sf_dir):
     assert len(re.findall(r"partial_count\(1\)", p)) >= 2, p[:600]
 
 
+def test_join_skew_report_matches_raw_not_string_render(spark):
+    """Round-8 review finding: matching through cast-to-string silently
+    un-pairs int 1 vs decimal 1.0. Raw-value matching must pair them;
+    genuinely incompatible dtypes must raise, not under-count."""
+    from usajobs_etl_service_spark.operators.salting import join_skew_report
+
+    from decimal import Decimal
+
+    left = spark.createDataFrame([(1,)] * 4 + [(2,)], "k int")
+    right = spark.createDataFrame(
+        [(Decimal("1.0"),), (Decimal("1.0"),), (Decimal("2.0"),)], "k2 decimal(10,1)"
+    )
+    rows = {r["key"]: r["pairs"] for r in join_skew_report(left, right, left_key="k", right_key="k2").collect()}
+    # int 1 pairs with decimal 1.0 (string forms '1' vs '1.0' differ)
+    assert {k: int(v) for k, v in rows.items()} == {"1": 8, "2": 1}
+    bad = spark.createDataFrame([("1",)], "k2 string")
+    with pytest.raises(ValueError, match="not compatible"):
+        join_skew_report(left, bad, left_key="k", right_key="k2")
+
+
 def test_join_skew_report_pairs_is_decimal38(spark):
     """Type pin: pairs must be DECIMAL(38,0) — a bigint product wraps
     negative at ~3e9 x 3e9 rows on one key and would sort the hottest
@@ -147,3 +167,103 @@ def test_join_skew_report_pairs_is_decimal38(spark):
     r = spark.createDataFrame([("k",)], "b string")
     out = join_skew_report(l, r, left_key="a", right_key="b")
     assert dict(out.dtypes)["pairs"] == "decimal(38,0)"
+
+
+# ---------------------------------------------------------------- skew_safe_join
+
+
+@pytest.fixture(scope="module")
+def skew_join_frames(spark):
+    # 80%-share hot key 0: ids not divisible by 5 fold to 0
+    left = spark.range(10_000).select(
+        F.when(F.col("id") % 5 == 0, F.col("id")).otherwise(F.lit(0)).alias("k"),
+        F.col("id").alias("v"),
+    )
+    # dim with a DUPLICATE row for the hot key (join multiplicity > 1)
+    right = (
+        spark.range(0, 10_000, 5)
+        .select(F.col("id").alias("rk"), (F.col("id") * 2).alias("w"))
+        .unionByName(spark.range(1).select(F.lit(0).alias("rk"), F.lit(-1).alias("w")))
+    )
+    return left, right
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_skew_safe_join_matches_plain(spark, skew_join_frames):
+    from usajobs_etl_service_spark.operators.salting import skew_safe_join
+
+    left, right = skew_join_frames
+    plain = _rows(left.join(right, F.col("k") == F.col("rk"), "inner").select("k", "v", "rk", "w"))
+    assert len(plain) > 10_000  # hot key matched twice
+    for strategy in ("broadcast", "salt"):
+        got = _rows(
+            skew_safe_join(
+                left, right, left_key="k", right_key="rk", hot_keys=[0], strategy=strategy
+            )
+        )
+        assert got == plain, strategy
+
+
+def test_skew_safe_join_auto_finds_planted_key(spark, skew_join_frames):
+    from usajobs_etl_service_spark.operators.salting import skew_safe_join
+
+    left, right = skew_join_frames
+    plain = _rows(left.join(right, F.col("k") == F.col("rk"), "inner").select("k", "v", "rk", "w"))
+    got = _rows(
+        skew_safe_join(left, right, left_key="k", right_key="rk", auto_min_share=0.5)
+    )
+    assert got == plain
+    # nothing clears a 99% share -> plain-join fallback, still equal
+    got2 = _rows(
+        skew_safe_join(left, right, left_key="k", right_key="rk", auto_min_share=0.99)
+    )
+    assert got2 == plain
+
+
+def test_skew_safe_join_null_keys_drop_like_inner(spark):
+    from usajobs_etl_service_spark.operators.salting import skew_safe_join
+
+    left = spark.createDataFrame([("hot", 1)] * 5 + [(None, 9), ("c", 2)], "k string, v int")
+    right = spark.createDataFrame([("hot", 10), (None, 99), ("c", 20)], "rk string, w int")
+    plain = _rows(left.join(right, F.col("k") == F.col("rk"), "inner").select("k", "v", "rk", "w"))
+    got = _rows(skew_safe_join(left, right, left_key="k", right_key="rk", hot_keys=["hot"]))
+    assert got == plain and all(r[0] is not None for r in got)
+
+
+def test_skew_safe_join_validations(spark, skew_join_frames):
+    from usajobs_etl_service_spark.operators.salting import skew_safe_join
+
+    left, right = skew_join_frames
+    with pytest.raises(ValueError, match="inner"):
+        skew_safe_join(left, right, left_key="k", right_key="rk", how="left")
+    with pytest.raises(ValueError, match="strategy"):
+        skew_safe_join(left, right, left_key="k", right_key="rk", strategy="magic")
+    with pytest.raises(ValueError, match="auto_top_k"):
+        skew_safe_join(left, right, left_key="k", right_key="rk", auto_top_k=10**9)
+    with pytest.raises(ValueError, match="disjoint"):
+        skew_safe_join(left, left, left_key="k")
+    bad = right.select(F.col("rk").cast("string").alias("rk"), "w")
+    with pytest.raises(ValueError, match="not compatible"):
+        skew_safe_join(left, bad, left_key="k", right_key="rk")
+
+
+def test_skew_safe_join_plan_hot_branch_broadcasts(spark, skew_join_frames):
+    """Plan pin: with auto-broadcast off (so the cold branch shows its
+    true shuffled shape), the hot branch must STILL be a
+    BroadcastHashJoin (the explicit hint) — the skewed rows never
+    shuffle — while the cold branch sort-merge-joins."""
+    from usajobs_etl_service_spark.operators.salting import skew_safe_join
+
+    left, right = skew_join_frames
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        out = skew_safe_join(left, right, left_key="k", right_key="rk", hot_keys=[0])
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in plan
+        assert "SortMergeJoin" in plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)

@@ -193,6 +193,7 @@ def run(outdir: str) -> None:
         "kcore_distributed": _kcore_smoke(spark),
         "triangle_census": _triangle_smoke(spark),
         "zorder_layout": _zorder_smoke(spark),
+        "skew_safe_join": _skew_join_smoke(spark),
         "table_profile": _profile_smoke(spark, outdir),
         "distributed_order": _dist_order_smoke(spark, outdir, big),
         "queries": out,
@@ -518,6 +519,85 @@ def _zorder_smoke(spark) -> dict[str, dict]:
         out["r100M"]["sec"] / max(out["r10M"]["sec"], 1e-9), 2
     )
     return out
+
+
+def _skew_join_smoke(spark) -> dict:
+    """q185's engine (salting.skew_safe_join) on a planted 80%-share
+    hot key at 2M x MULT left rows, joined to a dim too big to
+    broadcast whole (modeled by autoBroadcastJoinThreshold=-1 — the
+    100 TB regime where the full dim exceeds the broadcast budget but
+    the hot-keys SLICE does not), followed by a groupBy on the join
+    key — the common analytics shape where AQE's skew-join declines to
+    split (the parent requires hash partitioning on the key). Records
+    the plain join (one reducer handles the hot key), both skew-safe
+    strategies, and the checksum equality of all three."""
+    from pyspark.sql import functions as F
+
+    from usajobs_etl_service_spark.operators.salting import skew_safe_join
+
+    n = 2_000_000 * MULT
+
+    def frames():
+        left = spark.range(n).select(
+            F.when(F.col("id") % 5 == 0, F.col("id")).otherwise(F.lit(0)).alias("k"),
+            F.col("id").alias("v"),
+        )
+        right = (
+            spark.range(0, n, 5)
+            .select(F.col("id").alias("rk"), F.repeat(F.lit("x"), 50).alias("pay"))
+            .unionByName(
+                spark.range(1).select(F.lit(0).alias("rk"), F.lit("hot").alias("pay"))
+            )
+        )
+        return left, right
+
+    def agg(j):
+        return (
+            j.groupBy("k")
+            .agg(F.count(F.lit(1)).alias("n"), F.sum("v").alias("s"))
+            .agg(
+                F.count(F.lit(1)).alias("groups"),
+                F.sum("n").alias("rows"),
+                F.sum("s").alias("chk"),
+            )
+        )
+
+    def plain():
+        l, r = frames()
+        return agg(l.join(r, F.col("k") == F.col("rk"), "inner"))
+
+    def safe(strategy):
+        l, r = frames()
+        return agg(
+            skew_safe_join(
+                l, r, left_key="k", right_key="rk", hot_keys=[0], strategy=strategy
+            )
+        )
+
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        out: dict = {"n_left_rows": n, "hot_key_share": 0.8}
+        sums = {}
+        for tag, mk in (
+            ("plain_join_sec", plain),
+            ("broadcast_split_sec", lambda: safe("broadcast")),
+            ("salt_split_sec", lambda: safe("salt")),
+        ):
+            mk().collect()  # warm codegen (fresh plan per build — same-
+            # object re-collect would reuse shuffle output and time ~0)
+            t0 = time.perf_counter()
+            rows = mk().collect()
+            out[tag] = round(time.perf_counter() - t0, 3)
+            sums[tag] = tuple(rows[0])
+        out["checksums_equal"] = len(set(sums.values())) == 1
+        out["speedup_broadcast_vs_plain"] = round(
+            out["plain_join_sec"] / max(out["broadcast_split_sec"], 1e-9), 2
+        )
+        out["beats_plain"] = out["broadcast_split_sec"] < out["plain_join_sec"]
+        return out
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
 
 
 def _profile_smoke(spark, outdir: str) -> dict:

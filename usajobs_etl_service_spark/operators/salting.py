@@ -141,6 +141,26 @@ def salted_topk_per_key(
     return phase1.withColumn("rank", F.row_number().over(w2)).filter(F.col("rank") <= k)
 
 
+def _check_key_compat(left: DataFrame, right: DataFrame, lk: str, rk: str) -> None:
+    """Both key dtypes must be join-compatible BEFORE any rendering:
+    matching two sides through cast-to-string silently fails to pair
+    values whose string forms differ (int 1 vs decimal 1.0, '01' vs
+    '1') — under-counting exactly the skew a report exists to flag
+    (round-8 review finding). Numeric<->numeric is fine (Spark coerces
+    exactly for counts); anything else must be the same type."""
+    from pyspark.sql import types as T
+
+    lt, rt = left.schema[lk].dataType, right.schema[rk].dataType
+    if isinstance(lt, T.NumericType) and isinstance(rt, T.NumericType):
+        return
+    if lt.simpleString() == rt.simpleString():
+        return
+    raise ValueError(
+        f"join key dtypes are not compatible: {lk}={lt.simpleString()} vs "
+        f"{rk}={rt.simpleString()}; cast one side to the other's type first"
+    )
+
+
 def join_skew_report(
     left: DataFrame,
     right: DataFrame,
@@ -168,14 +188,19 @@ def join_skew_report(
     ``pct_of_output`` rounds to 4, an exact integer ratio underneath.
     """
     rk = right_key or left_key
+    _check_key_compat(left, right, left_key, rk)
+    # group and match on the RAW key values (numeric coercion is exact
+    # for counting); the string render happens only in the output
+    # projection — matching through cast-to-string would silently
+    # un-pair values whose renderings differ (int 1 vs decimal 1.0)
     lc = (
         left.filter(F.col(left_key).isNotNull())
-        .groupBy(F.col(left_key).cast("string").alias("key"))
+        .groupBy(F.col(left_key).alias("__k"))
         .agg(F.count(F.lit(1)).alias("n_left"))
     )
     rc = (
         right.filter(F.col(rk).isNotNull())
-        .groupBy(F.col(rk).cast("string").alias("key"))
+        .groupBy(F.col(rk).alias("__k"))
         .agg(F.count(F.lit(1)).alias("n_right"))
     )
     # pairs in DECIMAL(38,0): a bigint product silently wraps negative
@@ -183,8 +208,8 @@ def join_skew_report(
     # at 100 TB) — and a wrapped-negative count would sort the hottest
     # key LAST, making the report green-light exactly the join it
     # exists to flag. Decimal keeps the product exact to 1e38.
-    j = lc.join(rc, "key").select(
-        "key",
+    j = lc.join(rc, "__k").select(
+        F.col("__k").cast("string").alias("key"),
         "n_left",
         "n_right",
         (F.col("n_left").cast("decimal(19,0)") * F.col("n_right").cast("decimal(19,0)"))
@@ -206,3 +231,135 @@ def join_skew_report(
         .orderBy(F.col("pairs").desc(), F.col("key").asc())
         .limit(top_k)
     )
+
+
+def skew_safe_join(
+    left: DataFrame,
+    right: DataFrame,
+    *,
+    left_key: str,
+    right_key: str | None = None,
+    how: str = "inner",
+    hot_keys: list | None = None,
+    auto_min_share: float = 0.05,
+    auto_top_k: int = 20,
+    strategy: str = "broadcast",
+    salt_buckets: int = 32,
+    salt_cols: list[str] | None = None,
+) -> DataFrame:
+    """Equi-join that survives one (or a few) degenerate hot keys — the
+    mitigation that closes the loop ``join_skew_report`` opens. A plain
+    shuffled join hashes EVERY row of a key to one reducer: an 80%-share
+    key turns a 1000-executor cluster into one task plus 999 idle ones.
+    This is exactly the scale hazard for the reference's keyed merge
+    (J1, reference etl/etl.py:467-488 ON CONFLICT upsert) once a
+    degenerate key (NULL sentinel, empty string, a crawler's default
+    id) dominates a 100 TB batch.
+
+    Recipe (the standard split-and-conquer):
+    - Rows whose key is HOT are joined on a separate branch where the
+      hot key cannot concentrate: ``strategy="broadcast"`` (default)
+      broadcasts the right-side hot subset — the skewed left rows never
+      shuffle at all; ``strategy="salt"`` replicates each right hot row
+      ``salt_buckets`` ways and salts left rows with a deterministic
+      row-content hash (retry-safe, see `_salt`), spreading the hot key
+      over ``salt_buckets`` reducers — for when the hot subset's right
+      rows are too many to broadcast.
+    - COLD keys take the plain join, untouched.
+    - The union is exactly the plain inner join (each left x right
+      match appears on exactly one branch).
+
+    ``hot_keys`` may be passed explicitly (e.g. from a saved
+    ``join_skew_report``); with ``hot_keys=None`` the report's
+    key-cardinality aggregate runs first and keys holding at least
+    ``auto_min_share`` of the join OUTPUT (capped at ``auto_top_k``
+    keys) are collected — a bounded, key-sized pre-pass, never the
+    join itself.
+
+    Why not just AQE? ``spark.sql.adaptive.skewJoin`` splits skewed
+    sort-merge partitions, but it declines whenever the join output's
+    partitioning is REQUIRED by the parent (a groupBy/window on the
+    join key — the common analytics shape), leaves broadcast-ineligible
+    plans alone, and never helps a stream-stream join. This operator is
+    the explicit, plan-shape-guaranteed fallback; the plan test pins
+    the hot branch to BroadcastHashJoin.
+
+    Constraints: ``how`` must be "inner" (outer variants would need
+    null-extension bookkeeping across branches); left/right column
+    names must be disjoint (the same precondition a plain
+    ``join(cond)`` needs to stay unambiguous downstream). NULL keys
+    never match, as in any equi-join.
+    """
+    rk = right_key or left_key
+    if how != "inner":
+        raise ValueError(f"skew_safe_join supports how='inner' only, got {how!r}")
+    if strategy not in ("broadcast", "salt"):
+        raise ValueError(f"strategy must be 'broadcast' or 'salt', got {strategy!r}")
+    if salt_buckets < 2:
+        raise ValueError(f"salt_buckets must be >= 2, got {salt_buckets}")
+    if not 1 <= auto_top_k <= 10_000:
+        # an unbounded top_k becomes an unbounded driver collect
+        raise ValueError(f"auto_top_k must be in [1, 10000], got {auto_top_k}")
+    overlap = set(left.columns) & set(right.columns)
+    if overlap:
+        raise ValueError(
+            f"left/right column names must be disjoint, both have {sorted(overlap)}"
+        )
+    _check_key_compat(left, right, left_key, rk)
+    cond = F.col(left_key) == F.col(rk)
+    out_cols = [*left.columns, *right.columns]
+    if hot_keys is None:
+        # bounded auto-detect: the join_skew_report aggregate (key-sized,
+        # never data-sized) filtered to output-share >= auto_min_share;
+        # collects at most auto_top_k raw key values to the driver
+        lc = (
+            left.filter(F.col(left_key).isNotNull())
+            .groupBy(F.col(left_key).alias("__k"))
+            .agg(F.count(F.lit(1)).alias("__nl"))
+        )
+        rc = (
+            right.filter(F.col(rk).isNotNull())
+            .groupBy(F.col(rk).alias("__k"))
+            .agg(F.count(F.lit(1)).alias("__nr"))
+        )
+        j = lc.join(rc, "__k").select(
+            "__k",
+            (F.col("__nl").cast("decimal(19,0)") * F.col("__nr").cast("decimal(19,0)"))
+            .cast("decimal(38,0)")
+            .alias("__pairs"),
+        )
+        tot = j.agg(F.sum("__pairs").alias("__tot"))
+        hot_rows = (
+            j.crossJoin(F.broadcast(tot))
+            .filter(
+                F.col("__pairs").cast("double")
+                >= F.lit(float(auto_min_share)) * F.col("__tot").cast("double")
+            )
+            .orderBy(F.col("__pairs").desc())
+            .limit(auto_top_k)
+            .select("__k")
+            .collect()
+        )
+        hot_keys = [r["__k"] for r in hot_rows]
+    if not hot_keys:
+        return left.join(right, cond, "inner").select(*out_cols)
+    lk_c, rk_c = F.col(left_key), F.col(rk)
+    cold = (
+        left.filter(~lk_c.isin(hot_keys))
+        .join(right.filter(~rk_c.isin(hot_keys)), cond, "inner")
+    )
+    l_hot = left.filter(lk_c.isin(hot_keys))
+    r_hot = right.filter(rk_c.isin(hot_keys))
+    if strategy == "broadcast":
+        hot = l_hot.join(F.broadcast(r_hot), cond, "inner")
+    else:
+        # explode must stay the top-level projection expression (no
+        # cast wrapper); int __rsalt vs bigint __lsalt coerces exactly
+        r_rep = r_hot.withColumn(
+            "__rsalt", F.explode(F.sequence(F.lit(0), F.lit(salt_buckets - 1)))
+        )
+        l_salted = l_hot.withColumn("__lsalt", _salt(left, salt_buckets, salt_cols))
+        hot = l_salted.join(
+            r_rep, cond & (F.col("__lsalt") == F.col("__rsalt")), "inner"
+        ).drop("__lsalt", "__rsalt")
+    return hot.select(*out_cols).unionByName(cold.select(*out_cols))

@@ -217,3 +217,23 @@ def test_zorder_all_null_column_degrades_to_constant(spark):
     assert all(r["zval"] is not None for r in rows)
     zs = sorted((r["a"], r["zval"]) for r in rows)
     assert [z for _, z in zs] == sorted(z for _, z in zs)  # a-monotone
+
+
+def test_zorder_quotes_special_column_names(spark):
+    """Round-8 review finding: 'a-b' alongside columns a and b must be
+    read as the COLUMN 'a-b' (backtick-quoted in the generated SQL),
+    never parsed as a - b; an existing zval column must be rejected."""
+    df = spark.range(64).select(
+        F.col("id").alias("a-b"),
+        (F.col("id") * 3 % 61).alias("c d"),
+        F.lit(1000).alias("a"),
+        F.lit(1).alias("b"),
+    )
+    out = zorder_values(df, ["a-b", "c d"], bits=8)
+    rows = out.collect()
+    assert len(rows) == 64 and all(r["zval"] is not None for r in rows)
+    # if 'a-b' had parsed as a - b (constant 999), every zval's even
+    # bits would be identical; the real column varies
+    assert len({r["zval"] for r in rows}) == 64
+    with pytest.raises(ValueError, match="zval"):
+        zorder_values(df.withColumnRenamed("a", "zval"), ["a-b"])

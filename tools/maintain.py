@@ -33,7 +33,16 @@ def zorder_rewrite(spark, path: str, cols: list[str], *, num_files: int, bits: i
     """Rewrite ``path`` as ``num_files`` z-clustered parquet files.
     Stage-then-swap: never deletes live data before the replacement is
     durable; a crash mid-swap leaves either the old dir, or the backup
-    plus staged copy, never nothing."""
+    plus staged copy, never nothing.
+
+    CONSTRAINTS (by design, for this CLI's single-box nightly-ops
+    scope): the swap uses driver-local ``os.rename``/``shutil``, so
+    ``path`` must be a LOCAL filesystem directory (HDFS/S3 need the
+    Hadoop FileSystem API instead), there must be a SINGLE writer (the
+    self-heal assumes any leftover state is its own crash, not a
+    concurrent run), and there is a brief window between the two
+    renames where no live directory exists — concurrent readers must
+    retry (the crash self-heal covers a writer dying inside it)."""
     from usajobs_etl_service_spark.operators.layout import zorder_repartition
 
     staging = path.rstrip("/") + ".zorder_staging"

@@ -442,11 +442,20 @@ def hits_scores(
     aggregate per side — node-keyed exchanges only, the
     :func:`pagerank` superstep shape. Fixed small n_iter keeps the
     lazy lineage bounded (each iterate is referenced once by the next
-    level); the edge list is persisted — it is read by every round."""
+    level); the edge list is persisted — it is read by every round.
+
+    EAGER execution note: this function materializes its (<= 2*top_k
+    row) result at CALL time so the three persisted frames can be
+    released before returning (no session-lifetime cache pin); the
+    returned DataFrame is a local re-wrap, not a lazy plan. top_k is
+    therefore bounded — an unvalidated large top_k would be an
+    unbounded driver collect."""
     from pyspark.storagelevel import StorageLevel
 
     if n_iter < 1:
         raise ValueError("n_iter must be >= 1")
+    if not 1 <= top_k <= 100_000:
+        raise ValueError(f"top_k must be in [1, 100000], got {top_k}")
     e = (
         edges.select(F.col(src).alias("s"), F.col(dst).alias("t"))
         .distinct()

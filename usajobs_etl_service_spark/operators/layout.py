@@ -35,6 +35,13 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
+def _bq(name: str) -> str:
+    """Backtick-quote a column name for both F.col and generated SQL
+    (escaping embedded backticks) — 'a-b' or 'a.b' are legal parquet
+    names that would otherwise parse as expressions/struct paths."""
+    return "`" + name.replace("`", "``") + "`"
+
+
 def _interleave_expr(scaled_cols: list[str], bits: int) -> Column:
     """Morton-interleave ``len(scaled_cols)`` ``bits``-wide non-negative
     bigints into one bigint: bit ``i`` of column ``j`` lands at
@@ -72,6 +79,10 @@ def zorder_values(
         raise ValueError(
             f"bits * len(cols) must be in [1, 62], got {bits} * {len(cols)}"
         )
+    if "zval" in df.columns:
+        # the output column would silently shadow it (and the generated
+        # SQL could read the wrong one) — make the caller rename first
+        raise ValueError("zorder_values: input already has a 'zval' column; rename it first")
     integral = {"byte", "tinyint", "short", "smallint", "int", "integer", "long", "bigint"}
     for c in cols:
         if c not in df.columns:
@@ -85,8 +96,8 @@ def zorder_values(
             )
     span = (1 << bits) - 1
     mm = df.agg(
-        *[F.min(F.col(c).cast("long")).alias(f"__mn_{j}") for j, c in enumerate(cols)],
-        *[F.max(F.col(c).cast("long")).alias(f"__mx_{j}") for j, c in enumerate(cols)],
+        *[F.min(F.col(_bq(c)).cast("long")).alias(f"__mn_{j}") for j, c in enumerate(cols)],
+        *[F.max(F.col(_bq(c)).cast("long")).alias(f"__mx_{j}") for j, c in enumerate(cols)],
     )
     staged = df.crossJoin(F.broadcast(mm))
     scaled_names = []
@@ -101,8 +112,13 @@ def zorder_values(
     # oracle. ANSI mode would otherwise fail the job at runtime.
     mul_safe = (1 << 63) // (span + 1) - 1
     for j, c in enumerate(cols):
+        # backtick-quote the user column in the generated SQL: a legal
+        # parquet name with spaces/dashes/dots ('a-b') would otherwise
+        # parse as an expression (subtraction of columns a and b) or
+        # fail outright (round-8 review finding)
+        cq = _bq(c)
         # integer DIV: exact and engine-portable (no float path)
-        v = f"(coalesce(cast({c} as bigint), __mn_{j}) - __mn_{j})"
+        v = f"(coalesce(cast({cq} as bigint), __mn_{j}) - __mn_{j})"
         rng = f"(__mx_{j} - __mn_{j})"
         # outer coalesce: an ALL-NULL column (min/max NULL -> every
         # CASE test NULL) must contribute constant-0 bits like a
@@ -169,8 +185,8 @@ def layout_skipping_stats(
     # per-bucket min/max engine-dependent (the q28 contract)
     order = (
         [F.col("zval").asc()]
-        + [F.col(c).asc() for c in cols]
-        + [F.col(c).asc() for c in (tiebreak_cols or [])]
+        + [F.col(_bq(c)).asc() for c in cols]
+        + [F.col(_bq(c)).asc() for c in (tiebreak_cols or [])]
     )
     rn = global_row_number(zed, order)
     total = rn.agg(F.count(F.lit(1)).alias("__n"))
@@ -186,8 +202,8 @@ def layout_skipping_stats(
             agg
             for c in cols
             for agg in (
-                F.min(F.col(c).cast("long")).alias(f"min_{c}"),
-                F.max(F.col(c).cast("long")).alias(f"max_{c}"),
+                F.min(F.col(_bq(c)).cast("long")).alias(f"min_{c}"),
+                F.max(F.col(_bq(c)).cast("long")).alias(f"max_{c}"),
             )
         ],
     )

@@ -610,6 +610,7 @@ def prototypicality_prune(
     n_clusters: int = 32,
     prune_frac: float = 0.25,
     seed_tag: str = "#proto",
+    unpersist_handle: list | None = None,
 ) -> DataFrame:
     """Prototypicality-based data pruning (Sorscher et al. 2022,
     "Beyond neural scaling laws: beating power law scaling via data
@@ -630,7 +631,10 @@ def prototypicality_prune(
        tiebreak — a codegen'd expression in the scan stage.
     2. Cluster mean directions: ONE groupBy(cluster_id) aggregate of
        per-dimension avg() columns (dim avg expressions, no
-       posexplode row blowup), broadcast back — C x dim values.
+       posexplode row blowup), collected to the driver — C x dim
+       values, the sanctioned bounded collect — and re-shipped as a
+       LITERAL per-cluster lookup (element_at on an array-of-arrays),
+       so scoring needs no join at all.
     3. proto_cos = round(cos(nv, mean), 4); rank within cluster by
        (proto_cos DESC, id) — a per-cluster window bounded by cluster
        occupancy (~corpus/C; same discipline as semantic_dup_pairs) —
@@ -639,6 +643,23 @@ def prototypicality_prune(
     Ranking uses the ROUNDED score, so the cross-engine order is
     identical everywhere the 1e-15-scale float-sum divergence does not
     cross a 0.5e-4 rounding boundary (~1e-11/row — the q92 contract).
+
+    Pass structure (round-9, retiring the r7/r8 residual overhead):
+    seeds are a TakeOrdered over the RAW frame (the md5 order needs no
+    vector math, so the corpus is NOT normalized just to pick k seed
+    rows); the persisted frame stores (id, __nv, cluster_id) so the
+    32-dot argmax fold runs exactly once (at cache materialization,
+    inside the means aggregate job); the scoring pass is then one
+    cache scan with a literal mean lookup — two passes over the data
+    total, the structural minimum for a mean-relative score.
+
+    Cache lifetime: the persisted frame backs the RETURNED corpus-
+    sized result, so there is no safe in-function unpersist point.
+    Batch drivers looping over corpora should pass ``unpersist_handle``
+    (a list; the persisted frame is appended) and call
+    ``handle[0].unpersist()`` once done with the result — the
+    round-8-review cache-release contract (hits_scores resolves it by
+    eager collect; this output is corpus-sized, so a handle it is).
     """
     if not 0.0 <= prune_frac <= 1.0:
         raise ValueError(f"prune_frac must be in [0, 1], got {prune_frac}")
@@ -647,28 +668,17 @@ def prototypicality_prune(
     from pyspark.storagelevel import StorageLevel
 
     nv = l2_normalize(F.col(embedding_col).cast("array<double>"))
-    # persist the normalized frame: __nv must reach the 32-dot scoring
-    # fold, the per-dim mean aggregate (dim references) and the
-    # proto_cos projection as a STORED attribute — un-persisted, the
-    # round-7 plan inlined l2_normalize (an O(dim^2) interpreted
-    # expression) into every consumer and q157 cost 32.4 s for 2,000
-    # 64-dim rows (~16 ms/row for ~4k useful flops). The seeds collect
-    # below warms the cache, so nothing here adds a pass. Persisted
-    # for the duration (the _lloyd_blocking convention): the returned
-    # corpus-sized frame keeps reading it, so there is no safe in-
-    # function unpersist point; repeated calls share one cache entry
-    # (same canonical plan), so a long session holds at most one copy
-    # per distinct input.
-    staged = df.select(F.col(id_col), nv.alias("__nv")).persist(
-        StorageLevel.MEMORY_AND_DISK
-    )
+    # seeds: TakeOrderedAndProject on (md5(id), id) over the raw frame,
+    # then normalize ONLY the n_clusters winners — ordering needs no
+    # vector math, so no corpus-wide normalize pass is paid here
     seeds = (
-        staged.orderBy(
+        df.select(F.col(id_col), F.col(embedding_col))
+        .orderBy(
             F.md5(F.concat(F.col(id_col).cast("string"), F.lit(seed_tag))).asc(),
             F.col(id_col).asc(),
         )
         .limit(n_clusters)
-        .select("__nv")
+        .select(nv.alias("__nv"))
         .collect()
     )
     cent_rows = [[float(x) for x in r["__nv"]] for r in seeds]
@@ -709,29 +719,67 @@ def prototypicality_prune(
         ),
     )
     # all-NULL scores (zero-norm / NULL embedding -> NULL __nv) must
-    # yield a NULL cluster_id so the row drops at the means join — the
+    # yield a NULL cluster_id so the row drops before scoring — the
     # array_position form's behavior; the bare fold would otherwise
     # leave best_i at its n_clusters walking position (a silent
-    # arbitrary label)
-    assigned = staged.withColumn(
-        "cluster_id",
-        F.when(best["best_s"].isNotNull(), best["best_i"]).cast("int"),
-    )
-    means = assigned.groupBy("cluster_id").agg(
-        *[F.avg(F.element_at("__nv", i + 1)).alias(f"__m{i}") for i in range(dim)]
-    )
-    means = means.select(
-        "cluster_id", F.array(*[F.col(f"__m{i}") for i in range(dim)]).alias("__m")
-    )
-    scored = (
-        assigned.join(F.broadcast(means), "cluster_id")
-        .select(
-            F.col(id_col),
+    # arbitrary label). __nv is a MULTI-use alias (the fold's 32 dots
+    # + the stored column), so CollapseProject does not inline the
+    # normalize chain (the r7 single-use-alias trap); the persist
+    # below makes the whole (normalize + fold) evaluate exactly once,
+    # at cache materialization inside the means job.
+    assigned = (
+        df.select(F.col(id_col), nv.alias("__nv"))
+        .withColumn(
             "cluster_id",
-            F.round(F.try_divide(dot(F.col("__nv"), F.col("__m")), norm(F.col("__m"))), 4).alias(
-                "proto_cos"
-            ),
+            F.when(best["best_s"].isNotNull(), best["best_i"]).cast("int"),
         )
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    if unpersist_handle is not None:
+        unpersist_handle.append(assigned)
+    mean_rows = (
+        assigned.filter(F.col("cluster_id").isNotNull())
+        .groupBy("cluster_id")
+        .agg(*[F.avg(F.element_at("__nv", i + 1)).alias(f"__m{i}") for i in range(dim)])
+        .collect()
+    )
+    # driver-side mean norms in the SAME fold order as vectors.norm
+    # (left-to-right acc + v*v from 0.0), so the literal reproduces
+    # the broadcast-join form's doubles bit-for-bit
+    import math
+
+    mean_by_cid = {
+        r["cluster_id"]: [float(r[f"__m{i}"]) for i in range(dim)] for r in mean_rows
+    }
+    means_dense = [
+        mean_by_cid.get(cid, [0.0] * dim) for cid in range(1, n_clusters + 1)
+    ]
+    norms_dense = []
+    for m in means_dense:
+        acc = 0.0
+        for v in m:
+            acc += v * v
+        norms_dense.append(math.sqrt(acc))
+    means_lit = F.expr(
+        "array("
+        + ", ".join(
+            "array(" + ", ".join(f"{x!r}D" for x in mv) + ")" for mv in means_dense
+        )
+        + ")"
+    )
+    norms_lit = F.expr(
+        "array(" + ", ".join(f"{x!r}D" for x in norms_dense) + ")"
+    )
+    scored = assigned.filter(F.col("cluster_id").isNotNull()).select(
+        F.col(id_col),
+        "cluster_id",
+        F.round(
+            F.try_divide(
+                dot(F.col("__nv"), F.element_at(means_lit, F.col("cluster_id"))),
+                F.element_at(norms_lit, F.col("cluster_id")),
+            ),
+            4,
+        ).alias("proto_cos"),
     )
     w = Window.partitionBy("cluster_id").orderBy(
         F.col("proto_cos").desc(), F.col(id_col).asc()

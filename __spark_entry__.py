@@ -4078,6 +4078,39 @@ def q185_skew_safe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q186_zorder_prepared_float(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extension (the float/timestamp on-ramp q182's integral gate asks
+    for): z-order orders on (o_totalprice bucketed to CENTS via
+    operators/layout.zorder_prepare — floor(v / 0.01), engine-portable
+    IEEE double math — x o_custkey), 16 buckets at 16 bits, reporting
+    each bucket's per-dimension extrema. The oracle replays the full
+    fixed-point + scale + interleave + exact-order bucket pipeline, so
+    the prepared path is hash-proven end-to-end, not just unit-tested."""
+    from usajobs_etl_service_spark.operators.layout import (
+        layout_skipping_stats,
+        zorder_prepare,
+    )
+
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    prepped, names = zorder_prepare(orders, {"o_totalprice": 0.01})
+    return layout_skipping_stats(
+        prepped,
+        [names[0], "o_custkey"],
+        num_partitions=16,
+        bits=16,
+        tiebreak_cols=["o_orderkey"],
+    ).select(
+        F.col("bucket").cast("long").alias("bucket"),
+        F.col("n_rows").cast("long").alias("n_rows"),
+        F.col("min_o_totalprice_zb"),
+        F.col("max_o_totalprice_zb"),
+        F.col("min_o_custkey"),
+        F.col("max_o_custkey"),
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_job_statistics": q01_job_statistics,
     "q02_metric_union": q02_metric_union,
@@ -4264,6 +4297,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q183_table_profile": q183_table_profile,
     "q184_join_skew_report": q184_join_skew_report,
     "q185_skew_safe_join": q185_skew_safe_join,
+    "q186_zorder_prepared_float": q186_zorder_prepared_float,
 }
 
 
@@ -7587,6 +7621,41 @@ ORACLES: dict[str, str] = {
                round(sum(l_quantity), 2) AS sum_qty
         FROM l JOIN p USING (k)
         GROUP BY 1, 2
+    """,
+    # q186: q182's replay plus the fixed-point prepare stage
+    "q186_zorder_prepared_float": """
+        WITH prep AS (
+            SELECT o_orderkey, o_custkey,
+                   CAST(floor(o_totalprice / 0.01) AS BIGINT) AS zb
+            FROM orders
+        ), mm AS (
+            SELECT min(zb) AS mn0, max(zb) AS mx0,
+                   min(o_custkey) AS mn1, max(o_custkey) AS mx1
+            FROM prep
+        ), s AS (
+            SELECT o_orderkey, o_custkey, zb,
+                   coalesce(CASE WHEN mx0 <= mn0 THEN 0 WHEN (mx0 - mn0) <= 140737488355327 THEN ((zb - mn0) * 65535) // (mx0 - mn0) ELSE (zb - mn0) // (((mx0 - mn0) // 65536) + 1) END, 0) AS z0,
+                   coalesce(CASE WHEN mx1 <= mn1 THEN 0 WHEN (mx1 - mn1) <= 140737488355327 THEN ((o_custkey - mn1) * 65535) // (mx1 - mn1) ELSE (o_custkey - mn1) // (((mx1 - mn1) // 65536) + 1) END, 0) AS z1
+            FROM prep CROSS JOIN mm
+        ), z AS (
+            SELECT zb, o_custkey,
+                   (((z0 >> 0) & 1) << 0) + (((z1 >> 0) & 1) << 1) + (((z0 >> 1) & 1) << 2) + (((z1 >> 1) & 1) << 3) + (((z0 >> 2) & 1) << 4) + (((z1 >> 2) & 1) << 5) + (((z0 >> 3) & 1) << 6) + (((z1 >> 3) & 1) << 7) + (((z0 >> 4) & 1) << 8) + (((z1 >> 4) & 1) << 9) + (((z0 >> 5) & 1) << 10) + (((z1 >> 5) & 1) << 11) + (((z0 >> 6) & 1) << 12) + (((z1 >> 6) & 1) << 13) + (((z0 >> 7) & 1) << 14) + (((z1 >> 7) & 1) << 15) + (((z0 >> 8) & 1) << 16) + (((z1 >> 8) & 1) << 17) + (((z0 >> 9) & 1) << 18) + (((z1 >> 9) & 1) << 19) + (((z0 >> 10) & 1) << 20) + (((z1 >> 10) & 1) << 21) + (((z0 >> 11) & 1) << 22) + (((z1 >> 11) & 1) << 23) + (((z0 >> 12) & 1) << 24) + (((z1 >> 12) & 1) << 25) + (((z0 >> 13) & 1) << 26) + (((z1 >> 13) & 1) << 27) + (((z0 >> 14) & 1) << 28) + (((z1 >> 14) & 1) << 29) + (((z0 >> 15) & 1) << 30) + (((z1 >> 15) & 1) << 31) AS zval,
+                   o_orderkey
+            FROM s
+        ), r AS (
+            SELECT zb, o_custkey, zval,
+                   row_number() OVER (
+                       ORDER BY zval, zb, o_custkey, o_orderkey
+                   ) AS rn,
+                   count(*) OVER () AS n
+            FROM z
+        )
+        SELECT ((rn - 1) * 16) // n AS bucket,
+               count(*) AS n_rows,
+               min(zb) AS min_o_totalprice_zb, max(zb) AS max_o_totalprice_zb,
+               min(o_custkey) AS min_o_custkey, max(o_custkey) AS max_o_custkey
+        FROM r
+        GROUP BY 1
     """,
 }
 

@@ -237,3 +237,85 @@ def test_zorder_quotes_special_column_names(spark):
     assert len({r["zval"] for r in rows}) == 64
     with pytest.raises(ValueError, match="zval"):
         zorder_values(df.withColumnRenamed("a", "zval"), ["a-b"])
+
+
+def test_zorder_prepare_property_roundtrip(spark):
+    """Property test: the fixed-point bucketing must equal the Python
+    reference floor(v / r) bit-for-bit (same IEEE double divide) for
+    floats, timestamps (fractional epoch seconds), and dates; NULLs
+    stay NULL; and bucket order must be monotone in the raw value."""
+    import datetime as dt
+    import math
+
+    from hypothesis import given, settings, strategies as st
+
+    from usajobs_etl_service_spark.operators.layout import zorder_prepare
+
+    @settings(max_examples=20, deadline=None)
+    @given(
+        vals=st.lists(
+            st.one_of(
+                st.none(),
+                st.floats(
+                    min_value=-1e9, max_value=1e9, allow_nan=False, allow_infinity=False
+                ),
+            ),
+            min_size=1,
+            max_size=20,
+        ),
+        res=st.sampled_from([0.01, 0.25, 1.0, 3600.0]),
+    )
+    def check(vals, res):
+        df = spark.createDataFrame([(i, v) for i, v in enumerate(vals)], "i long, v double")
+        out, names = zorder_prepare(df, {"v": res})
+        assert names == ["v_zb"]
+        got = {r["i"]: r["v_zb"] for r in out.collect()}
+        for i, v in enumerate(vals):
+            want = None if v is None else math.floor(v / res)
+            assert got[i] == want, (v, res, got[i], want)
+
+    check()
+
+    # timestamps: buckets of 3600 s = hours since epoch (tz-free via
+    # timestamp_seconds so the oracle-portable epoch math is what's
+    # tested, not the session timezone)
+    ts = spark.range(5).select(
+        "id", F.timestamp_seconds(F.col("id") * 5000 + 1234567).alias("t")
+    )
+    out, names = zorder_prepare(ts, {"t": 3600})
+    got = {r["id"]: r["t_zb"] for r in out.collect()}
+    assert got == {i: (i * 5000 + 1234567) // 3600 for i in range(5)}
+
+    # dates: midnight at session tz -> whole-day buckets are stable
+    d = spark.createDataFrame(
+        [(1, dt.date(2024, 1, 1)), (2, dt.date(2024, 1, 3)), (3, None)],
+        "i long, d date",
+    )
+    out, names = zorder_prepare(d, {"d": 86400.0})
+    got = {r["i"]: r["d_zb"] for r in out.collect()}
+    assert got[2] is not None and got[1] is not None and got[3] is None
+    assert got[2] - got[1] == 2  # two days apart
+
+    # validation
+    with pytest.raises(ValueError, match="resolution"):
+        zorder_prepare(d, {"d": 0})
+    with pytest.raises(ValueError, match="unknown"):
+        zorder_prepare(d, {"nope": 1.0})
+    with pytest.raises(ValueError, match="numeric"):
+        zorder_prepare(d.select("i", F.lit("s").alias("x")), {"x": 1.0})
+
+
+def test_zorder_prepare_feeds_zorder_values(spark):
+    """End-to-end: prepared float/timestamp columns pass zorder_values'
+    integral gate and produce a clustered layout."""
+    from usajobs_etl_service_spark.operators.layout import zorder_prepare
+
+    df = spark.range(256).select(
+        (F.col("id") * 1.37 % 100.0).alias("price"),
+        F.timestamp_seconds(F.col("id") * 977).alias("ts"),
+    )
+    prepped, names = zorder_prepare(df, {"price": 0.01, "ts": 60})
+    out = zorder_values(prepped, names, bits=8)
+    rows = out.collect()
+    assert len(rows) == 256 and all(r["zval"] is not None for r in rows)
+    assert len({r["zval"] for r in rows}) > 200  # real spread, not constant

@@ -89,3 +89,39 @@ def test_profile_sidecar_is_hidden_from_readers(spark, tmp_path):
     assert sidecar["columns"]["y"]["min"] == "0"
     # underscore-prefixed file is invisible to the parquet reader
     assert spark.read.parquet(path).count() == 32 * 32
+
+
+def test_zorder_rewrite_with_resolutions_floats(spark, tmp_path):
+    """--zorder-resolution path: a double price column z-orders via its
+    fixed-point bucket; rows are identical, the helper _zb column does
+    NOT leak into the written table, and price is measurably
+    clustered per file."""
+    path = str(tmp_path / "t_res")
+    (
+        spark.range(1024)
+        .select(
+            ((F.col("id") * 37 % 1000) / 10.0).alias("price"),
+            (F.col("id") % 50).alias("k"),
+        )
+        .repartition(4)
+        .write.parquet(path)
+    )
+    before = sorted(tuple(r) for r in spark.read.parquet(path).collect())
+    out = zorder_rewrite(
+        spark, path, ["price", "k"], num_files=8, bits=6,
+        resolutions={"price": 0.1},
+    )
+    assert out["rows"] == len(before)
+    got = spark.read.parquet(path)
+    assert set(got.columns) == {"price", "k"}  # no _zb leak
+    assert sorted(tuple(r) for r in got.collect()) == before
+    from pyspark.sql.functions import input_file_name
+
+    ranges = (
+        got.select("price", input_file_name().alias("f"))
+        .groupBy("f")
+        .agg(F.min("price").alias("lo"), F.max("price").alias("hi"))
+        .collect()
+    )
+    avg = sum((r["hi"] - r["lo"]) / 99.9 for r in ranges) / len(ranges)
+    assert avg < 0.7, avg

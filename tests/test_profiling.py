@@ -81,3 +81,28 @@ def test_mann_whitney_shift_direction(spark):
     ).collect()[0]
     assert got["u_stat"] == 0.0  # total separation
     assert got["z"] < -8
+
+
+def test_profile_table_approx_no_expand(spark):
+    """approx=True must plan WITHOUT the multi-distinct Expand (which
+    multiplies every row by profiled_cols + 1 — a 17x row stream for a
+    16-column profile at 100 TB); exact mode keeps it (the price of
+    exactness). Values: nulls/extrema identical, distincts within
+    HLL++ tolerance."""
+    from usajobs_etl_service_spark.operators.profiling import profile_table
+
+    df = spark.range(5_000).selectExpr(
+        "id", "cast(id % 97 as string) as s", "id % 13 as m"
+    )
+    exact = profile_table(df, ["id", "s", "m"])
+    approx = profile_table(df, ["id", "s", "m"], approx=True)
+    p_exact = exact._jdf.queryExecution().executedPlan().toString()
+    p_approx = approx._jdf.queryExecution().executedPlan().toString()
+    assert "Expand" in p_exact
+    assert "Expand" not in p_approx, p_approx[:600]
+    e = {r["column"]: r for r in exact.collect()}
+    a = {r["column"]: r for r in approx.collect()}
+    for c in ("id", "s", "m"):
+        assert (a[c]["n_rows"], a[c]["n_nulls"]) == (e[c]["n_rows"], e[c]["n_nulls"])
+        assert (a[c]["min_value"], a[c]["max_value"]) == (e[c]["min_value"], e[c]["max_value"])
+        assert abs(a[c]["n_distinct"] - e[c]["n_distinct"]) <= max(2, 0.15 * e[c]["n_distinct"])  # ~3 sigma at rsd 0.05

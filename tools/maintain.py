@@ -29,7 +29,15 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def zorder_rewrite(spark, path: str, cols: list[str], *, num_files: int, bits: int = 16) -> dict:
+def zorder_rewrite(
+    spark,
+    path: str,
+    cols: list[str],
+    *,
+    num_files: int,
+    bits: int = 16,
+    resolutions: dict[str, float] | None = None,
+) -> dict:
     """Rewrite ``path`` as ``num_files`` z-clustered parquet files.
     Stage-then-swap: never deletes live data before the replacement is
     durable; a crash mid-swap leaves either the old dir, or the backup
@@ -65,7 +73,22 @@ def zorder_rewrite(spark, path: str, cols: list[str], *, num_files: int, bits: i
         shutil.rmtree(staging)
     df = spark.read.parquet(path)
     n_before = df.count()
-    zorder_repartition(df, cols, num_partitions=num_files, bits=bits).write.parquet(staging)
+    zcols = list(cols)
+    prep_cols: list[str] = []
+    if resolutions:
+        # float/timestamp z-columns: fixed-point bucket via
+        # zorder_prepare, cluster on the bucket, drop the helper
+        # columns before write (the layout is carried by placement)
+        from usajobs_etl_service_spark.operators.layout import zorder_prepare
+
+        df, prep_names = zorder_prepare(df, resolutions)
+        renamed = dict(zip(resolutions.keys(), prep_names))
+        zcols = [renamed.get(c, c) for c in zcols]
+        prep_cols = prep_names
+    out = zorder_repartition(df, zcols, num_partitions=num_files, bits=bits)
+    if prep_cols:
+        out = out.drop(*prep_cols)
+    out.write.parquet(staging)
     n_after = spark.read.parquet(staging).count()
     if n_after != n_before:
         shutil.rmtree(staging, ignore_errors=True)
@@ -106,6 +129,13 @@ def main(argv: list[str]) -> None:
     ap.add_argument("table_dir")
     ap.add_argument("--partition-cols", default=None)
     ap.add_argument("--zorder", default=None)
+    ap.add_argument(
+        "--zorder-resolution",
+        default=None,
+        help="fixed-point buckets for non-integral z-columns, e.g. "
+        "'o_totalprice=0.01,o_orderdate=86400' (unit = the column's "
+        "natural unit; timestamps bucket in seconds)",
+    )
     ap.add_argument("--files", type=int, default=8)
     ap.add_argument("--bits", type=int, default=16)
     ap.add_argument("--profile-cols", default=None)
@@ -129,12 +159,21 @@ def main(argv: list[str]) -> None:
         )
         summary["compacted_partitions"] = n
     if args.zorder:
+        resolutions = None
+        if args.zorder_resolution:
+            resolutions = {
+                k: float(v)
+                for k, v in (
+                    kv.split("=", 1) for kv in args.zorder_resolution.split(",") if kv
+                )
+            }
         summary["zorder"] = zorder_rewrite(
             spark,
             args.table_dir,
             [c for c in args.zorder.split(",") if c],
             num_files=args.files,
             bits=args.bits,
+            resolutions=resolutions,
         )
     if args.profile_cols or args.do_profile:
         cols = [c for c in (args.profile_cols or "").split(",") if c] or None

@@ -612,8 +612,23 @@ def _profile_smoke(spark, outdir: str) -> dict:
     docs = read_table(spark, outdir, "documents")
     t0 = time.perf_counter()
     rows = profile_table(docs, ["doc_id", "lang", "source", "n_chars"]).collect()
+    sec_exact = round(time.perf_counter() - t0, 3)
+    # approx mode (HLL, no Expand): the 100 TB deployment shape —
+    # record its time AND its distinct-count error vs exact
+    t0 = time.perf_counter()
+    arows = profile_table(
+        docs, ["doc_id", "lang", "source", "n_chars"], approx=True
+    ).collect()
+    sec_approx = round(time.perf_counter() - t0, 3)
+    exact_nd = {r["column"]: r["n_distinct"] for r in rows}
+    max_rel_err = max(
+        abs(r["n_distinct"] - exact_nd[r["column"]]) / max(exact_nd[r["column"]], 1)
+        for r in arows
+    )
     return {
-        "sec": round(time.perf_counter() - t0, 3),
+        "sec": sec_exact,
+        "sec_approx": sec_approx,
+        "approx_max_rel_distinct_err": round(max_rel_err, 4),
         "n_rows_profiled": next(r["n_rows"] for r in rows),
         "columns": len(rows),
     }

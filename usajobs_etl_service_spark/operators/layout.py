@@ -138,6 +138,63 @@ def zorder_values(
     )
 
 
+def zorder_prepare(
+    df: DataFrame,
+    resolutions: dict[str, float],
+) -> tuple[DataFrame, list[str]]:
+    """Fixed-point on-ramp for non-integral z-order columns:
+    ``zorder_values`` (correctly) refuses floats and timestamps — their
+    bit patterns do not interleave meaningfully — so this helper turns
+    each into the integral bucket column the error message asks for:
+
+        bucket = floor(value / resolution)       (bigint)
+
+    with ``resolution`` in the column's natural unit — 0.01 buckets a
+    price to CENTS, 3600 buckets a timestamp to HOURS (timestamps
+    first become fractional epoch seconds via ``cast(ts as double)``;
+    dates go through timestamp at the session timezone's midnight).
+    Returns ``(df + one '<col>_zb' bigint column per entry, the new
+    column names in input order)`` — feed the names straight to
+    ``zorder_values`` / ``zorder_repartition``; NULLs stay NULL (they
+    scale to the dimension minimum downstream, the documented
+    NULLS-FIRST convention).
+
+    Resolution only affects LAYOUT quality, not correctness: too-fine
+    wastes z-bits on intra-file noise, too-coarse collapses files
+    together; a good default is (expected column span) / 2^bits. The
+    float divide-then-floor is engine-portable IEEE double math (the
+    q186 oracle and the Python property test replay it bit-for-bit).
+    """
+    from pyspark.sql import types as T
+
+    if not resolutions:
+        raise ValueError("zorder_prepare: need at least one column")
+    out = df
+    names: list[str] = []
+    for c, r in resolutions.items():
+        if c not in df.columns:
+            raise ValueError(f"zorder_prepare: unknown column {c!r}")
+        r = float(r)
+        if not r > 0:
+            raise ValueError(f"zorder_prepare: resolution for {c!r} must be > 0, got {r}")
+        dt = df.schema[c].dataType
+        if isinstance(dt, (T.TimestampType, T.TimestampNTZType, T.DateType)):
+            v = F.col(_bq(c)).cast("timestamp").cast("double")  # epoch seconds
+        elif isinstance(dt, T.NumericType):
+            v = F.col(_bq(c)).cast("double")
+        else:
+            raise ValueError(
+                f"zorder_prepare: column {c!r} is {dt.simpleString()}; only "
+                "numeric/timestamp/date columns can be bucketed"
+            )
+        name = f"{c}_zb"
+        if name in out.columns:
+            raise ValueError(f"zorder_prepare: output column {name!r} already exists")
+        out = out.withColumn(name, F.floor(v / F.lit(r)).cast("long"))
+        names.append(name)
+    return out, names
+
+
 def zorder_repartition(
     df: DataFrame,
     cols: list[str],

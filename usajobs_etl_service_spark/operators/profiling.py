@@ -179,16 +179,28 @@ def mann_whitney_u(
     )
 
 
-def profile_table(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
+def profile_table(
+    df: DataFrame, cols: list[str] | None = None, *, approx: bool = False
+) -> DataFrame:
     """One row per profiled column — the WIDE companion to ``profile``
     (whose long form carries only double values and so cannot report
     extrema of string/timestamp columns):
     (column, n_rows, n_nulls, n_distinct, min_value, max_value).
 
-    ``n_distinct`` is EXACT (count distinct, NULLs excluded — the SQL
-    convention); ``min_value``/``max_value`` are the column extrema
-    cast to string (NULL when the column is all-NULL). One aggregate
-    pass total.
+    ``n_distinct`` is EXACT by default (count distinct, NULLs excluded
+    — the SQL convention); ``min_value``/``max_value`` are the column
+    extrema cast to string (NULL when the column is all-NULL). One
+    aggregate pass total.
+
+    ``approx=True`` swaps every countDistinct for
+    ``approx_count_distinct`` (HLL++, ~2% relative error — the A2
+    discipline of SURVEY §4). Why this matters at 100 TB: Catalyst
+    plans k EXACT multi-column distincts through ONE Expand that
+    multiplies every input row by (k + 1) — a 16-column profile of a
+    100 TB table streams 1.7 PB through the aggregate. HLL partials
+    are plain mergeable map-side state: no Expand, no row
+    multiplication (plan-pinned in tests/test_profiling.py), which is
+    the shape a nightly wide-table profile must have.
     """
     cols = list(cols) if cols is not None else list(df.columns)
     if not cols:
@@ -198,6 +210,7 @@ def profile_table(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
         raise ValueError(f"profile_table: unknown columns {missing}")
     from pyspark.sql.types import MapType
 
+    ndv = F.approx_count_distinct if approx else F.countDistinct
     aggs = [F.count(F.lit(1)).alias("__n")]
     for j, c in enumerate(cols):
         orderable = not isinstance(df.schema[c].dataType, MapType)
@@ -205,7 +218,7 @@ def profile_table(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
             F.count(F.col(c)).alias(f"__nn_{j}"),
             # map columns are neither orderable nor groupable in Spark:
             # report NULL distinct/extrema instead of failing the pass
-            (F.countDistinct(F.col(c)) if orderable else F.lit(None).cast("long")).alias(f"__nd_{j}"),
+            (ndv(F.col(c)) if orderable else F.lit(None).cast("long")).alias(f"__nd_{j}"),
             (F.min(F.col(c)).cast("string") if orderable else F.lit(None).cast("string")).alias(f"__mn_{j}"),
             (F.max(F.col(c)).cast("string") if orderable else F.lit(None).cast("string")).alias(f"__mx_{j}"),
         ]

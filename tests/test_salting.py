@@ -248,6 +248,12 @@ def test_skew_safe_join_validations(spark, skew_join_frames):
     bad = right.select(F.col("rk").cast("string").alias("rk"), "w")
     with pytest.raises(ValueError, match="not compatible"):
         skew_safe_join(left, bad, left_key="k", right_key="rk")
+    with pytest.raises(ValueError, match="auto_min_share"):
+        skew_safe_join(left, right, left_key="k", right_key="rk", auto_min_share=0.0)
+    # a None hot key would NULL out the cold branch's ~isin filter and
+    # silently drop the whole table — must be rejected up front
+    with pytest.raises(ValueError, match="None"):
+        skew_safe_join(left, right, left_key="k", right_key="rk", hot_keys=[0, None])
 
 
 def test_skew_safe_join_plan_hot_branch_broadcasts(spark, skew_join_frames):

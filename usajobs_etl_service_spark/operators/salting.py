@@ -300,6 +300,13 @@ def skew_safe_join(
     if not 1 <= auto_top_k <= 10_000:
         # an unbounded top_k becomes an unbounded driver collect
         raise ValueError(f"auto_top_k must be in [1, 10000], got {auto_top_k}")
+    if not 0.0 < auto_min_share <= 1.0:
+        raise ValueError(f"auto_min_share must be in (0, 1], got {auto_min_share}")
+    if hot_keys is not None and any(k is None for k in hot_keys):
+        # ~isin([..., None]) is NULL for EVERY row — the cold branch
+        # would silently drop the whole table; NULL keys never match an
+        # inner join anyway, so a NULL "hot key" is always a mistake
+        raise ValueError("hot_keys must not contain None (NULL keys never join)")
     overlap = set(left.columns) & set(right.columns)
     if overlap:
         raise ValueError(

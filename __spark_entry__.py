@@ -4046,10 +4046,12 @@ def q185_skew_safe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     join lineitem to a part-derived dim on a PLANTED 80%-share hot key
     (l_partkey folds to 0 unless divisible by 5) through
     operators/salting.skew_safe_join in auto mode — the key-sized
-    report aggregate finds the hot key, its rows take a broadcast
-    branch (the skewed side never shuffles), cold keys take the plain
-    join, and the union is proven identical to DuckDB's plain inner
-    join. l_quantity is whole-number doubles, so the post-join sums
+    report aggregate finds the hot key (NOTE: auto mode is eager —
+    the bounded key-count pre-pass runs at query CONSTRUCTION, which
+    is the operator's deployed look-before-you-join shape), its rows
+    take a broadcast branch (the skewed side never shuffles), cold
+    keys take the plain join, and the union is proven identical to
+    DuckDB's plain inner join. l_quantity is whole-number doubles, so the post-join sums
     are exact in any engine. Reference anchor: the keyed ON CONFLICT
     merge (etl/etl.py:467-488) is the join this protects at 100 TB."""
     from usajobs_etl_service_spark.operators.salting import skew_safe_join

@@ -246,8 +246,17 @@ def test_skew_safe_join_validations(spark, skew_join_frames):
     with pytest.raises(ValueError, match="disjoint"):
         skew_safe_join(left, left, left_key="k")
     bad = right.select(F.col("rk").cast("string").alias("rk"), "w")
-    with pytest.raises(ValueError, match="not compatible"):
+    with pytest.raises(ValueError, match="incoercible"):
         skew_safe_join(left, bad, left_key="k", right_key="rk")
+    # round-9 review finding: a LOSSY numeric mix (bigint vs double —
+    # 2^53 collides with 2^53+1 under coercion) can strand a match
+    # across the hot/cold split; must be rejected, not silently wrong
+    lossy = right.select(F.col("rk").cast("double").alias("rk"), "w")
+    with pytest.raises(ValueError, match="incoercible"):
+        skew_safe_join(left, lossy, left_key="k", right_key="rk")
+    # lossless mixes stay allowed: int vs bigint
+    ok = right.select(F.col("rk").cast("int").alias("rk"), "w")
+    assert skew_safe_join(left, ok, left_key="k", right_key="rk", hot_keys=[0]).count() > 0
     with pytest.raises(ValueError, match="auto_min_share"):
         skew_safe_join(left, right, left_key="k", right_key="rk", auto_min_share=0.0)
     # a None hot key would NULL out the cold branch's ~isin filter and

@@ -158,6 +158,10 @@ def main(argv: list[str]) -> None:
             target_rows_per_file=args.target_rows,
         )
         summary["compacted_partitions"] = n
+    if args.zorder_resolution and not args.zorder:
+        # silently ignoring the flag would let an operator believe the
+        # float column was re-clustered when nothing ran
+        ap.error("--zorder-resolution requires --zorder")
     if args.zorder:
         resolutions = None
         if args.zorder_resolution:

@@ -193,8 +193,9 @@ def profile_table(
     aggregate pass total.
 
     ``approx=True`` swaps every countDistinct for
-    ``approx_count_distinct`` (HLL++, ~2% relative error — the A2
-    discipline of SURVEY §4). Why this matters at 100 TB: Catalyst
+    ``approx_count_distinct`` (HLL++ at Spark's default rsd=0.05 —
+    ~5% relative standard error, occasionally worse; the A2 discipline
+    of SURVEY §4). Why this matters at 100 TB: Catalyst
     plans k EXACT multi-column distincts through ONE Expand that
     multiplies every input row by (k + 1) — a 16-column profile of a
     100 TB table streams 1.7 PB through the aggregate. HLL partials

@@ -141,23 +141,77 @@ def salted_topk_per_key(
     return phase1.withColumn("rank", F.row_number().over(w2)).filter(F.col("rank") <= k)
 
 
-def _check_key_compat(left: DataFrame, right: DataFrame, lk: str, rk: str) -> None:
+def _check_key_compat(
+    left: DataFrame, right: DataFrame, lk: str, rk: str, *, lossless: bool = False
+) -> None:
     """Both key dtypes must be join-compatible BEFORE any rendering:
     matching two sides through cast-to-string silently fails to pair
     values whose string forms differ (int 1 vs decimal 1.0, '01' vs
     '1') — under-counting exactly the skew a report exists to flag
-    (round-8 review finding). Numeric<->numeric is fine (Spark coerces
-    exactly for counts); anything else must be the same type."""
+    (round-8 review finding). Numeric<->numeric is fine for the
+    REPORT (it mirrors the join's own coercion, so counts stay
+    consistent with what the join would produce).
+
+    ``lossless=True`` (skew_safe_join) is stricter: the hot/cold
+    split filters each side in its NATIVE type while the join compares
+    in the COERCED type, so a lossy coercion (bigint->double collides
+    2^53 with 2^53+1) can strand a right row in the hot branch while
+    its colliding left partner sits in the cold branch — silently
+    losing matches (round-9 review finding). Only same-type,
+    integral<->integral, and float<->double (exact widening) mixes
+    preserve the branch invariant."""
     from pyspark.sql import types as T
 
     lt, rt = left.schema[lk].dataType, right.schema[rk].dataType
-    if isinstance(lt, T.NumericType) and isinstance(rt, T.NumericType):
-        return
     if lt.simpleString() == rt.simpleString():
+        return
+    integral = (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
+    fractional = (T.FloatType, T.DoubleType)
+    if lossless:
+        if isinstance(lt, integral) and isinstance(rt, integral):
+            return
+        if isinstance(lt, fractional) and isinstance(rt, fractional):
+            return
+        raise ValueError(
+            f"join key dtypes mix losslessly-incoercible types: "
+            f"{lk}={lt.simpleString()} vs {rk}={rt.simpleString()}; cast one "
+            "side to the other's exact type first (a lossy coercion would "
+            "silently drop matches across the hot/cold split)"
+        )
+    if isinstance(lt, T.NumericType) and isinstance(rt, T.NumericType):
         return
     raise ValueError(
         f"join key dtypes are not compatible: {lk}={lt.simpleString()} vs "
         f"{rk}={rt.simpleString()}; cast one side to the other's type first"
+    )
+
+
+def _key_pair_counts(
+    left: DataFrame, right: DataFrame, lk: str, rk: str
+) -> DataFrame:
+    """Shared core of ``join_skew_report`` and ``skew_safe_join``'s
+    auto-detect: per-side key cardinalities joined on the RAW key,
+    with the output-pair product in DECIMAL(38,0) (a bigint product
+    wraps negative at ~3e9 x 3e9 on one key and would sort the hottest
+    key LAST). One copy so a fix here reaches both consumers.
+    Columns: (__k, n_left, n_right, pairs)."""
+    lc = (
+        left.filter(F.col(lk).isNotNull())
+        .groupBy(F.col(lk).alias("__k"))
+        .agg(F.count(F.lit(1)).alias("n_left"))
+    )
+    rc = (
+        right.filter(F.col(rk).isNotNull())
+        .groupBy(F.col(rk).alias("__k"))
+        .agg(F.count(F.lit(1)).alias("n_right"))
+    )
+    return lc.join(rc, "__k").select(
+        "__k",
+        "n_left",
+        "n_right",
+        (F.col("n_left").cast("decimal(19,0)") * F.col("n_right").cast("decimal(19,0)"))
+        .cast("decimal(38,0)")
+        .alias("pairs"),
     )
 
 
@@ -193,28 +247,8 @@ def join_skew_report(
     # for counting); the string render happens only in the output
     # projection — matching through cast-to-string would silently
     # un-pair values whose renderings differ (int 1 vs decimal 1.0)
-    lc = (
-        left.filter(F.col(left_key).isNotNull())
-        .groupBy(F.col(left_key).alias("__k"))
-        .agg(F.count(F.lit(1)).alias("n_left"))
-    )
-    rc = (
-        right.filter(F.col(rk).isNotNull())
-        .groupBy(F.col(rk).alias("__k"))
-        .agg(F.count(F.lit(1)).alias("n_right"))
-    )
-    # pairs in DECIMAL(38,0): a bigint product silently wraps negative
-    # once one degenerate key holds ~3e9 rows on each side (realistic
-    # at 100 TB) — and a wrapped-negative count would sort the hottest
-    # key LAST, making the report green-light exactly the join it
-    # exists to flag. Decimal keeps the product exact to 1e38.
-    j = lc.join(rc, "__k").select(
-        F.col("__k").cast("string").alias("key"),
-        "n_left",
-        "n_right",
-        (F.col("n_left").cast("decimal(19,0)") * F.col("n_right").cast("decimal(19,0)"))
-        .cast("decimal(38,0)")
-        .alias("pairs"),
+    j = _key_pair_counts(left, right, left_key, rk).select(
+        F.col("__k").cast("string").alias("key"), "n_left", "n_right", "pairs"
     )
     tot = j.agg(F.sum("pairs").alias("__tot"))
     return (
@@ -287,8 +321,15 @@ def skew_safe_join(
     Constraints: ``how`` must be "inner" (outer variants would need
     null-extension bookkeeping across branches); left/right column
     names must be disjoint (the same precondition a plain
-    ``join(cond)`` needs to stay unambiguous downstream). NULL keys
-    never match, as in any equi-join.
+    ``join(cond)`` needs to stay unambiguous downstream); key dtypes
+    must coerce LOSSLESSLY (same type, integral<->integral, or
+    float<->double) — the split filters compare in native types while
+    the join compares coerced, so a lossy bigint<->double mix could
+    strand a match across branches. NULL keys never match, as in any
+    equi-join. Auto mode (``hot_keys=None``) is EAGER: the key-sized
+    detection aggregate and its bounded collect run when this function
+    is CALLED, not when the result is executed — pass ``hot_keys``
+    explicitly (e.g. from a saved report) for a fully lazy plan.
     """
     rk = right_key or left_key
     if how != "inner":
@@ -312,37 +353,25 @@ def skew_safe_join(
         raise ValueError(
             f"left/right column names must be disjoint, both have {sorted(overlap)}"
         )
-    _check_key_compat(left, right, left_key, rk)
+    _check_key_compat(left, right, left_key, rk, lossless=True)
     cond = F.col(left_key) == F.col(rk)
     out_cols = [*left.columns, *right.columns]
     if hot_keys is None:
-        # bounded auto-detect: the join_skew_report aggregate (key-sized,
-        # never data-sized) filtered to output-share >= auto_min_share;
-        # collects at most auto_top_k raw key values to the driver
-        lc = (
-            left.filter(F.col(left_key).isNotNull())
-            .groupBy(F.col(left_key).alias("__k"))
-            .agg(F.count(F.lit(1)).alias("__nl"))
-        )
-        rc = (
-            right.filter(F.col(rk).isNotNull())
-            .groupBy(F.col(rk).alias("__k"))
-            .agg(F.count(F.lit(1)).alias("__nr"))
-        )
-        j = lc.join(rc, "__k").select(
-            "__k",
-            (F.col("__nl").cast("decimal(19,0)") * F.col("__nr").cast("decimal(19,0)"))
-            .cast("decimal(38,0)")
-            .alias("__pairs"),
-        )
-        tot = j.agg(F.sum("__pairs").alias("__tot"))
+        # bounded auto-detect, EAGER at call time: the join_skew_report
+        # aggregate (_key_pair_counts — key-sized, never data-sized)
+        # filtered to output-share >= auto_min_share; collects at most
+        # auto_top_k raw key values to the driver before this function
+        # returns (merely CONSTRUCTING the result runs two count
+        # aggregates — pass hot_keys explicitly for a lazy plan)
+        j = _key_pair_counts(left, right, left_key, rk)
+        tot = j.agg(F.sum("pairs").alias("__tot"))
         hot_rows = (
             j.crossJoin(F.broadcast(tot))
             .filter(
-                F.col("__pairs").cast("double")
+                F.col("pairs").cast("double")
                 >= F.lit(float(auto_min_share)) * F.col("__tot").cast("double")
             )
-            .orderBy(F.col("__pairs").desc())
+            .orderBy(F.col("pairs").desc())
             .limit(auto_top_k)
             .select("__k")
             .collect()

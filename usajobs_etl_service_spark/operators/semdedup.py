@@ -50,6 +50,26 @@ from pyspark.sql import functions as F
 from usajobs_etl_service_spark.functions.vectors import cosine, dot, l2_normalize, norm
 
 
+def _dlit(x) -> str:
+    """Render one double as a VALID SQL literal for a driver-built
+    literal block: NaN/Inf components (one poisoned embedding poisons
+    a cluster mean or a seed vector) must become cast literals, never
+    the unresolvable identifier ``nanD`` that `repr()+'D'` would emit
+    and that kills the whole job at analysis time (round-9 review
+    finding); None renders as a NULL double (the value an in-plan
+    aggregate over the same data would have produced)."""
+    import math
+
+    if x is None:
+        return "CAST(NULL AS DOUBLE)"
+    x = float(x)
+    if math.isnan(x):
+        return "CAST('NaN' AS DOUBLE)"
+    if math.isinf(x):
+        return f"CAST('{'-' if x < 0 else ''}Infinity' AS DOUBLE)"
+    return f"{x!r}D"
+
+
 def _cap_metrics(id_col: str, max_cluster: int) -> tuple[Column, Column]:
     """observe() aggregates for the RESIDUAL oversized-cluster guard
     (post-collapse): representative rows whose collapsed cluster still
@@ -681,16 +701,21 @@ def prototypicality_prune(
         .select(nv.alias("__nv"))
         .collect()
     )
-    cent_rows = [[float(x) for x in r["__nv"]] for r in seeds]
+    # seeds whose normalized form is NULL (zero-norm / NULL embedding)
+    # cannot anchor a cluster — drop them rather than crash; contract
+    # corpora have none, so oracle seed selection is unaffected
+    cent_rows = [list(r["__nv"]) for r in seeds if r["__nv"] is not None]
     if not cent_rows:
-        raise ValueError("prototypicality_prune: empty input")
+        raise ValueError("prototypicality_prune: no usable (non-null) seed vectors")
     dim = len(cent_rows[0])
+    n_clusters = len(cent_rows)
     # literal block as ONE parsed SQL string (the assign_clusters
-    # py4j-round-trip lesson)
+    # py4j-round-trip lesson); _dlit keeps NaN/Inf seed components as
+    # valid cast literals
     cents_lit = F.expr(
         "array("
         + ", ".join(
-            "array(" + ", ".join(f"{x!r}D" for x in cv) + ")" for cv in cent_rows
+            "array(" + ", ".join(_dlit(x) for x in cv) + ")" for cv in cent_rows
         )
         + ")"
     )
@@ -745,17 +770,28 @@ def prototypicality_prune(
     )
     # driver-side mean norms in the SAME fold order as vectors.norm
     # (left-to-right acc + v*v from 0.0), so the literal reproduces
-    # the broadcast-join form's doubles bit-for-bit
+    # the broadcast-join form's doubles bit-for-bit. Degenerate mean
+    # components must render to VALID SQL, matching what the join form
+    # propagated (round-9 review finding): a NaN/Inf component (one
+    # poisoned embedding poisons its cluster's avg) renders as a cast
+    # literal, never `nanD` (an unresolvable identifier that would
+    # kill the whole prune); a NULL component (ragged vector shorter
+    # than the seed dim -> avg(element_at)=NULL) makes the fold NULL,
+    # so norm is rendered NULL and proto_cos degrades to NULL for that
+    # cluster instead of crashing float(None) on the driver.
     import math
 
     mean_by_cid = {
-        r["cluster_id"]: [float(r[f"__m{i}"]) for i in range(dim)] for r in mean_rows
+        r["cluster_id"]: [r[f"__m{i}"] for i in range(dim)] for r in mean_rows
     }
     means_dense = [
         mean_by_cid.get(cid, [0.0] * dim) for cid in range(1, n_clusters + 1)
     ]
-    norms_dense = []
+    norms_dense: list[float | None] = []
     for m in means_dense:
+        if any(v is None for v in m):
+            norms_dense.append(None)  # the in-plan fold would be NULL
+            continue
         acc = 0.0
         for v in m:
             acc += v * v
@@ -763,12 +799,12 @@ def prototypicality_prune(
     means_lit = F.expr(
         "array("
         + ", ".join(
-            "array(" + ", ".join(f"{x!r}D" for x in mv) + ")" for mv in means_dense
+            "array(" + ", ".join(_dlit(x) for x in mv) + ")" for mv in means_dense
         )
         + ")"
     )
     norms_lit = F.expr(
-        "array(" + ", ".join(f"{x!r}D" for x in norms_dense) + ")"
+        "array(" + ", ".join(_dlit(x) for x in norms_dense) + ")"
     )
     scored = assigned.filter(F.col("cluster_id").isNotNull()).select(
         F.col(id_col),

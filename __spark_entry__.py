@@ -4113,6 +4113,24 @@ def q186_zorder_prepared_float(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q187_int8_quantization_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extension (embedding-store compression — the 4x int8 shrink a
+    100 TB vector corpus applies before anything else touches it):
+    symmetric per-vector int8 quantization of the embeddings table
+    with a per-vector fidelity report (operators/quantize.py —
+    scale = max|v|/127, codes = clamp(round(v/scale)), reconstruction
+    max-abs-error and MSE). Everything is HOFs in the scan stage (one
+    pass, zero shuffles, no join); round() is half-away-from-zero in
+    both engines, so the oracle reproduces the exact codes and the
+    rounded error stats hash-match."""
+    from usajobs_etl_service_spark.operators.quantize import (
+        quantization_error_report,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    return quantization_error_report(emb)
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_job_statistics": q01_job_statistics,
     "q02_metric_union": q02_metric_union,
@@ -4300,6 +4318,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q184_join_skew_report": q184_join_skew_report,
     "q185_skew_safe_join": q185_skew_safe_join,
     "q186_zorder_prepared_float": q186_zorder_prepared_float,
+    "q187_int8_quantization_report": q187_int8_quantization_report,
 }
 
 
@@ -7658,6 +7677,32 @@ ORACLES: dict[str, str] = {
                min(o_custkey) AS min_o_custkey, max(o_custkey) AS max_o_custkey
         FROM r
         GROUP BY 1
+    """,
+    # q187: per-vector int8 quantize + reconstruction-error replay
+    "q187_int8_quantization_report": """
+        WITH v AS (
+            SELECT vec_id,
+                   list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+            FROM embeddings
+        ), s AS (
+            SELECT vec_id, v,
+                   list_max(list_transform(v, x -> abs(x))) / 127.0 AS scale
+            FROM v
+        ), e AS (
+            SELECT vec_id, scale,
+                   CASE WHEN scale = 0
+                        THEN list_transform(v, x -> abs(x))
+                        ELSE list_transform(v, x -> abs(x -
+                             greatest(-127.0, least(127.0, round(x / scale))) * scale))
+                   END AS err
+            FROM s
+        )
+        SELECT vec_id,
+               round(scale, 8) AS scale,
+               round(list_max(err), 8) AS max_abs_err,
+               round(list_aggregate(list_transform(err, x -> x * x), 'sum')
+                     / len(err), 12) AS mse
+        FROM e
     """,
 }
 

@@ -1,0 +1,84 @@
+"""Int8 embedding quantization (operators/quantize.py): error bound,
+degenerate vectors, dequant round-trip, and the zero-shuffle plan."""
+
+from __future__ import annotations
+
+import math
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from usajobs_etl_service_spark.operators.quantize import (
+    dequantize_int8,
+    quantization_error_report,
+    quantize_embeddings_int8,
+)
+
+
+@pytest.fixture(scope="module")
+def vecs(spark):
+    rng = random.Random(11)
+    rows = [(i, [rng.gauss(0.0, 0.5) for _ in range(16)]) for i in range(40)]
+    rows.append((100, [0.0] * 16))  # zero vector
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+def test_codes_match_python_reference_and_bounds(spark, vecs):
+    got = {r["vec_id"]: r for r in quantize_embeddings_int8(vecs).collect()}
+    for row in vecs.collect():
+        vid, v = row["vec_id"], row["embedding"]
+        scale = max(abs(x) for x in v) / 127.0
+        want = (
+            [0] * len(v)
+            if scale == 0
+            else [
+                int(max(-127.0, min(127.0, math.floor(abs(x / scale) + 0.5) * (1 if x >= 0 else -1))))
+                for x in v
+            ]
+        )
+        assert list(got[vid]["qvec"]) == want, vid
+        assert abs(got[vid]["scale"] - scale) < 1e-15
+        assert all(-127 <= c <= 127 for c in got[vid]["qvec"])
+    assert dict(quantize_embeddings_int8(vecs).dtypes)["qvec"] == "array<tinyint>"
+
+
+def test_error_report_bounded_by_half_scale(spark, vecs):
+    rows = quantization_error_report(vecs).collect()
+    assert len(rows) == 41
+    for r in rows:
+        # worst-case quantization error is scale/2 (plus float noise)
+        assert r["max_abs_err"] <= r["scale"] / 2 + 1e-9, dict(r.asDict())
+        assert r["mse"] <= (r["scale"] / 2) ** 2 + 1e-12
+    zero = next(r for r in rows if r["vec_id"] == 100)
+    assert (zero["scale"], zero["max_abs_err"], zero["mse"]) == (0.0, 0.0, 0.0)
+
+
+def test_dequantize_roundtrip(spark, vecs):
+    q = quantize_embeddings_int8(vecs)
+    back = q.select("vec_id", dequantize_int8(q).alias("v2"))
+    orig = {r["vec_id"]: r["embedding"] for r in vecs.collect()}
+    for r in back.collect():
+        v, v2 = orig[r["vec_id"]], r["v2"]
+        scale = max(abs(x) for x in v) / 127.0
+        assert all(abs(a - b) <= scale / 2 + 1e-9 for a, b in zip(v, v2))
+
+
+def test_null_embedding_flows_as_null(spark):
+    df = spark.createDataFrame(
+        [(1, [1.0, -2.0]), (2, None)], "vec_id long, embedding array<double>"
+    )
+    rows = {r["vec_id"]: r for r in quantize_embeddings_int8(df).collect()}
+    assert rows[2]["qvec"] is None and rows[2]["scale"] is None
+    assert list(rows[1]["qvec"]) == [64, -127]
+
+
+def test_report_plan_is_one_pass_no_shuffle(spark, vecs):
+    """The whole quantize+report must live in the scan stage: zero
+    Exchange (no join back on id, no aggregate shuffle)."""
+    p = (
+        quantization_error_report(vecs)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in p, p[:800]
+    assert "Join" not in p, p[:800]

@@ -4131,6 +4131,31 @@ def q187_int8_quantization_report(spark: SparkSession, sf_dir: str) -> DataFrame
     return quantization_error_report(emb)
 
 
+def q188_int8_topk_rescoring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extension (the query path over the compressed store): exact
+    top-20 cosine where BOTH the corpus and the query vector live as
+    int8 codes (operators/quantize.py) — quantize, dequantize
+    (code * scale doubles, bit-exact in any engine), then the q18
+    TakeOrdered scan. Proves the 4x-compressed store still ranks:
+    the oracle replays quantize+dequantize+cosine end-to-end, and
+    test_quantize asserts high overlap with the float top-k."""
+    from usajobs_etl_service_spark.operators.quantize import (
+        dequantize_int8,
+        quantize_embeddings_int8,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    q = quantize_embeddings_int8(emb)
+    deq = q.select("vec_id", dequantize_int8(q).alias("embedding"))
+    qvec = [
+        float(x)
+        for x in deq.filter(F.col("vec_id") == 0).select("embedding").first()[0]
+    ]
+    return SIM.topk_cosine(
+        deq.filter(F.col("vec_id") != 0), qvec, k=20, round_digits=4
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_job_statistics": q01_job_statistics,
     "q02_metric_union": q02_metric_union,
@@ -4319,6 +4344,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q185_skew_safe_join": q185_skew_safe_join,
     "q186_zorder_prepared_float": q186_zorder_prepared_float,
     "q187_int8_quantization_report": q187_int8_quantization_report,
+    "q188_int8_topk_rescoring": q188_int8_topk_rescoring,
 }
 
 
@@ -7703,6 +7729,30 @@ ORACLES: dict[str, str] = {
                round(list_aggregate(list_transform(err, x -> x * x), 'sum')
                      / len(err), 12) AS mse
         FROM e
+    """,
+    # q188: quantize + dequantize + the q18 cosine top-k contract
+    "q188_int8_topk_rescoring": """
+        WITH v AS (
+            SELECT vec_id,
+                   list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+            FROM embeddings
+        ), s AS (
+            SELECT vec_id, v,
+                   list_max(list_transform(v, x -> abs(x))) / 127.0 AS scale
+            FROM v
+        ), d AS (
+            SELECT vec_id,
+                   CASE WHEN scale = 0 THEN list_transform(v, x -> 0.0)
+                        ELSE list_transform(v, x ->
+                             greatest(-127.0, least(127.0, round(x / scale))) * scale)
+                   END AS dv
+            FROM s
+        )
+        SELECT vec_id,
+               round(list_cosine_similarity(dv,
+                     (SELECT dv FROM d WHERE vec_id = 0)), 4) AS sim
+        FROM d WHERE vec_id <> 0
+        ORDER BY sim DESC, vec_id ASC LIMIT 20
     """,
 }
 

@@ -82,3 +82,21 @@ def test_report_plan_is_one_pass_no_shuffle(spark, vecs):
     )
     assert "Exchange" not in p, p[:800]
     assert "Join" not in p, p[:800]
+
+
+def test_int8_topk_overlaps_float_topk(spark):
+    """The rescoring claim: quantized-store top-k agrees closely with
+    the float top-k (int8 error ~scale/2 barely moves cosines)."""
+    from usajobs_etl_service_spark.operators.similarity import topk_cosine
+    from usajobs_etl_service_spark.session import read_table
+
+    emb = read_table(spark, "/root/testdata/sf0.001", "embeddings").select(
+        "vec_id", "embedding"
+    )
+    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    exact = {r["vec_id"] for r in topk_cosine(emb.filter(F.col("vec_id") != 0), qvec, k=20).collect()}
+    q = quantize_embeddings_int8(emb)
+    deq = q.select("vec_id", dequantize_int8(q).alias("embedding"))
+    dq = [float(x) for x in deq.filter(F.col("vec_id") == 0).first()["embedding"]]
+    got = {r["vec_id"] for r in topk_cosine(deq.filter(F.col("vec_id") != 0), dq, k=20).collect()}
+    assert len(exact & got) >= 15, (sorted(exact), sorted(got))

@@ -282,3 +282,45 @@ def test_skew_safe_join_plan_hot_branch_broadcasts(spark, skew_join_frames):
         assert "SortMergeJoin" in plan
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_skew_safe_join_property_random_frames(spark):
+    """Property: for ANY key distribution, NULL mix, duplicate
+    multiplicity, and hot-key set (even keys absent from the data),
+    both strategies equal the plain inner join."""
+    from hypothesis import given, settings, strategies as st
+
+    from usajobs_etl_service_spark.operators.salting import skew_safe_join
+
+    keys = st.one_of(st.none(), st.integers(min_value=0, max_value=5))
+
+    @settings(max_examples=15, deadline=None)
+    @given(
+        lrows=st.lists(keys, min_size=0, max_size=25),
+        rrows=st.lists(keys, min_size=0, max_size=12),
+        hot=st.lists(st.integers(min_value=0, max_value=7), max_size=3, unique=True),
+        strategy=st.sampled_from(["broadcast", "salt"]),
+    )
+    def check(lrows, rrows, hot, strategy):
+        left = spark.createDataFrame(
+            [(k, i) for i, k in enumerate(lrows)] or [(None, -1)], "k long, v long"
+        )
+        right = spark.createDataFrame(
+            [(k, i * 10) for i, k in enumerate(rrows)] or [(None, -1)], "rk long, w long"
+        )
+        plain = sorted(
+            tuple(r)
+            for r in left.join(right, F.col("k") == F.col("rk"), "inner")
+            .select("k", "v", "rk", "w")
+            .collect()
+        )
+        got = sorted(
+            tuple(r)
+            for r in skew_safe_join(
+                left, right, left_key="k", right_key="rk",
+                hot_keys=hot, strategy=strategy, salt_buckets=3,
+            ).collect()
+        )
+        assert got == plain, (lrows, rrows, hot, strategy)
+
+    check()

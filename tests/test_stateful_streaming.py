@@ -5,6 +5,8 @@ from __future__ import annotations
 
 import json
 
+import pytest
+
 from usajobs_etl_service_spark.sources.ingest import flatten_postings, parse_api_pages
 from usajobs_etl_service_spark.streaming.stateful import streaming_first_wins_dedup
 
@@ -282,3 +284,60 @@ def test_rocksdb_state_store_backend(spark, tmp_path):
             spark.conf.unset(key)
         else:
             spark.conf.set(key, old)
+
+
+def test_watermark_dedup_drops_within_window_across_batches(spark, tmp_path):
+    """dropDuplicatesWithinWatermark wrapper: a duplicate key arriving
+    in a later micro-batch but within the watermark is dropped; state
+    is event-time-bounded (the unbounded-key-domain posture)."""
+    import json as _json
+
+    from usajobs_etl_service_spark.streaming.stateful import streaming_watermark_dedup
+
+    spool = tmp_path / "wspool"
+    ckpt = str(tmp_path / "wckpt")
+    spool.mkdir()
+    out = []
+
+    def drain():
+        raw = (
+            spark.readStream.schema("k string, ts timestamp, v long")
+            .json(str(spool))
+        )
+        deduped = streaming_watermark_dedup(
+            raw, key_cols=["k"], ts_col="ts", watermark="1 hour"
+        )
+
+        def sink(df, _bid):
+            out.extend((r["k"], r["v"]) for r in df.collect())
+
+        q = (
+            deduped.writeStream.foreachBatch(sink)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    def write(name, rows):
+        with open(spool / name, "w") as f:
+            for k, ts, v in rows:
+                f.write(_json.dumps({"k": k, "ts": ts, "v": v}) + "\n")
+
+    write("b1.json", [("a", "2024-01-01 10:00:00", 1), ("b", "2024-01-01 10:01:00", 2),
+                      ("a", "2024-01-01 10:02:00", 3)])  # in-batch dup of a
+    drain()
+    assert sorted(out) == [("a", 1), ("b", 2)]
+
+    # batch 2, same checkpoint: 'a' re-sent 10 min later (inside the
+    # 1 h watermark window) -> dropped; new key 'c' passes
+    write("b2.json", [("a", "2024-01-01 10:10:00", 9), ("c", "2024-01-01 10:11:00", 4)])
+    drain()
+    assert sorted(out) == [("a", 1), ("b", 2), ("c", 4)]
+
+    with pytest.raises(ValueError, match="key column"):
+        streaming_watermark_dedup(
+            spark.readStream.schema("k string, ts timestamp, v long").json(str(spool)),
+            key_cols=[],
+        )

@@ -75,6 +75,36 @@ def streaming_first_wins_dedup(
     )
 
 
+def streaming_watermark_dedup(
+    df: DataFrame,
+    *,
+    key_cols: list[str],
+    ts_col: str = "ts",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Cross-batch dedup with EVENT-TIME-bounded state — the built-in
+    ``dropDuplicatesWithinWatermark`` (Spark 3.5+), complementing
+    :func:`streaming_first_wins_dedup`:
+
+    - first_wins (applyInPandasWithState): exact first-ever-by-seq
+      semantics, state = one boolean per key FOREVER unless a
+      processing-time TTL is set — the right tool when re-sends can
+      arrive arbitrarily late and the key domain is bounded.
+    - this wrapper: state expires by EVENT TIME — a duplicate arriving
+      within ``watermark`` of the first sighting is dropped, older
+      re-sends pass through as new rows; state size is bounded by the
+      keys seen per watermark window, which is what an unbounded key
+      domain (URLs, event ids) needs at 100 TB/day. All engine-side
+      (RocksDB-checkpointable state store), no Python in the loop.
+
+    Returns the deduplicated stream; ``df`` must be a streaming
+    DataFrame with an event-time column ``ts_col``.
+    """
+    if not key_cols:
+        raise ValueError("streaming_watermark_dedup: need at least one key column")
+    return df.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(key_cols)
+
+
 def streaming_heavy_hitter_candidates(
     df: DataFrame,
     *,

@@ -324,3 +324,27 @@ def test_skew_safe_join_property_random_frames(spark):
         assert got == plain, (lrows, rrows, hot, strategy)
 
     check()
+
+
+def test_skew_safe_join_auto_strategy_picks_by_hot_slice_size(spark, skew_join_frames):
+    from usajobs_etl_service_spark.operators.salting import skew_safe_join
+
+    left, right = skew_join_frames
+    plain = _rows(left.join(right, F.col("k") == F.col("rk"), "inner").select("k", "v", "rk", "w"))
+    # tiny hot slice -> broadcast branch (plan shows the hint)
+    out = skew_safe_join(
+        left, right, left_key="k", right_key="rk",
+        auto_min_share=0.5, strategy="auto",
+    )
+    assert _rows(out) == plain
+    # force the salt fallback: hot slice "too big" at max_broadcast_rows=1
+    out2 = skew_safe_join(
+        left, right, left_key="k", right_key="rk",
+        auto_min_share=0.5, strategy="auto", max_broadcast_rows=1,
+    )
+    assert _rows(out2) == plain
+    p2 = out2._jdf.queryExecution().executedPlan().toString()
+    assert "__rsalt" in p2  # the salt branch actually engaged
+    with pytest.raises(ValueError, match="auto"):
+        skew_safe_join(left, right, left_key="k", right_key="rk",
+                       hot_keys=[0], strategy="auto")

@@ -280,6 +280,7 @@ def skew_safe_join(
     strategy: str = "broadcast",
     salt_buckets: int = 32,
     salt_cols: list[str] | None = None,
+    max_broadcast_rows: int = 5_000_000,
 ) -> DataFrame:
     """Equi-join that survives one (or a few) degenerate hot keys — the
     mitigation that closes the loop ``join_skew_report`` opens. A plain
@@ -298,7 +299,10 @@ def skew_safe_join(
       ``salt_buckets`` ways and salts left rows with a deterministic
       row-content hash (retry-safe, see `_salt`), spreading the hot key
       over ``salt_buckets`` reducers — for when the hot subset's right
-      rows are too many to broadcast.
+      rows are too many to broadcast; ``strategy="auto"`` (with
+      ``hot_keys=None`` only) uses the detection pass's own counts —
+      broadcast while the hot slice holds at most ``max_broadcast_rows``
+      right rows, salt past that.
     - COLD keys take the plain join, untouched.
     - The union is exactly the plain inner join (each left x right
       match appears on exactly one branch).
@@ -334,8 +338,10 @@ def skew_safe_join(
     rk = right_key or left_key
     if how != "inner":
         raise ValueError(f"skew_safe_join supports how='inner' only, got {how!r}")
-    if strategy not in ("broadcast", "salt"):
-        raise ValueError(f"strategy must be 'broadcast' or 'salt', got {strategy!r}")
+    if strategy not in ("broadcast", "salt", "auto"):
+        raise ValueError(
+            f"strategy must be 'broadcast', 'salt' or 'auto', got {strategy!r}"
+        )
     if salt_buckets < 2:
         raise ValueError(f"salt_buckets must be >= 2, got {salt_buckets}")
     if not 1 <= auto_top_k <= 10_000:
@@ -343,6 +349,11 @@ def skew_safe_join(
         raise ValueError(f"auto_top_k must be in [1, 10000], got {auto_top_k}")
     if not 0.0 < auto_min_share <= 1.0:
         raise ValueError(f"auto_min_share must be in (0, 1], got {auto_min_share}")
+    if strategy == "auto" and hot_keys is not None:
+        raise ValueError(
+            "strategy='auto' needs the detection pass's counts; with explicit "
+            "hot_keys pass strategy='broadcast' or 'salt'"
+        )
     if hot_keys is not None and any(k is None for k in hot_keys):
         # ~isin([..., None]) is NULL for EVERY row — the cold branch
         # would silently drop the whole table; NULL keys never match an
@@ -373,10 +384,16 @@ def skew_safe_join(
             )
             .orderBy(F.col("pairs").desc())
             .limit(auto_top_k)
-            .select("__k")
+            .select("__k", "n_right")
             .collect()
         )
         hot_keys = [r["__k"] for r in hot_rows]
+        if strategy == "auto":
+            # the detection pass already counted the hot slice's right
+            # rows — pick broadcast while the slice is small, fall back
+            # to salt-replicate past the broadcast budget
+            hot_right_rows = sum(r["n_right"] for r in hot_rows)
+            strategy = "broadcast" if hot_right_rows <= max_broadcast_rows else "salt"
     if not hot_keys:
         return left.join(right, cond, "inner").select(*out_cols)
     lk_c, rk_c = F.col(left_key), F.col(rk)

@@ -7714,11 +7714,15 @@ ORACLES: dict[str, str] = {
             FROM embeddings
         ), s AS (
             SELECT vec_id, v,
-                   list_max(list_transform(v, x -> abs(x))) / 127.0 AS scale
+                   CASE WHEN v IS NOT NULL AND len(v) > 0
+                             AND len(list_filter(v, x -> x IS NULL)) = 0
+                        THEN list_max(list_transform(v, x -> abs(x))) / 127.0
+                   END AS scale
             FROM v
         ), e AS (
             SELECT vec_id, scale,
-                   CASE WHEN scale = 0
+                   CASE WHEN scale IS NULL THEN NULL
+                        WHEN scale = 0
                         THEN list_transform(v, x -> abs(x))
                         ELSE list_transform(v, x -> abs(x -
                              greatest(-127.0, least(127.0, round(x / scale))) * scale))
@@ -7740,11 +7744,15 @@ ORACLES: dict[str, str] = {
             FROM embeddings
         ), s AS (
             SELECT vec_id, v,
-                   list_max(list_transform(v, x -> abs(x))) / 127.0 AS scale
+                   CASE WHEN v IS NOT NULL AND len(v) > 0
+                             AND len(list_filter(v, x -> x IS NULL)) = 0
+                        THEN list_max(list_transform(v, x -> abs(x))) / 127.0
+                   END AS scale
             FROM v
         ), d AS (
             SELECT vec_id,
-                   CASE WHEN scale = 0 THEN list_transform(v, x -> 0.0)
+                   CASE WHEN scale IS NULL THEN NULL
+                        WHEN scale = 0 THEN list_transform(v, x -> 0.0)
                         ELSE list_transform(v, x ->
                              greatest(-127.0, least(127.0, round(x / scale))) * scale)
                    END AS dv

@@ -100,3 +100,28 @@ def test_int8_topk_overlaps_float_topk(spark):
     dq = [float(x) for x in deq.filter(F.col("vec_id") == 0).first()["embedding"]]
     got = {r["vec_id"] for r in topk_cosine(deq.filter(F.col("vec_id") != 0), dq, k=20).collect()}
     assert len(exact & got) >= 15, (sorted(exact), sorted(got))
+
+
+def test_null_element_and_empty_vector_quantize_to_null(spark):
+    """Round-9 review finding: greatest/least skip NULLs, so a NULL
+    element used to quantize to full-scale +127 — silent corruption.
+    The contract now: NULL/empty/NULL-element vectors yield NULL qvec,
+    scale, and NULL report stats (never a fake zero)."""
+    df = spark.createDataFrame(
+        [
+            (1, [1.0, None, -0.5]),
+            (2, []),
+            (3, None),
+            (4, [1.0, -2.0]),
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    rows = {r["vec_id"]: r for r in quantize_embeddings_int8(df).collect()}
+    for vid in (1, 2, 3):
+        assert rows[vid]["qvec"] is None and rows[vid]["scale"] is None, vid
+    assert list(rows[4]["qvec"]) == [64, -127]
+    rep = {r["vec_id"]: r for r in quantization_error_report(df).collect()}
+    for vid in (1, 2, 3):
+        r = rep[vid]
+        assert (r["scale"], r["max_abs_err"], r["mse"]) == (None, None, None), vid
+    assert rep[4]["max_abs_err"] <= rep[4]["scale"] / 2 + 2e-8  # both rounded to 8dp

@@ -349,6 +349,9 @@ def skew_safe_join(
         raise ValueError(f"auto_top_k must be in [1, 10000], got {auto_top_k}")
     if not 0.0 < auto_min_share <= 1.0:
         raise ValueError(f"auto_min_share must be in (0, 1], got {auto_min_share}")
+    if max_broadcast_rows < 1:
+        # a non-positive budget silently forces 'auto' to always salt
+        raise ValueError(f"max_broadcast_rows must be >= 1, got {max_broadcast_rows}")
     if strategy == "auto" and hot_keys is not None:
         raise ValueError(
             "strategy='auto' needs the detection pass's counts; with explicit "
@@ -382,7 +385,10 @@ def skew_safe_join(
                 F.col("pairs").cast("double")
                 >= F.lit(float(auto_min_share)) * F.col("__tot").cast("double")
             )
-            .orderBy(F.col("pairs").desc())
+            # string-rendered key tiebreak: ties in pairs at the
+            # auto_top_k cutoff must select the SAME hot set (and, in
+            # auto mode, the same strategy) on every run
+            .orderBy(F.col("pairs").desc(), F.col("__k").cast("string").asc())
             .limit(auto_top_k)
             .select("__k", "n_right")
             .collect()

@@ -7715,7 +7715,8 @@ ORACLES: dict[str, str] = {
         ), s AS (
             SELECT vec_id, v,
                    CASE WHEN v IS NOT NULL AND len(v) > 0
-                             AND len(list_filter(v, x -> x IS NULL)) = 0
+                             AND len(list_filter(v, x -> x IS NULL
+                                     OR isnan(x) OR isinf(x))) = 0
                         THEN list_max(list_transform(v, x -> abs(x))) / 127.0
                    END AS scale
             FROM v
@@ -7745,7 +7746,8 @@ ORACLES: dict[str, str] = {
         ), s AS (
             SELECT vec_id, v,
                    CASE WHEN v IS NOT NULL AND len(v) > 0
-                             AND len(list_filter(v, x -> x IS NULL)) = 0
+                             AND len(list_filter(v, x -> x IS NULL
+                                     OR isnan(x) OR isinf(x))) = 0
                         THEN list_max(list_transform(v, x -> abs(x))) / 127.0
                    END AS scale
             FROM v

@@ -125,3 +125,21 @@ def test_zorder_rewrite_with_resolutions_floats(spark, tmp_path):
     )
     avg = sum((r["hi"] - r["lo"]) / 99.9 for r in ranges) / len(ranges)
     assert avg < 0.7, avg
+
+
+def test_cli_rejects_resolution_for_non_zorder_column(spark, tmp_path):
+    """Round-10 review finding: a --zorder-resolution entry naming a
+    column NOT in --zorder computed its bucket helper, dropped it
+    unused, and reported the float column clustered when it never was.
+    The CLI now fails fast on extras (and still requires --zorder)."""
+    from tools.maintain import main
+
+    path = str(tmp_path / "t_extra")
+    _write_grid(spark, path)
+    with pytest.raises(SystemExit):
+        main([path, "--zorder", "x", "--zorder-resolution", "y=0.5"])
+    with pytest.raises(SystemExit):
+        main([path, "--zorder-resolution", "x=0.5"])  # no --zorder at all
+    # the table was never rewritten by either failed invocation
+    assert not os.path.exists(path + ".zorder_staging")
+    assert not os.path.exists(path + ".zorder_backup")

@@ -125,3 +125,29 @@ def test_null_element_and_empty_vector_quantize_to_null(spark):
         r = rep[vid]
         assert (r["scale"], r["max_abs_err"], r["mse"]) == (None, None, None), vid
     assert rep[4]["max_abs_err"] <= rep[4]["scale"] / 2 + 2e-8  # both rounded to 8dp
+
+
+def test_nonfinite_elements_quantize_to_null(spark):
+    """Round-10 review finding: a NaN element made scale NaN and forced
+    EVERY code to the +127 clamp bound (greatest/least skip NaN like
+    they skip NULL); an Inf element made scale Inf and every finite
+    code 0. Both are now degenerate like NULL elements: NULL qvec,
+    NULL scale, NULL report stats."""
+    nan, inf = float("nan"), float("inf")
+    df = spark.createDataFrame(
+        [
+            (1, [1.0, nan, -0.5]),
+            (2, [1.0, inf]),
+            (3, [1.0, -inf]),
+            (4, [1.0, -2.0]),
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    rows = {r["vec_id"]: r for r in quantize_embeddings_int8(df).collect()}
+    for vid in (1, 2, 3):
+        assert rows[vid]["qvec"] is None and rows[vid]["scale"] is None, vid
+    assert list(rows[4]["qvec"]) == [64, -127]
+    rep = {r["vec_id"]: r for r in quantization_error_report(df).collect()}
+    for vid in (1, 2, 3):
+        r = rep[vid]
+        assert (r["scale"], r["max_abs_err"], r["mse"]) == (None, None, None), vid

@@ -163,6 +163,7 @@ def main(argv: list[str]) -> None:
         # float column was re-clustered when nothing ran
         ap.error("--zorder-resolution requires --zorder")
     if args.zorder:
+        zcols = [c for c in args.zorder.split(",") if c]
         resolutions = None
         if args.zorder_resolution:
             resolutions = {
@@ -171,10 +172,20 @@ def main(argv: list[str]) -> None:
                     kv.split("=", 1) for kv in args.zorder_resolution.split(",") if kv
                 )
             }
+            extras = sorted(set(resolutions) - set(zcols))
+            if extras:
+                # a resolution naming a non-z column would compute its
+                # bucket helper, drop it unused, and report the float
+                # column clustered when it never was (round-10 review)
+                ap.error(
+                    f"--zorder-resolution columns {extras} are not in "
+                    f"--zorder ({zcols}); every resolution must name a "
+                    "z-order column"
+                )
         summary["zorder"] = zorder_rewrite(
             spark,
             args.table_dir,
-            [c for c in args.zorder.split(",") if c],
+            zcols,
             num_files=args.files,
             bits=args.bits,
             resolutions=resolutions,

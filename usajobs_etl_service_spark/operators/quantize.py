@@ -13,8 +13,8 @@ case per-element error scale/2. Per-VECTOR scaling (not per-corpus)
 makes the error relative to each vector's own magnitude and needs no
 global pass — each row quantizes independently inside the scan stage.
 
-NULL/degenerate contract (round-9 review): a vector that is NULL,
-EMPTY, or contains a NULL element quantizes to NULL (qvec and scale
+NULL/degenerate contract (round-9/10 reviews): a vector that is NULL,
+EMPTY, or contains a NULL/NaN/Inf element quantizes to NULL (qvec and scale
 both NULL; report stats NULL) — quantizing around a missing element
 would silently write a full-scale code for it (greatest/least skip
 NULLs: clamp(round(NULL)) evaluates to 127 — verified, exactly the
@@ -49,12 +49,24 @@ from pyspark.sql import functions as F
 
 
 def _quantizable(v: Column) -> Column:
-    """True iff ``v`` is non-NULL, non-empty, and has no NULL element
-    — the only rows the int8 scheme is defined on (module docstring)."""
+    """True iff ``v`` is non-NULL, non-empty, and every element is a
+    finite non-NULL double — the only rows the int8 scheme is defined
+    on (module docstring). Non-finite elements are as corrupting as
+    NULLs (round-10 review): a NaN element makes scale NaN and forces
+    EVERY code to the clamp bound 127 (greatest/least skip NaN the way
+    clamp(round(NULL)) resolves to the bound), an Inf element makes
+    scale Inf and every finite code 0 — so NaN/Inf vectors quantize to
+    NULL like the other degenerate cases instead of writing full-scale
+    garbage codes."""
     return (
         v.isNotNull()
         & (F.size(v) > 0)
-        & ~F.exists(v, lambda x: x.isNull())
+        & ~F.exists(
+            v,
+            lambda x: x.isNull()
+            | F.isnan(x)
+            | (F.abs(x) == F.lit(float("inf"))),
+        )
     )
 
 

@@ -417,7 +417,10 @@ def skew_safe_join(
         r_rep = r_hot.withColumn(
             "__rsalt", F.explode(F.sequence(F.lit(0), F.lit(salt_buckets - 1)))
         )
-        l_salted = l_hot.withColumn("__lsalt", _salt(left, salt_buckets, salt_cols))
+        # _salt only reads schema today, but hand it the frame the salt
+        # column actually attaches to (round-10 review: fragile if
+        # _salt ever inspects more than df.schema)
+        l_salted = l_hot.withColumn("__lsalt", _salt(l_hot, salt_buckets, salt_cols))
         hot = l_salted.join(
             r_rep, cond & (F.col("__lsalt") == F.col("__rsalt")), "inner"
         ).drop("__lsalt", "__rsalt")

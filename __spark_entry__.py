@@ -4158,6 +4158,50 @@ def q188_int8_topk_rescoring(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q189_int8_store_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extension (the persisted form of q188 — closes the round-9 gap
+    where every probe re-quantized the float corpus): the embeddings
+    table is quantized ONCE into a persisted ``(id, qvec, scale)``
+    parquet store (operators/quantize.quantize_write — the
+    minhash/IVF/winnow build-once contract), and the probe reads ONLY
+    the compact store. Asymmetric scoring: the query vector stays
+    FLOAT (never quantized) while the corpus side is int8 codes;
+    cosine is scale-invariant under the symmetric per-vector scheme,
+    so the shortlist pass ranks on raw codes without touching scale,
+    and only the 100-row shortlist is dequantized for the final
+    re-rank (dequantization cost O(shortlist), never O(corpus)).
+    The store build runs at query construction — that IS the operator
+    (build once, probe many); the probe plan is scan -> project ->
+    TakeOrdered twice, no join, no shuffle. The oracle replays
+    quantize + code-cosine shortlist + dequantized re-rank end-to-end.
+    """
+    import os
+    import tempfile
+
+    from usajobs_etl_service_spark.operators.quantize import (
+        quantize_load,
+        quantize_write,
+        quantized_topk_cosine,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    # deterministic per-SF path (the driver/bench re-run queries; a
+    # fresh mkdtemp per call would leak dirs the lazy plan still reads)
+    store = os.path.join(
+        tempfile.gettempdir(),
+        f"spark_graft_q189_store_{os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    quantize_write(emb.filter(F.col("vec_id") != 0), store)
+    qvec = [
+        float(x)
+        for x in emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
+    ]
+    out = quantized_topk_cosine(
+        quantize_load(spark, store), qvec, k=20, shortlist=100
+    )
+    return out.select(F.col("id").alias("vec_id"), "sim")
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_job_statistics": q01_job_statistics,
     "q02_metric_union": q02_metric_union,
@@ -4347,6 +4391,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q186_zorder_prepared_float": q186_zorder_prepared_float,
     "q187_int8_quantization_report": q187_int8_quantization_report,
     "q188_int8_topk_rescoring": q188_int8_topk_rescoring,
+    "q189_int8_store_probe": q189_int8_store_probe,
 }
 
 
@@ -7764,6 +7809,42 @@ ORACLES: dict[str, str] = {
                round(list_cosine_similarity(dv,
                      (SELECT dv FROM d WHERE vec_id = 0)), 4) AS sim
         FROM d WHERE vec_id <> 0
+        ORDER BY sim DESC, vec_id ASC LIMIT 20
+    """,
+    # q189: persisted int8 store probe — quantize once, shortlist on raw
+    # codes (cosine is scale-invariant), dequantize ONLY the shortlist
+    "q189_int8_store_probe": """
+        WITH v AS (
+            SELECT vec_id,
+                   list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+            FROM embeddings
+        ), qf AS (
+            SELECT v AS q FROM v WHERE vec_id = 0
+        ), s AS (
+            SELECT vec_id, v,
+                   CASE WHEN v IS NOT NULL AND len(v) > 0
+                             AND len(list_filter(v, x -> x IS NULL
+                                     OR isnan(x) OR isinf(x))) = 0
+                        THEN list_max(list_transform(v, x -> abs(x))) / 127.0
+                   END AS scale
+            FROM v WHERE vec_id <> 0
+        ), c AS (
+            SELECT vec_id, scale,
+                   list_transform(v, x ->
+                        greatest(-127.0, least(127.0, round(x / scale)))) AS codes
+            FROM s WHERE scale IS NOT NULL AND scale > 0
+        ), short AS (
+            SELECT vec_id, scale, codes,
+                   round(list_cosine_similarity(codes, (SELECT q FROM qf)), 4)
+                       AS sim_code
+            FROM c
+            ORDER BY sim_code DESC, vec_id ASC LIMIT 100
+        )
+        SELECT vec_id,
+               round(list_cosine_similarity(
+                     list_transform(codes, x -> x * scale),
+                     (SELECT q FROM qf)), 4) AS sim
+        FROM short
         ORDER BY sim DESC, vec_id ASC LIMIT 20
     """,
 }

@@ -151,3 +151,111 @@ def test_nonfinite_elements_quantize_to_null(spark):
     for vid in (1, 2, 3):
         r = rep[vid]
         assert (r["scale"], r["max_abs_err"], r["mse"]) == (None, None, None), vid
+
+
+def test_store_roundtrip_equals_inline(spark, vecs, tmp_path):
+    """quantize_write -> quantize_load returns exactly the inline
+    quantization of the same corpus (id-renamed) — the store adds IO,
+    never changes values."""
+    from usajobs_etl_service_spark.operators.quantize import (
+        quantize_load,
+        quantize_write,
+    )
+
+    path = str(tmp_path / "store")
+    quantize_write(vecs, path)
+    got = sorted(
+        (r["id"], tuple(r["qvec"]), r["scale"])
+        for r in quantize_load(spark, path).collect()
+    )
+    want = sorted(
+        (r["vec_id"], tuple(r["qvec"]), r["scale"])
+        for r in quantize_embeddings_int8(vecs).collect()
+    )
+    assert got == want
+
+
+def test_store_append_latest_wins_and_compact(spark, tmp_path):
+    """Re-embedded ids resolve latest-wins by batch_seq (base rows read
+    as NULL = oldest); compact folds to a windowless base with
+    identical content — the minhash/winnow store contract."""
+    from usajobs_etl_service_spark.operators.quantize import (
+        quantize_compact,
+        quantize_load,
+        quantize_write,
+    )
+
+    base = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 2.0]), (3, [3.0, 3.0])],
+        "vec_id long, embedding array<double>",
+    )
+    path = str(tmp_path / "store_inc")
+    quantize_write(base, path)
+    from usajobs_etl_service_spark.operators.quantize import quantize_append
+
+    # batch 1 re-embeds id 2 and adds id 4; batch 2 re-embeds id 2 again
+    quantize_append(
+        spark.createDataFrame(
+            [(2, [0.5, 0.5]), (4, [4.0, 0.0])],
+            "vec_id long, embedding array<double>",
+        ),
+        path,
+        batch_seq=1,
+    )
+    quantize_append(
+        spark.createDataFrame([(2, [9.0, 0.0])], "vec_id long, embedding array<double>"),
+        path,
+        batch_seq=2,
+    )
+    latest = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [9.0, 0.0]), (3, [3.0, 3.0]), (4, [4.0, 0.0])],
+        "vec_id long, embedding array<double>",
+    )
+    want = sorted(
+        (r["vec_id"], tuple(r["qvec"]), r["scale"])
+        for r in quantize_embeddings_int8(latest).collect()
+    )
+    got = sorted(
+        (r["id"], tuple(r["qvec"]), r["scale"])
+        for r in quantize_load(spark, path).collect()
+    )
+    assert got == want
+    compacted = str(tmp_path / "store_compacted")
+    quantize_compact(spark, path, compacted)
+    cdf = spark.read.parquet(compacted)
+    assert "batch_seq" not in cdf.columns
+    got_c = sorted(
+        (r["id"], tuple(r["qvec"]), r["scale"])
+        for r in quantize_load(spark, compacted).collect()
+    )
+    assert got_c == want
+
+
+def test_quantized_topk_probe_matches_dequantized_and_plans_clean(spark):
+    """Asymmetric store probe (float query x int8 codes, shortlist +
+    dequantized re-rank) selects the same ids as brute-force cosine
+    over the fully dequantized store (cosine is scale-invariant under
+    the per-vector scheme); the probe plan has no Exchange and no Join
+    and shortlist < k is rejected."""
+    import pytest as _pytest
+
+    from usajobs_etl_service_spark.operators.quantize import quantized_topk_cosine
+    from usajobs_etl_service_spark.operators.similarity import topk_cosine
+    from usajobs_etl_service_spark.session import read_table
+
+    emb = read_table(spark, "/root/testdata/sf0.001", "embeddings").select(
+        "vec_id", "embedding"
+    )
+    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    corpus = emb.filter(F.col("vec_id") != 0)
+    q = quantize_embeddings_int8(corpus)
+    store = q.select(F.col("vec_id").alias("id"), "qvec", "scale")
+    got = quantized_topk_cosine(store, qvec, k=20, shortlist=100)
+    deq = q.select("vec_id", dequantize_int8(q).alias("embedding"))
+    want = topk_cosine(deq, qvec, k=20)
+    assert [r["id"] for r in got.collect()] == [r["vec_id"] for r in want.collect()]
+    p = got._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in p and "Join" not in p, p[:800]
+    assert "TakeOrderedAndProject" in p
+    with _pytest.raises(ValueError):
+        quantized_topk_cosine(store, qvec, k=20, shortlist=5)

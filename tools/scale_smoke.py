@@ -189,6 +189,7 @@ def run(outdir: str) -> None:
         f"{big}_total_spill_bytes": total_spill,
         "lsh_cap_drop_counters": _cap_drop_counters(spark, outdir),
         "minhash_persisted_vs_inline": _minhash_crossover(spark, outdir, big),
+        "int8_store_vs_inline": _int8_store_smoke(spark, outdir, big),
         "cc_distributed_rounds": _cc_rounds(spark, outdir),
         "kcore_distributed": _kcore_smoke(spark),
         "triangle_census": _triangle_smoke(spark),
@@ -663,6 +664,83 @@ def _skew_join_smoke(spark) -> dict:
         return out
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def _int8_store_smoke(spark, outdir: str, big: str) -> dict[str, dict]:
+    """q188 vs q189 deployment shapes side-by-side: INLINE re-quantizes
+    the float corpus on every probe (the round-9 shape); PERSISTED
+    (quantize_write) pays the quantization scan once into a 4x-smaller
+    (id, qvec, scale) parquet store, and every probe reads only the
+    codes. Records the measured breakeven — the store amortizes after
+    ``build_sec / (inline_sec - probe_sec)`` probes — plus the store:
+    float size ratio actually achieved on disk."""
+    import shutil
+    import tempfile
+
+    from bench import materialize
+    from usajobs_etl_service_spark.operators.quantize import (
+        dequantize_int8,
+        quantize_embeddings_int8,
+        quantize_load,
+        quantize_write,
+        quantized_topk_cosine,
+    )
+    from usajobs_etl_service_spark.session import read_table
+    from pyspark.sql import functions as F
+
+    def _dir_bytes(d):
+        return sum(
+            os.path.getsize(os.path.join(r, f))
+            for r, _, fs in os.walk(d)
+            for f in fs
+            if not f.startswith(("_", "."))
+        )
+
+    out: dict[str, dict] = {}
+    for label, d in (("sf0.1", BASE_SF), (big, outdir)):
+        emb = read_table(spark, d, "embeddings").select("vec_id", "embedding")
+        qvec = [
+            float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]
+        ]
+        corpus = emb.filter(F.col("vec_id") != 0)
+
+        def inline_probe():
+            q = quantize_embeddings_int8(corpus)
+            deq = q.select("vec_id", dequantize_int8(q).alias("embedding"))
+            from usajobs_etl_service_spark.operators.similarity import topk_cosine
+
+            return topk_cosine(deq, qvec, k=20)
+
+        tmp = tempfile.mkdtemp(prefix="smoke_int8_")
+        try:
+            materialize(inline_probe())  # warm codegen
+            t0 = time.perf_counter()
+            materialize(inline_probe())
+            t_inline = time.perf_counter() - t0
+            t0 = time.perf_counter()
+            quantize_write(corpus, tmp)
+            t_build = time.perf_counter() - t0
+            store = quantize_load(spark, tmp)
+            materialize(quantized_topk_cosine(store, qvec, k=20, shortlist=100))
+            t0 = time.perf_counter()
+            materialize(quantized_topk_cosine(store, qvec, k=20, shortlist=100))
+            t_probe = time.perf_counter() - t0
+            saved = t_inline - t_probe
+            emb_dir = os.path.join(d, "embeddings.parquet")
+            out[label] = {
+                "inline_probe_sec": round(t_inline, 3),
+                "store_build_sec": round(t_build, 3),
+                "store_probe_sec": round(t_probe, 3),
+                "breakeven_probes": round(t_build / saved, 1) if saved > 0 else None,
+                "store_bytes_over_float_bytes": round(
+                    _dir_bytes(tmp) / max(_dir_bytes(emb_dir), 1), 3
+                )
+                if os.path.isdir(emb_dir)
+                else None,
+            }
+        finally:
+            shutil.rmtree(tmp, ignore_errors=True)
+    return out
 
 
 def _profile_smoke(spark, outdir: str) -> dict:

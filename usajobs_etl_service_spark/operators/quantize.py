@@ -168,3 +168,136 @@ def quantization_error_report(
         F.round(F.when(F.col("__err").isNotNull(), mx), 8).alias("max_abs_err"),
         F.round(F.try_divide(sse, F.size("__err")), 12).alias("mse"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Persisted quantized store — the build-once/probe-many contract the other
+# dedup/ANN families already have (neardup.minhash_write, winnow.winnow_write,
+# similarity.ivf_write): a 100 TB embedding corpus is quantized ONCE and every
+# probe reads only the compact (id, qvec, scale) table — 4x less IO than the
+# float corpus and no per-query re-quantization (the round-9 q188 shape, which
+# re-derived the codes from the float table on every probe, inverted exactly
+# this story). Same store discipline the reference applies to its derived
+# artifacts (docker-compose.prod.yml:89-96 — persist, don't recompute).
+# ---------------------------------------------------------------------------
+
+
+def quantize_write(
+    df: DataFrame,
+    path: str,
+    *,
+    id_col: str = "vec_id",
+    embedding_col: str = "embedding",
+) -> None:
+    """Persist the int8 store as a build-once artifact: columns
+    ``(id, qvec array<tinyint>, scale double)`` — one row per input
+    vector, NULL qvec/scale for degenerate inputs (module docstring),
+    so a gated pipeline can count them in the store itself."""
+    quantize_embeddings_int8(df, id_col=id_col, embedding_col=embedding_col).select(
+        F.col(id_col).alias("id"), "qvec", "scale"
+    ).write.mode("overwrite").parquet(path)
+
+
+def quantize_append(
+    df: DataFrame,
+    path: str,
+    *,
+    batch_seq: int,
+    id_col: str = "vec_id",
+    embedding_col: str = "embedding",
+) -> None:
+    """Append one re-embedding batch's codes — append-only, no rewrite
+    of the base (``minhash_append``'s contract). Rows carry a monotone
+    ``batch_seq``; ``quantize_load`` resolves re-embedded ids
+    latest-wins on read. Base files from ``quantize_write`` lack the
+    column and read as NULL = oldest. Fold the tail into a fresh base
+    with ``quantize_compact``."""
+    quantize_embeddings_int8(df, id_col=id_col, embedding_col=embedding_col).select(
+        F.col(id_col).alias("id"), "qvec", "scale"
+    ).withColumn("batch_seq", F.lit(int(batch_seq))).write.mode("append").parquet(path)
+
+
+def quantize_load(spark, path: str) -> DataFrame:
+    """Load a persisted int8 store (columns: id, qvec, scale). With
+    appended batches, each id keeps its LATEST row only — one id-keyed
+    window, paid only when appends exist (a write-once or compacted
+    table reads straight through). Ties on (id, batch_seq) — duplicate
+    ids within one batch or the NULL-seq base — break by content hash
+    of (qvec, scale), so the loaded store is deterministic even when
+    the unique-id-per-batch precondition is violated (the
+    ``minhash_load`` discipline)."""
+    q = spark.read.option("mergeSchema", "true").parquet(path)
+    if "batch_seq" not in q.columns:
+        return q
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("id").orderBy(
+        F.desc_nulls_last("batch_seq"),
+        F.xxhash64(F.col("qvec"), F.col("scale")).asc(),
+    )
+    return (
+        q.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select("id", "qvec", "scale")
+    )
+
+
+def quantize_compact(spark, src_path: str, dst_path: str) -> None:
+    """Fold an appended store into a fresh write-once base at
+    ``dst_path`` (latest row per id, no batch_seq), so later loads skip
+    the latest-wins window. New path: rewriting a path Spark may be
+    lazily reading is not safe (the minhash_compact contract)."""
+    quantize_load(spark, src_path).write.mode("overwrite").parquet(dst_path)
+
+
+def quantized_topk_cosine(
+    store: DataFrame,
+    query_vec: list[float],
+    *,
+    k: int = 10,
+    shortlist: int | None = None,
+    round_digits: int = 4,
+) -> DataFrame:
+    """Asymmetric top-k over the persisted store: the query stays
+    FLOAT (full precision — never quantized), the corpus side is int8
+    codes. Returns ``(id, sim)``, ties broken (sim desc, id asc) like
+    ``similarity.topk_cosine``.
+
+    Key property of the symmetric per-vector scheme: cosine is
+    SCALE-INVARIANT — cos(codes * scale, q) == cos(codes, q) for
+    scale > 0 — so the ranking pass reads only the tinyint codes and
+    never touches scale or materializes a dequantized double array.
+    Zero vectors (scale 0) and degenerate NULL rows score NULL
+    (``try_divide``) and are excluded, matching float-side behavior.
+
+    ``shortlist=m`` (m >= k) adds the general two-stage shape: stage 1
+    shortlists m rows on code-cosine, stage 2 dequantizes ONLY those m
+    rows (``codes * scale``) and re-ranks on the double reconstruction
+    — for cosine the two stages agree up to float noise (the rounding
+    absorbs it), but the shape is the template for scale-sensitive
+    scores (dot product, L2) where stage 2 genuinely re-orders; the
+    100 TB point is that dequantization cost is O(m), never O(corpus).
+
+    One scan, no join, no shuffle: plans as scan -> project ->
+    TakeOrderedAndProject (both stages)."""
+    if shortlist is not None and shortlist < k:
+        raise ValueError(f"shortlist ({shortlist}) must be >= k ({k})")
+    from usajobs_etl_service_spark.functions.vectors import cosine
+
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    code_sim = F.round(cosine(F.col("qvec").cast("array<double>"), q), round_digits)
+    stage1 = (
+        store.select("id", "qvec", "scale", code_sim.alias("sim"))
+        .filter(F.col("sim").isNotNull())
+        .orderBy(F.col("sim").desc(), F.col("id").asc())
+        .limit(shortlist if shortlist is not None else k)
+    )
+    if shortlist is None:
+        return stage1.select("id", "sim")
+    deq = F.transform(F.col("qvec"), lambda c: c.cast("double") * F.col("scale"))
+    resim = F.round(cosine(deq, q), round_digits)
+    return (
+        stage1.select("id", resim.alias("sim"))
+        .orderBy(F.col("sim").desc(), F.col("id").asc())
+        .limit(k)
+    )

@@ -4202,6 +4202,50 @@ def q189_int8_store_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(F.col("id").alias("vec_id"), "sim")
 
 
+def q190_skew_safe_semi_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extension (q185's missing modes — the J1 merge's actual scale
+    shape): skew_safe_join with how='left_semi' and 'left_anti' on the
+    planted 80%-share key (non-multiple-of-5 l_partkeys fold to 0),
+    against a dim holding only every-10th part key. Auto-detection is
+    MODE-AWARE here: semi/anti output share is per-SIDE row
+    concentration, not the inner path's pair product (an anti-hot key
+    absent from the right never appears in pair counts at all). The
+    hot branch is a broadcast KEY-SET membership test — the right side
+    of a semi/anti join only matters as a key set, so a hot key with a
+    billion right rows still broadcasts as one row, and the skewed
+    left rows never shuffle. The oracle replays both modes as
+    IN / NOT IN subqueries over the same dim."""
+    from usajobs_etl_service_spark.operators.salting import skew_safe_join
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.when(F.col("l_partkey") % 5 == 0, F.col("l_partkey"))
+        .otherwise(F.lit(0))
+        .alias("k"),
+        "l_quantity",
+    )
+    dim = (
+        _t(spark, sf_dir, "part")
+        .filter(F.col("p_partkey") % 10 == 0)
+        .select(F.col("p_partkey").alias("pk"))
+    )
+
+    def agg(df, mode):
+        return df.groupBy("k").agg(
+            F.count(F.lit(1)).alias("n_li"),
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        ).select(F.lit(mode).alias("mode"), "k", "n_li", "sum_qty")
+
+    semi = skew_safe_join(
+        li, dim, left_key="k", right_key="pk", how="left_semi",
+        auto_min_share=0.5, auto_top_k=5,
+    )
+    anti = skew_safe_join(
+        li, dim, left_key="k", right_key="pk", how="left_anti",
+        auto_min_share=0.5, auto_top_k=5,
+    )
+    return agg(semi, "semi").unionByName(agg(anti, "anti"))
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_job_statistics": q01_job_statistics,
     "q02_metric_union": q02_metric_union,
@@ -4392,6 +4436,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q187_int8_quantization_report": q187_int8_quantization_report,
     "q188_int8_topk_rescoring": q188_int8_topk_rescoring,
     "q189_int8_store_probe": q189_int8_store_probe,
+    "q190_skew_safe_semi_anti": q190_skew_safe_semi_anti,
 }
 
 
@@ -7846,6 +7891,23 @@ ORACLES: dict[str, str] = {
                      (SELECT q FROM qf)), 4) AS sim
         FROM short
         ORDER BY sim DESC, vec_id ASC LIMIT 20
+    """,
+    # q190: skew-safe semi/anti — IN / NOT IN over the every-10th dim
+    "q190_skew_safe_semi_anti": """
+        WITH li AS (
+            SELECT CASE WHEN l_partkey % 5 = 0 THEN l_partkey ELSE 0 END AS k,
+                   l_quantity
+            FROM lineitem
+        ), dim AS (
+            SELECT p_partkey AS pk FROM part WHERE p_partkey % 10 = 0
+        )
+        SELECT 'semi' AS mode, k, count(*) AS n_li,
+               round(sum(l_quantity), 2) AS sum_qty
+        FROM li WHERE k IN (SELECT pk FROM dim) GROUP BY k
+        UNION ALL
+        SELECT 'anti' AS mode, k, count(*) AS n_li,
+               round(sum(l_quantity), 2) AS sum_qty
+        FROM li WHERE k NOT IN (SELECT pk FROM dim) GROUP BY k
     """,
 }
 

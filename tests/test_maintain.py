@@ -143,3 +143,34 @@ def test_cli_rejects_resolution_for_non_zorder_column(spark, tmp_path):
     # the table was never rewritten by either failed invocation
     assert not os.path.exists(path + ".zorder_staging")
     assert not os.path.exists(path + ".zorder_backup")
+
+
+def test_profile_sidecar_approx_mode(spark, tmp_path):
+    """--profile-approx sidecar: HLL distinct estimates must be present
+    (never NULL) for every orderable column, within ~5% rsd of exact,
+    and the sidecar records which mode produced it — so a consumer can
+    tell an estimate from a count (round-9 verdict item)."""
+    path = str(tmp_path / "t_prof_approx")
+    _write_grid(spark, path)
+    exact = profile_to_file(spark, path, ["x", "y"])
+    with open(os.path.join(path, "_PROFILE.json")) as f:
+        exact_doc = json.load(f)
+    assert exact_doc["mode"] == "exact" and exact_doc["distinct_rsd"] == 0.0
+    out = profile_to_file(spark, path, ["x", "y"], approx=True)
+    assert out["profiled_columns"] == exact["profiled_columns"] == 2
+    with open(os.path.join(path, "_PROFILE.json")) as f:
+        doc = json.load(f)
+    assert doc["mode"] == "approx" and doc["distinct_rsd"] == 0.05
+    for col, stats in doc["columns"].items():
+        assert stats["n_distinct"] is not None, col
+        exact_nd = exact_doc["columns"][col]["n_distinct"]
+        assert abs(stats["n_distinct"] - exact_nd) <= max(3, 0.15 * exact_nd), col
+        # extrema and null counts stay exact in approx mode
+        assert stats["min"] == exact_doc["columns"][col]["min"]
+        assert stats["max"] == exact_doc["columns"][col]["max"]
+        assert stats["n_nulls"] == exact_doc["columns"][col]["n_nulls"]
+    # CLI: --profile-approx without a profile request is an error
+    from tools.maintain import main
+
+    with pytest.raises(SystemExit):
+        main([path, "--profile-approx"])

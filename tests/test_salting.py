@@ -348,3 +348,195 @@ def test_skew_safe_join_auto_strategy_picks_by_hot_slice_size(spark, skew_join_f
     with pytest.raises(ValueError, match="auto"):
         skew_safe_join(left, right, left_key="k", right_key="rk",
                        hot_keys=[0], strategy="auto")
+
+
+# ------------------------------------------------- semi/anti + lazy hot keys
+
+
+def test_skew_safe_join_semi_anti_match_plain(spark, skew_join_frames):
+    """left_semi/left_anti (the J1 merge's scale shape) must equal the
+    plain join for explicit hot keys — including a hot key ABSENT from
+    the right side (the anti case the inner path's pair counts can
+    never even see)."""
+    from usajobs_etl_service_spark.operators.salting import skew_safe_join
+
+    left, right = skew_join_frames
+    # drop the hot key from the right to make anti non-trivial too
+    right_no_hot = right.filter(F.col("rk") != 0)
+    for how in ("left_semi", "left_anti"):
+        for r in (right, right_no_hot):
+            plain = _rows(left.join(r, F.col("k") == F.col("rk"), how))
+            got = _rows(
+                skew_safe_join(
+                    left, r, left_key="k", right_key="rk", how=how, hot_keys=[0]
+                )
+            )
+            assert got == plain, how
+            assert [c for c in left.columns] == ["k", "v"]
+
+
+def test_skew_safe_join_semi_anti_auto_detects_either_side(spark):
+    """Mode-aware auto-detect: a key hot on the LEFT (80% share) and a
+    key hot only on the RIGHT must both route to the key-set branch;
+    results equal plain semi/anti."""
+    from usajobs_etl_service_spark.operators.salting import skew_safe_join
+
+    left = spark.range(1000).select(
+        F.when(F.col("id") % 10 == 0, F.col("id")).otherwise(F.lit(0)).alias("k"),
+        F.col("id").alias("v"),
+    )
+    # right: key 7770 is right-hot (600 dup rows), plus sparse keys;
+    # hot LEFT key 0 is absent from right entirely
+    right = (
+        spark.range(600).select(F.lit(7770).alias("rk"))
+        .unionByName(spark.range(0, 1000, 20).select(F.col("id").alias("rk")))
+    )
+    for how in ("left_semi", "left_anti"):
+        plain = _rows(left.join(right, F.col("k") == F.col("rk"), how))
+        got = _rows(
+            skew_safe_join(
+                left, right, left_key="k", right_key="rk", how=how,
+                auto_min_share=0.3,
+            )
+        )
+        assert got == plain, how
+
+
+def test_skew_safe_join_semi_hot_branch_is_broadcast_keyset(spark, skew_join_frames):
+    """Plan pin: the semi/anti hot branch joins against a BROADCAST
+    key-set (BroadcastHashJoin LeftSemi/LeftAnti) — the skewed left
+    rows never shuffle even with auto-broadcast off."""
+    from usajobs_etl_service_spark.operators.salting import skew_safe_join
+
+    left, right = skew_join_frames
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        for how, tag in (("left_semi", "LeftSemi"), ("left_anti", "LeftAnti")):
+            out = skew_safe_join(
+                left, right, left_key="k", right_key="rk", how=how, hot_keys=[0]
+            )
+            plan = out._jdf.queryExecution().executedPlan().toString()
+            assert "BroadcastHashJoin" in plan, how
+            assert tag in plan, how
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_skew_safe_join_property_semi_anti(spark):
+    """Property: for ANY key distribution and hot set, semi and anti
+    equal the plain join (explicit keys and the lazy hot_keys_from
+    frame both)."""
+    from hypothesis import given, settings, strategies as st
+
+    from usajobs_etl_service_spark.operators.salting import skew_safe_join
+
+    keys = st.one_of(st.none(), st.integers(min_value=0, max_value=5))
+
+    def srt(df):
+        # anti output legitimately carries NULL keys (they never match,
+        # so anti KEEPS them) — sort None-safely
+        return sorted(
+            (tuple(r) for r in df.collect()),
+            key=lambda t: tuple((x is None, x) for x in t),
+        )
+
+    @settings(max_examples=12, deadline=None)
+    @given(
+        lrows=st.lists(keys, min_size=0, max_size=20),
+        rrows=st.lists(keys, min_size=0, max_size=10),
+        hot=st.lists(st.integers(min_value=0, max_value=7), max_size=3, unique=True),
+        how=st.sampled_from(["left_semi", "left_anti"]),
+        lazy=st.booleans(),
+    )
+    def check(lrows, rrows, hot, how, lazy):
+        left = spark.createDataFrame(
+            [(k, i) for i, k in enumerate(lrows)] or [(None, -1)], "k long, v long"
+        )
+        right = spark.createDataFrame(
+            [(k, i * 10) for i, k in enumerate(rrows)] or [(None, -1)], "rk long, w long"
+        )
+        plain = srt(left.join(right, F.col("k") == F.col("rk"), how))
+        if lazy:
+            hk = spark.createDataFrame([(k,) for k in hot] or [(None,)], "key long")
+            out = skew_safe_join(
+                left, right, left_key="k", right_key="rk", how=how, hot_keys_from=hk
+            )
+        else:
+            out = skew_safe_join(
+                left, right, left_key="k", right_key="rk", how=how, hot_keys=hot
+            )
+        assert srt(out) == plain, (lrows, rrows, hot, how, lazy)
+
+    check()
+
+
+def test_skew_safe_join_hot_keys_from_is_lazy_and_correct(spark, skew_join_frames):
+    """hot_keys_from must build the whole plan WITHOUT running a job
+    (the saved-report pipeline shape); results equal the eager isin
+    split, including via join_skew_report(render_key=False)."""
+    from usajobs_etl_service_spark.operators.salting import (
+        join_skew_report,
+        skew_safe_join,
+    )
+
+    left, right = skew_join_frames
+    sc = spark.sparkContext
+    group = "lazy_hot_keys_probe"
+    sc.setJobGroup(group, "construction must run no job")
+    try:
+        hk = spark.createDataFrame([(0,)], "key long")
+        out = skew_safe_join(
+            left, right, left_key="k", right_key="rk", hot_keys_from=hk
+        )
+        jobs = sc.statusTracker().getJobIdsForGroup(group)
+        assert jobs == [], jobs  # construction ran NO job
+        plain = _rows(
+            left.join(right, F.col("k") == F.col("rk"), "inner").select("k", "v", "rk", "w")
+        )
+        assert _rows(out) == plain
+        # sanity: the collect itself DID run jobs in this group
+        assert sc.statusTracker().getJobIdsForGroup(group) != []
+    finally:
+        sc.setJobGroup("", "")
+    # a saved report (raw keys) drives the same split
+    rep = join_skew_report(
+        left, right, left_key="k", right_key="rk", render_key=False
+    ).filter(F.col("pct_of_output") >= 0.5)
+    out2 = skew_safe_join(
+        left, right, left_key="k", right_key="rk", hot_keys_from=rep
+    )
+    assert _rows(out2) == _rows(
+        left.join(right, F.col("k") == F.col("rk"), "inner").select("k", "v", "rk", "w")
+    )
+    # NULL rows in the frame are filtered, not table-dropping
+    hk_null = spark.createDataFrame([(0,), (None,)], "key long")
+    out3 = skew_safe_join(
+        left, right, left_key="k", right_key="rk", hot_keys_from=hk_null
+    )
+    assert _rows(out3) == _rows(
+        left.join(right, F.col("k") == F.col("rk"), "inner").select("k", "v", "rk", "w")
+    )
+
+
+def test_skew_safe_join_hot_keys_from_validations(spark, skew_join_frames):
+    from usajobs_etl_service_spark.operators.salting import skew_safe_join
+
+    left, right = skew_join_frames
+    hk = spark.createDataFrame([(0,)], "key long")
+    with pytest.raises(ValueError, match="not both"):
+        skew_safe_join(
+            left, right, left_key="k", right_key="rk",
+            hot_keys=[0], hot_keys_from=hk,
+        )
+    with pytest.raises(ValueError, match="auto"):
+        skew_safe_join(
+            left, right, left_key="k", right_key="rk",
+            hot_keys_from=hk, strategy="auto",
+        )
+    # lossy key-frame dtype rejected like a lossy right key
+    hk_d = spark.createDataFrame([(0.0,)], "key double")
+    with pytest.raises(ValueError, match="incoercible"):
+        skew_safe_join(
+            left, right, left_key="k", right_key="rk", hot_keys_from=hk_d
+        )

@@ -7,6 +7,7 @@ on this engine's operators.
         [--partition-cols day]            # compact_partitions per partition
         [--zorder colA,colB [--files N]]  # rewrite whole table z-clustered
         [--profile-cols colA,colB]        # write _PROFILE.json beside data
+        [--profile-approx]                # HLL distincts (large tables)
         [--target-rows N]                 # compaction file sizing
 
 Emits ONE summary JSON line on stdout (the bench.py tail-capture
@@ -99,13 +100,23 @@ def zorder_rewrite(
     return {"rows": n_after, "files": num_files, "zorder_cols": cols}
 
 
-def profile_to_file(spark, path: str, cols: list[str] | None) -> dict:
+def profile_to_file(
+    spark, path: str, cols: list[str] | None, *, approx: bool = False
+) -> dict:
+    """``approx=True`` is the nightly-ops mode for LARGE tables: the
+    exact wide profile plans k multi-column distincts through one
+    Expand that multiplies every input row by (k+1) — at 100 TB
+    that is petabytes through the aggregate; HLL distincts
+    (profile_table(approx=True), ~5% rsd) keep the pass one plain
+    mergeable scan. The sidecar records which mode produced it."""
     from usajobs_etl_service_spark.operators.profiling import profile_table
 
     df = spark.read.parquet(path)
-    rows = profile_table(df, cols).collect()
+    rows = profile_table(df, cols, approx=approx).collect()
     out = {
         "generated_unix": int(time.time()),
+        "mode": "approx" if approx else "exact",
+        "distinct_rsd": 0.05 if approx else 0.0,
         "n_rows": rows[0]["n_rows"] if rows else 0,
         "columns": {
             r["column"]: {
@@ -140,6 +151,13 @@ def main(argv: list[str]) -> None:
     ap.add_argument("--bits", type=int, default=16)
     ap.add_argument("--profile-cols", default=None)
     ap.add_argument("--do-profile", action="store_true")
+    ap.add_argument(
+        "--profile-approx",
+        action="store_true",
+        help="HLL distinct estimates (~5%% rsd) instead of exact — the "
+        "right mode for a wide profile of a large table (the exact "
+        "plan's Expand multiplies every row by n_cols+1)",
+    )
     ap.add_argument("--target-rows", type=int, default=1_000_000)
     args = ap.parse_args(argv)
 
@@ -190,9 +208,13 @@ def main(argv: list[str]) -> None:
             bits=args.bits,
             resolutions=resolutions,
         )
+    if args.profile_approx and not (args.profile_cols or args.do_profile):
+        ap.error("--profile-approx requires --profile-cols or --do-profile")
     if args.profile_cols or args.do_profile:
         cols = [c for c in (args.profile_cols or "").split(",") if c] or None
-        summary["profile"] = profile_to_file(spark, args.table_dir, cols)
+        summary["profile"] = profile_to_file(
+            spark, args.table_dir, cols, approx=args.profile_approx
+        )
     summary["sec"] = round(time.perf_counter() - t0, 3)
     print(json.dumps(summary), flush=True)
 

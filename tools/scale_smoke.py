@@ -573,10 +573,14 @@ def _maintain_smoke(spark, outdir: str) -> dict:
         t0 = time.perf_counter()
         prof = profile_to_file(spark, table, ["doc_id", "lang", "n_chars"])
         profile_sec = round(time.perf_counter() - t0, 3)
+        t0 = time.perf_counter()
+        profile_to_file(spark, table, ["doc_id", "lang", "n_chars"], approx=True)
+        profile_approx_sec = round(time.perf_counter() - t0, 3)
         return {
             "rows": res["rows"],
             "rewrite_sec": rewrite_sec,
             "profile_sec": profile_sec,
+            "profile_approx_sec": profile_approx_sec,
             "files_before": files_before,
             "files_after": n_files(),
             "files_touched_frac_before": frac_before,
@@ -661,6 +665,50 @@ def _skew_join_smoke(spark) -> dict:
             out["plain_join_sec"] / max(out["broadcast_split_sec"], 1e-9), 2
         )
         out["beats_plain"] = out["broadcast_split_sec"] < out["plain_join_sec"]
+        # the semi/anti modes (round-10): same planted skew, right side
+        # beyond the broadcast budget (threshold -1 models it), hot key
+        # ABSENT from right so the anti join must keep every hot row —
+        # the skew-safe hot branch is a broadcast KEY-SET test, so the
+        # 80%-share left rows never shuffle
+        l0, r0 = frames()
+        r_nohot = r0.filter(F.col("rk") != 0)
+
+        def agg_sa(j):
+            return j.groupBy("k").agg(
+                F.count(F.lit(1)).alias("n"), F.sum("v").alias("s")
+            ).agg(
+                F.count(F.lit(1)).alias("groups"),
+                F.sum("n").alias("rows"),
+                F.sum("s").alias("chk"),
+            )
+
+        for how in ("left_semi", "left_anti"):
+            def plain_sa():
+                l, r = frames()
+                return agg_sa(l.join(r.filter(F.col("rk") != 0), F.col("k") == F.col("rk"), how))
+
+            def safe_sa():
+                l, r = frames()
+                return agg_sa(
+                    skew_safe_join(
+                        l, r.filter(F.col("rk") != 0),
+                        left_key="k", right_key="rk", how=how, hot_keys=[0],
+                    )
+                )
+
+            sums_sa = {}
+            rec = {}
+            for tag, mk in (("plain_sec", plain_sa), ("keyset_split_sec", safe_sa)):
+                mk().collect()  # warm (fresh plan per build)
+                t0 = time.perf_counter()
+                rows = mk().collect()
+                rec[tag] = round(time.perf_counter() - t0, 3)
+                sums_sa[tag] = tuple(rows[0])
+            rec["checksums_equal"] = len(set(sums_sa.values())) == 1
+            rec["speedup_vs_plain"] = round(
+                rec["plain_sec"] / max(rec["keyset_split_sec"], 1e-9), 2
+            )
+            out[how] = rec
         return out
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)

@@ -222,6 +222,7 @@ def join_skew_report(
     left_key: str,
     right_key: str | None = None,
     top_k: int = 20,
+    render_key: bool = True,
 ) -> DataFrame:
     """Pre-flight skew diagnostic for an equi-join: the ``top_k``
     heaviest join keys by OUTPUT cardinality (n_left * n_right — the
@@ -240,6 +241,11 @@ def join_skew_report(
 
     Output: (key string, n_left, n_right, pairs, pct_of_output) —
     ``pct_of_output`` rounds to 4, an exact integer ratio underneath.
+    ``render_key=False`` keeps ``key`` in its RAW type instead of the
+    display string — the form ``skew_safe_join(hot_keys_from=...)``
+    needs (a string-rendered double or decimal would not equi-join
+    back against the native key column), so a saved report can drive
+    the lazy hot/cold split directly.
     """
     rk = right_key or left_key
     _check_key_compat(left, right, left_key, rk)
@@ -247,8 +253,9 @@ def join_skew_report(
     # for counting); the string render happens only in the output
     # projection — matching through cast-to-string would silently
     # un-pair values whose renderings differ (int 1 vs decimal 1.0)
+    key_out = F.col("__k").cast("string") if render_key else F.col("__k")
     j = _key_pair_counts(left, right, left_key, rk).select(
-        F.col("__k").cast("string").alias("key"), "n_left", "n_right", "pairs"
+        key_out.alias("key"), "n_left", "n_right", "pairs"
     )
     tot = j.agg(F.sum("pairs").alias("__tot"))
     return (
@@ -275,6 +282,7 @@ def skew_safe_join(
     right_key: str | None = None,
     how: str = "inner",
     hot_keys: list | None = None,
+    hot_keys_from: DataFrame | str | None = None,
     auto_min_share: float = 0.05,
     auto_top_k: int = 20,
     strategy: str = "broadcast",
@@ -322,22 +330,50 @@ def skew_safe_join(
     the explicit, plan-shape-guaranteed fallback; the plan test pins
     the hot branch to BroadcastHashJoin.
 
-    Constraints: ``how`` must be "inner" (outer variants would need
-    null-extension bookkeeping across branches); left/right column
-    names must be disjoint (the same precondition a plain
-    ``join(cond)`` needs to stay unambiguous downstream); key dtypes
-    must coerce LOSSLESSLY (same type, integral<->integral, or
-    float<->double) — the split filters compare in native types while
-    the join compares coerced, so a lossy bigint<->double mix could
-    strand a match across branches. NULL keys never match, as in any
-    equi-join. Auto mode (``hot_keys=None``) is EAGER: the key-sized
+    ``how`` accepts "inner", "left_semi", and "left_anti" — semi/anti
+    are the J1 merge's scale shape (sinks/upsert.py pairs a left_anti
+    insert split with a left_semi update split; reference
+    etl/etl.py:467-488). For semi/anti the right side only matters as
+    a KEY SET, so the hot branch collapses to a broadcast membership
+    test: ``l_hot (semi|anti) broadcast(distinct keys of r_hot)`` —
+    at most |hot_keys| rows regardless of how many right rows the hot
+    key holds (the distinct is a partial-agg collapse, ~1 row per map
+    task per key, never a reducer hotspot). ``strategy`` is therefore
+    ignored for semi/anti, and auto-DETECTION flags a key hot when its
+    share of EITHER side's rows reaches ``auto_min_share`` (a hot left
+    key floods one reducer's probe side; a hot right key floods its
+    build side; for anti, left-only keys never appear in pair counts
+    at all, which is why the inner path's output-share metric is not
+    used here). Outer variants would need null-extension bookkeeping
+    across branches and stay unsupported.
+
+    ``hot_keys_from`` (mutually exclusive with ``hot_keys``) keeps the
+    plan FULLY LAZY for pipeline builders: pass a DataFrame — e.g. a
+    saved ``join_skew_report(..., render_key=False)`` — or a parquet
+    path, whose FIRST column holds raw key values. The hot/cold split
+    becomes a broadcast semi/anti join against that key frame instead
+    of collected ``isin`` literals, so constructing the result runs NO
+    job (tested); the key frame must be key-sized (it is broadcast).
+    NULL rows in the frame are filtered lazily (NULL keys never join).
+
+    Constraints: left/right column names must be disjoint (the same
+    precondition a plain ``join(cond)`` needs to stay unambiguous
+    downstream); key dtypes must coerce LOSSLESSLY (same type,
+    integral<->integral, or float<->double) — the split filters
+    compare in native types while the join compares coerced, so a
+    lossy bigint<->double mix could strand a match across branches.
+    NULL keys never match, as in any equi-join. Auto mode
+    (``hot_keys=None``, no ``hot_keys_from``) is EAGER: the key-sized
     detection aggregate and its bounded collect run when this function
-    is CALLED, not when the result is executed — pass ``hot_keys``
-    explicitly (e.g. from a saved report) for a fully lazy plan.
+    is CALLED, not when the result is executed — pass ``hot_keys`` or
+    ``hot_keys_from`` for a fully lazy plan.
     """
     rk = right_key or left_key
-    if how != "inner":
-        raise ValueError(f"skew_safe_join supports how='inner' only, got {how!r}")
+    if how not in ("inner", "left_semi", "left_anti"):
+        raise ValueError(
+            f"skew_safe_join supports how='inner', 'left_semi' or "
+            f"'left_anti', got {how!r}"
+        )
     if strategy not in ("broadcast", "salt", "auto"):
         raise ValueError(
             f"strategy must be 'broadcast', 'salt' or 'auto', got {strategy!r}"
@@ -352,10 +388,12 @@ def skew_safe_join(
     if max_broadcast_rows < 1:
         # a non-positive budget silently forces 'auto' to always salt
         raise ValueError(f"max_broadcast_rows must be >= 1, got {max_broadcast_rows}")
-    if strategy == "auto" and hot_keys is not None:
+    if hot_keys is not None and hot_keys_from is not None:
+        raise ValueError("pass hot_keys OR hot_keys_from, not both")
+    if strategy == "auto" and (hot_keys is not None or hot_keys_from is not None):
         raise ValueError(
             "strategy='auto' needs the detection pass's counts; with explicit "
-            "hot_keys pass strategy='broadcast' or 'salt'"
+            "hot_keys/hot_keys_from pass strategy='broadcast' or 'salt'"
         )
     if hot_keys is not None and any(k is None for k in hot_keys):
         # ~isin([..., None]) is NULL for EVERY row — the cold branch
@@ -369,47 +407,129 @@ def skew_safe_join(
         )
     _check_key_compat(left, right, left_key, rk, lossless=True)
     cond = F.col(left_key) == F.col(rk)
-    out_cols = [*left.columns, *right.columns]
-    if hot_keys is None:
-        # bounded auto-detect, EAGER at call time: the join_skew_report
-        # aggregate (_key_pair_counts — key-sized, never data-sized)
-        # filtered to output-share >= auto_min_share; collects at most
-        # auto_top_k raw key values to the driver before this function
-        # returns (merely CONSTRUCTING the result runs two count
-        # aggregates — pass hot_keys explicitly for a lazy plan)
-        j = _key_pair_counts(left, right, left_key, rk)
-        tot = j.agg(F.sum("pairs").alias("__tot"))
-        hot_rows = (
-            j.crossJoin(F.broadcast(tot))
-            .filter(
-                F.col("pairs").cast("double")
-                >= F.lit(float(auto_min_share)) * F.col("__tot").cast("double")
-            )
-            # string-rendered key tiebreak: ties in pairs at the
-            # auto_top_k cutoff must select the SAME hot set (and, in
-            # auto mode, the same strategy) on every run
-            .orderBy(F.col("pairs").desc(), F.col("__k").cast("string").asc())
-            .limit(auto_top_k)
-            .select("__k", "n_right")
-            .collect()
-        )
-        hot_keys = [r["__k"] for r in hot_rows]
-        if strategy == "auto":
-            # the detection pass already counted the hot slice's right
-            # rows — pick broadcast while the slice is small, fall back
-            # to salt-replicate past the broadcast budget
-            hot_right_rows = sum(r["n_right"] for r in hot_rows)
-            strategy = "broadcast" if hot_right_rows <= max_broadcast_rows else "salt"
-    if not hot_keys:
-        return left.join(right, cond, "inner").select(*out_cols)
+    semi_anti = how != "inner"
+    out_cols = list(left.columns) if semi_anti else [*left.columns, *right.columns]
     lk_c, rk_c = F.col(left_key), F.col(rk)
-    cold = (
-        left.filter(~lk_c.isin(hot_keys))
-        .join(right.filter(~rk_c.isin(hot_keys)), cond, "inner")
-    )
-    l_hot = left.filter(lk_c.isin(hot_keys))
-    r_hot = right.filter(rk_c.isin(hot_keys))
-    if strategy == "broadcast":
+    if hot_keys_from is not None:
+        # fully LAZY split: the hot/cold branches test membership via a
+        # broadcast semi/anti join against the saved key frame instead
+        # of collected isin literals — constructing the result runs no
+        # job; the frame must be key-sized (it is broadcast)
+        hk = (
+            left.sparkSession.read.parquet(hot_keys_from)
+            if isinstance(hot_keys_from, str)
+            else hot_keys_from
+        )
+        hk_name = "__hot_key"
+        taken = set(left.columns) | set(right.columns)
+        while hk_name in taken:
+            hk_name += "_"
+        hk = (
+            hk.select(F.col(hk.columns[0]).alias(hk_name))
+            .filter(F.col(hk_name).isNotNull())  # NULL keys never join
+            .distinct()
+        )
+        _check_key_compat(left, hk, left_key, hk_name, lossless=True)
+        bhk = F.broadcast(hk)
+        l_hot = left.join(bhk, lk_c == F.col(hk_name), "left_semi")
+        l_cold = left.join(bhk, lk_c == F.col(hk_name), "left_anti")
+        r_hot = right.join(bhk, rk_c == F.col(hk_name), "left_semi")
+        r_cold = right.join(bhk, rk_c == F.col(hk_name), "left_anti")
+    else:
+        if hot_keys is None and not semi_anti:
+            # bounded auto-detect, EAGER at call time: the
+            # join_skew_report aggregate (_key_pair_counts — key-sized,
+            # never data-sized) filtered to output-share >=
+            # auto_min_share; collects at most auto_top_k raw key
+            # values to the driver before this function returns (merely
+            # CONSTRUCTING the result runs two count aggregates — pass
+            # hot_keys/hot_keys_from for a lazy plan)
+            j = _key_pair_counts(left, right, left_key, rk)
+            tot = j.agg(F.sum("pairs").alias("__tot"))
+            hot_rows = (
+                j.crossJoin(F.broadcast(tot))
+                .filter(
+                    F.col("pairs").cast("double")
+                    >= F.lit(float(auto_min_share)) * F.col("__tot").cast("double")
+                )
+                # string-rendered key tiebreak: ties in pairs at the
+                # auto_top_k cutoff must select the SAME hot set (and,
+                # in auto mode, the same strategy) on every run
+                .orderBy(F.col("pairs").desc(), F.col("__k").cast("string").asc())
+                .limit(auto_top_k)
+                .select("__k", "n_right")
+                .collect()
+            )
+            hot_keys = [r["__k"] for r in hot_rows]
+            if strategy == "auto":
+                # the detection pass already counted the hot slice's
+                # right rows — pick broadcast while the slice is small,
+                # fall back to salt-replicate past the broadcast budget
+                hot_right_rows = sum(r["n_right"] for r in hot_rows)
+                strategy = (
+                    "broadcast" if hot_right_rows <= max_broadcast_rows else "salt"
+                )
+        elif hot_keys is None:
+            # semi/anti auto-detect: output share is the wrong metric
+            # (a semi/anti emits <= 1 row per left row, and for anti a
+            # hot LEFT-ONLY key never appears in pair counts at all);
+            # the shuffle hazard is per-SIDE row concentration, so a
+            # key is hot when its share of either side's non-NULL rows
+            # reaches auto_min_share
+            lc = (
+                left.filter(lk_c.isNotNull())
+                .groupBy(lk_c.alias("__k"))
+                .agg(F.count(F.lit(1)).alias("n_left"))
+            )
+            rc = (
+                right.filter(rk_c.isNotNull())
+                .groupBy(rk_c.alias("__k"))
+                .agg(F.count(F.lit(1)).alias("n_right"))
+            )
+            j = lc.join(rc, "__k", "full_outer").select(
+                "__k",
+                F.coalesce("n_left", F.lit(0)).alias("n_left"),
+                F.coalesce("n_right", F.lit(0)).alias("n_right"),
+            )
+            tot = j.agg(
+                F.sum("n_left").alias("__tl"), F.sum("n_right").alias("__tr")
+            )
+            share = F.greatest(
+                F.try_divide(F.col("n_left").cast("double"), F.col("__tl").cast("double")),
+                F.try_divide(F.col("n_right").cast("double"), F.col("__tr").cast("double")),
+            )
+            hot_rows = (
+                j.crossJoin(F.broadcast(tot))
+                .withColumn("__share", share)
+                .filter(F.col("__share") >= F.lit(float(auto_min_share)))
+                .orderBy(F.col("__share").desc(), F.col("__k").cast("string").asc())
+                .limit(auto_top_k)
+                .select("__k")
+                .collect()
+            )
+            hot_keys = [r["__k"] for r in hot_rows]
+        if not hot_keys:
+            return left.join(right, cond, how).select(*out_cols)
+        # cold filters must be NULL-SAFE: ~isin() is NULL (not true) for
+        # a NULL key, which silently dropped NULL-key left rows from the
+        # cold branch — invisible for inner/semi (NULL keys never match
+        # and vanish from the output anyway) but WRONG for left_anti,
+        # where unmatched rows are exactly the output (caught by the
+        # round-10 property test). NULL right rows are equally harmless
+        # on the cold branch for every supported mode.
+        l_hot = left.filter(lk_c.isin(hot_keys))
+        l_cold = left.filter(~lk_c.isin(hot_keys) | lk_c.isNull())
+        r_hot = right.filter(rk_c.isin(hot_keys))
+        r_cold = right.filter(~rk_c.isin(hot_keys) | rk_c.isNull())
+    cold = l_cold.join(r_cold, cond, how)
+    if semi_anti:
+        # the right side of a semi/anti join is only a key-membership
+        # set: collapse r_hot to its distinct keys (partial-agg — ~1
+        # row per map task per key, bounded by |hot_keys|) and
+        # broadcast; the skewed left rows never shuffle, and a hot key
+        # with a billion right rows broadcasts as ONE row
+        hot = l_hot.join(F.broadcast(r_hot.select(rk_c).distinct()), cond, how)
+    elif strategy == "broadcast":
         hot = l_hot.join(F.broadcast(r_hot), cond, "inner")
     else:
         # explode must stay the top-level projection expression (no

@@ -4246,6 +4246,38 @@ def q190_skew_safe_semi_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
     return agg(semi, "semi").unionByName(agg(anti, "anti"))
 
 
+def q191_triangle_census_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extension (the sampled escape hatch for q170 — the one named
+    bench outlier, already at its exact-census structural minimum):
+    DOULION edge-sampled triangle estimate (Tsourakakis et al., KDD
+    2009) of the part co-purchase graph at p=0.5. The census runs on a
+    deterministically md5-thinned edge set (~p^1.5 of the wedge work)
+    and scales counts back unbiased (edges 1/p, wedges 1/p^2,
+    triangles 1/p^3). Because the thinning is hash-deterministic (the
+    q67/q94 recipe), the oracle replays the EXACT estimate — this is a
+    hash-checked query, not a rows-only approximate; q170 itself is
+    the exact-regime companion (sample_p=1 takes the identical
+    unchanged path, asserted in tests). Accuracy vs q170's exact
+    census is asserted in test_graphrank."""
+    from usajobs_etl_service_spark.operators.graphrank import triangle_stats
+
+    return triangle_stats(_copurchase_edges(spark, sf_dir), sample_p=0.5)
+
+
+def q192_assortativity_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extension (q171's sampled companion): Newman degree
+    assortativity on the md5-thinned (p=0.5) co-purchase edge set —
+    Pearson correlation is scale-invariant and uniform edge thinning
+    scales degrees by ~p, so the sampled coefficient estimates the
+    full one with ~p of the join work; n_edges reports the 1/p-scaled
+    estimate. Deterministic thinning makes this hash-checked
+    end-to-end (the oracle replays sample + moments + one float
+    expression); q171 is the exact-regime companion."""
+    from usajobs_etl_service_spark.operators.graphrank import degree_assortativity
+
+    return degree_assortativity(_copurchase_edges(spark, sf_dir), sample_p=0.5)
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_job_statistics": q01_job_statistics,
     "q02_metric_union": q02_metric_union,
@@ -4437,6 +4469,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q188_int8_topk_rescoring": q188_int8_topk_rescoring,
     "q189_int8_store_probe": q189_int8_store_probe,
     "q190_skew_safe_semi_anti": q190_skew_safe_semi_anti,
+    "q191_triangle_census_sampled": q191_triangle_census_sampled,
+    "q192_assortativity_sampled": q192_assortativity_sampled,
 }
 
 
@@ -7908,6 +7942,77 @@ ORACLES: dict[str, str] = {
         SELECT 'anti' AS mode, k, count(*) AS n_li,
                round(sum(l_quantity), 2) AS sum_qty
         FROM li WHERE k NOT IN (SELECT pk FROM dim) GROUP BY k
+    """,
+    # q191: DOULION sampled triangle census — md5-thinned edges (p=0.5,
+    # the q67 hash-fraction recipe), census on the sample, counts scaled
+    # back 1/p, 1/p^2, 1/p^3 in the same op order as the engine
+    "q191_triangle_census_sampled": """
+        WITH pl AS (
+            SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+        ), eall AS (
+            SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+            FROM pl a JOIN pl b ON a.l_orderkey = b.l_orderkey
+                               AND a.l_partkey < b.l_partkey
+        ), e AS (
+            SELECT u, v FROM eall
+            WHERE CAST(('0x' || substr(md5(CAST(u AS VARCHAR) || '|' ||
+                        CAST(v AS VARCHAR) || '#42'), 1, 8)) AS BIGINT)
+                  / 4294967296.0 < 0.5
+        ), deg AS (
+            SELECT node, count(*) AS d
+            FROM (SELECT u AS node FROM e UNION ALL SELECT v AS node FROM e)
+            GROUP BY 1
+        ), wed AS (
+            SELECT CAST(sum(d * (d - 1) // 2) AS BIGINT) AS w FROM deg
+        ), tri AS (
+            SELECT count(*) AS t
+            FROM e e1
+            JOIN e e2 ON e1.v = e2.u
+            JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v
+        )
+        SELECT (SELECT count(*) FROM deg) AS n_nodes,
+               CAST(round((SELECT count(*) FROM e) / 0.5) AS BIGINT) AS n_edges,
+               CAST(round(wed.w / (0.5 * 0.5)) AS BIGINT) AS n_wedges,
+               CAST(round(tri.t / (0.5 * 0.5 * 0.5)) AS BIGINT) AS n_triangles,
+               round(3.0 * tri.t / wed.w / 0.5, 6) AS transitivity
+        FROM wed, tri
+    """,
+    # q192: sampled assortativity — same thinning; integer moments on
+    # the sampled graph, one float Pearson expression, n_edges 1/p-scaled
+    "q192_assortativity_sampled": """
+        WITH pl AS (
+            SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+        ), eall AS (
+            SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+            FROM pl a JOIN pl b ON a.l_orderkey = b.l_orderkey
+                               AND a.l_partkey < b.l_partkey
+        ), e AS (
+            SELECT u, v FROM eall
+            WHERE CAST(('0x' || substr(md5(CAST(u AS VARCHAR) || '|' ||
+                        CAST(v AS VARCHAR) || '#42'), 1, 8)) AS BIGINT)
+                  / 4294967296.0 < 0.5
+        ), deg AS (
+            SELECT node, count(*) AS d
+            FROM (SELECT u AS node FROM e UNION ALL SELECT v AS node FROM e)
+            GROUP BY 1
+        ), sym AS (
+            SELECT u, v FROM e UNION ALL SELECT v AS u, u AS v FROM e
+        ), j AS (
+            SELECT d1.d AS dx, d2.d AS dy
+            FROM sym JOIN deg d1 ON sym.u = d1.node
+                     JOIN deg d2 ON sym.v = d2.node
+        ), s AS (
+            SELECT count(*) AS n, sum(dx) AS sx, sum(dy) AS sy,
+                   sum(dx * dy) AS sxy, sum(dx * dx) AS sxx,
+                   sum(dy * dy) AS syy
+            FROM j
+        )
+        SELECT CAST(round(n / 2.0 / 0.5) AS BIGINT) AS n_edges,
+               round(CAST(n * sxy - sx * sy AS DOUBLE)
+                     / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+                            * CAST(n * syy - sy * sy AS DOUBLE)), 6)
+                   AS assortativity
+        FROM s
     """,
 }
 

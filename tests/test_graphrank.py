@@ -282,3 +282,106 @@ def test_hits_top_k_cut_and_determinism(spark):
     # 0-4 are symmetric full hubs (tie -> id asc), 9 is the weak hub
     assert hubs == [0, 1, 2]
     assert out.filter(F.col("kind") == "authority").count() == 3
+
+
+def test_triangle_sampled_p1_identical_and_validation(spark):
+    """sample_p=1 must take the EXACT path (bit-identical row, same
+    schema); out-of-range p rejected."""
+    import pytest
+
+    from usajobs_etl_service_spark.operators.graphrank import (
+        degree_assortativity,
+        triangle_stats,
+    )
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (3, 4), (4, 5), (3, 5)], ["u", "v"]
+    )
+    exact = triangle_stats(edges).first()
+    p1 = triangle_stats(edges, sample_p=1.0).first()
+    assert tuple(exact) == tuple(p1)
+    assert triangle_stats(edges).schema == triangle_stats(edges, sample_p=1.0).schema
+    a_exact = degree_assortativity(edges).first()
+    a_p1 = degree_assortativity(edges, sample_p=1.0).first()
+    assert tuple(a_exact) == tuple(a_p1)
+    for bad in (0.0, -0.1, 1.5):
+        with pytest.raises(ValueError, match="sample_p"):
+            triangle_stats(edges, sample_p=bad)
+        with pytest.raises(ValueError, match="sample_p"):
+            degree_assortativity(edges, sample_p=bad)
+
+
+def test_triangle_sampled_matches_python_replay_and_error_bound(spark):
+    """DOULION estimator on a seeded dense planted graph: (a) the
+    md5-thinned sample and scaled counts are reproduced exactly by a
+    Python replay of the same hash recipe (determinism — the property
+    that makes q191 hash-checkable), and (b) the triangle estimate
+    lands within 30% of the exact census on this graph (Tsourakakis
+    2009 variance is tiny at p=0.5 with thousands of triangles)."""
+    import hashlib
+    import itertools
+    import random
+
+    from usajobs_etl_service_spark.operators.graphrank import triangle_stats
+
+    rng = random.Random(5)
+    n = 60
+    edges = [
+        (a, b) for a, b in itertools.combinations(range(n), 2) if rng.random() < 0.4
+    ]
+    df = spark.createDataFrame(edges, ["u", "v"])
+    p = 0.5
+    row = triangle_stats(df, sample_p=p).first()
+    exact = triangle_stats(df).first()
+
+    def kept(a, b):
+        h = hashlib.md5(f"{a}|{b}#42".encode()).hexdigest()[:8]
+        return int(h, 16) / 4294967296.0 < p
+
+    sampled = [(a, b) for a, b in edges if kept(a, b)]
+    adj = {x: set() for x in range(n)}
+    for a, b in sampled:
+        adj[a].add(b)
+        adj[b].add(a)
+    nodes = [x for x in range(n) if adj[x]]
+    tri = sum(
+        1
+        for a, b, c in itertools.combinations(nodes, 3)
+        if b in adj[a] and c in adj[a] and c in adj[b]
+    )
+    wedges = sum(len(adj[x]) * (len(adj[x]) - 1) // 2 for x in nodes)
+    assert row["n_nodes"] == len(nodes)
+    assert row["n_edges"] == round(len(sampled) / p)
+    assert row["n_wedges"] == round(wedges / (p * p))
+    assert row["n_triangles"] == round(tri / (p * p * p))
+    # error bound on the planted graph
+    assert abs(row["n_triangles"] - exact["n_triangles"]) <= 0.3 * exact["n_triangles"], (
+        row["n_triangles"],
+        exact["n_triangles"],
+    )
+    assert abs(row["transitivity"] - exact["transitivity"]) <= 0.3 * exact["transitivity"]
+
+
+def test_assortativity_sampled_close_to_exact(spark):
+    """Pearson correlation is scale-invariant under uniform degree
+    thinning: the p=0.5 sampled coefficient must sit near the exact
+    one on a seeded graph with real degree structure."""
+    import itertools
+    import random
+
+    from usajobs_etl_service_spark.operators.graphrank import degree_assortativity
+
+    rng = random.Random(9)
+    # hub-heavy graph: low ids attach preferentially (negative assortativity)
+    edges = list(
+        {
+            (min(a, b), max(a, b))
+            for _ in range(900)
+            for a, b in [(rng.randint(0, 9), rng.randint(0, 79))]
+            if a != b
+        }
+    )
+    df = spark.createDataFrame(edges, ["u", "v"])
+    exact = degree_assortativity(df).first()["assortativity"]
+    got = degree_assortativity(df, sample_p=0.5).first()["assortativity"]
+    assert abs(got - exact) <= 0.2, (got, exact)

@@ -470,6 +470,28 @@ def _triangle_smoke(spark) -> dict[str, dict]:
     )
     out["m15_bar"] = 31.6
     out["passes_m15_bar"] = out["time_ratio_10x_edges"] <= 31.6
+    # DOULION sampled estimator (round-10): p=0.2 cuts the wedge step
+    # ~p^1.5; record time + relative error vs the exact census at both
+    # scales — the escape hatch once the exact census (already at its
+    # structural minimum) stops coming back at a true 100x graph
+    p = 0.2
+    triangle_stats(edges_df(10_000), sample_p=p).first()  # warm
+    samp: dict[str, dict] = {}
+    for label, m in (("e300k", 300_000), ("e3M", 3_000_000)):
+        t0 = time.perf_counter()
+        row = triangle_stats(edges_df(m), sample_p=p).first()
+        sec = round(time.perf_counter() - t0, 3)
+        exact_t = out[label]["n_triangles"]
+        samp[label] = {
+            "sec": sec,
+            "n_triangles_est": row["n_triangles"],
+            "rel_err_vs_exact": round(abs(row["n_triangles"] - exact_t) / exact_t, 4),
+            "speedup_vs_exact": round(out[label]["sec"] / max(sec, 1e-9), 2),
+        }
+    samp["time_ratio_10x_edges"] = round(
+        samp["e3M"]["sec"] / max(samp["e300k"]["sec"], 1e-9), 2
+    )
+    out["doulion_p0.2"] = samp
     return out
 
 

@@ -122,11 +122,27 @@ def textrank_terms(
     )
 
 
+def _edge_sample_filter(e: DataFrame, sample_p: float, seed: int) -> DataFrame:
+    """Deterministic DOULION-style edge thinning: keep an edge iff its
+    md5-hash fraction (sampling.sample_key over the 'u|v' render — the
+    q67/q94 engine-reproducible recipe) is below ``sample_p``. Hash
+    thinning, not rand(): the same edge gets the same verdict on every
+    run, engine, and retry (rand() re-draws on task retry — the
+    SPARK-38388 hazard class), and a SQL oracle replays the exact
+    sample."""
+    from usajobs_etl_service_spark.operators.sampling import sample_key
+
+    key = F.concat_ws("|", F.col("u").cast("string"), F.col("v").cast("string"))
+    return e.filter(sample_key(key, seed=seed) < F.lit(float(sample_p)))
+
+
 def triangle_stats(
     edges: DataFrame,
     *,
     u: str = "u",
     v: str = "v",
+    sample_p: float = 1.0,
+    sample_seed: int = 42,
 ) -> DataFrame:
     """Exact global triangle census of an undirected graph — one row:
     (n_nodes, n_edges, n_wedges, n_triangles, transitivity). Input is
@@ -147,8 +163,25 @@ def triangle_stats(
     graphs); every exchange hashes on a node or pair key. The
     triangle count is orientation-independent, so a plain id-ordered
     SQL oracle checks it exactly.
+
+    ``sample_p < 1`` switches to the DOULION estimator (Tsourakakis,
+    Kang, Miller, Faloutsos, KDD 2009): the census runs on a
+    deterministically p-thinned edge set — cost drops ~p^1.5 on the
+    superlinear wedge step — and the counts are unbiased-scaled back
+    (edges by 1/p, wedges by 1/p^2, triangles by 1/p^3, rounded to
+    long; transitivity = 3*t/w/p on the thinned integers). This is the
+    only further lever once the exact census is at its structural
+    minimum: at a true 100x graph the exact count is inherently heavy.
+    ``n_nodes`` stays the UNSCALED count of nodes incident to a kept
+    edge (node counts have no clean 1/p estimator). The exact path
+    (default, p=1) is untouched, and the thinning is md5-hash
+    deterministic, so a SQL oracle replays the estimate exactly.
     """
+    if not 0.0 < sample_p <= 1.0:
+        raise ValueError(f"sample_p must be in (0, 1], got {sample_p}")
     e = edges.select(F.col(u).alias("u"), F.col(v).alias("v")).filter(F.col("u") < F.col("v")).distinct()
+    if sample_p != 1.0:
+        e = _edge_sample_filter(e, sample_p, sample_seed)
     deg = (
         e.select(F.col("u").alias("node"))
         .unionAll(e.select(F.col("v").alias("node")))
@@ -181,10 +214,9 @@ def triangle_stats(
         F.count(F.lit(1)).alias("n_nodes"),
         F.sum(F.col("d") * (F.col("d") - 1) / 2).cast("long").alias("n_wedges"),
     )
-    return (
-        nodes.crossJoin(F.broadcast(counts))
-        .crossJoin(F.broadcast(tri))
-        .select(
+    joined = nodes.crossJoin(F.broadcast(counts)).crossJoin(F.broadcast(tri))
+    if sample_p == 1.0:
+        return joined.select(
             "n_nodes",
             "n_edges",
             "n_wedges",
@@ -193,10 +225,28 @@ def triangle_stats(
                 F.lit(3.0) * F.col("n_triangles") / F.col("n_wedges"), 6
             ).alias("transitivity"),
         )
+    p = F.lit(float(sample_p))
+    return joined.select(
+        "n_nodes",
+        F.round(F.col("n_edges") / p, 0).cast("long").alias("n_edges"),
+        F.round(F.col("n_wedges") / (p * p), 0).cast("long").alias("n_wedges"),
+        F.round(F.col("n_triangles") / (p * p * p), 0).cast("long").alias("n_triangles"),
+        # = 3*(t/p^3)/(w/p^2), computed on the thinned integers in one
+        # fixed op order so any engine reproduces the double exactly
+        F.round(
+            F.lit(3.0) * F.col("n_triangles") / F.col("n_wedges") / p, 6
+        ).alias("transitivity"),
     )
 
 
-def degree_assortativity(edges: DataFrame, *, u: str = "u", v: str = "v") -> DataFrame:
+def degree_assortativity(
+    edges: DataFrame,
+    *,
+    u: str = "u",
+    v: str = "v",
+    sample_p: float = 1.0,
+    sample_seed: int = 42,
+) -> DataFrame:
     """Newman (2002) degree assortativity of an undirected graph —
     one row (n_edges, assortativity): the Pearson correlation of
     endpoint degrees over the symmetrized edge list.
@@ -212,8 +262,20 @@ def degree_assortativity(edges: DataFrame, *, u: str = "u", v: str = "v") -> Dat
     degree; past that, lift the moments to decimal(38,0).
     Shuffles: edge distinct, one degree aggregate, two degree-attach
     hash joins (degree table node-sized, not broadcast), one scalar
-    aggregate."""
+    aggregate.
+
+    ``sample_p < 1``: the correlation is computed on a DOULION-style
+    deterministically p-thinned edge set (same md5 recipe as
+    ``triangle_stats``) — Pearson correlation is scale-invariant, and
+    uniform edge thinning scales every node's degree by ~p, so the
+    sampled coefficient estimates the full one without any rescaling;
+    ``n_edges`` reports the 1/p-scaled estimate (rounded) so the row
+    stays comparable with the exact run. Exact path (p=1) untouched."""
+    if not 0.0 < sample_p <= 1.0:
+        raise ValueError(f"sample_p must be in (0, 1], got {sample_p}")
     e = edges.select(F.col(u).alias("u"), F.col(v).alias("v")).filter(F.col("u") < F.col("v")).distinct()
+    if sample_p != 1.0:
+        e = _edge_sample_filter(e, sample_p, sample_seed)
     deg = (
         e.select(F.col("u").alias("node"))
         .unionAll(e.select(F.col("v").alias("node")))
@@ -236,8 +298,13 @@ def degree_assortativity(edges: DataFrame, *, u: str = "u", v: str = "v") -> Dat
     num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
     varx = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
     vary = (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+    n_edges_out = (F.col("n") / 2).cast("long")
+    if sample_p != 1.0:
+        n_edges_out = F.round(
+            F.col("n") / F.lit(2.0) / F.lit(float(sample_p)), 0
+        ).cast("long")
     return s.select(
-        (F.col("n") / 2).cast("long").alias("n_edges"),
+        n_edges_out.alias("n_edges"),
         F.round(num / F.sqrt(varx * vary), 6).alias("assortativity"),
     )
 

@@ -341,3 +341,47 @@ def test_watermark_dedup_drops_within_window_across_batches(spark, tmp_path):
             spark.readStream.schema("k string, ts timestamp, v long").json(str(spool)),
             key_cols=[],
         )
+
+
+def test_watermark_dedup_spool_bounded_state_evidence(spark, tmp_path):
+    """watermark_dedup_spool (the runnable demo of the bounded-state
+    claim) must emit every unique (key, window) row while its final
+    state holds only the trailing watermark window's keys — measured
+    from the state-store operator metrics, not estimated."""
+    from datetime import datetime, timedelta, timezone
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from usajobs_etl_service_spark.streaming.pipeline import watermark_dedup_spool
+
+    base = datetime(2024, 1, 1, tzinfo=timezone.utc)
+    spool = tmp_path / "spool"
+    spool.mkdir()
+    n_win, keys_per = 6, 20
+    for w in range(n_win):
+        ks = [w * keys_per + i for i in range(keys_per)] * 2  # dup within window
+        ts = [base + timedelta(seconds=600 * w)] * len(ks)
+        pq.write_table(
+            pa.table(
+                {
+                    "k": pa.array(ks, pa.int64()),
+                    "ts": pa.array(ts, pa.timestamp("us", tz="UTC")),
+                }
+            ),
+            str(spool / f"b{w:03d}.parquet"),
+        )
+    out = watermark_dedup_spool(
+        spark,
+        str(spool),
+        str(tmp_path / "out"),
+        str(tmp_path / "ck"),
+        key_cols=["k"],
+        watermark="10 minutes",
+    )
+    assert out["rows_emitted"] == n_win * keys_per  # dups dropped, one per key
+    assert out["batches"] >= n_win  # file-per-batch cadence engaged
+    # bounded: final state is the trailing window or two, never all keys
+    assert 0 < out["state_rows_final"] <= 2 * keys_per, out
+    assert out["state_rows_peak"] < n_win * keys_per, out
+    assert out["state_bytes_final"] > 0

@@ -190,6 +190,7 @@ def run(outdir: str) -> None:
         "lsh_cap_drop_counters": _cap_drop_counters(spark, outdir),
         "minhash_persisted_vs_inline": _minhash_crossover(spark, outdir, big),
         "int8_store_vs_inline": _int8_store_smoke(spark, outdir, big),
+        "watermark_dedup_state": _watermark_dedup_state_smoke(spark),
         "cc_distributed_rounds": _cc_rounds(spark, outdir),
         "kcore_distributed": _kcore_smoke(spark),
         "triangle_census": _triangle_smoke(spark),
@@ -734,6 +735,96 @@ def _skew_join_smoke(spark) -> dict:
         return out
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def _watermark_dedup_state_smoke(spark) -> dict:
+    """streaming_watermark_dedup's bounded-state claim, MEASURED from
+    the state-store operator metrics (round-9 verdict item: the only
+    r9 surface with no queryable evidence artifact). A 20-window spool
+    (5k fresh keys per 10-minute window, every row sent twice) drains
+    file-per-batch through (a) the watermark-bounded dedup and (b)
+    plain unbounded dropDuplicates. Both emit the same 100k rows; the
+    unbounded store finishes holding EVERY key ever (100k) while the
+    watermark store holds only the trailing window's keys — the ratio
+    is the 100 TB/day story (state ~ keys/window, not keys/corpus)."""
+    import shutil
+    import tempfile
+    from datetime import datetime, timedelta, timezone
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from usajobs_etl_service_spark.streaming.pipeline import watermark_dedup_spool
+
+    n_win, keys_per = 20, 5_000
+    base = datetime(2024, 1, 1, tzinfo=timezone.utc)
+    root = tempfile.mkdtemp(prefix="smoke_wmdedup_")
+    try:
+        spool = os.path.join(root, "spool")
+        os.makedirs(spool)
+        for w in range(n_win):
+            ks = [w * keys_per + i for i in range(keys_per)] * 2
+            ts = [base + timedelta(seconds=600 * w)] * len(ks)
+            pq.write_table(
+                pa.table(
+                    {
+                        "k": pa.array(ks, pa.int64()),
+                        "ts": pa.array(ts, pa.timestamp("us", tz="UTC")),
+                    }
+                ),
+                os.path.join(spool, f"b{w:03d}.parquet"),
+            )
+        t0 = time.perf_counter()
+        wm = watermark_dedup_spool(
+            spark,
+            spool,
+            os.path.join(root, "out_wm"),
+            os.path.join(root, "ck_wm"),
+            key_cols=["k"],
+            watermark="10 minutes",
+        )
+        wm["sec"] = round(time.perf_counter() - t0, 3)
+        # unbounded comparator: same spool, same cadence, no watermark
+        stream = (
+            spark.readStream.schema("k long, ts timestamp")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(spool)
+        )
+        t0 = time.perf_counter()
+        q = (
+            stream.dropDuplicates(["k"])
+            .writeStream.format("parquet")
+            .option("path", os.path.join(root, "out_ub"))
+            .option("checkpointLocation", os.path.join(root, "ck_ub"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        rows, bts = [], []
+        for p in q.recentProgress:
+            ops = p.get("stateOperators") or []
+            if ops:
+                rows.append(ops[0].get("numRowsTotal", 0))
+                bts.append(ops[0].get("memoryUsedBytes", 0))
+        ub = {
+            "rows_emitted": spark.read.parquet(os.path.join(root, "out_ub")).count(),
+            "state_rows_final": rows[-1] if rows else 0,
+            "state_bytes_final": bts[-1] if bts else 0,
+            "sec": round(time.perf_counter() - t0, 3),
+        }
+        return {
+            "windows": n_win,
+            "keys_per_window": keys_per,
+            "dup_copies": 2,
+            "watermark_dedup": wm,
+            "unbounded_dropduplicates": ub,
+            "outputs_equal": wm["rows_emitted"] == ub["rows_emitted"] == n_win * keys_per,
+            "state_rows_ratio_unbounded_over_wm": round(
+                ub["state_rows_final"] / max(wm["state_rows_final"], 1), 1
+            ),
+        }
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
 
 
 def _int8_store_smoke(spark, outdir: str, big: str) -> dict[str, dict]:

@@ -54,6 +54,68 @@ def run_incremental_upsert(
     query.awaitTermination()
 
 
+def watermark_dedup_spool(
+    spark: SparkSession,
+    spool_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    *,
+    key_cols: list[str],
+    schema: str = "k long, ts timestamp",
+    ts_col: str = "ts",
+    watermark: str = "10 minutes",
+    max_files_per_trigger: int = 1,
+) -> dict:
+    """Drain a parquet spool through ``streaming_watermark_dedup``
+    (event-time-bounded ``dropDuplicatesWithinWatermark`` state) into a
+    parquet sink and return the MEASURED state evidence:
+    ``{"rows_emitted", "state_rows_final", "state_rows_peak",
+    "state_bytes_final", "batches"}`` from the query's progress
+    events. This is the runnable demo of the bounded-state claim: an
+    unbounded ``dropDuplicates`` keeps every key EVER in the store,
+    while this state holds only the keys inside the trailing watermark
+    window — the numbers come from the state-store operator metrics,
+    not an estimate. ``max_files_per_trigger=1`` makes each spool file
+    its own micro-batch so the watermark advances (and evicts) between
+    files, mirroring a long-running deployment's cadence."""
+    from usajobs_etl_service_spark.streaming.stateful import (
+        streaming_watermark_dedup,
+    )
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(spool_dir)
+    )
+    deduped = streaming_watermark_dedup(
+        stream, key_cols=key_cols, ts_col=ts_col, watermark=watermark
+    )
+    query = (
+        deduped.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    state_rows = []
+    state_bytes = []
+    batches = 0
+    for p in query.recentProgress:
+        ops = p.get("stateOperators") or []
+        if ops:
+            batches += 1
+            state_rows.append(ops[0].get("numRowsTotal", 0))
+            state_bytes.append(ops[0].get("memoryUsedBytes", 0))
+    return {
+        "rows_emitted": spark.read.parquet(out_dir).count(),
+        "state_rows_final": state_rows[-1] if state_rows else 0,
+        "state_rows_peak": max(state_rows) if state_rows else 0,
+        "state_bytes_final": state_bytes[-1] if state_bytes else 0,
+        "batches": batches,
+    }
+
+
 def curation_gate(
     docs: DataFrame,
     *,

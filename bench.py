@@ -300,9 +300,33 @@ def main() -> None:
         "detail_file": "BENCH_DETAIL.json",
         "n_slow_outliers": len(slow_outliers),
     }
+    # Suite-level spread summary (round-9 verdict #7): p50/p95 of each
+    # query's RELATIVE spread ((max-min)/median across its runs), so a
+    # future round can tell a real regression from run-to-run noise
+    # WITHOUT re-running — a per-query delta inside the suite's own
+    # p95 relative spread is indistinguishable from noise. Only
+    # median-of-3 queries carry a measured spread; single-shot (>=15 s)
+    # queries are counted separately.
+    rels = sorted(
+        (s["max"] - s["min"]) / max(s["median"], 1e-9)
+        for s in timing_spread.values()
+        if s["runs"] >= 3
+    )
+    spread_summary = (
+        {
+            "n_measured": len(rels),
+            "n_single_shot": sum(1 for s in timing_spread.values() if s["runs"] < 3),
+            "rel_spread_p50": round(rels[len(rels) // 2], 4),
+            "rel_spread_p95": round(rels[min(len(rels) - 1, int(0.95 * len(rels)))], 4),
+            "rel_spread_max": round(rels[-1], 4),
+        }
+        if rels
+        else {"n_measured": 0}
+    )
     detail = {
         "queries_sec": timings,
         "queries_sec_spread": timing_spread,
+        "spread_summary": spread_summary,
         "flatten_rows_per_sec": flatten_rps,
         "reference_floor_rows_per_sec": 100,
         "ivf_warm_probe_sec": ivf_probe_sec,

@@ -4185,11 +4185,14 @@ def q189_int8_store_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    # deterministic per-SF path (the driver/bench re-run queries; a
-    # fresh mkdtemp per call would leak dirs the lazy plan still reads)
+    # stable WITHIN this process (the driver/bench re-run queries; a
+    # fresh mkdtemp per call would leak dirs the lazy plan still
+    # reads), but pid-keyed so a concurrent sweep/bench pair — or two
+    # checkouts whose data dirs share a basename — never overwrite
+    # each other's store mid-scan (round-10 review)
     store = os.path.join(
         tempfile.gettempdir(),
-        f"spark_graft_q189_store_{os.path.basename(sf_dir.rstrip('/'))}",
+        f"spark_graft_q189_store_{os.path.basename(sf_dir.rstrip('/'))}_{os.getpid()}",
     )
     quantize_write(emb.filter(F.col("vec_id") != 0), store)
     qvec = [
@@ -4206,10 +4209,12 @@ def q190_skew_safe_semi_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Extension (q185's missing modes — the J1 merge's actual scale
     shape): skew_safe_join with how='left_semi' and 'left_anti' on the
     planted 80%-share key (non-multiple-of-5 l_partkeys fold to 0),
-    against a dim holding only every-10th part key. Auto-detection is
-    MODE-AWARE here: semi/anti output share is per-SIDE row
-    concentration, not the inner path's pair product (an anti-hot key
-    absent from the right never appears in pair counts at all). The
+    against a dim holding only every-10th part key. The semi leg uses
+    MODE-AWARE auto-detection (per-side row concentration, not the
+    inner path's pair product — an anti-hot key absent from the right
+    never appears in pair counts at all); the anti leg uses the LAZY
+    ``hot_keys_from`` key-frame split on the same planted key, so both
+    key sources are oracle-covered with ONE eager detection pass. The
     hot branch is a broadcast KEY-SET membership test — the right side
     of a semi/anti join only matters as a key set, so a hot key with a
     billion right rows still broadcasts as one row, and the skewed
@@ -4235,13 +4240,19 @@ def q190_skew_safe_semi_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
         ).select(F.lit(mode).alias("mode"), "k", "n_li", "sum_qty")
 
+    # semi exercises the MODE-AWARE eager auto-detect (per-side row
+    # share); anti exercises the LAZY hot_keys_from split on the same
+    # planted key — one detection pass total, both operator paths
+    # covered (running auto twice would double the construction-time
+    # count scans for identical inputs — round-10 review)
     semi = skew_safe_join(
         li, dim, left_key="k", right_key="pk", how="left_semi",
         auto_min_share=0.5, auto_top_k=5,
     )
+    hot = spark.range(1).select(F.lit(0).cast("long").alias("key"))
     anti = skew_safe_join(
         li, dim, left_key="k", right_key="pk", how="left_anti",
-        auto_min_share=0.5, auto_top_k=5,
+        hot_keys_from=hot,
     )
     return agg(semi, "semi").unionByName(agg(anti, "anti"))
 

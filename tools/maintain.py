@@ -161,6 +161,37 @@ def main(argv: list[str]) -> None:
     ap.add_argument("--target-rows", type=int, default=1_000_000)
     args = ap.parse_args(argv)
 
+    # ALL flag-combination validation happens BEFORE any side effect
+    # (round-10 review: a bad --profile-approx combo used to surface
+    # only after compaction and the z-order rewrite had already
+    # mutated the table — and then exited without the summary line
+    # the tail-capture contract depends on)
+    if args.zorder_resolution and not args.zorder:
+        # silently ignoring the flag would let an operator believe the
+        # float column was re-clustered when nothing ran
+        ap.error("--zorder-resolution requires --zorder")
+    zcols = [c for c in args.zorder.split(",") if c] if args.zorder else []
+    resolutions = None
+    if args.zorder_resolution:
+        resolutions = {
+            k: float(v)
+            for k, v in (
+                kv.split("=", 1) for kv in args.zorder_resolution.split(",") if kv
+            )
+        }
+        extras = sorted(set(resolutions) - set(zcols))
+        if extras:
+            # a resolution naming a non-z column would compute its
+            # bucket helper, drop it unused, and report the float
+            # column clustered when it never was (round-10 review)
+            ap.error(
+                f"--zorder-resolution columns {extras} are not in "
+                f"--zorder ({zcols}); every resolution must name a "
+                "z-order column"
+            )
+    if args.profile_approx and not (args.profile_cols or args.do_profile):
+        ap.error("--profile-approx requires --profile-cols or --do-profile")
+
     from usajobs_etl_service_spark.session import get_spark
 
     spark = get_spark("maintain")
@@ -176,30 +207,7 @@ def main(argv: list[str]) -> None:
             target_rows_per_file=args.target_rows,
         )
         summary["compacted_partitions"] = n
-    if args.zorder_resolution and not args.zorder:
-        # silently ignoring the flag would let an operator believe the
-        # float column was re-clustered when nothing ran
-        ap.error("--zorder-resolution requires --zorder")
     if args.zorder:
-        zcols = [c for c in args.zorder.split(",") if c]
-        resolutions = None
-        if args.zorder_resolution:
-            resolutions = {
-                k: float(v)
-                for k, v in (
-                    kv.split("=", 1) for kv in args.zorder_resolution.split(",") if kv
-                )
-            }
-            extras = sorted(set(resolutions) - set(zcols))
-            if extras:
-                # a resolution naming a non-z column would compute its
-                # bucket helper, drop it unused, and report the float
-                # column clustered when it never was (round-10 review)
-                ap.error(
-                    f"--zorder-resolution columns {extras} are not in "
-                    f"--zorder ({zcols}); every resolution must name a "
-                    "z-order column"
-                )
         summary["zorder"] = zorder_rewrite(
             spark,
             args.table_dir,
@@ -208,8 +216,6 @@ def main(argv: list[str]) -> None:
             bits=args.bits,
             resolutions=resolutions,
         )
-    if args.profile_approx and not (args.profile_cols or args.do_profile):
-        ap.error("--profile-approx requires --profile-cols or --do-profile")
     if args.profile_cols or args.do_profile:
         cols = [c for c in (args.profile_cols or "").split(",") if c] or None
         summary["profile"] = profile_to_file(

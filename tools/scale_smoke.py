@@ -693,9 +693,6 @@ def _skew_join_smoke(spark) -> dict:
         # ABSENT from right so the anti join must keep every hot row —
         # the skew-safe hot branch is a broadcast KEY-SET test, so the
         # 80%-share left rows never shuffle
-        l0, r0 = frames()
-        r_nohot = r0.filter(F.col("rk") != 0)
-
         def agg_sa(j):
             return j.groupBy("k").agg(
                 F.count(F.lit(1)).alias("n"), F.sum("v").alias("s")

@@ -282,6 +282,18 @@ def quantized_topk_cosine(
     TakeOrderedAndProject (both stages)."""
     if shortlist is not None and shortlist < k:
         raise ValueError(f"shortlist ({shortlist}) must be >= k ({k})")
+    import math
+
+    # a degenerate query (empty / NaN / Inf / all-zero) would NULL every
+    # code_sim and silently return "no neighbors" — the corpus side
+    # rejects such vectors up front (_quantizable); the query side gets
+    # the same cheap driver-side check (round-10 review)
+    if not query_vec:
+        raise ValueError("query_vec must be non-empty")
+    if not all(math.isfinite(x) for x in query_vec):
+        raise ValueError("query_vec must contain only finite values")
+    if not any(x != 0.0 for x in query_vec):
+        raise ValueError("query_vec must have a non-zero norm (cosine undefined)")
     from usajobs_etl_service_spark.functions.vectors import cosine
 
     q = F.array(*[F.lit(float(x)) for x in query_vec])

@@ -7,6 +7,9 @@ invokes that same command daily. Here:
     python -m usajobs_etl_service_spark                  # one run, demo source
     python -m usajobs_etl_service_spark --base-url URL   # real HTTP source
     python -m usajobs_etl_service_spark --interval-seconds 86400  # schedule loop
+    python -m usajobs_etl_service_spark --stream-dedup-demo DIR   # drain a
+        # parquet spool through the watermark-bounded streaming dedup and
+        # print the measured state-store evidence (one JSON line)
 
 Configuration follows the reference's env contract (SEARCH_KEYWORD,
 SEARCH_LOCATION, MAX_PAGES, JOB_TABLE_PATH — .env.example) with CLI
@@ -93,6 +96,19 @@ def build_parser() -> argparse.ArgumentParser:
         help="number of runs (0 = forever); defaults to 1 without --interval-seconds, forever with it",
     )
     p.add_argument("--master", default=os.environ.get("SPARK_MASTER", "local[*]"), help="Spark master")
+    p.add_argument(
+        "--stream-dedup-demo",
+        default=None,
+        metavar="SPOOL_DIR",
+        help="drain a parquet spool (schema: k long, ts timestamp) through "
+        "the watermark-bounded streaming dedup and print the measured "
+        "state evidence instead of running the ETL pipeline",
+    )
+    p.add_argument(
+        "--stream-watermark",
+        default="10 minutes",
+        help="event-time watermark for --stream-dedup-demo",
+    )
     return p
 
 
@@ -104,6 +120,26 @@ def main(argv: list[str] | None = None) -> int:
     from usajobs_etl_service_spark.sources.rest_api import RestPageSource, http_transport
 
     spark = get_spark("usajobs-etl", master=args.master)
+
+    if args.stream_dedup_demo:
+        import tempfile
+
+        from usajobs_etl_service_spark.streaming.pipeline import (
+            watermark_dedup_spool,
+        )
+
+        work = tempfile.mkdtemp(prefix="stream_dedup_demo_")
+        out = watermark_dedup_spool(
+            spark,
+            args.stream_dedup_demo,
+            os.path.join(work, "out"),
+            os.path.join(work, "ck"),
+            key_cols=["k"],
+            watermark=args.stream_watermark,
+        )
+        print(json.dumps({"stream_dedup_demo": out}), flush=True)
+        return 0
+
     cfg = PipelineConfig()
     if args.keyword is not None:
         cfg.keyword = args.keyword

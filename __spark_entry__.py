@@ -4289,6 +4289,33 @@ def q192_assortativity_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
     return degree_assortativity(_copurchase_edges(spark, sf_dir), sample_p=0.5)
 
 
+def q193_int8_mips_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extension (the metric the shortlist+rescore shape exists for):
+    asymmetric MIPS over the int8 store — top-20 by
+    ``scale * dot(codes, float_query)``. Unlike cosine (q189), the
+    per-vector scale does NOT cancel out of a dot product, so the
+    two-stage probe genuinely re-scores: stage 1 ranks on one multiply
+    after the integer code fold, stage 2 dequantizes only the 100-row
+    shortlist and scores the reconstruction (operators/quantize.
+    quantized_topk_dot). The oracle replays codes + both stages with
+    list_dot_product; everything rounds to 4 (the q18 contract)."""
+    from usajobs_etl_service_spark.operators.quantize import (
+        quantize_embeddings_int8,
+        quantized_topk_dot,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    qvec = [
+        float(x)
+        for x in emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
+    ]
+    store = quantize_embeddings_int8(emb.filter(F.col("vec_id") != 0)).select(
+        F.col("vec_id").alias("id"), "qvec", "scale"
+    )
+    out = quantized_topk_dot(store, qvec, k=20, shortlist=100)
+    return out.select(F.col("id").alias("vec_id"), "score")
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_job_statistics": q01_job_statistics,
     "q02_metric_union": q02_metric_union,
@@ -4482,6 +4509,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q190_skew_safe_semi_anti": q190_skew_safe_semi_anti,
     "q191_triangle_census_sampled": q191_triangle_census_sampled,
     "q192_assortativity_sampled": q192_assortativity_sampled,
+    "q193_int8_mips_probe": q193_int8_mips_probe,
 }
 
 
@@ -8024,6 +8052,44 @@ ORACLES: dict[str, str] = {
                             * CAST(n * syy - sy * sy AS DOUBLE)), 6)
                    AS assortativity
         FROM s
+    """,
+    # q193: asymmetric MIPS over int8 codes — scale does NOT cancel, so
+    # both stages are replayed: codes-fold shortlist, dequantized rescore
+    "q193_int8_mips_probe": """
+        WITH v AS (
+            SELECT vec_id,
+                   list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+            FROM embeddings
+        ), qf AS (
+            SELECT v AS q FROM v WHERE vec_id = 0
+        ), s AS (
+            SELECT vec_id, v,
+                   CASE WHEN v IS NOT NULL AND len(v) > 0
+                             AND len(list_filter(v, x -> x IS NULL
+                                     OR isnan(x) OR isinf(x))) = 0
+                        THEN list_max(list_transform(v, x -> abs(x))) / 127.0
+                   END AS scale
+            FROM v WHERE vec_id <> 0
+        ), c AS (
+            SELECT vec_id, scale,
+                   CASE WHEN scale = 0 THEN list_transform(v, x -> 0.0)
+                        ELSE list_transform(v, x ->
+                             greatest(-127.0, least(127.0, round(x / scale))))
+                   END AS codes
+            FROM s WHERE scale IS NOT NULL
+        ), short AS (
+            SELECT vec_id, scale, codes,
+                   round(scale * list_dot_product(codes, (SELECT q FROM qf)), 4)
+                       AS score_code
+            FROM c
+            ORDER BY score_code DESC, vec_id ASC LIMIT 100
+        )
+        SELECT vec_id,
+               round(list_dot_product(
+                     list_transform(codes, x -> x * scale),
+                     (SELECT q FROM qf)), 4) AS score
+        FROM short
+        ORDER BY score DESC, vec_id ASC LIMIT 20
     """,
 }
 

@@ -259,3 +259,42 @@ def test_quantized_topk_probe_matches_dequantized_and_plans_clean(spark):
     assert "TakeOrderedAndProject" in p
     with _pytest.raises(ValueError):
         quantized_topk_cosine(store, qvec, k=20, shortlist=5)
+
+
+def test_quantized_topk_dot_matches_dequantized_and_validates(spark):
+    """MIPS probe: scale * dot(codes, q) over the store selects the
+    same ids as brute-force dot over the fully dequantized corpus; a
+    zero query is LEGAL for dot (scores 0), NaN/empty rejected."""
+    import pytest as _pytest
+
+    from usajobs_etl_service_spark.operators.quantize import quantized_topk_dot
+    from usajobs_etl_service_spark.session import read_table
+
+    emb = read_table(spark, "/root/testdata/sf0.001", "embeddings").select(
+        "vec_id", "embedding"
+    )
+    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    corpus = emb.filter(F.col("vec_id") != 0)
+    q = quantize_embeddings_int8(corpus)
+    store = q.select(F.col("vec_id").alias("id"), "qvec", "scale")
+    got = quantized_topk_dot(store, qvec, k=20, shortlist=100)
+    # brute force over dequantized doubles
+    from usajobs_etl_service_spark.functions.vectors import dot
+
+    qlit = F.array(*[F.lit(x) for x in qvec])
+    deq = q.select(
+        "vec_id", dequantize_int8(q).alias("dv")
+    ).select("vec_id", F.round(dot(F.col("dv"), qlit), 4).alias("score"))
+    want = deq.orderBy(F.col("score").desc(), F.col("vec_id").asc()).limit(20)
+    assert [r["id"] for r in got.collect()] == [r["vec_id"] for r in want.collect()]
+    p = got._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in p and "Join" not in p, p[:800]
+    # zero query: defined for dot, every score 0, deterministic id order
+    zeros = quantized_topk_dot(store, [0.0] * len(qvec), k=5).collect()
+    assert [r["score"] for r in zeros] == [0.0] * 5
+    with _pytest.raises(ValueError, match="finite"):
+        quantized_topk_dot(store, [float("nan")] * len(qvec), k=5)
+    with _pytest.raises(ValueError, match="non-empty"):
+        quantized_topk_dot(store, [], k=5)
+    with _pytest.raises(ValueError, match="shortlist"):
+        quantized_topk_dot(store, qvec, k=20, shortlist=3)

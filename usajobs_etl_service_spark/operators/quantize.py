@@ -250,6 +250,26 @@ def quantize_compact(spark, src_path: str, dst_path: str) -> None:
     quantize_load(spark, src_path).write.mode("overwrite").parquet(dst_path)
 
 
+def _check_probe_args(
+    query_vec: list[float], k: int, shortlist: int | None, *, require_nonzero: bool
+) -> None:
+    """Shared probe validation. A degenerate query (empty / NaN / Inf —
+    and for cosine, all-zero) would NULL or zero every score and
+    silently return wrong/no neighbors — the corpus side rejects such
+    vectors up front (_quantizable); the query side gets the same cheap
+    driver-side check (round-10 review)."""
+    import math
+
+    if shortlist is not None and shortlist < k:
+        raise ValueError(f"shortlist ({shortlist}) must be >= k ({k})")
+    if not query_vec:
+        raise ValueError("query_vec must be non-empty")
+    if not all(math.isfinite(x) for x in query_vec):
+        raise ValueError("query_vec must contain only finite values")
+    if require_nonzero and not any(x != 0.0 for x in query_vec):
+        raise ValueError("query_vec must have a non-zero norm (cosine undefined)")
+
+
 def quantized_topk_cosine(
     store: DataFrame,
     query_vec: list[float],
@@ -280,20 +300,7 @@ def quantized_topk_cosine(
 
     One scan, no join, no shuffle: plans as scan -> project ->
     TakeOrderedAndProject (both stages)."""
-    if shortlist is not None and shortlist < k:
-        raise ValueError(f"shortlist ({shortlist}) must be >= k ({k})")
-    import math
-
-    # a degenerate query (empty / NaN / Inf / all-zero) would NULL every
-    # code_sim and silently return "no neighbors" — the corpus side
-    # rejects such vectors up front (_quantizable); the query side gets
-    # the same cheap driver-side check (round-10 review)
-    if not query_vec:
-        raise ValueError("query_vec must be non-empty")
-    if not all(math.isfinite(x) for x in query_vec):
-        raise ValueError("query_vec must contain only finite values")
-    if not any(x != 0.0 for x in query_vec):
-        raise ValueError("query_vec must have a non-zero norm (cosine undefined)")
+    _check_probe_args(query_vec, k, shortlist, require_nonzero=True)
     from usajobs_etl_service_spark.functions.vectors import cosine
 
     q = F.array(*[F.lit(float(x)) for x in query_vec])
@@ -311,5 +318,52 @@ def quantized_topk_cosine(
     return (
         stage1.select("id", resim.alias("sim"))
         .orderBy(F.col("sim").desc(), F.col("id").asc())
+        .limit(k)
+    )
+
+
+def quantized_topk_dot(
+    store: DataFrame,
+    query_vec: list[float],
+    *,
+    k: int = 10,
+    shortlist: int | None = None,
+    round_digits: int = 4,
+) -> DataFrame:
+    """Asymmetric MIPS probe over the persisted store: top-k by
+    ``scale * dot(codes, query)`` — dot product for unnormalized
+    embeddings (recommendation / retrieval scores where magnitude
+    carries signal). Returns ``(id, score)``, ties (score desc, id
+    asc).
+
+    Unlike cosine, the per-vector scale does NOT cancel here — this is
+    the metric the two-stage shortlist+rescore shape exists for: stage
+    1 scores ``scale * codes-fold`` (one multiply after the integer
+    fold — never materializes a double array), stage 2 dequantizes
+    ONLY the shortlist (``codes * scale`` element-wise) and re-scores
+    the reconstruction, the exact expression a float-side consumer
+    would compute. A zero vector legitimately scores 0 (dot is defined
+    there), so only empty/NaN/Inf queries are rejected. One scan, no
+    join, no shuffle — scan -> project -> TakeOrderedAndProject."""
+    _check_probe_args(query_vec, k, shortlist, require_nonzero=False)
+    from usajobs_etl_service_spark.functions.vectors import dot
+
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    code_score = F.round(
+        F.col("scale") * dot(F.col("qvec").cast("array<double>"), q), round_digits
+    )
+    stage1 = (
+        store.select("id", "qvec", "scale", code_score.alias("score"))
+        .filter(F.col("score").isNotNull())
+        .orderBy(F.col("score").desc(), F.col("id").asc())
+        .limit(shortlist if shortlist is not None else k)
+    )
+    if shortlist is None:
+        return stage1.select("id", "score")
+    deq = F.transform(F.col("qvec"), lambda c: c.cast("double") * F.col("scale"))
+    rescore = F.round(dot(deq, q), round_digits)
+    return (
+        stage1.select("id", rescore.alias("score"))
+        .orderBy(F.col("score").desc(), F.col("id").asc())
         .limit(k)
     )

@@ -45,6 +45,8 @@ HEADLINERS = {
     "q185_skew_safe_join": "skew-split join: the 80%-share hot key's rows take a BroadcastHashJoin branch (never shuffled on the key), cold keys the plain equi-join; union equals the unsplit join",
     "q186_zorder_prepared_float": "fixed-point on-ramp: floor(price/0.01) bigint bucket computed in the scan stage, then the q182 z-layout plan unchanged — floats never reach the interleave",
     "q187_int8_quantization_report": "int8 quantize + fidelity report entirely in the scan stage: ZERO Exchange, zero joins — per-vector scale fold, code transform and error folds are one codegen'd projection chain over multi-use aliases (never inlined per element)",
+    "q189_int8_store_probe": "persisted-store probe: compact (id, qvec, scale) scan -> code-cosine TakeOrdered shortlist -> dequantized re-rank — no join, no shuffle; the float corpus is never re-read",
+    "q190_skew_safe_semi_anti": "semi/anti skew split: hot branch is BroadcastHashJoin LeftSemi/LeftAnti against the distinct KEY SET of the hot right slice (skewed left rows never shuffle); cold branch plain; anti leg's hot keys arrive via a lazy broadcast key-frame",
     "q182_zorder_skipping": "Z-order layout: 1-row min/max broadcast + generated shift/mask interleave in the scan stage, exact global numbering via rangepartitioning + per-partition windows — no single-task WindowExec, no UDF",
     "q184_join_skew_report": "key-sized join diagnostics: per-side partial_count aggregates joined on the key (data rows never shuffle), TakeOrderedAndProject top-k",
     "q118_heavy_hitters": "Misra-Gries candidate pass in mapInPandas (no shuffle, O(k) state), candidate union broadcast into a LeftSemi BroadcastHashJoin — the exact-count aggregate shuffles only candidate-key rows, never the open token domain",

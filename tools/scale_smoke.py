@@ -847,6 +847,9 @@ def _int8_store_smoke(spark, outdir: str, big: str) -> dict[str, dict]:
     from pyspark.sql import functions as F
 
     def _dir_bytes(d):
+        # testdata tables are single parquet FILES; stores are dirs
+        if os.path.isfile(d):
+            return os.path.getsize(d)
         return sum(
             os.path.getsize(os.path.join(r, f))
             for r, _, fs in os.walk(d)
@@ -893,7 +896,7 @@ def _int8_store_smoke(spark, outdir: str, big: str) -> dict[str, dict]:
                 "store_bytes_over_float_bytes": round(
                     _dir_bytes(tmp) / max(_dir_bytes(emb_dir), 1), 3
                 )
-                if os.path.isdir(emb_dir)
+                if os.path.exists(emb_dir)
                 else None,
             }
         finally:

@@ -4290,17 +4290,26 @@ def q192_assortativity_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q193_int8_mips_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Extension (the metric the shortlist+rescore shape exists for):
-    asymmetric MIPS over the int8 store — top-20 by
-    ``scale * dot(codes, float_query)``. Unlike cosine (q189), the
-    per-vector scale does NOT cancel out of a dot product, so the
-    two-stage probe genuinely re-scores: stage 1 ranks on one multiply
-    after the integer code fold, stage 2 dequantizes only the 100-row
-    shortlist and scores the reconstruction (operators/quantize.
-    quantized_topk_dot). The oracle replays codes + both stages with
-    list_dot_product; everything rounds to 4 (the q18 contract)."""
+    """Extension (compressed-candidates / exact-rerank MIPS): top-20 by
+    dot product where CANDIDATES come from the persisted int8 store and
+    the FINAL scores from the original float corpus —
+    quantized_topk_dot(rescore_with=...). Unlike cosine (q189) the
+    per-vector scale does not cancel out of a dot product, so stage 1
+    genuinely consumes the scale column (one multiply after the integer
+    code fold); stage 2 joins the 100-id shortlist back to the float
+    table (ids broadcast) and ranks the exact float dot — quantization
+    error affects only candidate selection, never the final scores, and
+    the float-read cost is O(shortlist). Any RECONSTRUCTION-based
+    rescore would be pointless — dot(codes*scale, q) distributes to
+    scale*dot(codes, q), a pure function of what stage 1 ranked. The
+    oracle replays store codes + code shortlist + float rerank;
+    everything rounds to 4 (the q18 contract)."""
+    import os
+    import tempfile
+
     from usajobs_etl_service_spark.operators.quantize import (
-        quantize_embeddings_int8,
+        quantize_load,
+        quantize_write,
         quantized_topk_dot,
     )
 
@@ -4309,10 +4318,19 @@ def q193_int8_mips_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         float(x)
         for x in emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
     ]
-    store = quantize_embeddings_int8(emb.filter(F.col("vec_id") != 0)).select(
-        F.col("vec_id").alias("id"), "qvec", "scale"
+    corpus = emb.filter(F.col("vec_id") != 0)
+    store_path = os.path.join(
+        tempfile.gettempdir(),
+        f"spark_graft_q193_store_{os.path.basename(sf_dir.rstrip('/'))}_{os.getpid()}",
     )
-    out = quantized_topk_dot(store, qvec, k=20, shortlist=100)
+    quantize_write(corpus, store_path)
+    out = quantized_topk_dot(
+        quantize_load(spark, store_path),
+        qvec,
+        k=20,
+        shortlist=100,
+        rescore_with=corpus,
+    )
     return out.select(F.col("id").alias("vec_id"), "score")
 
 
@@ -8053,8 +8071,8 @@ ORACLES: dict[str, str] = {
                    AS assortativity
         FROM s
     """,
-    # q193: asymmetric MIPS over int8 codes — scale does NOT cancel, so
-    # both stages are replayed: codes-fold shortlist, dequantized rescore
+    # q193: compressed-candidates / exact-rerank MIPS — code shortlist
+    # (scale * codes-fold), then the EXACT FLOAT dot over the shortlist
     "q193_int8_mips_probe": """
         WITH v AS (
             SELECT vec_id,
@@ -8078,18 +8096,16 @@ ORACLES: dict[str, str] = {
                    END AS codes
             FROM s WHERE scale IS NOT NULL
         ), short AS (
-            SELECT vec_id, scale, codes,
+            SELECT vec_id,
                    round(scale * list_dot_product(codes, (SELECT q FROM qf)), 4)
                        AS score_code
             FROM c
             ORDER BY score_code DESC, vec_id ASC LIMIT 100
         )
-        SELECT vec_id,
-               round(list_dot_product(
-                     list_transform(codes, x -> x * scale),
-                     (SELECT q FROM qf)), 4) AS score
-        FROM short
-        ORDER BY score DESC, vec_id ASC LIMIT 20
+        SELECT v.vec_id AS vec_id,
+               round(list_dot_product(v.v, (SELECT q FROM qf)), 4) AS score
+        FROM v JOIN short ON v.vec_id = short.vec_id
+        ORDER BY score DESC, v.vec_id ASC LIMIT 20
     """,
 }
 

@@ -261,12 +261,17 @@ def test_quantized_topk_probe_matches_dequantized_and_plans_clean(spark):
         quantized_topk_cosine(store, qvec, k=20, shortlist=5)
 
 
-def test_quantized_topk_dot_matches_dequantized_and_validates(spark):
-    """MIPS probe: scale * dot(codes, q) over the store selects the
-    same ids as brute-force dot over the fully dequantized corpus; a
-    zero query is LEGAL for dot (scores 0), NaN/empty rejected."""
+def test_quantized_topk_dot_code_stage_and_float_rerank(spark):
+    """MIPS probe: (a) the single-stage code score equals brute-force
+    dot over the dequantized corpus for the SAME ids (scale * codes
+    fold distributes — the identity that makes a reconstruction
+    rescore pointless); (b) rescore_with joins the shortlist back to
+    the FLOAT corpus and final scores are the exact float dots; (c) a
+    zero query is LEGAL for dot (scores 0), NaN/empty rejected, and
+    shortlist without rescore_with (either way) is rejected."""
     import pytest as _pytest
 
+    from usajobs_etl_service_spark.functions.vectors import dot
     from usajobs_etl_service_spark.operators.quantize import quantized_topk_dot
     from usajobs_etl_service_spark.session import read_table
 
@@ -277,19 +282,30 @@ def test_quantized_topk_dot_matches_dequantized_and_validates(spark):
     corpus = emb.filter(F.col("vec_id") != 0)
     q = quantize_embeddings_int8(corpus)
     store = q.select(F.col("vec_id").alias("id"), "qvec", "scale")
-    got = quantized_topk_dot(store, qvec, k=20, shortlist=100)
-    # brute force over dequantized doubles
-    from usajobs_etl_service_spark.functions.vectors import dot
-
     qlit = F.array(*[F.lit(x) for x in qvec])
+    # (a) single-stage == dequantized brute force (identical values)
+    got = quantized_topk_dot(store, qvec, k=20)
     deq = q.select(
         "vec_id", dequantize_int8(q).alias("dv")
     ).select("vec_id", F.round(dot(F.col("dv"), qlit), 4).alias("score"))
     want = deq.orderBy(F.col("score").desc(), F.col("vec_id").asc()).limit(20)
-    assert [r["id"] for r in got.collect()] == [r["vec_id"] for r in want.collect()]
+    assert [tuple(r) for r in got.collect()] == [tuple(r) for r in want.collect()]
     p = got._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in p and "Join" not in p, p[:800]
-    # zero query: defined for dot, every score 0, deterministic id order
+    # (b) float rerank: final scores are the EXACT float dots
+    rer = quantized_topk_dot(store, qvec, k=10, shortlist=50, rescore_with=corpus)
+    float_scores = {
+        r["vec_id"]: r["score"]
+        for r in corpus.select(
+            "vec_id", F.round(dot(F.col("embedding").cast("array<double>"), qlit), 4).alias("score")
+        ).collect()
+    }
+    rows = rer.collect()
+    assert len(rows) == 10
+    assert all(float_scores[r["id"]] == r["score"] for r in rows), rows
+    # scores descend, id tiebreak
+    assert [r["score"] for r in rows] == sorted((r["score"] for r in rows), reverse=True)
+    # (c) validations
     zeros = quantized_topk_dot(store, [0.0] * len(qvec), k=5).collect()
     assert [r["score"] for r in zeros] == [0.0] * 5
     with _pytest.raises(ValueError, match="finite"):
@@ -297,4 +313,8 @@ def test_quantized_topk_dot_matches_dequantized_and_validates(spark):
     with _pytest.raises(ValueError, match="non-empty"):
         quantized_topk_dot(store, [], k=5)
     with _pytest.raises(ValueError, match="shortlist"):
-        quantized_topk_dot(store, qvec, k=20, shortlist=3)
+        quantized_topk_dot(store, qvec, k=20, shortlist=3, rescore_with=corpus)
+    with _pytest.raises(ValueError, match="go together"):
+        quantized_topk_dot(store, qvec, k=20, shortlist=50)
+    with _pytest.raises(ValueError, match="go together"):
+        quantized_topk_dot(store, qvec, k=20, rescore_with=corpus)

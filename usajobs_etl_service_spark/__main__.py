@@ -128,15 +128,22 @@ def main(argv: list[str] | None = None) -> int:
             watermark_dedup_spool,
         )
 
+        import shutil
+
         work = tempfile.mkdtemp(prefix="stream_dedup_demo_")
-        out = watermark_dedup_spool(
-            spark,
-            args.stream_dedup_demo,
-            os.path.join(work, "out"),
-            os.path.join(work, "ck"),
-            key_cols=["k"],
-            watermark=args.stream_watermark,
-        )
+        try:
+            out = watermark_dedup_spool(
+                spark,
+                args.stream_dedup_demo,
+                os.path.join(work, "out"),
+                os.path.join(work, "ck"),
+                key_cols=["k"],
+                watermark=args.stream_watermark,
+            )
+        finally:
+            # only the printed metrics are consumed — don't let repeated
+            # demo runs accumulate spool-sized output + checkpoints
+            shutil.rmtree(work, ignore_errors=True)
         print(json.dumps({"stream_dedup_demo": out}), flush=True)
         return 0
 

@@ -290,13 +290,16 @@ def quantized_topk_cosine(
     Zero vectors (scale 0) and degenerate NULL rows score NULL
     (``try_divide``) and are excluded, matching float-side behavior.
 
-    ``shortlist=m`` (m >= k) adds the general two-stage shape: stage 1
+    ``shortlist=m`` (m >= k) adds a reconstruction pass: stage 1
     shortlists m rows on code-cosine, stage 2 dequantizes ONLY those m
-    rows (``codes * scale``) and re-ranks on the double reconstruction
-    — for cosine the two stages agree up to float noise (the rounding
-    absorbs it), but the shape is the template for scale-sensitive
-    scores (dot product, L2) where stage 2 genuinely re-orders; the
-    100 TB point is that dequantization cost is O(m), never O(corpus).
+    rows (``codes * scale``) and emits the reconstruction-space cosine
+    — the exact score a float-side consumer of the dequantized vectors
+    would see, at dequantization cost O(m), never O(corpus). To be
+    clear about what it is NOT: any score computed from (codes, scale)
+    — cosine, dot, L2 over the reconstruction — is a pure function of
+    what stage 1 already ranked and can never re-ORDER beyond float
+    rounding noise; a rescore that genuinely re-orders goes against
+    the ORIGINAL float corpus (``quantized_topk_dot(rescore_with=)``).
 
     One scan, no join, no shuffle: plans as scan -> project ->
     TakeOrderedAndProject (both stages)."""
@@ -328,24 +331,46 @@ def quantized_topk_dot(
     *,
     k: int = 10,
     shortlist: int | None = None,
+    rescore_with: DataFrame | None = None,
+    rescore_id_col: str = "vec_id",
+    rescore_embedding_col: str = "embedding",
     round_digits: int = 4,
 ) -> DataFrame:
     """Asymmetric MIPS probe over the persisted store: top-k by
     ``scale * dot(codes, query)`` — dot product for unnormalized
     embeddings (recommendation / retrieval scores where magnitude
     carries signal). Returns ``(id, score)``, ties (score desc, id
-    asc).
+    asc). Unlike cosine, the per-vector scale does NOT cancel out of a
+    dot product, so the scale column is genuinely consumed (one
+    multiply after the integer code fold — no double array is ever
+    materialized).
 
-    Unlike cosine, the per-vector scale does NOT cancel here — this is
-    the metric the two-stage shortlist+rescore shape exists for: stage
-    1 scores ``scale * codes-fold`` (one multiply after the integer
-    fold — never materializes a double array), stage 2 dequantizes
-    ONLY the shortlist (``codes * scale`` element-wise) and re-scores
-    the reconstruction, the exact expression a float-side consumer
-    would compute. A zero vector legitimately scores 0 (dot is defined
-    there), so only empty/NaN/Inf queries are rejected. One scan, no
-    join, no shuffle — scan -> project -> TakeOrderedAndProject."""
+    A rescore over the RECONSTRUCTION would be pointless:
+    ``dot(codes * scale, q)`` distributes to ``scale * dot(codes, q)``
+    — any score computed from (codes, scale) is a pure function of
+    what stage 1 already read and can never re-order the ranking
+    (true for cosine and L2 over the reconstruction too). The
+    meaningful second stage re-scores the shortlist against the
+    ORIGINAL FLOAT corpus (``rescore_with=`` — the table the store was
+    quantized from): stage 1 ranks ``shortlist`` candidates from the
+    compact codes, stage 2 joins those ids back to the float table
+    (shortlist ids broadcast — an id-keyed lookup at deployment) and
+    ranks the exact float dot. Quantization error then affects only
+    CANDIDATE SELECTION, never the final scores — the classic
+    compressed-candidates / exact-rerank ANN shape, at float-read cost
+    O(shortlist), not O(corpus).
+
+    A zero query legitimately scores 0 (dot is defined there), so only
+    empty/NaN/Inf queries are rejected. Without ``rescore_with`` the
+    probe is one scan -> project -> TakeOrderedAndProject (no join,
+    no shuffle); ``shortlist`` requires ``rescore_with``."""
     _check_probe_args(query_vec, k, shortlist, require_nonzero=False)
+    if (shortlist is None) != (rescore_with is None):
+        raise ValueError(
+            "shortlist and rescore_with go together: the only meaningful "
+            "re-score is against the original float corpus (a reconstruction "
+            "re-score is a pure function of the codes stage 1 already ranked)"
+        )
     from usajobs_etl_service_spark.functions.vectors import dot
 
     q = F.array(*[F.lit(float(x)) for x in query_vec])
@@ -353,17 +378,21 @@ def quantized_topk_dot(
         F.col("scale") * dot(F.col("qvec").cast("array<double>"), q), round_digits
     )
     stage1 = (
-        store.select("id", "qvec", "scale", code_score.alias("score"))
+        store.select("id", code_score.alias("score"))
         .filter(F.col("score").isNotNull())
         .orderBy(F.col("score").desc(), F.col("id").asc())
         .limit(shortlist if shortlist is not None else k)
     )
-    if shortlist is None:
-        return stage1.select("id", "score")
-    deq = F.transform(F.col("qvec"), lambda c: c.cast("double") * F.col("scale"))
-    rescore = F.round(dot(deq, q), round_digits)
+    if rescore_with is None:
+        return stage1
+    floats = rescore_with.select(
+        F.col(rescore_id_col).alias("id"),
+        F.col(rescore_embedding_col).cast("array<double>").alias("__fv"),
+    )
+    exact = F.round(dot(F.col("__fv"), q), round_digits)
     return (
-        stage1.select("id", rescore.alias("score"))
+        floats.join(F.broadcast(stage1.select("id")), "id")
+        .select("id", exact.alias("score"))
         .orderBy(F.col("score").desc(), F.col("id").asc())
         .limit(k)
     )

@@ -4334,6 +4334,33 @@ def q193_int8_mips_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(F.col("id").alias("vec_id"), "score")
 
 
+def q194_quantized_ivf_fullprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extension (the IVF x int8 composite — FAISS IVF+SQ8's shape:
+    centroid buckets prune the SCAN to nprobe/C of the data, int8
+    codes shrink what the probed buckets read 4x, compositions
+    multiply). Correctness pin on the q57 pattern: a probe with
+    nprobe == C must hash-equal the flat code-cosine ranking — this
+    oracle-checks the whole assign/bucket/probe path through
+    operators/quantize.quantized_ivf_build/quantized_ivf_topk_cosine,
+    leaving only recall-at-nprobe<C as the approximate, test-asserted
+    part (tests/test_quantize.py)."""
+    from usajobs_etl_service_spark.operators.quantize import (
+        quantized_ivf_build,
+        quantized_ivf_topk_cosine,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    qvec = [
+        float(x)
+        for x in emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
+    ]
+    index, cents = quantized_ivf_build(
+        emb.filter(F.col("vec_id") != 0), n_centroids=16
+    )
+    out = quantized_ivf_topk_cosine(index, cents, qvec, k=15, nprobe=16)
+    return out.select(F.col("id").alias("vec_id"), "sim")
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_job_statistics": q01_job_statistics,
     "q02_metric_union": q02_metric_union,
@@ -4528,6 +4555,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q191_triangle_census_sampled": q191_triangle_census_sampled,
     "q192_assortativity_sampled": q192_assortativity_sampled,
     "q193_int8_mips_probe": q193_int8_mips_probe,
+    "q194_quantized_ivf_fullprobe": q194_quantized_ivf_fullprobe,
 }
 
 
@@ -8106,6 +8134,34 @@ ORACLES: dict[str, str] = {
                round(list_dot_product(v.v, (SELECT q FROM qf)), 4) AS score
         FROM v JOIN short ON v.vec_id = short.vec_id
         ORDER BY score DESC, v.vec_id ASC LIMIT 20
+    """,
+    # q194: IVF x int8 full probe (nprobe == C) == flat code-cosine
+    # ranking — the q57 pattern: bucketing cannot change a full probe
+    "q194_quantized_ivf_fullprobe": """
+        WITH v AS (
+            SELECT vec_id,
+                   list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+            FROM embeddings
+        ), qf AS (
+            SELECT v AS q FROM v WHERE vec_id = 0
+        ), s AS (
+            SELECT vec_id, v,
+                   CASE WHEN v IS NOT NULL AND len(v) > 0
+                             AND len(list_filter(v, x -> x IS NULL
+                                     OR isnan(x) OR isinf(x))) = 0
+                        THEN list_max(list_transform(v, x -> abs(x))) / 127.0
+                   END AS scale
+            FROM v WHERE vec_id <> 0
+        ), c AS (
+            SELECT vec_id,
+                   list_transform(v, x ->
+                        greatest(-127.0, least(127.0, round(x / scale)))) AS codes
+            FROM s WHERE scale IS NOT NULL AND scale > 0
+        )
+        SELECT vec_id,
+               round(list_cosine_similarity(codes, (SELECT q FROM qf)), 4) AS sim
+        FROM c
+        ORDER BY sim DESC, vec_id ASC LIMIT 15
     """,
 }
 

@@ -318,3 +318,50 @@ def test_quantized_topk_dot_code_stage_and_float_rerank(spark):
         quantized_topk_dot(store, qvec, k=20, shortlist=50)
     with _pytest.raises(ValueError, match="go together"):
         quantized_topk_dot(store, qvec, k=20, rescore_with=corpus)
+
+
+def test_quantized_ivf_fullprobe_equals_flat_and_recall(spark):
+    """IVF x int8 composite: (a) nprobe == C equals the flat
+    quantized-store cosine ranking exactly (bucketing cannot change a
+    full probe); (b) a partial probe keeps most of the true top-k
+    (recall trade, test-asserted since no oracle can pin it); (c)
+    un-quantizable rows keep their bucket but carry NULL codes and are
+    skipped by the probe, never crashing it."""
+    from usajobs_etl_service_spark.operators.quantize import (
+        quantized_ivf_build,
+        quantized_ivf_topk_cosine,
+        quantized_topk_cosine,
+    )
+    from usajobs_etl_service_spark.session import read_table
+
+    emb = read_table(spark, "/root/testdata/sf0.001", "embeddings").select(
+        "vec_id", "embedding"
+    )
+    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    corpus = emb.filter(F.col("vec_id") != 0)
+    index, cents = quantized_ivf_build(corpus, n_centroids=8)
+    assert set(index.columns) == {"id", "centroid_id", "qvec", "scale"}
+    full = quantized_ivf_topk_cosine(index, cents, qvec, k=15, nprobe=8)
+    flat = quantized_topk_cosine(
+        quantize_embeddings_int8(corpus).select(
+            F.col("vec_id").alias("id"), "qvec", "scale"
+        ),
+        qvec,
+        k=15,
+    )
+    assert [tuple(r) for r in full.collect()] == [tuple(r) for r in flat.collect()]
+    exact_ids = {r["id"] for r in flat.collect()}
+    part = quantized_ivf_topk_cosine(index, cents, qvec, k=15, nprobe=4)
+    got_ids = {r["id"] for r in part.collect()}
+    assert len(got_ids & exact_ids) >= 9, (sorted(got_ids), sorted(exact_ids))
+    # (c) a NULL-element vector flows through build and is probe-skipped
+    bad = spark.createDataFrame(
+        [(999_999, [1.0, None])], "vec_id long, embedding array<double>"
+    )
+    idx2, cents2 = quantized_ivf_build(
+        corpus.unionByName(bad), n_centroids=4
+    )
+    row = idx2.filter(F.col("id") == 999_999).first()
+    assert row["qvec"] is None and row["centroid_id"] is not None
+    out = quantized_ivf_topk_cosine(idx2, cents2, qvec, k=5, nprobe=4)
+    assert 999_999 not in {r["id"] for r in out.collect()}

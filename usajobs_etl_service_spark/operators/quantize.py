@@ -86,6 +86,25 @@ def _code_expr(x: Column, scale: Column) -> Column:
     )
 
 
+def _qvec_expr(v_col: str, scale_col: str) -> Column:
+    """The tinyint code array for a staged (vector, scale) pair —
+    shared by the flat quantizer and the IVF composite so the code
+    derivation cannot drift between them."""
+    return F.when(
+        F.col(scale_col) == 0.0,
+        F.transform(v_col, lambda x: F.lit(0).cast("tinyint")),
+    ).otherwise(
+        # NULL scale (un-quantizable row) propagates: round(x/NULL)
+        # is NULL and the when-chain yields NULL for the whole array
+        F.when(
+            F.col(scale_col).isNotNull(),
+            F.transform(
+                v_col, lambda x: _code_expr(x, F.col(scale_col)).cast("tinyint")
+            ),
+        )
+    )
+
+
 def quantize_embeddings_int8(
     df: DataFrame,
     *,
@@ -99,21 +118,10 @@ def quantize_embeddings_int8(
     v = F.col(embedding_col).cast("array<double>")
     staged = df.select(F.col(id_col), v.alias("__v"))
     staged = staged.withColumn("__scale", _scale_expr(F.col("__v")))
-    codes = F.when(
-        F.col("__scale") == 0.0,
-        F.transform("__v", lambda x: F.lit(0).cast("tinyint")),
-    ).otherwise(
-        # NULL __scale (un-quantizable row) propagates: round(x/NULL)
-        # is NULL and the when-chain yields NULL for the whole array
-        F.when(
-            F.col("__scale").isNotNull(),
-            F.transform(
-                "__v", lambda x: _code_expr(x, F.col("__scale")).cast("tinyint")
-            ),
-        )
-    )
     return staged.select(
-        F.col(id_col), codes.alias("qvec"), F.col("__scale").alias("scale")
+        F.col(id_col),
+        _qvec_expr("__v", "__scale").alias("qvec"),
+        F.col("__scale").alias("scale"),
     )
 
 
@@ -394,5 +402,102 @@ def quantized_topk_dot(
         floats.join(F.broadcast(stage1.select("id")), "id")
         .select("id", exact.alias("score"))
         .orderBy(F.col("score").desc(), F.col("id").asc())
+        .limit(k)
+    )
+
+
+# ---------------------------------------------------------------------------
+# IVF x int8 composite (the FAISS IVF+SQ8 shape): centroid buckets prune the
+# SCAN (probe nprobe/C of the data — planning-time partition pruning once the
+# index is written partitioned by centroid_id), int8 codes shrink what the
+# probed buckets READ 4x, and cosine ranks on raw codes (scale-invariant).
+# The two compressions compose multiplicatively: a probe touches
+# ~(nprobe/C) * 0.25 of the float corpus bytes.
+# ---------------------------------------------------------------------------
+
+
+def quantized_ivf_build(
+    df: DataFrame,
+    *,
+    n_centroids: int = 256,
+    id_col: str = "vec_id",
+    embedding_col: str = "embedding",
+    seed: int = 42,
+    refine_kmeans: bool = False,
+) -> tuple[DataFrame, DataFrame]:
+    """Build an int8-resident IVF index: nearest-centroid assignment
+    (similarity.ivf_build's literal-argmax projection — no join, no
+    shuffle beyond the final repartition) with each vector stored as
+    its int8 codes. Returns ``(index, centroids)`` where index columns
+    are ``(id, centroid_id, qvec array<tinyint>, scale)``. Persist with
+    ``index.write.partitionBy("centroid_id")`` (the ivf_write
+    contract) so probes prune partitions at planning time.
+    Un-quantizable rows (NULL/empty/non-finite element) keep their
+    bucket assignment but carry NULL qvec/scale — probes skip them via
+    the NULL-score filter, and the build can be gated on a
+    ``quantization_error_report`` pass like the flat store."""
+    from usajobs_etl_service_spark.operators.similarity import ivf_build
+
+    index, cent = ivf_build(
+        df,
+        n_centroids=n_centroids,
+        embedding_col=embedding_col,
+        id_col=id_col,
+        seed=seed,
+        refine_kmeans=refine_kmeans,
+    )
+    v = F.col(embedding_col).cast("array<double>")
+    staged = index.select(
+        F.col(id_col).alias("id"), "centroid_id", v.alias("__v")
+    ).withColumn("__scale", _scale_expr(F.col("__v")))
+    return (
+        staged.select(
+            "id",
+            "centroid_id",
+            _qvec_expr("__v", "__scale").alias("qvec"),
+            F.col("__scale").alias("scale"),
+        ),
+        cent,
+    )
+
+
+def quantized_ivf_topk_cosine(
+    index: DataFrame,
+    centroids: DataFrame,
+    query_vec: list[float],
+    *,
+    k: int = 10,
+    nprobe: int = 8,
+    round_digits: int = 4,
+) -> DataFrame:
+    """Probe the ``nprobe`` nearest centroids' buckets and rank their
+    int8 codes by cosine against the FLOAT query (asymmetric — the
+    query is never quantized; cosine is scale-invariant under the
+    per-vector scheme so the codes rank without touching scale).
+    Returns ``(id, sim)``, ties (sim desc, id asc). Centroid ranking
+    is the O(C) driver pass ``ivf_topk_cosine`` uses; the bucket
+    filter prunes partitions of a persisted index at planning time.
+    Recall < 1.0 by construction at nprobe < C (the IVF trade);
+    nprobe == C is exact over the codes and equals
+    ``quantized_topk_cosine`` on the flat store (tested)."""
+    _check_probe_args(query_vec, k, None, require_nonzero=True)
+    from usajobs_etl_service_spark.functions.vectors import cosine, dot, l2_normalize
+
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    probe_ids = [
+        r["centroid_id"]
+        for r in centroids.select(
+            "centroid_id", dot(F.col("cv"), l2_normalize(q)).alias("s")
+        )
+        .orderBy(F.col("s").desc(), F.col("centroid_id").asc())
+        .limit(nprobe)
+        .collect()
+    ]
+    pruned = index.filter(F.col("centroid_id").isin(probe_ids))
+    sim = F.round(cosine(F.col("qvec").cast("array<double>"), q), round_digits)
+    return (
+        pruned.select("id", sim.alias("sim"))
+        .filter(F.col("sim").isNotNull())
+        .orderBy(F.col("sim").desc(), F.col("id").asc())
         .limit(k)
     )

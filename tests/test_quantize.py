@@ -365,3 +365,35 @@ def test_quantized_ivf_fullprobe_equals_flat_and_recall(spark):
     assert row["qvec"] is None and row["centroid_id"] is not None
     out = quantized_ivf_topk_cosine(idx2, cents2, qvec, k=5, nprobe=4)
     assert 999_999 not in {r["id"] for r in out.collect()}
+
+
+def test_quantized_ivf_persists_and_prunes_partitions(spark, tmp_path):
+    """The quantized index persists through the generic ivf_write/
+    ivf_load contract (schema-agnostic: partitioned by centroid_id),
+    and a probe over the PERSISTED index prunes non-probed buckets at
+    PLANNING time — the isin filter must surface as a partition filter
+    on the partitioned read, so (C - nprobe)/C of the index is never
+    opened."""
+    from usajobs_etl_service_spark.operators.quantize import (
+        quantized_ivf_build,
+        quantized_ivf_topk_cosine,
+    )
+    from usajobs_etl_service_spark.operators.similarity import ivf_load, ivf_write
+    from usajobs_etl_service_spark.session import read_table
+
+    emb = read_table(spark, "/root/testdata/sf0.001", "embeddings").select(
+        "vec_id", "embedding"
+    )
+    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    corpus = emb.filter(F.col("vec_id") != 0)
+    index, cents = quantized_ivf_build(corpus, n_centroids=8)
+    path = str(tmp_path / "qivf")
+    ivf_write(index, cents, path)
+    idx2, cents2 = ivf_load(spark, path)
+    probe_mem = quantized_ivf_topk_cosine(index, cents, qvec, k=10, nprobe=3)
+    probe_disk = quantized_ivf_topk_cosine(idx2, cents2, qvec, k=10, nprobe=3)
+    assert [tuple(r) for r in probe_disk.collect()] == [
+        tuple(r) for r in probe_mem.collect()
+    ]
+    plan = probe_disk._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "centroid_id" in plan, plan[:1200]

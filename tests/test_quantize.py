@@ -397,3 +397,52 @@ def test_quantized_ivf_persists_and_prunes_partitions(spark, tmp_path):
     ]
     plan = probe_disk._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan and "centroid_id" in plan, plan[:1200]
+
+
+def test_quantized_ivf_append_frozen_codebook(spark, tmp_path):
+    """Incremental composite: appending a batch against the FROZEN
+    stored codebook equals rebuilding the index over the union corpus
+    with the same centroids — probes see old+new immediately, and a
+    float ivf_write index is rejected (schema guard)."""
+    from usajobs_etl_service_spark.operators.quantize import (
+        quantized_ivf_append,
+        quantized_ivf_build,
+        quantized_ivf_topk_cosine,
+    )
+    from usajobs_etl_service_spark.operators.similarity import ivf_load, ivf_write
+    from usajobs_etl_service_spark.session import read_table
+
+    emb = read_table(spark, "/root/testdata/sf0.001", "embeddings").select(
+        "vec_id", "embedding"
+    )
+    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    corpus = emb.filter(F.col("vec_id") != 0)
+    base = corpus.filter(F.col("vec_id") % 2 == 0)
+    batch = corpus.filter(F.col("vec_id") % 2 == 1)
+    index, cents = quantized_ivf_build(base, n_centroids=8)
+    path = str(tmp_path / "qivf_inc")
+    ivf_write(index, cents, path)
+    quantized_ivf_append(batch, path)
+    idx2, cents2 = ivf_load(spark, path)
+    got = quantized_ivf_topk_cosine(idx2, cents2, qvec, k=15, nprobe=8)
+    # reference: full-probe flat ranking over the WHOLE corpus (full
+    # probe is bucket-independent, so frozen-codebook assignment of the
+    # appended half cannot change it)
+    from usajobs_etl_service_spark.operators.quantize import quantized_topk_cosine
+
+    want = quantized_topk_cosine(
+        quantize_embeddings_int8(corpus).select(
+            F.col("vec_id").alias("id"), "qvec", "scale"
+        ),
+        qvec,
+        k=15,
+    )
+    assert [tuple(r) for r in got.collect()] == [tuple(r) for r in want.collect()]
+    # schema guard: a float index is refused
+    fpath = str(tmp_path / "float_ivf")
+    from usajobs_etl_service_spark.operators.similarity import ivf_build
+
+    fidx, fcents = ivf_build(base, n_centroids=4)
+    ivf_write(fidx, fcents, fpath)
+    with pytest.raises(ValueError, match="float ivf_write index"):
+        quantized_ivf_append(batch, fpath)

@@ -461,6 +461,61 @@ def quantized_ivf_build(
     )
 
 
+def quantized_ivf_append(
+    df: DataFrame,
+    path: str,
+    *,
+    id_col: str = "vec_id",
+    embedding_col: str = "embedding",
+) -> None:
+    """Append a new float batch to a PERSISTED quantized IVF index
+    (written via ``similarity.ivf_write``) with a FROZEN codebook —
+    the ``ivf_append`` contract for the int8-resident composite: the
+    existing index is never re-read or re-assigned; the batch is
+    centroid-assigned with the stored codebook (the same literal-
+    argmax projection the build uses), quantized through the shared
+    ``_qvec_expr``/``_scale_expr`` builders, and lands as new files
+    under the existing ``centroid_id=`` directories, so probes keep
+    planning-time pruning and see old+new immediately. The codebook
+    does not drift with appends; rebuild periodically if the vector
+    distribution moves. Appends assume NEW ids (parquet has no
+    row-level delete — replacing an id is a rebuild concern, unlike
+    the flat store's batch_seq latest-wins, which works because the
+    flat store is not partition-laid-out)."""
+    from usajobs_etl_service_spark.operators.similarity import (
+        nearest_centroid_expr,
+    )
+
+    spark = df.sparkSession
+    stored = spark.read.parquet(f"{path}/index").schema
+    want = {"id", "centroid_id", "qvec", "scale"}
+    if {f.name for f in stored.fields} != want:
+        raise ValueError(
+            "quantized_ivf_append targets a quantized index with columns "
+            f"{sorted(want)}; the stored index has "
+            f"{sorted(f.name for f in stored.fields)} — is this a float "
+            "ivf_write index? Use similarity.ivf_append for those."
+        )
+    cents = spark.read.parquet(f"{path}/centroids")
+    cent_rows = sorted(
+        ((r["centroid_id"], [float(x) for x in r["cv"]]) for r in cents.collect()),
+        key=lambda t: t[0],
+    )
+    v = F.col(embedding_col).cast("array<double>")
+    staged = (
+        df.select(F.col(id_col).alias("id"), v.alias("__v"))
+        .withColumn("centroid_id", nearest_centroid_expr(F.col("__v"), cent_rows))
+        .withColumn("__scale", _scale_expr(F.col("__v")))
+    )
+    new_index = staged.select(
+        "id",
+        "centroid_id",
+        _qvec_expr("__v", "__scale").alias("qvec"),
+        F.col("__scale").alias("scale"),
+    ).repartition("centroid_id")
+    new_index.write.partitionBy("centroid_id").mode("append").parquet(f"{path}/index")
+
+
 def quantized_ivf_topk_cosine(
     index: DataFrame,
     centroids: DataFrame,

@@ -396,7 +396,13 @@ def test_quantized_ivf_persists_and_prunes_partitions(spark, tmp_path):
         tuple(r) for r in probe_mem.collect()
     ]
     plan = probe_disk._jdf.queryExecution().executedPlan().toString()
-    assert "PartitionFilters" in plan and "centroid_id" in plan, plan[:1200]
+    # centroid_id must appear INSIDE the PartitionFilters bracket — the
+    # plan always prints 'PartitionFilters: []' and a post-scan Filter
+    # naming the column, so two independent substring checks would stay
+    # green with pruning silently broken (round-10 review finding)
+    import re
+
+    assert re.search(r"PartitionFilters: \[[^\]]*centroid_id", plan), plan[:1500]
 
 
 def test_quantized_ivf_append_frozen_codebook(spark, tmp_path):
@@ -446,3 +452,37 @@ def test_quantized_ivf_append_frozen_codebook(spark, tmp_path):
     ivf_write(fidx, fcents, fpath)
     with pytest.raises(ValueError, match="float ivf_write index"):
         quantized_ivf_append(batch, fpath)
+
+
+def test_quantized_ivf_append_rejects_type_drift_and_bad_nprobe(spark, tmp_path):
+    """Round-10 review (verified corruption): parquet mode('append')
+    happily lands mixed-schema files — a string-id batch appended to a
+    long-id index makes every later load/probe die unreadably. The
+    append must raise BEFORE writing; nprobe < 1 must raise instead of
+    silently probing nothing."""
+    from usajobs_etl_service_spark.operators.quantize import (
+        quantized_ivf_append,
+        quantized_ivf_build,
+        quantized_ivf_topk_cosine,
+    )
+    from usajobs_etl_service_spark.operators.similarity import ivf_load, ivf_write
+
+    base = spark.createDataFrame(
+        [(i, [float(i), 1.0]) for i in range(1, 40)],
+        "vec_id long, embedding array<double>",
+    )
+    index, cents = quantized_ivf_build(base, n_centroids=4)
+    path = str(tmp_path / "qivf_types")
+    ivf_write(index, cents, path)
+    bad = spark.createDataFrame(
+        [("x1", [9.0, 9.0])], "vec_id string, embedding array<double>"
+    )
+    with pytest.raises(ValueError, match="mixed-schema"):
+        quantized_ivf_append(bad, path)
+    # nothing was written: the index still loads and probes cleanly
+    idx2, cents2 = ivf_load(spark, path)
+    assert idx2.count() == 39
+    with pytest.raises(ValueError, match="nprobe"):
+        quantized_ivf_topk_cosine(idx2, cents2, [1.0, 0.0], k=5, nprobe=0)
+    with pytest.raises(ValueError, match="k must"):
+        quantized_ivf_topk_cosine(idx2, cents2, [1.0, 0.0], k=0)

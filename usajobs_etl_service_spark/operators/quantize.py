@@ -105,6 +105,37 @@ def _qvec_expr(v_col: str, scale_col: str) -> Column:
     )
 
 
+def _quantize_staged(
+    df: DataFrame,
+    id_col: str,
+    embedding_col: str,
+    *,
+    out_id: str,
+    keep: tuple[str, ...] = (),
+    extra: dict[str, Column] | None = None,
+) -> DataFrame:
+    """ONE copy of the staging pipeline (cast -> scale fold -> code
+    transform) shared by the flat quantizer and both IVF-composite
+    paths (round-10 review: the boilerplate existed in three copies
+    even after `_qvec_expr` was extracted). Returns
+    ``(out_id, *keep, *extra, qvec, scale)``; ``extra`` columns are
+    computed on the staged frame (they may reference ``__v``)."""
+    v = F.col(embedding_col).cast("array<double>")
+    staged = df.select(
+        F.col(id_col).alias(out_id), *keep, v.alias("__v")
+    )
+    for name, expr in (extra or {}).items():
+        staged = staged.withColumn(name, expr)
+    staged = staged.withColumn("__scale", _scale_expr(F.col("__v")))
+    return staged.select(
+        out_id,
+        *keep,
+        *(extra or {}),
+        _qvec_expr("__v", "__scale").alias("qvec"),
+        F.col("__scale").alias("scale"),
+    )
+
+
 def quantize_embeddings_int8(
     df: DataFrame,
     *,
@@ -115,14 +146,7 @@ def quantize_embeddings_int8(
     vector. A non-empty all-zero vector gets scale 0 and all-zero
     codes; a NULL/empty/NULL-element vector yields NULL qvec and scale
     (see module docstring). Dequantize with ``dequantize_int8``."""
-    v = F.col(embedding_col).cast("array<double>")
-    staged = df.select(F.col(id_col), v.alias("__v"))
-    staged = staged.withColumn("__scale", _scale_expr(F.col("__v")))
-    return staged.select(
-        F.col(id_col),
-        _qvec_expr("__v", "__scale").alias("qvec"),
-        F.col("__scale").alias("scale"),
-    )
+    return _quantize_staged(df, id_col, embedding_col, out_id=id_col)
 
 
 def dequantize_int8(df: DataFrame, *, qvec_col: str = "qvec", scale_col: str = "scale"):
@@ -446,16 +470,9 @@ def quantized_ivf_build(
         seed=seed,
         refine_kmeans=refine_kmeans,
     )
-    v = F.col(embedding_col).cast("array<double>")
-    staged = index.select(
-        F.col(id_col).alias("id"), "centroid_id", v.alias("__v")
-    ).withColumn("__scale", _scale_expr(F.col("__v")))
     return (
-        staged.select(
-            "id",
-            "centroid_id",
-            _qvec_expr("__v", "__scale").alias("qvec"),
-            F.col("__scale").alias("scale"),
+        _quantize_staged(
+            index, id_col, embedding_col, out_id="id", keep=("centroid_id",)
         ),
         cent,
     )
@@ -501,19 +518,44 @@ def quantized_ivf_append(
         ((r["centroid_id"], [float(x) for x in r["cv"]]) for r in cents.collect()),
         key=lambda t: t[0],
     )
-    v = F.col(embedding_col).cast("array<double>")
-    staged = (
-        df.select(F.col(id_col).alias("id"), v.alias("__v"))
-        .withColumn("centroid_id", nearest_centroid_expr(F.col("__v"), cent_rows))
-        .withColumn("__scale", _scale_expr(F.col("__v")))
+    new_index = _quantize_staged(
+        df,
+        id_col,
+        embedding_col,
+        out_id="id",
+        extra={"centroid_id": nearest_centroid_expr(F.col("__v"), cent_rows)},
     )
-    new_index = staged.select(
-        "id",
-        "centroid_id",
-        _qvec_expr("__v", "__scale").alias("qvec"),
-        F.col("__scale").alias("scale"),
-    ).repartition("centroid_id")
-    new_index.write.partitionBy("centroid_id").mode("append").parquet(f"{path}/index")
+    # validate the BATCH-derived schema against the stored TYPES before
+    # any write (round-10 review, verified corruption: parquet
+    # mode("append") happily lands mixed-schema files — a string-id
+    # batch appended to a long-id index makes every later ivf_load/
+    # probe die with SchemaColumnConvertNotSupportedException, and the
+    # build-once artifact is unrecoverable short of file surgery; the
+    # qvec/scale types are fixed by construction, so the id is the
+    # column that can drift — ivf_append's guard, carried over)
+    # centroid_id is the partition DIRECTORY column: its type never
+    # lands in a data file (Spark re-infers it from path values on
+    # read), so only the in-file columns can drift
+    stored_types = {
+        f.name: f.dataType for f in stored.fields if f.name != "centroid_id"
+    }
+    new_types = {f.name: f.dataType for f in new_index.schema.fields}
+    mismatched = sorted(
+        c for c in stored_types if new_types.get(c) != stored_types[c]
+    )
+    if mismatched:
+        raise ValueError(
+            "quantized_ivf_append batch would land mixed-schema files: "
+            + "; ".join(
+                f"{c}: stored {stored_types[c].simpleString()} vs batch "
+                f"{new_types[c].simpleString()}"
+                for c in mismatched
+            )
+            + ". Appending would corrupt probes; cast the batch or rebuild."
+        )
+    new_index.repartition("centroid_id").write.partitionBy(
+        "centroid_id"
+    ).mode("append").parquet(f"{path}/index")
 
 
 def quantized_ivf_topk_cosine(
@@ -536,19 +578,15 @@ def quantized_ivf_topk_cosine(
     nprobe == C is exact over the codes and equals
     ``quantized_topk_cosine`` on the flat store (tested)."""
     _check_probe_args(query_vec, k, None, require_nonzero=True)
-    from usajobs_etl_service_spark.functions.vectors import cosine, dot, l2_normalize
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    from usajobs_etl_service_spark.functions.vectors import cosine
+    from usajobs_etl_service_spark.operators.similarity import probe_centroid_ids
 
     q = F.array(*[F.lit(float(x)) for x in query_vec])
-    probe_ids = [
-        r["centroid_id"]
-        for r in centroids.select(
-            "centroid_id", dot(F.col("cv"), l2_normalize(q)).alias("s")
-        )
-        .orderBy(F.col("s").desc(), F.col("centroid_id").asc())
-        .limit(nprobe)
-        .collect()
-    ]
-    pruned = index.filter(F.col("centroid_id").isin(probe_ids))
+    pruned = index.filter(
+        F.col("centroid_id").isin(probe_centroid_ids(centroids, query_vec, nprobe))
+    )
     sim = F.round(cosine(F.col("qvec").cast("array<double>"), q), round_digits)
     return (
         pruned.select("id", sim.alias("sim"))

@@ -316,17 +316,34 @@ def ivf_topk_cosine(
     """Probe the ``nprobe`` nearest centroids' buckets only, then exact
     top-k within them. Recall < 1.0 by construction; raise nprobe to
     trade scan cost for recall."""
+    pruned = index.filter(
+        F.col("centroid_id").isin(probe_centroid_ids(centroids, vec, nprobe))
+    )
+    return topk_cosine(pruned, vec, embedding_col=embedding_col, id_col=id_col, k=k)
+
+
+def probe_centroid_ids(
+    centroids: DataFrame, vec: list[float], nprobe: int
+) -> list:
+    """The O(C) driver pass every IVF probe shares (float and
+    quantized — one copy so NULL/tie handling cannot drift): rank the
+    codebook by dot with the normalized query and return the top
+    ``nprobe`` centroid ids. Ties break on centroid_id asc, so the
+    probed bucket SET is deterministic (an unordered tie at the
+    nprobe cutoff would make recall run-dependent)."""
+    if nprobe < 1:
+        # limit(0) would silently probe nothing and return an empty
+        # top-k — "no neighbors" instead of a loud misconfiguration
+        raise ValueError(f"nprobe must be >= 1, got {nprobe}")
     q = query_vector_literal(vec)
     qn = l2_normalize(q)
-    probe_ids = [
+    return [
         r["centroid_id"]
         for r in centroids.select("centroid_id", dot(F.col("cv"), qn).alias("s"))
-        .orderBy(F.col("s").desc())
+        .orderBy(F.col("s").desc(), F.col("centroid_id").asc())
         .limit(nprobe)
         .collect()
     ]
-    pruned = index.filter(F.col("centroid_id").isin(probe_ids))
-    return topk_cosine(pruned, vec, embedding_col=embedding_col, id_col=id_col, k=k)
 
 
 def mmr_rerank(

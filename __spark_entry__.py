@@ -4361,6 +4361,66 @@ def q194_quantized_ivf_fullprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(F.col("id").alias("vec_id"), "sim")
 
 
+def q195_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extension (storage layout for JOIN locality — the complement to
+    q182/q186's Z-order scan locality): lineitem and orders are written
+    ONCE as bucketed tables on the order key (sinks/bucketed.py —
+    Spark's bucketBy uses the same Murmur3-pmod hash the shuffle would,
+    so the on-disk layout IS the exchange), then the fact⋈fact join,
+    the per-order aggregate on the SAME key, and the final top-k all
+    plan with ZERO Exchange (asserted in tests/test_bucketed.py — the
+    plan is two bucketed FileScans -> SortMergeJoin -> HashAggregate ->
+    TakeOrderedAndProject). At 100 TB this moves the dominant fact-side
+    shuffle of every repeated order-grain query to a one-time write;
+    the merge hint (not a session conf) pins SMJ so nothing here leaks
+    into the surrounding session. The build runs at query construction
+    — that IS the operator (layout once, join many). Reference anchor:
+    init.sql:30-43 keeps jobs.job_id btree-indexed so repeated upserts
+    never rescan; bucketing is the distributed analogue."""
+    import os
+    import tempfile
+
+    from usajobs_etl_service_spark.sinks.bucketed import (
+        bucketize_write,
+        bucketized_table,
+    )
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    # stable within the process, pid-keyed across concurrent runs
+    # (the q189 store convention)
+    # sanitize: 'sf0.01' has a dot, which a table identifier would
+    # parse as a schema separator
+    base = "".join(
+        ch if ch.isalnum() else "_"
+        for ch in os.path.basename(sf_dir.rstrip("/"))
+    )
+    root = os.path.join(
+        tempfile.gettempdir(), f"spark_graft_q195_buckets_{base}_{os.getpid()}"
+    )
+    t_li = f"q195_b_lineitem_{base}_{os.getpid()}"
+    t_o = f"q195_b_orders_{base}_{os.getpid()}"
+    bucketize_write(li, t_li, "l_orderkey", 8, os.path.join(root, "lineitem"))
+    bucketize_write(orders, t_o, "o_orderkey", 8, os.path.join(root, "orders"))
+    bl = bucketized_table(spark, t_li)
+    bo = bucketized_table(spark, t_o)
+    return (
+        bl.hint("merge")
+        .join(bo, bl.l_orderkey == bo.o_orderkey)
+        .groupBy("o_orderkey", "o_orderpriority")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+        .orderBy(F.col("revenue").desc(), F.col("o_orderkey").asc())
+        .limit(20)
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_job_statistics": q01_job_statistics,
     "q02_metric_union": q02_metric_union,
@@ -4556,6 +4616,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q192_assortativity_sampled": q192_assortativity_sampled,
     "q193_int8_mips_probe": q193_int8_mips_probe,
     "q194_quantized_ivf_fullprobe": q194_quantized_ivf_fullprobe,
+    "q195_bucketed_join": q195_bucketed_join,
 }
 
 
@@ -8162,6 +8223,18 @@ ORACLES: dict[str, str] = {
                round(list_cosine_similarity(codes, (SELECT q FROM qf)), 4) AS sim
         FROM c
         ORDER BY sim DESC, vec_id ASC LIMIT 15
+    """,
+    # q195: bucketed layout cannot change join/aggregate VALUES — the
+    # oracle is the plain join; the no-shuffle property is plan-pinned
+    # in tests/test_bucketed.py
+    "q195_bucketed_join": """
+        SELECT o.o_orderkey AS o_orderkey,
+               o.o_orderpriority AS o_orderpriority,
+               round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+               count(*) AS n_lines
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        GROUP BY o.o_orderkey, o.o_orderpriority
+        ORDER BY revenue DESC, o_orderkey ASC LIMIT 20
     """,
 }
 

@@ -4421,6 +4421,31 @@ def q195_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q196_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extension (trained-classifier quality gate — the fastText /
+    CCNet inference shape, Joulin et al. 2016): every document scored
+    by a hashed unigram+bigram linear model
+    (operators/classifier.hashed_linear_score) — sigmoid of the mean
+    per-feature weight — and gated at 0.5. The weight table is the
+    model artifact: <= width rows BY CONSTRUCTION, hence a provable
+    broadcast; the only data shuffle is the per-document mean. Here
+    the weights come from deterministic_weights (md5 of the bucket id
+    — a reproducible stand-in for a shipped model, so the oracle
+    rebuilds the exact model and replays inference bit-for-bit);
+    a real pipeline swaps in trained weights behind the same
+    (bucket, weight) contract."""
+    from usajobs_etl_service_spark.operators.classifier import (
+        deterministic_weights,
+        hashed_linear_score,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    w = deterministic_weights(spark, 1024)
+    return hashed_linear_score(
+        docs, w, width=1024, bias=0.1, threshold=0.5
+    ).orderBy("doc_id")
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_job_statistics": q01_job_statistics,
     "q02_metric_union": q02_metric_union,
@@ -4617,6 +4642,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q193_int8_mips_probe": q193_int8_mips_probe,
     "q194_quantized_ivf_fullprobe": q194_quantized_ivf_fullprobe,
     "q195_bucketed_join": q195_bucketed_join,
+    "q196_quality_classifier": q196_quality_classifier,
 }
 
 
@@ -8235,6 +8261,47 @@ ORACLES: dict[str, str] = {
         FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
         GROUP BY o.o_orderkey, o.o_orderpriority
         ORDER BY revenue DESC, o_orderkey ASC LIMIT 20
+    """,
+    # q196: hashed linear classifier inference — unigram+bigram
+    # feature instances, md5-prefix buckets, mean weight -> sigmoid;
+    # the weight model itself is rebuilt from the bucket id hash
+    "q196_quality_classifier": """
+        WITH w AS (
+            SELECT b AS bucket,
+                   (CAST(('0x' || substr(md5(CAST(b AS VARCHAR) || '#w0'), 1, 8)) AS BIGINT)
+                    % 2001 - 1000) / 1000.0 AS weight
+            FROM (SELECT unnest(generate_series(0, 1023)) AS b)
+        ), t AS (
+            SELECT doc_id,
+                   list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                               x -> x <> '') AS ts
+            FROM documents
+        ), base AS (
+            SELECT doc_id, ts FROM t WHERE len(ts) >= 1
+        ), feats AS (
+            SELECT doc_id, unnest(ts) AS feat FROM base
+            UNION ALL
+            SELECT doc_id,
+                   unnest(list_transform(generate_series(1, len(ts) - 1),
+                          i -> ts[i] || ' ' || ts[i + 1])) AS feat
+            FROM base
+        ), bucketed AS (
+            SELECT doc_id,
+                   CAST(('0x' || substr(md5(feat || '#ftx'), 1, 8)) AS BIGINT)
+                   % 1024 AS bucket
+            FROM feats
+        ), scored AS (
+            SELECT b.doc_id,
+                   count(*) AS n_features,
+                   sum(coalesce(w.weight, 0.0)) AS wsum
+            FROM bucketed b LEFT JOIN w USING (bucket)
+            GROUP BY b.doc_id
+        )
+        SELECT doc_id, n_features,
+               round(1.0 / (1.0 + exp(-(0.1 + wsum / n_features))), 4) AS score,
+               1.0 / (1.0 + exp(-(0.1 + wsum / n_features))) >= 0.5 AS keep
+        FROM scored
+        ORDER BY doc_id
     """,
 }
 

@@ -4446,6 +4446,57 @@ def q196_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def q197_target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extension (ML feature engineering — Micci-Barreca 2001): K-fold
+    leakage-safe target encoding of order priority by order value
+    (operators/encoding.target_encoding_table). Every (category, fold)
+    cell encodes as the smoothed label mean over the OTHER folds, so no
+    row's label ever reaches its own feature; folds are the q94
+    deterministic md5 uniform of the order key, so the table is stable
+    across runs/engines and the oracle rebuilds it bit-for-bit. One
+    fact-side shuffle total: the (category, fold) partial aggregate;
+    totals and the prior are windows over the <= |C|*k partials."""
+    from usajobs_etl_service_spark.operators.encoding import target_encoding_table
+
+    orders = _t(spark, sf_dir, "orders")
+    t = target_encoding_table(
+        orders,
+        category_col="o_orderpriority",
+        label_col="o_totalprice",
+        key_col="o_orderkey",
+        k=5,
+        smoothing=20.0,
+        seed=42,
+    )
+    return t.select(
+        "category", "fold", "n_oof", F.round("te", 4).alias("te")
+    ).orderBy("category", "fold")
+
+
+def q198_woe_iv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extension (ML feature engineering, credit-scoring WOE/IV): per
+    order-priority weight-of-evidence against the finished-order flag
+    (operators/encoding.woe_iv) with 0.5 Laplace cells; iv_term sums to
+    the feature's total information value. One aggregate keyed by the
+    category + a 1-row totals broadcast (the bm25/dsir scalar
+    pattern)."""
+    from usajobs_etl_service_spark.operators.encoding import woe_iv
+
+    orders = _t(spark, sf_dir, "orders")
+    out = woe_iv(
+        orders.withColumn("is_f", F.col("o_orderstatus") == "F"),
+        category_col="o_orderpriority",
+        label_col="is_f",
+    )
+    return out.select(
+        "category",
+        "n_good",
+        "n_bad",
+        F.round("woe", 6).alias("woe"),
+        F.round("iv_term", 6).alias("iv_term"),
+    ).orderBy("category")
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_job_statistics": q01_job_statistics,
     "q02_metric_union": q02_metric_union,
@@ -4643,6 +4694,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q194_quantized_ivf_fullprobe": q194_quantized_ivf_fullprobe,
     "q195_bucketed_join": q195_bucketed_join,
     "q196_quality_classifier": q196_quality_classifier,
+    "q197_target_encoding": q197_target_encoding,
+    "q198_woe_iv": q198_woe_iv,
 }
 
 
@@ -8302,6 +8355,50 @@ ORACLES: dict[str, str] = {
                1.0 / (1.0 + exp(-(0.1 + wsum / n_features))) >= 0.5 AS keep
         FROM scored
         ORDER BY doc_id
+    """,
+    # q197: K-fold out-of-fold target encoding — fold = floor(md5
+    # uniform * k) (exact: h*5 < 2^35 is exactly representable, /2^32
+    # is a power-of-two divide), smoothed toward the global prior
+    "q197_target_encoding": """
+        WITH rows_f AS (
+            SELECT o_orderpriority AS category,
+                   CAST(o_totalprice AS DOUBLE) AS y,
+                   CAST(floor(
+                       CAST(('0x' || substr(md5(CAST(o_orderkey AS VARCHAR) || '#42'), 1, 8)) AS BIGINT)
+                       / 4294967296.0 * 5) AS INT) AS fold
+            FROM orders
+        ), parts AS (
+            SELECT category, fold, count(*) AS n, sum(y) AS s
+            FROM rows_f GROUP BY category, fold
+        ), tot AS (
+            SELECT sum(s) / sum(n) AS prior FROM parts
+        )
+        SELECT p.category AS category, p.fold AS fold,
+               (sum(p2.n) - p.n) AS n_oof,
+               round(((sum(p2.s) - p.s) + 20.0 * (SELECT prior FROM tot))
+                     / ((sum(p2.n) - p.n) + 20.0), 4) AS te
+        FROM parts p JOIN parts p2 USING (category)
+        GROUP BY p.category, p.fold, p.n, p.s
+        ORDER BY category, fold
+    """,
+    # q198: WOE/IV per category, 0.5 Laplace cells
+    "q198_woe_iv": """
+        WITH counts AS (
+            SELECT o_orderpriority AS category,
+                   count(*) FILTER (WHERE o_orderstatus = 'F') AS n_good,
+                   count(*) FILTER (WHERE o_orderstatus <> 'F') AS n_bad
+            FROM orders GROUP BY 1
+        ), tot AS (
+            SELECT CAST(sum(n_good) AS DOUBLE) AS gt,
+                   CAST(sum(n_bad) AS DOUBLE) AS bt
+            FROM counts
+        )
+        SELECT category, n_good, n_bad,
+               round(ln(((n_good + 0.5) / gt) / ((n_bad + 0.5) / bt)), 6) AS woe,
+               round((n_good / gt - n_bad / bt)
+                     * ln(((n_good + 0.5) / gt) / ((n_bad + 0.5) / bt)), 6) AS iv_term
+        FROM counts CROSS JOIN tot
+        ORDER BY category
     """,
 }
 

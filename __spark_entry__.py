@@ -4497,6 +4497,29 @@ def q198_woe_iv(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("category")
 
 
+def q199_khop_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extension (bounded multi-source BFS — the k-hop "blast radius"
+    primitive): minimum hop distance from the seed part set
+    (p_partkey % 97 == 0) to every part within 3 hops of the
+    co-purchase graph (operators/graphrank.khop_distances — frontier
+    supersteps, each round one frontier⋈edges join + one anti-join,
+    cost tracking the frontier boundary, never the whole graph;
+    parquet-materialized rounds, empty-frontier early exit provably
+    equal to the full unroll). Fourth iterative-graph member after
+    connected components, PageRank, and k-core. The oracle unrolls the
+    identical 3 bounded Bellman-Ford rounds as MATERIALIZED CTEs (the
+    q174 pattern)."""
+    from usajobs_etl_service_spark.operators.graphrank import khop_distances
+
+    seeds = (
+        _t(spark, sf_dir, "part")
+        .filter(F.col("p_partkey") % 97 == 0)
+        .select(F.col("p_partkey").alias("node"))
+    )
+    out = khop_distances(_copurchase_edges(spark, sf_dir), seeds, max_hops=3)
+    return out.select(F.col("node").alias("p_partkey"), "dist").orderBy("p_partkey")
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_job_statistics": q01_job_statistics,
     "q02_metric_union": q02_metric_union,
@@ -4696,6 +4719,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q196_quality_classifier": q196_quality_classifier,
     "q197_target_encoding": q197_target_encoding,
     "q198_woe_iv": q198_woe_iv,
+    "q199_khop_reach": q199_khop_reach,
 }
 
 
@@ -8399,6 +8423,39 @@ ORACLES: dict[str, str] = {
                      * ln(((n_good + 0.5) / gt) / ((n_bad + 0.5) / bt)), 6) AS iv_term
         FROM counts CROSS JOIN tot
         ORDER BY category
+    """,
+    # q199: 3-hop multi-source BFS, unrolled bounded Bellman-Ford
+    # rounds (min-dist within r hops == BFS layer r) — the q174
+    # MATERIALIZED-CTE pattern
+    "q199_khop_reach": """
+        WITH pl AS (
+            SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+        ), e AS MATERIALIZED (
+            SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+            FROM pl a JOIN pl b
+              ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+        ), d0 AS MATERIALIZED (
+            SELECT p_partkey AS node, 0 AS dist FROM part WHERE p_partkey % 97 = 0
+        ), d1 AS MATERIALIZED (
+            SELECT node, min(dist) AS dist FROM (
+                SELECT node, dist FROM d0
+                UNION ALL
+                SELECT e.v AS node, d0.dist + 1 AS dist FROM d0 JOIN e ON e.u = d0.node
+            ) GROUP BY node
+        ), d2 AS MATERIALIZED (
+            SELECT node, min(dist) AS dist FROM (
+                SELECT node, dist FROM d1
+                UNION ALL
+                SELECT e.v AS node, d1.dist + 1 AS dist FROM d1 JOIN e ON e.u = d1.node
+            ) GROUP BY node
+        ), d3 AS MATERIALIZED (
+            SELECT node, min(dist) AS dist FROM (
+                SELECT node, dist FROM d2
+                UNION ALL
+                SELECT e.v AS node, d2.dist + 1 AS dist FROM d2 JOIN e ON e.u = d2.node
+            ) GROUP BY node
+        )
+        SELECT node AS p_partkey, dist FROM d3 ORDER BY p_partkey
     """,
 }
 

@@ -576,3 +576,119 @@ def hits_scores(
     for frame in (a, h, e):
         frame.unpersist()
     return e.sparkSession.createDataFrame(rows, schema)
+
+
+def khop_distances(
+    edges: DataFrame,
+    seeds: DataFrame,
+    *,
+    max_hops: int = 3,
+    u: str = "u",
+    v: str = "v",
+    small_graph_edges: int = 500_000,
+) -> DataFrame:
+    """Bounded multi-source BFS over an undirected edge table: every
+    node reachable from a seed within ``max_hops`` hops, with its
+    minimum hop distance — ``(node, dist)``. The k-hop neighborhood /
+    "blast radius" primitive (impact analysis, recall expansion,
+    contamination spread over a similarity graph), and exactly the
+    bounded Bellman-Ford iterate, so a ``max_hops``-round unrolled SQL
+    oracle checks it round-for-round (the q105/q174 bounded-iteration
+    contract).
+
+    Fourth member of the iterative-graph family (connected components,
+    PageRank, k-core). Frontier supersteps: round r joins the CURRENT
+    FRONTIER (nodes first reached at r-1 — never the whole visited
+    set) against the symmetrized edges, anti-joins the visited set,
+    and the survivors become round r's frontier at dist r. An empty
+    frontier is a fixpoint: every later round is an identity, so the
+    loop early-exits with the full-``max_hops`` result. Per round:
+    one frontier⋈edges hash join + one anti-join + a distinct — all
+    keyed on node ids; cost tracks the frontier's edge boundary, not
+    the graph. Supersteps materialize via parquet
+    (clustering.py:134's lineage/executor-loss argument).
+
+    Small-graph finish (the kcore_membership posture, same threshold):
+    one ``limit(threshold + 1)`` probe decides the path and, when the
+    graph fits, already holds every edge for an exact driver-side BFS.
+    ``small_graph_edges=0`` forces the distributed path (tests do).
+    ``seeds``' first column is the seed node set; seeds absent from
+    the graph still report dist 0 (a seed is trivially reachable).
+    """
+    import atexit
+    import os
+    import shutil
+    import tempfile
+
+    if max_hops < 0:
+        raise ValueError(f"max_hops must be >= 0, got {max_hops}")
+    spark = edges.sparkSession
+    seed_col = seeds.columns[0]
+    s = seeds.select(F.col(seed_col).alias("node")).distinct()
+
+    e = (
+        edges.select(F.col(u).alias("u"), F.col(v).alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+    if small_graph_edges > 0:
+        probe = e.limit(small_graph_edges + 1).collect()
+        if len(probe) <= small_graph_edges:
+            adj: dict = {}
+            for r in probe:
+                adj.setdefault(r["u"], set()).add(r["v"])
+                adj.setdefault(r["v"], set()).add(r["u"])
+            dist = {r["node"]: 0 for r in s.collect()}
+            frontier = set(dist)
+            for d in range(1, max_hops + 1):
+                nxt = set()
+                for n in frontier:
+                    for m in adj.get(n, ()):
+                        if m not in dist:
+                            dist[m] = d
+                            nxt.add(m)
+                if not nxt:
+                    break
+                frontier = nxt
+            from pyspark.sql.types import IntegerType, StructField, StructType
+
+            node_type = e.schema["u"].dataType if probe else s.schema["node"].dataType
+            schema = StructType(
+                [
+                    StructField("node", node_type, True),
+                    StructField("dist", IntegerType(), False),
+                ]
+            )
+            return spark.createDataFrame(sorted(dist.items()), schema)
+        del probe
+
+    base = tempfile.mkdtemp(prefix="khop_rounds_")
+    atexit.register(shutil.rmtree, base, ignore_errors=True)
+
+    sym = e.unionAll(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    sym.write.mode("overwrite").parquet(os.path.join(base, "edges"))
+    sym = spark.read.parquet(os.path.join(base, "edges"))
+
+    visited = s.select("node", F.lit(0).alias("dist"))
+    visited.write.mode("overwrite").parquet(os.path.join(base, "v0"))
+    visited = spark.read.parquet(os.path.join(base, "v0"))
+    frontier = visited.select("node")
+
+    for d in range(1, max_hops + 1):
+        reached = (
+            frontier.join(sym, frontier["node"] == sym["u"])
+            .select(F.col("v").alias("node"))
+            .distinct()
+            .join(visited, "node", "left_anti")
+            .select("node", F.lit(d).alias("dist"))
+        )
+        out_path = os.path.join(base, f"v{d}")
+        visited.unionByName(reached).write.mode("overwrite").parquet(out_path)
+        prev_n = visited.count()
+        visited = spark.read.parquet(out_path)
+        if visited.count() == prev_n:  # empty frontier: fixpoint
+            break
+        frontier = visited.filter(F.col("dist") == d).select("node")
+
+    return visited

@@ -4520,6 +4520,29 @@ def q199_khop_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(F.col("node").alias("p_partkey"), "dist").orderBy("p_partkey")
 
 
+def q200_revenue_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extension (time-series diagnostics): sample autocorrelation of
+    the daily revenue series at lags 1..10
+    (operators/timeseries.acf — Box-Jenkins estimator, global-mean
+    centering, full-series variance denominator). The series is first
+    AGGREGATED to one row per day, so its length is calendar-bounded
+    and the single ordered window is sound at any corpus size; all 10
+    lead columns come from one window pass and reduce in one
+    aggregate. The weekly seasonality the generator plants shows as a
+    lag-7 peak."""
+    from usajobs_etl_service_spark.operators.timeseries import acf
+
+    daily = (
+        _t(spark, sf_dir, "orders")
+        .groupBy("o_orderdate")
+        .agg(F.sum("o_totalprice").alias("rev"))
+    )
+    out = acf(daily, order_col="o_orderdate", value_col="rev", max_lag=10)
+    return out.select(
+        "lag", "n_pairs", F.round("acf", 4).alias("acf")
+    ).orderBy("lag")
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_job_statistics": q01_job_statistics,
     "q02_metric_union": q02_metric_union,
@@ -4720,6 +4743,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q197_target_encoding": q197_target_encoding,
     "q198_woe_iv": q198_woe_iv,
     "q199_khop_reach": q199_khop_reach,
+    "q200_revenue_acf": q200_revenue_acf,
 }
 
 
@@ -8458,6 +8482,44 @@ ORACLES: dict[str, str] = {
         SELECT node AS p_partkey, dist FROM d3 ORDER BY p_partkey
     """,
 }
+
+# q200: ACF of daily revenue, lags 1..10 — one window pass for the
+# leads, one reduction, lag rows unrolled (generated to keep the 10
+# lag legs in lockstep with the engine's max_lag)
+ORACLES["q200_revenue_acf"] = (
+    """
+    WITH daily AS (
+        SELECT o_orderdate AS d, sum(o_totalprice) AS y
+        FROM orders GROUP BY 1
+    ), m AS (
+        SELECT avg(y) AS m FROM daily
+    ), l AS (
+        SELECT y - (SELECT m FROM m) AS d0,
+    """
+    + ",\n".join(
+        f"lead(y, {lag}) OVER (ORDER BY d) - (SELECT m FROM m) AS d{lag}"
+        for lag in range(1, 11)
+    )
+    + """
+        FROM daily
+    ), red AS (
+        SELECT sum(d0 * d0) AS ssq,
+    """
+    + ",\n".join(
+        f"sum(d0 * d{lag}) AS num{lag}, count(d{lag}) AS n{lag}"
+        for lag in range(1, 11)
+    )
+    + """
+        FROM l
+    )
+    """
+    + "\nUNION ALL\n".join(
+        f"SELECT {lag} AS lag, n{lag} AS n_pairs,"
+        f" round(num{lag} / ssq, 4) AS acf FROM red"
+        for lag in range(1, 11)
+    )
+    + "\nORDER BY lag"
+)
 
 
 def oracle_sql() -> dict[str, str]:

@@ -118,3 +118,52 @@ def scd2_intervals(
         F.col("__ts").alias("valid_from"),
         F.lead("__ts").over(w).alias("valid_to"),
     )
+
+
+def acf(
+    series: DataFrame,
+    *,
+    order_col: str,
+    value_col: str,
+    max_lag: int = 14,
+) -> DataFrame:
+    """Sample autocorrelation function of an ordered series:
+    ``(lag, n_pairs, acf)`` for lags 1..``max_lag``, the standard
+    estimator (Box & Jenkins) with the global mean and the full-series
+    variance in the denominator:
+
+        r(l) = sum_t (y_t - m)(y_{t+l} - m) / sum_t (y_t - m)^2
+
+    Scale posture: ``series`` must already be AGGREGATED to its grain
+    (e.g. one row per day) — its length is bounded by the calendar, not
+    the data volume, so the single ordered window over it is sound at
+    any corpus size (the same boundedness argument as q138's trend
+    fit; for entity-parallel ACF, groupBy the entity and apply this
+    per group). All ``max_lag`` lead columns come from ONE window pass;
+    the products reduce in one aggregate; lags unpivot via ``stack``.
+    Ties in ``order_col`` would make lead() nondeterministic — the
+    series grain must make it unique (one row per period).
+    """
+    if max_lag < 1:
+        raise ValueError(f"max_lag must be >= 1, got {max_lag}")
+    w = Window.orderBy(order_col)
+    m = series.agg(F.avg(F.col(value_col).cast("double")).alias("__m"))
+    y = F.col(value_col).cast("double")
+    with_leads = series.crossJoin(F.broadcast(m)).select(
+        (y - F.col("__m")).alias("d0"),
+        *[
+            (F.lead(y, lag).over(w) - F.col("__m")).alias(f"d{lag}")
+            for lag in range(1, max_lag + 1)
+        ],
+    )
+    aggs = [F.sum(F.col("d0") * F.col("d0")).alias("ssq")]
+    for lag in range(1, max_lag + 1):
+        aggs.append(F.sum(F.col("d0") * F.col(f"d{lag}")).alias(f"num{lag}"))
+        aggs.append(F.count(F.col(f"d{lag}")).alias(f"n{lag}"))
+    red = with_leads.agg(*aggs)
+    stack_args = ", ".join(
+        f"{lag}, n{lag}, num{lag} / ssq" for lag in range(1, max_lag + 1)
+    )
+    return red.selectExpr(
+        f"stack({max_lag}, {stack_args}) AS (lag, n_pairs, acf)"
+    )

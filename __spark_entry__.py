@@ -4543,6 +4543,21 @@ def q200_revenue_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("lag")
 
 
+def q201_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extension (sub-document dedup with reassembly — the C4/Dolma
+    paragraph-dedup stage): every 16-token unit kept ONCE corpus-wide
+    (first (doc_id, pos) wins), documents rebuilt from surviving units
+    in order, with per-doc unit retention counts
+    (operators/dedup.unit_dedup_reassemble). The middle ground between
+    q06 (doc-level: drops nothing inside kept docs) and q90 (span
+    removal: quadratic-ish candidates) — one posexplode, one
+    fingerprint shuffle, one reassembly aggregate, corpus-linear."""
+    from usajobs_etl_service_spark.operators.dedup import unit_dedup_reassemble
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return unit_dedup_reassemble(docs, unit_tokens=16).orderBy("doc_id")
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_job_statistics": q01_job_statistics,
     "q02_metric_union": q02_metric_union,
@@ -4744,6 +4759,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q198_woe_iv": q198_woe_iv,
     "q199_khop_reach": q199_khop_reach,
     "q200_revenue_acf": q200_revenue_acf,
+    "q201_paragraph_dedup": q201_paragraph_dedup,
 }
 
 
@@ -8520,6 +8536,38 @@ ORACLES["q200_revenue_acf"] = (
     )
     + "\nORDER BY lag"
 )
+
+# q201: 16-token-unit global first-wins dedup + in-order reassembly
+ORACLES["q201_paragraph_dedup"] = """
+    WITH t AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(trim(text), '\\s+'),
+                           x -> x <> '') AS toks
+        FROM documents
+    ), u AS (
+        SELECT doc_id,
+               unnest(list_transform(
+                   generate_series(1, greatest(len(toks), 1), 16),
+                   s -> struct_pack(
+                       pos := (s - 1) // 16,
+                       unit := array_to_string(toks[s:s+15], ' ')
+                   ))) AS su
+        FROM t
+    ), e AS (
+        SELECT doc_id, su.pos AS pos, su.unit AS unit,
+               md5(lower(su.unit)) AS fp
+        FROM u WHERE trim(su.unit) <> ''
+    ), r AS (
+        SELECT doc_id, pos, unit,
+               row_number() OVER (PARTITION BY fp ORDER BY doc_id, pos) AS rn,
+               count(*) OVER (PARTITION BY doc_id) AS n_units
+        FROM e
+    )
+    SELECT doc_id, max(n_units) AS n_units, count(*) AS n_kept,
+           string_agg(unit, ' ' ORDER BY pos) AS text_dedup
+    FROM r WHERE rn = 1
+    GROUP BY doc_id ORDER BY doc_id
+"""
 
 
 def oracle_sql() -> dict[str, str]:

@@ -16,6 +16,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from usajobs_etl_service_spark.functions.text import tokens_ws
+
 
 def dedup_first_wins(df: DataFrame, key_cols: list[str], order_col: str) -> DataFrame:
     """A6: keep the first row per key by ``order_col`` (deterministic).
@@ -45,4 +47,79 @@ def duplicate_stats(df: DataFrame, key_cols: list[str]) -> DataFrame:
         df.groupBy(*key_cols)
         .agg(F.count(F.lit(1)).alias("occurrences"))
         .filter(F.col("occurrences") > 1)
+    )
+
+
+def unit_dedup_reassemble(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    split_pattern: str | None = None,
+    unit_tokens: int = 16,
+) -> DataFrame:
+    """Sub-document exact dedup with reassembly — the C4/Dolma
+    paragraph-dedup stage: split every document into units, keep each
+    distinct unit ONCE corpus-wide (first occurrence by (doc id, unit
+    position) wins), and rebuild every document from its surviving
+    units in original order. Boilerplate shared across pages (headers,
+    license blocks, navigation) disappears from every copy but the
+    first, while the documents themselves survive — the middle ground
+    between doc-level dedup (q06: drops nothing inside kept docs) and
+    duplicated-span removal (q90: arbitrary overlaps, quadratic-ish
+    candidate work).
+
+    Units: ``split_pattern`` (a regex — '\\n\\n+' for real paragraph
+    corpora) when given, else fixed non-overlapping ``unit_tokens``
+    windows (the chunking.py stride with zero overlap — for corpora
+    without structural delimiters). Unit identity is md5 of the
+    lowercased unit; empty units are dropped before dedup (they would
+    all collide into one fingerprint).
+
+    Returns ``(id_col, n_units, n_kept, text_dedup)``; documents whose
+    units ALL lose drop from the output entirely (their content lives
+    verbatim in earlier documents). Scale shape: one posexplode, ONE
+    fingerprint-keyed shuffle for the global first-wins window, one
+    id-keyed reassembly aggregate — corpus-linear, no joins back to
+    the raw text. First-wins determinism needs an orderable id (the
+    dedup_first_wins ingest_seq argument).
+    """
+    if split_pattern is None and unit_tokens < 1:
+        raise ValueError(f"unit_tokens must be >= 1, got {unit_tokens}")
+    did = F.col(id_col)
+    if split_pattern is not None:
+        units = F.split(F.col(text_col), split_pattern)
+    else:
+        toks = tokens_ws(F.col(text_col))
+        starts = F.sequence(
+            F.lit(1), F.greatest(F.size(toks), F.lit(1)), F.lit(unit_tokens)
+        )
+        units = F.transform(
+            starts, lambda s: F.array_join(F.slice(toks, s, unit_tokens), " ")
+        )
+    exploded = (
+        df.select(did.alias("__id"), F.posexplode(units).alias("pos", "unit"))
+        .filter(F.trim(F.col("unit")) != "")
+        .select("__id", "pos", "unit", F.md5(F.lower(F.col("unit"))).alias("fp"))
+    )
+    w = Window.partitionBy("fp").orderBy("__id", "pos")
+    survivors = (
+        exploded.withColumn("__rn", F.row_number().over(w))
+        .withColumn("__n_units", F.count(F.lit(1)).over(Window.partitionBy("__id")))
+        .filter(F.col("__rn") == 1)
+    )
+    return (
+        survivors.groupBy("__id")
+        .agg(
+            F.max("__n_units").alias("n_units"),
+            F.count(F.lit(1)).alias("n_kept"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "unit"))),
+                    lambda s: s["unit"],
+                ),
+                " ",
+            ).alias("text_dedup"),
+        )
+        .select(F.col("__id").alias(id_col), "n_units", "n_kept", "text_dedup")
     )

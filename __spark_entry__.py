@@ -4558,6 +4558,37 @@ def q201_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return unit_dedup_reassemble(docs, unit_tokens=16).orderBy("doc_id")
 
 
+def q202_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extension (uncertainty quantification at scale — Chamandy et
+    al. 2012 Poisson bootstrap): 95% CI for the mean order value per
+    priority (operators/sampling.poisson_bootstrap_ci). Classic
+    with-replacement resampling needs global coordination; the Poisson
+    bootstrap gives each row an independent Poisson(1) weight per
+    replicate — one pass, one (group, replicate) aggregate bounded at
+    |G|*B rows, one quantile reduction. Weights are the deterministic
+    md5 inverse-CDF draw (shared literal thresholds), so this
+    'random' procedure is hash-checked exactly against the oracle."""
+    from usajobs_etl_service_spark.operators.sampling import poisson_bootstrap_ci
+
+    orders = _t(spark, sf_dir, "orders")
+    out = poisson_bootstrap_ci(
+        orders,
+        group_col="o_orderpriority",
+        value_col="o_totalprice",
+        key_col="o_orderkey",
+        n_replicates=100,
+        alpha=0.05,
+        seed=7,
+    )
+    return out.select(
+        F.col("group").alias("priority"),
+        "n",
+        F.round("mean", 2).alias("mean"),
+        F.round("ci_lo", 2).alias("ci_lo"),
+        F.round("ci_hi", 2).alias("ci_hi"),
+    ).orderBy("priority")
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_job_statistics": q01_job_statistics,
     "q02_metric_union": q02_metric_union,
@@ -4760,6 +4791,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q199_khop_reach": q199_khop_reach,
     "q200_revenue_acf": q200_revenue_acf,
     "q201_paragraph_dedup": q201_paragraph_dedup,
+    "q202_bootstrap_ci": q202_bootstrap_ci,
 }
 
 
@@ -8567,6 +8599,48 @@ ORACLES["q201_paragraph_dedup"] = """
            string_agg(unit, ' ' ORDER BY pos) AS text_dedup
     FROM r WHERE rn = 1
     GROUP BY doc_id ORDER BY doc_id
+"""
+
+# q202: Poisson bootstrap CI — the inverse-CDF CASE is generated from
+# the SAME threshold tuple the engine uses, so the two sides cannot
+# drift
+from usajobs_etl_service_spark.operators.sampling import _POISSON1_CDF as _P1
+
+_POISSON_CASE = (
+    "CASE "
+    + " ".join(f"WHEN u < {t!r} THEN {k}" for k, t in enumerate(_P1))
+    + f" ELSE {len(_P1)} END"
+)
+ORACLES["q202_bootstrap_ci"] = f"""
+    WITH reps AS (
+        SELECT unnest(generate_series(1, 100)) AS b
+    ), drawn AS (
+        SELECT grp, y, b,
+               {_POISSON_CASE} AS w
+        FROM (
+            SELECT o_orderpriority AS grp, o_totalprice AS y, reps.b,
+                   CAST(('0x' || substr(md5(
+                       CAST(o_orderkey AS VARCHAR) || '#' ||
+                       CAST(reps.b AS VARCHAR) || '#7'), 1, 8)) AS BIGINT)
+                   / 4294967296.0 AS u
+            FROM orders CROSS JOIN reps
+        )
+    ), rep_means AS (
+        SELECT grp, b, sum(w * y) / sum(w) AS rep_mean
+        FROM drawn GROUP BY grp, b HAVING sum(w) > 0
+    ), q AS (
+        SELECT grp, quantile_cont(rep_mean, 0.025) AS ci_lo,
+               quantile_cont(rep_mean, 0.975) AS ci_hi
+        FROM rep_means GROUP BY grp
+    ), base AS (
+        SELECT o_orderpriority AS grp, count(*) AS n,
+               avg(o_totalprice) AS mean
+        FROM orders GROUP BY 1
+    )
+    SELECT base.grp AS priority, n, round(mean, 2) AS mean,
+           round(ci_lo, 2) AS ci_lo, round(ci_hi, 2) AS ci_hi
+    FROM base JOIN q ON base.grp = q.grp
+    ORDER BY priority
 """
 
 

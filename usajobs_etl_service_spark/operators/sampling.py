@@ -199,3 +199,101 @@ def unimax_allocation(
         F.round(alloc, 4).alias("alloc_tokens"),
         F.round(alloc / F.col("n_tokens"), 6).alias("epochs"),
     )
+
+
+# Poisson(1) CDF thresholds for the deterministic inverse-CDF draw —
+# identical literals on the engine and oracle sides, so every (key,
+# replicate) pair gets the same weight in any engine. Tail truncates
+# at 9 (P ~ 1.1e-6; the truncation is part of the contract).
+_POISSON1_CDF = (
+    0.36787944117144233,
+    0.7357588823428847,
+    0.9196986029286058,
+    0.9810118431238462,
+    0.9963401531726563,
+    0.9994058151824183,
+    0.9999167588507119,
+    0.9999897508033253,
+    0.9999988805752291,
+)
+
+
+def poisson_weight(key: Column, replicate: Column, *, seed: int = 7) -> Column:
+    """Deterministic Poisson(1) draw for (key, replicate): md5 uniform
+    through the inverse CDF. Pure function of its inputs — stable
+    under repartitioning, re-runs, and engines."""
+    u = sample_key(
+        F.concat(key.cast("string"), F.lit("#"), replicate.cast("string")),
+        seed=seed,
+    )
+    w: Column = F.lit(len(_POISSON1_CDF))
+    for k in range(len(_POISSON1_CDF) - 1, -1, -1):
+        w = F.when(u < F.lit(_POISSON1_CDF[k]), F.lit(k)).otherwise(w)
+    return w
+
+
+def poisson_bootstrap_ci(
+    df: DataFrame,
+    *,
+    group_col: str,
+    value_col: str,
+    key_col: str,
+    n_replicates: int = 100,
+    alpha: float = 0.05,
+    seed: int = 7,
+) -> DataFrame:
+    """Per-group bootstrap confidence interval for the MEAN of
+    ``value_col`` — the Poisson bootstrap (Chamandy et al. 2012,
+    "Estimating uncertainty for massive data streams"): instead of
+    resampling n rows with replacement (which needs global coordination
+    — impossible in one pass over a distributed table), each row enters
+    replicate b with an independent Poisson(1) weight. Replicate means
+    are weighted means; the CI is the empirical (alpha/2, 1-alpha/2)
+    quantile band over the replicates.
+
+    Output: ``(group, n, mean, ci_lo, ci_hi)``.
+
+    Scale shape: ONE pass — rows explode to ``n_replicates`` lightweight
+    (group, b, w, w*y) tuples (expression-side sequence, no driver
+    loop), one (group, b) aggregate with map-side combine (bounded at
+    |G| * B rows per task), one |G| * B -> |G| quantile reduction.
+    Weights are the deterministic md5 inverse-CDF draw, so the whole
+    procedure is reproducible cross-engine (the q94/q197 determinism
+    contract) — a "random" bootstrap you can hash-check.
+    """
+    if n_replicates < 2:
+        raise ValueError(f"n_replicates must be >= 2, got {n_replicates}")
+    if not 0.0 < alpha < 1.0:
+        raise ValueError(f"alpha must be in (0, 1), got {alpha}")
+    y = F.col(value_col).cast("double")
+    exploded = df.select(
+        F.col(group_col).alias("group"),
+        y.alias("__y"),
+        F.col(key_col).alias("__k"),
+        F.explode(F.sequence(F.lit(1), F.lit(n_replicates))).alias("b"),
+    ).select(
+        "group",
+        "b",
+        poisson_weight(F.col("__k"), F.col("b"), seed=seed).alias("w"),
+        "__y",
+    )
+    # a replicate that drew weight 0 for EVERY row of a group has no
+    # resample to take a mean of — drop it (P ~ e^-n; only reachable
+    # for tiny groups, but ANSI mode would turn 0/0 into a job error)
+    rep_means = (
+        exploded.groupBy("group", "b")
+        .agg(
+            F.sum(F.col("w") * F.col("__y")).alias("__s"),
+            F.sum("w").alias("__sw"),
+        )
+        .filter(F.col("__sw") > 0)
+        .select("group", "b", (F.col("__s") / F.col("__sw")).alias("rep_mean"))
+    )
+    base = df.groupBy(F.col(group_col).alias("group")).agg(
+        F.count(F.lit(1)).alias("n"), F.avg(y).alias("mean")
+    )
+    qs = rep_means.groupBy("group").agg(
+        F.percentile("rep_mean", F.lit(alpha / 2)).alias("ci_lo"),
+        F.percentile("rep_mean", F.lit(1 - alpha / 2)).alias("ci_hi"),
+    )
+    return base.join(qs, "group").select("group", "n", "mean", "ci_lo", "ci_hi")

@@ -8448,7 +8448,10 @@ ORACLES: dict[str, str] = {
         )
         SELECT doc_id, n_features,
                round(1.0 / (1.0 + exp(-(0.1 + wsum / n_features))), 4) AS score,
-               1.0 / (1.0 + exp(-(0.1 + wsum / n_features))) >= 0.5 AS keep
+               -- gate on the ROUNDED score (the engine contract): a raw
+               -- sigmoid within float noise of the threshold flips the
+               -- flag between engines (doc 354 at sf0.001)
+               round(1.0 / (1.0 + exp(-(0.1 + wsum / n_features))), 4) >= 0.5 AS keep
         FROM scored
         ORDER BY doc_id
     """,

@@ -143,5 +143,9 @@ def hashed_linear_score(
         )
     )
     if threshold is not None:
+        # gate on the ROUNDED score (the column just built): a raw
+        # sigmoid within float noise of the threshold would flip the
+        # flag between engines/summation orders (seen at sf0.001:
+        # wsum/n landing on -bias exactly)
         scored = scored.withColumn("keep", F.col("score") >= F.lit(threshold))
     return scored

@@ -4589,6 +4589,33 @@ def q202_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("priority")
 
 
+def q203_robust_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extension (robust statistics): Theil-Sen slope/intercept +
+    Mann-Kendall trend test on the daily revenue series
+    (operators/timeseries.robust_trend) — the outlier-immune
+    counterpart to q138's OLS fit (a single corrupted day moves OLS
+    arbitrarily; the pairwise-median slope tolerates 29%
+    contamination). Mann-Kendall's S is an INTEGER sum of signs —
+    exact cross-engine in any summation order; the medians are exact
+    interpolated percentiles over the O(days^2) pairwise grid, sound
+    because the series is calendar-bounded (the q200 argument)."""
+    from usajobs_etl_service_spark.operators.timeseries import robust_trend
+
+    daily = (
+        _t(spark, sf_dir, "orders")
+        .groupBy("o_orderdate")
+        .agg(F.sum("o_totalprice").alias("rev"))
+    )
+    out = robust_trend(daily, order_col="o_orderdate", value_col="rev")
+    return out.select(
+        "n",
+        F.round("slope", 6).alias("slope"),
+        F.round("intercept", 2).alias("intercept"),
+        "mk_s",
+        F.round("mk_z", 4).alias("mk_z"),
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_job_statistics": q01_job_statistics,
     "q02_metric_union": q02_metric_union,
@@ -4792,6 +4819,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q200_revenue_acf": q200_revenue_acf,
     "q201_paragraph_dedup": q201_paragraph_dedup,
     "q202_bootstrap_ci": q202_bootstrap_ci,
+    "q203_robust_trend": q203_robust_trend,
 }
 
 
@@ -8644,6 +8672,34 @@ ORACLES["q202_bootstrap_ci"] = f"""
            round(ci_lo, 2) AS ci_lo, round(ci_hi, 2) AS ci_hi
     FROM base JOIN q ON base.grp = q.grp
     ORDER BY priority
+"""
+
+# q203: Theil-Sen + Mann-Kendall on the daily revenue series
+ORACLES["q203_robust_trend"] = """
+    WITH daily AS (
+        SELECT CAST(date_diff('day', DATE '1970-01-01',
+                              CAST(o_orderdate AS DATE)) AS DOUBLE) AS x,
+               CAST(sum(o_totalprice) AS DOUBLE) AS y
+        FROM orders GROUP BY o_orderdate
+    ), pairs AS (
+        SELECT (b.y - a.y) / (b.x - a.x) AS slope_ij,
+               CASE WHEN b.y > a.y THEN 1 WHEN b.y < a.y THEN -1 ELSE 0 END AS sgn
+        FROM daily a JOIN daily b ON a.x < b.x
+    ), agg AS (
+        SELECT quantile_cont(slope_ij, 0.5) AS slope,
+               sum(sgn) AS mk_s
+        FROM pairs
+    ), pts AS (
+        SELECT count(*) AS n,
+               (SELECT slope FROM agg) AS slope,
+               quantile_cont(y - (SELECT slope FROM agg) * x, 0.5) AS intercept,
+               (SELECT mk_s FROM agg) AS mk_s
+        FROM daily
+    )
+    SELECT n, round(slope, 6) AS slope, round(intercept, 2) AS intercept,
+           mk_s,
+           round(mk_s / sqrt(n * (n - 1) * (2 * n + 5) / 18.0), 4) AS mk_z
+    FROM pts
 """
 
 

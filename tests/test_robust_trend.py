@@ -42,7 +42,7 @@ def test_outlier_immunity_vs_ols(spark):
     """One corrupted point: OLS slope moves wildly, Theil-Sen holds."""
     xs = list(range(21))
     ys = [2.0 * x + 1.0 for x in xs]
-    ys[10] = 1e6  # corruption
+    ys[20] = 1e6  # corruption at the endpoint (max OLS leverage)
     df = spark.createDataFrame([(float(x), y) for x, y in zip(xs, ys)], ["t", "y"])
     r = robust_trend(df, order_col="t", value_col="y").first()
     assert r["slope"] == pytest.approx(2.0, abs=0.05)

@@ -4616,6 +4616,63 @@ def q203_robust_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q204_kanonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extension (privacy release gate — Sweeney 2002 k-anonymity +
+    Machanavajjhala 2006 l-diversity): equivalence-class audit of
+    customers under the (nation, market segment) quasi-identifier
+    pair with account balance as the sensitive attribute
+    (operators/privacy.kanonymity_classes), k=50, l=20 (the one-row
+    release summary, kanonymity_summary, is tested in
+    tests/test_privacy.py). The audit the q68 PII-redaction stage
+    cannot replace: scrubbing
+    direct identifiers does nothing about re-identification through
+    quasi-identifier combinations. One aggregate keyed by the quasi
+    pair; class count is bounded by the value cross product."""
+    from usajobs_etl_service_spark.operators.privacy import (
+        kanonymity_classes,
+        kanonymity_summary,
+    )
+
+    cust = _t(spark, sf_dir, "customer")
+    classes = kanonymity_classes(
+        cust,
+        ["c_nationkey", "c_mktsegment"],
+        k=50,
+        sensitive_col="c_acctbal",
+        l=20,
+    )
+    return classes.select(
+        "c_nationkey", "c_mktsegment", "n", "n_sensitive", "k_ok", "l_ok"
+    ).orderBy("c_nationkey", "c_mktsegment")
+
+
+def q205_binned_woe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extension (numeric-feature pipeline): equi-depth decile binning
+    of order value (operators/encoding.quantile_bin — exact
+    interpolated percentile boundaries in one pass, expression-side
+    assignment off a 1-row broadcast) composed with WOE/IV scoring of
+    the bins against the finished-order flag (q198's operator, bins as
+    categories) — the standard monotone-feature construction. Proves
+    the two operators compose: binning emits a column any encoder
+    consumes."""
+    from usajobs_etl_service_spark.operators.encoding import quantile_bin, woe_iv
+
+    orders = _t(spark, sf_dir, "orders")
+    binned = quantile_bin(orders, value_col="o_totalprice", n_bins=10)
+    out = woe_iv(
+        binned.withColumn("is_f", F.col("o_orderstatus") == "F"),
+        category_col="bin",
+        label_col="is_f",
+    )
+    return out.select(
+        F.col("category").alias("bin"),
+        "n_good",
+        "n_bad",
+        F.round("woe", 6).alias("woe"),
+        F.round("iv_term", 6).alias("iv_term"),
+    ).orderBy("bin")
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_job_statistics": q01_job_statistics,
     "q02_metric_union": q02_metric_union,
@@ -4820,6 +4877,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q201_paragraph_dedup": q201_paragraph_dedup,
     "q202_bootstrap_ci": q202_bootstrap_ci,
     "q203_robust_trend": q203_robust_trend,
+    "q204_kanonymity_audit": q204_kanonymity_audit,
+    "q205_binned_woe": q205_binned_woe,
 }
 
 
@@ -8700,6 +8759,47 @@ ORACLES["q203_robust_trend"] = """
            mk_s,
            round(mk_s / sqrt(n * (n - 1) * (2 * n + 5) / 18.0), 4) AS mk_z
     FROM pts
+"""
+
+# q204: k-anonymity / l-diversity equivalence classes
+ORACLES["q204_kanonymity_audit"] = """
+    SELECT c_nationkey, c_mktsegment, count(*) AS n,
+           count(DISTINCT c_acctbal) AS n_sensitive,
+           count(*) >= 50 AS k_ok,
+           count(DISTINCT c_acctbal) >= 20 AS l_ok
+    FROM customer GROUP BY c_nationkey, c_mktsegment
+    ORDER BY c_nationkey, c_mktsegment
+"""
+
+# q205: equi-depth decile binning (exact interpolated boundaries,
+# strictly-below assignment) -> WOE/IV per bin
+ORACLES["q205_binned_woe"] = """
+    WITH b AS (
+        SELECT quantile_cont(CAST(o_totalprice AS DOUBLE),
+                             [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9])
+               AS bounds
+        FROM orders
+    ), binned AS (
+        SELECT len(list_filter((SELECT bounds FROM b),
+                               x -> CAST(o_totalprice AS DOUBLE) > x)) AS bin,
+               o_orderstatus = 'F' AS g
+        FROM orders
+    ), counts AS (
+        SELECT bin,
+               count(*) FILTER (WHERE g) AS n_good,
+               count(*) FILTER (WHERE NOT g) AS n_bad
+        FROM binned GROUP BY bin
+    ), tot AS (
+        SELECT CAST(sum(n_good) AS DOUBLE) AS gt,
+               CAST(sum(n_bad) AS DOUBLE) AS bt
+        FROM counts
+    )
+    SELECT bin, n_good, n_bad,
+           round(ln(((n_good + 0.5) / gt) / ((n_bad + 0.5) / bt)), 6) AS woe,
+           round((n_good / gt - n_bad / bt)
+                 * ln(((n_good + 0.5) / gt) / ((n_bad + 0.5) / bt)), 6) AS iv_term
+    FROM counts CROSS JOIN tot
+    ORDER BY bin
 """
 
 

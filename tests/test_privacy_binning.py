@@ -1,0 +1,80 @@
+"""k-anonymity/l-diversity audit (operators/privacy.py) and equi-depth
+binning (encoding.quantile_bin)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from usajobs_etl_service_spark.operators.encoding import quantile_bin
+from usajobs_etl_service_spark.operators.privacy import (
+    kanonymity_classes,
+    kanonymity_summary,
+)
+
+
+@pytest.fixture()
+def people(spark):
+    rows = (
+        [("10001", "F", "flu") for _ in range(5)]
+        + [("10001", "M", "flu"), ("10001", "M", "cold")]  # class of 2
+        + [("99999", "F", "rare")]  # singleton, homogeneous
+    )
+    return spark.createDataFrame(rows, ["zip", "sex", "dx"])
+
+
+def test_classes_and_flags(spark, people):
+    got = {
+        (r["zip"], r["sex"]): (r["n"], r["n_sensitive"], r["k_ok"], r["l_ok"])
+        for r in kanonymity_classes(
+            people, ["zip", "sex"], k=3, sensitive_col="dx", l=2
+        ).collect()
+    }
+    assert got[("10001", "F")] == (5, 1, True, False)  # k ok, homogeneous
+    assert got[("10001", "M")] == (2, 2, False, True)
+    assert got[("99999", "F")] == (1, 1, False, False)
+
+
+def test_summary(spark, people):
+    classes = kanonymity_classes(people, ["zip", "sex"], k=3, sensitive_col="dx", l=2)
+    s = kanonymity_summary(classes, k=3).first()
+    assert s["n_classes"] == 3 and s["n_rows"] == 8
+    assert s["n_violating_classes"] == 2 and s["rows_at_risk"] == 3
+    assert s["table_k"] == 1
+    assert s["n_homogeneous_classes"] == 2
+
+
+def test_null_quasi_values_form_classes(spark):
+    df = spark.createDataFrame([(None, "a"), (None, "a"), ("x", "a")], ["zip", "dx"])
+    got = {r["zip"]: r["n"] for r in kanonymity_classes(df, ["zip"], k=2).collect()}
+    assert got[None] == 2 and got["x"] == 1
+
+
+def test_privacy_validation(spark, people):
+    with pytest.raises(ValueError, match="at least one"):
+        kanonymity_classes(people, [])
+    with pytest.raises(ValueError, match="sensitive_col"):
+        kanonymity_classes(people, ["zip"], l=2)
+
+
+def test_quantile_bin_equal_depth_and_bounds(spark):
+    df = spark.createDataFrame([(float(i),) for i in range(100)], ["y"])
+    out = quantile_bin(df, value_col="y", n_bins=4)
+    counts = {
+        r["bin"]: r["n"]
+        for r in out.groupBy("bin").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert set(counts) == {0, 1, 2, 3}
+    assert all(20 <= c <= 30 for c in counts.values())
+    # monotone: bin of 0.0 < bin of 99.0
+    vals = {r["y"]: r["bin"] for r in out.collect()}
+    assert vals[0.0] == 0 and vals[99.0] == 3
+    assert all(vals[a] <= vals[b] for a, b in zip(sorted(vals), sorted(vals)[1:]))
+
+
+def test_quantile_bin_nulls_and_validation(spark):
+    df = spark.createDataFrame([(1.0,), (None,), (2.0,)], ["y"])
+    got = {r["y"]: r["bin"] for r in quantile_bin(df, value_col="y", n_bins=2).collect()}
+    assert got[None] is None
+    with pytest.raises(ValueError, match=">= 2"):
+        quantile_bin(df, value_col="y", n_bins=1)

@@ -49,7 +49,13 @@ from pyspark.sql import functions as F
 
 from usajobs_etl_service_spark.operators.sampling import sample_key
 
-__all__ = ["fold_of", "target_encoding_table", "target_encode_apply", "woe_iv"]
+__all__ = [
+    "fold_of",
+    "target_encoding_table",
+    "target_encode_apply",
+    "woe_iv",
+    "quantile_bin",
+]
 
 
 def fold_of(key: Column, k: int, *, seed: int = 42) -> Column:
@@ -167,4 +173,43 @@ def woe_iv(
         ((F.col("n_good") / F.col("gt") - F.col("n_bad") / F.col("bt")) * woe).alias(
             "iv_term"
         ),
+    )
+
+
+def quantile_bin(
+    df: DataFrame,
+    *,
+    value_col: str,
+    n_bins: int = 10,
+    out_col: str = "bin",
+) -> DataFrame:
+    """Equi-depth (quantile) binning of a numeric column: every row
+    gains ``out_col`` in [0, n_bins) — the standard discretization in
+    front of WOE/IV scoring or a monotone-feature contract. Boundaries
+    are the exact interpolated ``i/n_bins`` percentiles (ONE aggregate
+    pass producing n_bins - 1 values); assignment is expression-side —
+    the boundary array rides a 1-row broadcast and the bin is the
+    count of boundaries strictly below the value (``y > b`` — a value
+    equal to a boundary falls in the LOWER bin, deterministically).
+    Heavy ties can leave some bins empty (two equal boundaries span an
+    empty half-open interval) — equi-depth is best-effort under ties
+    by construction. NULL values get a NULL bin."""
+    if n_bins < 2:
+        raise ValueError(f"n_bins must be >= 2, got {n_bins}")
+    y = F.col(value_col).cast("double")
+    bounds = df.agg(
+        F.percentile(
+            y, F.array(*[F.lit(i / n_bins) for i in range(1, n_bins)])
+        ).alias("__bounds")
+    )
+    return (
+        df.crossJoin(F.broadcast(bounds))
+        .withColumn(
+            out_col,
+            F.when(
+                y.isNotNull(),
+                F.size(F.filter(F.col("__bounds"), lambda b: y > b)),
+            ),
+        )
+        .drop("__bounds")
     )

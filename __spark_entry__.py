@@ -4623,7 +4623,7 @@ def q204_kanonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     pair with account balance as the sensitive attribute
     (operators/privacy.kanonymity_classes), k=50, l=20 (the one-row
     release summary, kanonymity_summary, is tested in
-    tests/test_privacy.py). The audit the q68 PII-redaction stage
+    tests/test_privacy_binning.py). The audit the q68 PII-redaction stage
     cannot replace: scrubbing
     direct identifiers does nothing about re-identification through
     quasi-identifier combinations. One aggregate keyed by the quasi

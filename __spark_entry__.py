@@ -4673,6 +4673,27 @@ def q205_binned_woe(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("bin")
 
 
+def q206_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extension (tokenizer training on Spark — Sennrich et al. 2016
+    BPE): learn the first 5 merge rules over the documents corpus
+    (operators/bpe.bpe_learn). The corpus is scanned ONCE into the
+    word-frequency dictionary; every round then works on the
+    vocab-bounded (freq, symbols) table — pair counts by one (a, b)
+    aggregate, argmax with the count-desc/lexicographic tiebreak (ONE
+    driver row per round, the pq codebook posture), merge applied as a
+    leftmost-first expression fold, rounds materialized as parquet
+    supersteps. Fully deterministic (integer counts, pure-function
+    fold), so the learned merge TABLE hash-matches a round-unrolled
+    DuckDB replay — tokenizer training as a checkable query."""
+    from usajobs_etl_service_spark.operators.bpe import bpe_learn
+
+    docs = _t(spark, sf_dir, "documents").select("text")
+    merges = bpe_learn(docs, n_merges=5)
+    return spark.createDataFrame(
+        merges, ["round", "pair_a", "pair_b", "pair_count"]
+    ).orderBy("round")
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_job_statistics": q01_job_statistics,
     "q02_metric_union": q02_metric_union,
@@ -4879,6 +4900,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q203_robust_trend": q203_robust_trend,
     "q204_kanonymity_audit": q204_kanonymity_audit,
     "q205_binned_woe": q205_binned_woe,
+    "q206_bpe_merges": q206_bpe_merges,
 }
 
 
@@ -8801,6 +8823,61 @@ ORACLES["q205_binned_woe"] = """
     FROM counts CROSS JOIN tot
     ORDER BY bin
 """
+
+
+def _bpe_oracle_sql(n_merges: int) -> str:
+    """Round-unrolled DuckDB replay of bpe_learn (q206): per round, a
+    MATERIALIZED pair-count argmax + a list_reduce leftmost-first
+    merge fold — generated so the rounds stay in lockstep with the
+    engine's n_merges."""
+    ctes = [
+        """w0 AS MATERIALIZED (
+            SELECT count(*) AS freq,
+                   array_to_string(list_append(string_split(word, ''), '</w>'),
+                                   ' ') AS syms
+            FROM (
+                SELECT unnest(list_filter(
+                    string_split_regex(trim(lower(text)), '\\s+'),
+                    x -> x <> '')) AS word
+                FROM documents
+            ) GROUP BY word
+        )"""
+    ]
+    for r in range(1, n_merges + 1):
+        p = r - 1
+        ctes.append(f"""p{r} AS MATERIALIZED (
+            SELECT p.a AS a, p.b AS b, sum(freq) AS cnt FROM (
+                SELECT freq,
+                       unnest(list_transform(
+                           generate_series(1, len(ss) - 1),
+                           i -> struct_pack(a := ss[i], b := ss[i + 1]))) AS p
+                FROM (SELECT freq, string_split(syms, ' ') AS ss FROM w{p})
+            ) GROUP BY p.a, p.b
+        )""")
+        ctes.append(f"""m{r} AS MATERIALIZED (
+            SELECT a, b, cnt FROM p{r} ORDER BY cnt DESC, a, b LIMIT 1
+        )""")
+        ctes.append(f"""w{r} AS MATERIALIZED (
+            SELECT freq,
+                   CASE WHEN instr(' ' || syms || ' ',
+                                   ' ' || m.a || ' ' || m.b || ' ') > 0
+                        THEN list_reduce(string_split(syms, ' '),
+                            (acc, x) -> CASE
+                                WHEN (acc = m.a OR ends_with(acc, ' ' || m.a))
+                                     AND x = m.b
+                                THEN left(acc, len(acc) - len(m.a)) || m.a || m.b
+                                ELSE acc || ' ' || x END)
+                        ELSE syms END AS syms
+            FROM w{p} CROSS JOIN m{r} m
+        )""")
+    finals = "\nUNION ALL\n".join(
+        f"SELECT {r} AS round, a AS pair_a, b AS pair_b, cnt AS pair_count FROM m{r}"
+        for r in range(1, n_merges + 1)
+    )
+    return "WITH " + ",\n".join(ctes) + "\n" + finals + "\nORDER BY round"
+
+
+ORACLES["q206_bpe_merges"] = _bpe_oracle_sql(5)
 
 
 def oracle_sql() -> dict[str, str]:

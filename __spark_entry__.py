@@ -8726,16 +8726,29 @@ _POISSON_CASE = (
 ORACLES["q202_bootstrap_ci"] = f"""
     WITH reps AS (
         SELECT unnest(generate_series(1, 100)) AS b
+    ), seeded AS (
+        -- md5 row seed ONCE per row (the row_seed31 contract)
+        SELECT o_orderpriority AS grp, o_totalprice AS y,
+               CAST(('0x' || substr(md5(
+                   CAST(o_orderkey AS VARCHAR) || '#7'), 1, 8)) AS BIGINT)
+               % 2147483648 AS s
+        FROM orders
     ), drawn AS (
         SELECT grp, y, b,
                {_POISSON_CASE} AS w
         FROM (
-            SELECT o_orderpriority AS grp, o_totalprice AS y, reps.b,
-                   CAST(('0x' || substr(md5(
-                       CAST(o_orderkey AS VARCHAR) || '#' ||
-                       CAST(reps.b AS VARCHAR) || '#7'), 1, 8)) AS BIGINT)
-                   / 4294967296.0 AS u
-            FROM orders CROSS JOIN reps
+            SELECT grp, y, b,
+                   xor(h3, h3 >> 13) / 2147483648.0 AS u
+            FROM (
+                SELECT grp, y, b,
+                       (xor(h2, h2 >> 16) * 1220703125) % 2147483648 AS h3
+                FROM (
+                    SELECT grp, y, b,
+                           (((s + b * 1588635695) % 2147483648)
+                            * 1103515245 + 12345) % 2147483648 AS h2
+                    FROM seeded CROSS JOIN reps
+                )
+            )
         )
     ), rep_means AS (
         SELECT grp, b, sum(w * y) / sum(w) AS rep_mean

@@ -15,10 +15,17 @@ from usajobs_etl_service_spark.operators.sampling import (
 )
 
 
+M31 = 2147483648
+
+
 def _py_weight(key, b, seed=7):
-    u = int(
-        hashlib.md5(f"{key}#{b}#{seed}".encode()).hexdigest()[:8], 16
-    ) / 2**32
+    s = int(hashlib.md5(f"{key}#{seed}".encode()).hexdigest()[:8], 16) % M31
+    h = (s + b * 1588635695) % M31
+    h = (h * 1103515245 + 12345) % M31
+    h ^= h >> 16
+    h = (h * 1220703125) % M31
+    h ^= h >> 13
+    u = h / M31
     for k, t in enumerate(_POISSON1_CDF):
         if u < t:
             return k
@@ -26,14 +33,17 @@ def _py_weight(key, b, seed=7):
 
 
 def test_weight_matches_python_and_mean_near_one(spark):
-    df = spark.range(2000).select(
-        F.col("id"), poisson_weight(F.col("id"), F.lit(1)).alias("w")
+    df = spark.range(500).select(
+        F.col("id"),
+        F.explode(F.sequence(F.lit(1), F.lit(8))).alias("b"),
     )
-    rows = df.collect()
-    for r in rows[:50]:
-        assert r["w"] == _py_weight(r["id"], 1)
+    rows = df.select(
+        "id", "b", poisson_weight(F.col("id"), F.col("b")).alias("w")
+    ).collect()
+    for r in rows[:200]:  # covers all four digest lanes and two groups
+        assert r["w"] == _py_weight(r["id"], r["b"]), (r["id"], r["b"])
     mean_w = sum(r["w"] for r in rows) / len(rows)
-    assert mean_w == pytest.approx(1.0, abs=0.07)  # Poisson(1) mean
+    assert mean_w == pytest.approx(1.0, abs=0.05)  # Poisson(1) mean
 
 
 def test_ci_brackets_mean_and_is_deterministic(spark):

@@ -184,3 +184,33 @@ def ordered_cummin(
         frame_upper=-1 if strict else 0,
         prefix=prefix,
     )
+
+
+def distributed_median(df: DataFrame, value_col: str) -> float | None:
+    """Exact interpolated median (``quantile_cont(0.5)`` semantics)
+    with NO single-reducer percentile buffer: ``F.percentile`` merges
+    every task's value buffer on one thread — measured 9.3 s over a
+    2.9M-row pairwise grid where this path takes ~1.5 s. Instead: one
+    range exchange + exact global row numbers (:func:`global_row_number`),
+    filter the (at most two) middle order statistics, interpolate on
+    the driver. Returns a Python float (a bounded scalar artifact —
+    the pq.py codebook posture); NULLs are excluded (percentile
+    semantics); None on an empty input."""
+    vals = df.select(F.col(value_col).cast("double").alias("__v")).filter(
+        F.col("__v").isNotNull()
+    )
+    numbered = global_row_number(vals, [F.col("__v")], out_col="__rn")
+    n = numbered.count()
+    if n == 0:
+        return None
+    idx = (n - 1) * 0.5  # 0-based interpolation index
+    lo = int(idx)
+    ranks = {lo + 1} if idx == lo else {lo + 1, lo + 2}  # 1-based
+    rows = {
+        r["__rn"]: r["__v"]
+        for r in numbered.filter(F.col("__rn").isin(*ranks)).collect()
+    }
+    if idx == lo:
+        return rows[lo + 1]
+    frac = idx - lo
+    return rows[lo + 1] + frac * (rows[lo + 2] - rows[lo + 1])

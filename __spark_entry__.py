@@ -4694,6 +4694,108 @@ def q206_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("round")
 
 
+def q207_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extension (change-point detection — Page 1954 CUSUM): the
+    mean-centered cumulative sum over the daily revenue series peaks
+    (in |S_t|) where the level shifts; output the top-3 candidate
+    change dates with their CUSUM values. The running sum is a window
+    over the calendar-bounded daily aggregate (the q200/q203
+    boundedness argument); the mean rides a 1-row broadcast. Ties
+    break by date (both sides)."""
+    from pyspark.sql import Window
+
+    daily = (
+        _t(spark, sf_dir, "orders")
+        .groupBy(F.to_date("o_orderdate").alias("d"))
+        .agg(F.sum("o_totalprice").alias("rev"))
+    )
+    m = daily.agg(F.avg("rev").alias("__m"))
+    w = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, 0)
+    cusum = (
+        daily.crossJoin(F.broadcast(m))
+        .select("d", F.sum(F.col("rev") - F.col("__m")).over(w).alias("s"))
+        .select("d", F.round("s", 2).alias("cusum"), F.round(F.abs("s"), 2).alias("abs_cusum"))
+    )
+    return cusum.orderBy(F.desc("abs_cusum"), "d").limit(3)
+
+
+def q208_weekday_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extension (seasonal decomposition, STL-lite): detrend the daily
+    revenue series with a CENTERED 7-day moving average (full windows
+    only — edge days with partial windows are excluded on both sides,
+    the standard moving-average decomposition rule), then the seasonal
+    index of weekday w is the mean residual over its days. Windows run
+    over the calendar-bounded daily aggregate. Surfaces the weekly
+    cycle the generator plants (the q200 ACF lag-7 peak, now localized
+    to which weekdays carry it)."""
+    from pyspark.sql import Window
+
+    daily = (
+        _t(spark, sf_dir, "orders")
+        .groupBy(F.to_date("o_orderdate").alias("d"))
+        .agg(F.sum("o_totalprice").alias("rev"))
+    )
+    w = Window.orderBy("d").rowsBetween(-3, 3)
+    detrended = (
+        daily.select(
+            "d",
+            "rev",
+            F.count(F.lit(1)).over(w).alias("__n"),
+            F.avg("rev").over(w).alias("trend"),
+        )
+        .filter(F.col("__n") == 7)
+        .select("d", (F.col("rev") - F.col("trend")).alias("resid"))
+    )
+    return (
+        detrended.groupBy(F.dayofweek("d").alias("dow"))
+        .agg(
+            F.count(F.lit(1)).alias("n_days"),
+            F.round(F.avg("resid"), 2).alias("seasonal"),
+        )
+        .orderBy("dow")
+    )
+
+
+def q209_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extension (two-sample inference): Welch's unequal-variance
+    t-test comparing urgent vs low-priority order values — one
+    grouped aggregate pass builds both samples' (n, mean, s^2), then
+    the t statistic and Welch-Satterthwaite df are one float
+    expression over the 2-row aggregate (the q131 z-test's heavier
+    sibling). Sample variances come from each engine's var_samp —
+    their float-accumulation orders differ only in trailing ulps,
+    absorbed by the round-4/round-2 display contract."""
+    o = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority").isin("1-URGENT", "5-LOW")
+    )
+    g = o.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.avg("o_totalprice").alias("m"),
+        F.var_samp("o_totalprice").alias("v"),
+    )
+    a = g.filter(F.col("o_orderpriority") == "1-URGENT").select(
+        F.col("n").alias("n1"), F.col("m").alias("m1"), F.col("v").alias("v1")
+    )
+    b = g.filter(F.col("o_orderpriority") == "5-LOW").select(
+        F.col("n").alias("n2"), F.col("m").alias("m2"), F.col("v").alias("v2")
+    )
+    j = a.crossJoin(b)
+    se2 = F.col("v1") / F.col("n1") + F.col("v2") / F.col("n2")
+    t = (F.col("m1") - F.col("m2")) / F.sqrt(se2)
+    df_w = (se2 * se2) / (
+        (F.col("v1") / F.col("n1")) * (F.col("v1") / F.col("n1")) / (F.col("n1") - 1)
+        + (F.col("v2") / F.col("n2")) * (F.col("v2") / F.col("n2")) / (F.col("n2") - 1)
+    )
+    return j.select(
+        F.col("n1").cast("long").alias("n1"),
+        F.col("n2").cast("long").alias("n2"),
+        F.round("m1", 2).alias("mean_urgent"),
+        F.round("m2", 2).alias("mean_low"),
+        F.round(t, 4).alias("t_stat"),
+        F.round(df_w, 2).alias("welch_df"),
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_job_statistics": q01_job_statistics,
     "q02_metric_union": q02_metric_union,
@@ -4901,6 +5003,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q204_kanonymity_audit": q204_kanonymity_audit,
     "q205_binned_woe": q205_binned_woe,
     "q206_bpe_merges": q206_bpe_merges,
+    "q207_cusum_changepoint": q207_cusum_changepoint,
+    "q208_weekday_seasonality": q208_weekday_seasonality,
+    "q209_welch_ttest": q209_welch_ttest,
 }
 
 
@@ -8891,6 +8996,64 @@ def _bpe_oracle_sql(n_merges: int) -> str:
 
 
 ORACLES["q206_bpe_merges"] = _bpe_oracle_sql(5)
+
+# q207: CUSUM change-point candidates (top-3 |S_t|)
+ORACLES["q207_cusum_changepoint"] = """
+    WITH daily AS (
+        SELECT CAST(o_orderdate AS DATE) AS d, sum(o_totalprice) AS rev
+        FROM orders GROUP BY 1
+    ), m AS (SELECT avg(rev) AS m FROM daily),
+    c AS (
+        SELECT d,
+               sum(rev - (SELECT m FROM m))
+                   OVER (ORDER BY d ROWS UNBOUNDED PRECEDING) AS s
+        FROM daily
+    )
+    SELECT d, round(s, 2) AS cusum, round(abs(s), 2) AS abs_cusum
+    FROM c ORDER BY abs_cusum DESC, d LIMIT 3
+"""
+
+# q208: weekday seasonal indices from a centered 7-day MA detrend
+# (full windows only). DuckDB dayofweek is 0=Sunday..6; Spark
+# dayofweek is 1=Sunday..7 — align by +1.
+ORACLES["q208_weekday_seasonality"] = """
+    WITH daily AS (
+        SELECT CAST(o_orderdate AS DATE) AS d, sum(o_totalprice) AS rev
+        FROM orders GROUP BY 1
+    ), t AS (
+        SELECT d, rev,
+               count(*) OVER w AS n7,
+               avg(rev) OVER w AS trend
+        FROM daily
+        WINDOW w AS (ORDER BY d ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+    )
+    SELECT CAST(dayofweek(d) + 1 AS INT) AS dow,
+           count(*) AS n_days,
+           round(avg(rev - trend), 2) AS seasonal
+    FROM t WHERE n7 = 7
+    GROUP BY 1 ORDER BY dow
+"""
+
+# q209: Welch's t — grouped (n, mean, var_samp) then one float expr
+ORACLES["q209_welch_ttest"] = """
+    WITH g AS (
+        SELECT o_orderpriority AS p,
+               CAST(count(*) AS DOUBLE) AS n,
+               avg(o_totalprice) AS m,
+               var_samp(o_totalprice) AS v
+        FROM orders
+        WHERE o_orderpriority IN ('1-URGENT', '5-LOW')
+        GROUP BY 1
+    ), a AS (SELECT n AS n1, m AS m1, v AS v1 FROM g WHERE p = '1-URGENT'),
+    b AS (SELECT n AS n2, m AS m2, v AS v2 FROM g WHERE p = '5-LOW')
+    SELECT CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+           round(m1, 2) AS mean_urgent, round(m2, 2) AS mean_low,
+           round((m1 - m2) / sqrt(v1 / n1 + v2 / n2), 4) AS t_stat,
+           round(((v1 / n1 + v2 / n2) * (v1 / n1 + v2 / n2))
+                 / ((v1 / n1) * (v1 / n1) / (n1 - 1)
+                    + (v2 / n2) * (v2 / n2) / (n2 - 1)), 2) AS welch_df
+    FROM a CROSS JOIN b
+"""
 
 
 def oracle_sql() -> dict[str, str]:

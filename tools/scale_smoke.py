@@ -72,6 +72,13 @@ FAMILY = [
     "q92_unigram_surprisal",
     "q93_fuzzy_edit_dedup",
     "q118_heavy_hitters",
+    # round-10 continued: classifier inference, paragraph dedup, and
+    # BPE learning are all documents-corpus operators — the x-MULT
+    # corpus exercises their scan-linear claims (BPE rounds are
+    # vocab-bounded, so its ratio should sit far below MULT)
+    "q196_quality_classifier",
+    "q201_paragraph_dedup",
+    "q206_bpe_merges",
 ]
 
 
@@ -196,6 +203,8 @@ def run(outdir: str) -> None:
         "triangle_census": _triangle_smoke(spark),
         "zorder_layout": _zorder_smoke(spark),
         "skew_safe_join": _skew_join_smoke(spark),
+        "bucketed_join": _bucketed_join_smoke(spark),
+        "khop_bfs": _khop_smoke(spark),
         "maintain_cli": _maintain_smoke(spark, outdir),
         "table_profile": _profile_smoke(spark, outdir),
         "distributed_order": _dist_order_smoke(spark, outdir, big),
@@ -732,6 +741,139 @@ def _skew_join_smoke(spark) -> dict:
         return out
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def _bucketed_join_smoke(spark) -> dict:
+    """q195's engine (sinks/bucketed.py): pay the layout once, every
+    later join on the bucket key is shuffle-free. Fact (2M x MULT) ⋈
+    fact/5, dim beyond the broadcast budget (threshold -1): measures
+    the plain SMJ, the bucketed-table build, and the bucketed join,
+    then reports the BREAKEVEN join count (build cost amortizes across
+    repeated joins — the number a pipeline owner actually needs).
+    Asserts zero Exchange in the bucketed plan and equal checksums."""
+    import os
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from usajobs_etl_service_spark.sinks.bucketed import (
+        bucketize_write,
+        bucketized_table,
+    )
+
+    n = 2_000_000 * MULT
+    buckets = 32
+
+    def frames():
+        fact = spark.range(n).select(
+            (F.col("id") % (n // 5)).alias("k"), (F.col("id") * 3).alias("v")
+        )
+        dim = spark.range(n // 5).select(
+            F.col("id").alias("dk"), (F.col("id") % 97).alias("w")
+        )
+        return fact, dim
+
+    def agg(j):
+        return j.groupBy().agg(
+            F.count(F.lit(1)).alias("rows"),
+            F.sum(F.col("v") * F.col("w")).alias("chk"),
+        )
+
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    root = tempfile.mkdtemp(prefix="bucket_smoke_")
+    t_f, t_d = f"smoke_b_fact_{os.getpid()}", f"smoke_b_dim_{os.getpid()}"
+    try:
+        out: dict = {"n_fact_rows": n, "n_buckets": buckets}
+        fact, dim = frames()
+        plain = agg(fact.join(dim, F.col("k") == F.col("dk")))
+        plain.collect()  # warm
+        t0 = time.perf_counter()
+        plain_rows = plain.collect()
+        out["plain_join_sec"] = round(time.perf_counter() - t0, 3)
+
+        t0 = time.perf_counter()
+        bucketize_write(fact, t_f, "k", buckets, os.path.join(root, "f"))
+        bucketize_write(dim, t_d, "dk", buckets, os.path.join(root, "d"))
+        out["layout_build_sec"] = round(time.perf_counter() - t0, 3)
+
+        bf, bd = bucketized_table(spark, t_f), bucketized_table(spark, t_d)
+        bj = agg(bf.hint("merge").join(bd, bf.k == bd.dk))
+        plan = bj._jdf.queryExecution().executedPlan().toString()
+        out["bucketed_plan_exchange_free"] = "Exchange" not in plan
+        bj.collect()  # warm
+        t0 = time.perf_counter()
+        b_rows = bj.collect()
+        out["bucketed_join_sec"] = round(time.perf_counter() - t0, 3)
+
+        out["checksums_equal"] = tuple(plain_rows[0]) == tuple(b_rows[0])
+        saving = out["plain_join_sec"] - out["bucketed_join_sec"]
+        out["per_join_saving_sec"] = round(saving, 3)
+        out["breakeven_joins"] = (
+            round(out["layout_build_sec"] / saving, 1) if saving > 0 else None
+        )
+        return out
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql(f"DROP TABLE IF EXISTS {t_f}")
+        spark.sql(f"DROP TABLE IF EXISTS {t_d}")
+
+
+def _khop_smoke(spark) -> dict[str, dict]:
+    """khop_distances (q199's engine) on hash-random graphs, FORCED
+    distributed path (small_graph_edges=0): frontier supersteps must
+    track the frontier boundary, not the graph. Python-replay-exact at
+    the small scale (the kcore smoke's posture)."""
+    from pyspark.sql import functions as F
+
+    from usajobs_etl_service_spark.operators.graphrank import khop_distances
+
+    sizes = (300_000, 300_000 * (MULT // 10 if MULT >= 10 else 1) * 10)
+
+    def edges_df(m: int):
+        nodes = m // 5
+        return spark.range(m).select(
+            (F.xxhash64(F.col("id"), F.lit(1)) % nodes).alias("u"),
+            (F.xxhash64(F.col("id"), F.lit(2)) % nodes).alias("v"),
+        )
+
+    out: dict[str, dict] = {}
+    times = []
+    for m in sizes:
+        seeds = spark.range(0, m // 5, 1009).select(F.col("id").alias("node"))
+        t0 = time.perf_counter()
+        res = khop_distances(
+            edges_df(m), seeds, max_hops=3, small_graph_edges=0
+        )
+        counts = {
+            r["dist"]: r["n"]
+            for r in res.groupBy("dist").agg(F.count(F.lit(1)).alias("n")).collect()
+        }
+        sec = round(time.perf_counter() - t0, 3)
+        times.append(sec)
+        out[f"m{m}"] = {"sec": sec, "nodes_per_dist": counts}
+    out["time_ratio"] = round(times[1] / max(times[0], 1e-9), 2)
+
+    # exactness at the small scale: full Python BFS replay
+    m = sizes[0]
+    rows = edges_df(m).collect()
+    adj: dict = {}
+    for r in rows:
+        if r["u"] != r["v"]:
+            adj.setdefault(r["u"], set()).add(r["v"])
+            adj.setdefault(r["v"], set()).add(r["u"])
+    dist = {s: 0 for s in range(0, m // 5, 1009)}
+    frontier = set(dist)
+    for d in range(1, 4):
+        nxt = {x for nd in frontier for x in adj.get(nd, ()) if x not in dist}
+        for x in nxt:
+            dist[x] = d
+        frontier = nxt
+    want: dict = {}
+    for v in dist.values():
+        want[v] = want.get(v, 0) + 1
+    out["small_scale_python_exact"] = want == out[f"m{m}"]["nodes_per_dist"]
+    return out
 
 
 def _watermark_dedup_state_smoke(spark) -> dict:

@@ -4796,6 +4796,31 @@ def q209_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q210_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extension (community detection — Raghavan et al. 2007 LPA with
+    a DETERMINISTIC lexicographic tiebreak, which is what makes a
+    'random' community algorithm hash-checkable): 3 synchronous rounds
+    over the Brand#1 co-purchase subgraph (q174's graph; the fixed
+    round count is the q105/q174/q199 bounded-iteration contract).
+    Fifth iterative-graph member
+    (operators/graphrank.label_propagation): per round one
+    labels⋈edges join, one (node, label) count, one argmax window, one
+    left join back — parquet supersteps. Output: every node's
+    community label; the oracle unrolls the identical 3 rounds."""
+    from usajobs_etl_service_spark.operators.graphrank import label_propagation
+
+    part = _t(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#1")
+    keep = part.select(F.col("p_partkey").alias("u"))
+    e = (
+        _copurchase_edges(spark, sf_dir)
+        .join(F.broadcast(keep), "u", "left_semi")
+        .join(F.broadcast(keep.select(F.col("u").alias("v"))), "v", "left_semi")
+        .select("u", "v")
+    )
+    out = label_propagation(e, rounds=3)
+    return out.select(F.col("node").alias("p_partkey"), "label").orderBy("p_partkey")
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_job_statistics": q01_job_statistics,
     "q02_metric_union": q02_metric_union,
@@ -5006,6 +5031,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q207_cusum_changepoint": q207_cusum_changepoint,
     "q208_weekday_seasonality": q208_weekday_seasonality,
     "q209_welch_ttest": q209_welch_ttest,
+    "q210_label_propagation": q210_label_propagation,
 }
 
 
@@ -9054,6 +9080,47 @@ ORACLES["q209_welch_ttest"] = """
                     + (v2 / n2) * (v2 / n2) / (n2 - 1)), 2) AS welch_df
     FROM a CROSS JOIN b
 """
+
+
+def _lpa_oracle_sql(rounds: int) -> str:
+    """Round-unrolled deterministic LPA replay (q210): per round a
+    neighbor-label vote with the (count desc, label asc) tiebreak."""
+    ctes = [
+        """pl AS (
+            SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+            WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_brand = 'Brand#1')
+        )""",
+        """sym AS MATERIALIZED (
+            SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+            FROM pl a JOIN pl b
+              ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+        )""",
+        "l0 AS MATERIALIZED (SELECT DISTINCT u AS node, u AS label FROM sym)",
+    ]
+    for r in range(1, rounds + 1):
+        p = r - 1
+        ctes.append(f"""v{r} AS MATERIALIZED (
+            SELECT node, label FROM (
+                SELECT s.u AS node, l.label,
+                       row_number() OVER (
+                           PARTITION BY s.u
+                           ORDER BY count(*) DESC, l.label ASC) AS rn
+                FROM sym s JOIN l{p} l ON s.v = l.node
+                GROUP BY s.u, l.label
+            ) WHERE rn = 1
+        )""")
+        ctes.append(f"""l{r} AS MATERIALIZED (
+            SELECT l.node, coalesce(v.label, l.label) AS label
+            FROM l{p} l LEFT JOIN v{r} v ON l.node = v.node
+        )""")
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"\nSELECT node AS p_partkey, label FROM l{rounds} ORDER BY p_partkey"
+    )
+
+
+ORACLES["q210_label_propagation"] = _lpa_oracle_sql(3)
 
 
 def oracle_sql() -> dict[str, str]:

@@ -174,3 +174,54 @@ def test_profile_sidecar_approx_mode(spark, tmp_path):
 
     with pytest.raises(SystemExit):
         main([path, "--profile-approx"])
+
+
+def test_bucket_rewrite_register_and_no_shuffle(spark, tmp_path):
+    """--bucket-by layout: rows survive, the sidecar records the spec,
+    and a RE-REGISTERED table (fresh catalog entry over the swapped
+    files) still aggregates on the bucket key with ZERO Exchange —
+    proving the bucket ids ride the file names across the swap."""
+    from tools.maintain import bucket_rewrite
+    from usajobs_etl_service_spark.sinks.bucketed import (
+        SPEC_FILE,
+        register_bucketed,
+    )
+
+    path = str(tmp_path / "t")
+    spark.range(10_000).select(
+        (F.col("id") % 500).alias("k"), (F.col("id") * 2).alias("v")
+    ).write.parquet(path)
+    before = spark.read.parquet(path).groupBy().agg(F.sum("v")).first()[0]
+
+    out = bucket_rewrite(spark, path, "k", 8)
+    assert out == {"rows": 10_000, "bucket_col": "k", "n_buckets": 8}
+    assert os.path.exists(os.path.join(path, SPEC_FILE))
+
+    t = register_bucketed(spark, "t_reattached", path)
+    assert t.groupBy().agg(F.sum("v")).first()[0] == before
+    g = t.groupBy("k").agg(F.sum("v").alias("s"))
+    plan = g._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan[:900]
+    assert g.count() == 500
+    spark.sql("DROP TABLE IF EXISTS t_reattached")
+
+
+def test_cli_bucket_by(spark, tmp_path, capsys):
+    from tools.maintain import main
+
+    path = str(tmp_path / "t2")
+    spark.range(1000).select(
+        (F.col("id") % 10).alias("k"), F.col("id").alias("v")
+    ).write.parquet(path)
+    main([path, "--bucket-by", "k", "--buckets", "4"])
+    summary = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert summary["bucketed"] == {"rows": 1000, "bucket_col": "k", "n_buckets": 4}
+
+
+def test_cli_bucket_zorder_mutually_exclusive(spark, tmp_path):
+    from tools.maintain import main
+
+    path = str(tmp_path / "t3")
+    spark.range(10).select(F.col("id").alias("k")).write.parquet(path)
+    with pytest.raises(SystemExit):
+        main([path, "--bucket-by", "k", "--zorder", "k"])

@@ -9,6 +9,7 @@ on this engine's operators.
         [--profile-cols colA,colB]        # write _PROFILE.json beside data
         [--profile-approx]                # HLL distincts (large tables)
         [--target-rows N]                 # compaction file sizing
+        [--bucket-by col [--buckets N]]   # join-locality bucket layout
 
 Emits ONE summary JSON line on stdout (the bench.py tail-capture
 convention). Z-order rewrite uses the same stage-then-swap posture as
@@ -100,6 +101,48 @@ def zorder_rewrite(
     return {"rows": n_after, "files": num_files, "zorder_cols": cols}
 
 
+def bucket_rewrite(spark, path: str, bucket_col: str, n_buckets: int) -> dict:
+    """Rewrite ``path`` in bucketed layout (sinks/bucketed.py) with the
+    zorder_rewrite stage-then-swap + self-heal discipline, and drop a
+    ``_BUCKET_SPEC.json`` sidecar so any later session re-attaches the
+    no-shuffle property via ``register_bucketed`` (Spark carries bucket
+    ids in the ``part-*_NNNNN`` file names — they survive the swap).
+    Same single-writer/local-filesystem scope as zorder_rewrite."""
+    from usajobs_etl_service_spark.sinks.bucketed import (
+        bucketize_write,
+        write_bucket_spec,
+    )
+
+    staging = path.rstrip("/") + ".bucket_staging"
+    backup = path.rstrip("/") + ".bucket_backup"
+    if os.path.exists(backup) and os.path.exists(staging) and not os.path.exists(path):
+        os.rename(staging, path)
+        shutil.rmtree(backup)
+    elif os.path.exists(backup) and os.path.exists(path):
+        shutil.rmtree(backup)
+    elif os.path.exists(backup) and not os.path.exists(path):
+        os.rename(backup, path)
+    if os.path.exists(staging):
+        shutil.rmtree(staging)
+    df = spark.read.parquet(path)
+    n_before = df.count()
+    schema_ddl = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields
+    )
+    tmp_table = f"maintain_bucket_{os.getpid()}"
+    bucketize_write(df, tmp_table, bucket_col, n_buckets, staging)
+    spark.sql(f"DROP TABLE IF EXISTS {tmp_table}")
+    n_after = spark.read.parquet(staging).count()
+    if n_after != n_before:
+        shutil.rmtree(staging, ignore_errors=True)
+        raise RuntimeError(f"staged rewrite row mismatch: {n_before} -> {n_after}")
+    write_bucket_spec(staging, bucket_col, n_buckets, schema_ddl)
+    os.rename(path, backup)
+    os.rename(staging, path)
+    shutil.rmtree(backup)
+    return {"rows": n_after, "bucket_col": bucket_col, "n_buckets": n_buckets}
+
+
 def profile_to_file(
     spark, path: str, cols: list[str] | None, *, approx: bool = False
 ) -> dict:
@@ -159,6 +202,13 @@ def main(argv: list[str]) -> None:
         "plan's Expand multiplies every row by n_cols+1)",
     )
     ap.add_argument("--target-rows", type=int, default=1_000_000)
+    ap.add_argument(
+        "--bucket-by",
+        default=None,
+        help="rewrite the table bucketed on this column (join-locality "
+        "layout; records _BUCKET_SPEC.json for register_bucketed)",
+    )
+    ap.add_argument("--buckets", type=int, default=32)
     args = ap.parse_args(argv)
 
     # ALL flag-combination validation happens BEFORE any side effect
@@ -191,6 +241,13 @@ def main(argv: list[str]) -> None:
             )
     if args.profile_approx and not (args.profile_cols or args.do_profile):
         ap.error("--profile-approx requires --profile-cols or --do-profile")
+    if args.bucket_by and args.zorder:
+        # one physical row order per table: z-order clusters for scan
+        # locality, bucketing hashes for join locality — the last
+        # writer would silently undo the other's layout
+        ap.error("--bucket-by and --zorder are mutually exclusive layouts")
+    if args.buckets < 1:
+        ap.error("--buckets must be >= 1")
 
     from usajobs_etl_service_spark.session import get_spark
 
@@ -215,6 +272,10 @@ def main(argv: list[str]) -> None:
             num_files=args.files,
             bits=args.bits,
             resolutions=resolutions,
+        )
+    if args.bucket_by:
+        summary["bucketed"] = bucket_rewrite(
+            spark, args.table_dir, args.bucket_by, args.buckets
         )
     if args.profile_cols or args.do_profile:
         cols = [c for c in (args.profile_cols or "").split(",") if c] or None

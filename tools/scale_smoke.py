@@ -785,25 +785,44 @@ def _bucketed_join_smoke(spark) -> dict:
     t_f, t_d = f"smoke_b_fact_{os.getpid()}", f"smoke_b_dim_{os.getpid()}"
     try:
         out: dict = {"n_fact_rows": n, "n_buckets": buckets}
-        fact, dim = frames()
-        plain = agg(fact.join(dim, F.col("k") == F.col("dk")))
-        plain.collect()  # warm
+
+        # fresh plan per measurement (the _skew_join_smoke rule: a
+        # same-object re-collect reuses shuffle output and times ~0)
+        def plain():
+            fact, dim = frames()
+            return agg(fact.join(dim, F.col("k") == F.col("dk")))
+
+        plain().collect()  # warm codegen
         t0 = time.perf_counter()
-        plain_rows = plain.collect()
+        plain_rows = plain().collect()
         out["plain_join_sec"] = round(time.perf_counter() - t0, 3)
 
+        fact, dim = frames()
         t0 = time.perf_counter()
         bucketize_write(fact, t_f, "k", buckets, os.path.join(root, "f"))
         bucketize_write(dim, t_d, "dk", buckets, os.path.join(root, "d"))
         out["layout_build_sec"] = round(time.perf_counter() - t0, 3)
 
-        bf, bd = bucketized_table(spark, t_f), bucketized_table(spark, t_d)
-        bj = agg(bf.hint("merge").join(bd, bf.k == bd.dk))
-        plan = bj._jdf.queryExecution().executedPlan().toString()
-        out["bucketed_plan_exchange_free"] = "Exchange" not in plan
+        def bucketed():
+            bf = bucketized_table(spark, t_f)
+            bd = bucketized_table(spark, t_d)
+            return agg(bf.hint("merge").join(bd, bf.k == bd.dk)), (bf, bd)
+
+        bj, (bf, bd) = bucketed()
+        # the exchange-free claim holds for the JOIN (and any same-key
+        # aggregate above it); the final scalar agg legitimately adds a
+        # 32-row SinglePartition exchange, so check below the agg
+        jplan = (
+            bf.hint("merge")
+            .join(bd, bf.k == bd.dk)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        out["bucketed_plan_exchange_free"] = "Exchange" not in jplan
         bj.collect()  # warm
         t0 = time.perf_counter()
-        b_rows = bj.collect()
+        b_rows = bucketed()[0].collect()
         out["bucketed_join_sec"] = round(time.perf_counter() - t0, 3)
 
         out["checksums_equal"] = tuple(plain_rows[0]) == tuple(b_rows[0])

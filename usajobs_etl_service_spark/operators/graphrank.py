@@ -694,3 +694,78 @@ def khop_distances(
         frontier = visited.filter(F.col("dist") == d).select("node")
 
     return visited
+
+
+def label_propagation(
+    edges: DataFrame,
+    *,
+    rounds: int = 3,
+    u: str = "u",
+    v: str = "v",
+) -> DataFrame:
+    """Synchronous label propagation (Raghavan et al. 2007) with a
+    DETERMINISTIC vote: every node starts labeled with its own id;
+    each round it adopts the most frequent label among its neighbors,
+    ties broken by the smallest label; isolated nodes (and nodes whose
+    neighbors vanished) keep their label. The FIXED round count is the
+    contract (the q105/q174/q199 bounded-iteration pattern) so a
+    round-unrolled SQL oracle checks it exactly — classic LPA breaks
+    ties randomly and is unreproducible; the lexicographic tiebreak is
+    what makes community detection hash-checkable.
+
+    Fifth iterative-graph member (CC, PageRank, k-core, k-hop BFS).
+    Per round: one labels⋈edges hash join + one (node, label) count
+    aggregate + one deterministic argmax window + one left join back —
+    all keyed on node ids. Rounds materialize via the parquet-superstep
+    pattern (clustering.py:134's lineage/executor-loss argument).
+    Returns ``(node, label)``.
+    """
+    import atexit
+    import os
+    import shutil
+    import tempfile
+
+    from pyspark.sql import Window
+
+    if rounds < 1:
+        raise ValueError(f"rounds must be >= 1, got {rounds}")
+    spark = edges.sparkSession
+    base = tempfile.mkdtemp(prefix="lpa_rounds_")
+    atexit.register(shutil.rmtree, base, ignore_errors=True)
+
+    e = (
+        edges.select(F.col(u).alias("u"), F.col(v).alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    sym = e.unionAll(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    sym.write.mode("overwrite").parquet(os.path.join(base, "edges"))
+    sym = spark.read.parquet(os.path.join(base, "edges"))
+
+    labels = (
+        sym.select(F.col("u").alias("node")).distinct().select("node", F.col("node").alias("label"))
+    )
+    labels.write.mode("overwrite").parquet(os.path.join(base, "l0"))
+    labels = spark.read.parquet(os.path.join(base, "l0"))
+
+    w = Window.partitionBy("node").orderBy(F.desc("c"), F.asc("label"))
+    for r in range(1, rounds + 1):
+        votes = (
+            sym.join(labels.withColumnRenamed("node", "v"), "v")
+            .select(F.col("u").alias("node"), "label")
+            .groupBy("node", "label")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        winner = (
+            votes.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .select("node", F.col("label").alias("__new"))
+        )
+        nxt = (
+            labels.join(winner, "node", "left")
+            .select("node", F.coalesce("__new", "label").alias("label"))
+        )
+        out_path = os.path.join(base, f"l{r}")
+        nxt.write.mode("overwrite").parquet(out_path)
+        labels = spark.read.parquet(out_path)
+    return labels

@@ -4796,6 +4796,40 @@ def q209_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q211_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extension (tokenizer APPLY — q206's other half): learn 5 BPE
+    merges, then tokenize the corpus through the segmented DICTIONARY
+    (bpe_learn(return_vocab=True)): a corpus tokenizes by joining its
+    words against the (word, syms) table — subwords-per-word is the
+    symbol count (the ``</w>`` terminal counts as or within a symbol,
+    the Sennrich convention) — never by re-running merge folds per
+    document. Per-language compression report: words, subwords,
+    subwords/word. The oracle replays learn + segmentation through the
+    same unrolled rounds and joins the same dictionary."""
+    from usajobs_etl_service_spark.operators.bpe import bpe_learn
+
+    docs = _t(spark, sf_dir, "documents").select("lang", "text")
+    _, vocab = bpe_learn(docs, n_merges=5, return_vocab=True)
+    per_word = vocab.select(
+        "word", F.size(F.split("syms", " ")).alias("n_sub")
+    )
+    words = docs.select(
+        "lang", F.explode(TX.tokens_ws(F.lower(F.col("text")))).alias("word")
+    )
+    return (
+        words.join(per_word, "word")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum("n_sub").alias("n_subwords"),
+            F.round(
+                F.sum("n_sub").cast("double") / F.count(F.lit(1)), 4
+            ).alias("subwords_per_word"),
+        )
+        .orderBy("lang")
+    )
+
+
 def q210_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Extension (community detection — Raghavan et al. 2007 LPA with
     a DETERMINISTIC lexicographic tiebreak, which is what makes a
@@ -5032,6 +5066,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q208_weekday_seasonality": q208_weekday_seasonality,
     "q209_welch_ttest": q209_welch_ttest,
     "q210_label_propagation": q210_label_propagation,
+    "q211_bpe_tokenize": q211_bpe_tokenize,
 }
 
 
@@ -8969,14 +9004,14 @@ ORACLES["q205_binned_woe"] = """
 """
 
 
-def _bpe_oracle_sql(n_merges: int) -> str:
+def _bpe_oracle_sql(n_merges: int, final: str | None = None) -> str:
     """Round-unrolled DuckDB replay of bpe_learn (q206): per round, a
     MATERIALIZED pair-count argmax + a list_reduce leftmost-first
     merge fold — generated so the rounds stay in lockstep with the
     engine's n_merges."""
     ctes = [
         """w0 AS MATERIALIZED (
-            SELECT count(*) AS freq,
+            SELECT word, count(*) AS freq,
                    array_to_string(list_append(string_split(word, ''), '</w>'),
                                    ' ') AS syms
             FROM (
@@ -9002,7 +9037,7 @@ def _bpe_oracle_sql(n_merges: int) -> str:
             SELECT a, b, cnt FROM p{r} ORDER BY cnt DESC, a, b LIMIT 1
         )""")
         ctes.append(f"""w{r} AS MATERIALIZED (
-            SELECT freq,
+            SELECT word, freq,
                    CASE WHEN instr(' ' || syms || ' ',
                                    ' ' || m.a || ' ' || m.b || ' ') > 0
                         THEN list_reduce(string_split(syms, ' '),
@@ -9014,11 +9049,16 @@ def _bpe_oracle_sql(n_merges: int) -> str:
                         ELSE syms END AS syms
             FROM w{p} CROSS JOIN m{r} m
         )""")
-    finals = "\nUNION ALL\n".join(
-        f"SELECT {r} AS round, a AS pair_a, b AS pair_b, cnt AS pair_count FROM m{r}"
-        for r in range(1, n_merges + 1)
-    )
-    return "WITH " + ",\n".join(ctes) + "\n" + finals + "\nORDER BY round"
+    if final is None:
+        final = (
+            "\nUNION ALL\n".join(
+                f"SELECT {r} AS round, a AS pair_a, b AS pair_b,"
+                f" cnt AS pair_count FROM m{r}"
+                for r in range(1, n_merges + 1)
+            )
+            + "\nORDER BY round"
+        )
+    return "WITH " + ",\n".join(ctes) + "\n" + final
 
 
 ORACLES["q206_bpe_merges"] = _bpe_oracle_sql(5)
@@ -9121,6 +9161,26 @@ def _lpa_oracle_sql(rounds: int) -> str:
 
 
 ORACLES["q210_label_propagation"] = _lpa_oracle_sql(3)
+
+# q211: tokenize-apply through the segmented dictionary (w5)
+ORACLES["q211_bpe_tokenize"] = _bpe_oracle_sql(
+    5,
+    final="""
+    , pw AS (
+        SELECT word, len(string_split(syms, ' ')) AS n_sub FROM w5
+    ), dw AS (
+        SELECT lang,
+               unnest(list_filter(
+                   string_split_regex(trim(lower(text)), '\\s+'),
+                   x -> x <> '')) AS word
+        FROM documents
+    )
+    SELECT lang, count(*) AS n_words, sum(n_sub) AS n_subwords,
+           round(CAST(sum(n_sub) AS DOUBLE) / count(*), 4) AS subwords_per_word
+    FROM dw JOIN pw USING (word)
+    GROUP BY lang ORDER BY lang
+    """,
+)
 
 
 def oracle_sql() -> dict[str, str]:

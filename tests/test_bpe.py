@@ -83,3 +83,26 @@ def test_validation(spark):
     df = spark.createDataFrame([("x",)], ["text"])
     with pytest.raises(ValueError, match=">= 1"):
         bpe_learn(df, n_merges=0)
+
+
+def test_return_vocab_segmentation(spark):
+    texts = ["low lower low", "lowest low"]
+    df = spark.createDataFrame([(t,) for t in texts], ["text"])
+    merges, vocab = bpe_learn(df, n_merges=3, return_vocab=True)
+    segs = {r["word"]: (r["freq"], r["syms"]) for r in vocab.collect()}
+    assert set(segs) == {"low", "lower", "lowest"}
+    assert segs["low"][0] == 3
+    # replay the folds in Python over the learned merges
+    for word, (_, syms) in segs.items():
+        cur = list(word) + [END]
+        for _, a, b, _ in merges:
+            out, i = [], 0
+            while i < len(cur):
+                if i + 1 < len(cur) and cur[i] == a and cur[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(cur[i])
+                    i += 1
+            cur = out
+        assert syms == " ".join(cur), word

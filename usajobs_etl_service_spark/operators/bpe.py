@@ -64,12 +64,19 @@ def bpe_learn(
     *,
     text_col: str = "text",
     n_merges: int = 5,
-) -> list[tuple[int, str, str, int]]:
+    return_vocab: bool = False,
+):
     """Learn ``n_merges`` BPE merges over the whitespace-lowercased
     corpus. Returns ``[(round, pair_a, pair_b, pair_count), ...]`` —
     the merge table IS the trained tokenizer (apply in order with
     :func:`merge_fold` to tokenize new text). Stops early when no
-    pair remains (every word fused to one symbol)."""
+    pair remains (every word fused to one symbol).
+
+    ``return_vocab=True`` returns ``(merges, vocab)`` where ``vocab``
+    is the final segmented dictionary ``(word, freq, syms)`` — the
+    tokenize-APPLY artifact: a corpus tokenizes by joining its words
+    against this table (subwords-per-word = the symbol count), never
+    by re-running the folds per document."""
     import atexit
     import os
     import shutil
@@ -86,6 +93,7 @@ def bpe_learn(
         .groupBy("word")
         .agg(F.count(F.lit(1)).alias("freq"))
         .select(
+            "word",
             "freq",
             F.concat_ws(
                 " ", F.concat(F.split(F.col("word"), ""), F.array(F.lit(END)))
@@ -122,6 +130,7 @@ def bpe_learn(
             F.concat(F.lit(" "), F.col("syms"), F.lit(" ")), f" {a} {b} "
         ) > 0
         new_state = state.select(
+            "word",
             "freq",
             F.when(touched, merge_fold(F.col("syms"), a, b))
             .otherwise(F.col("syms"))
@@ -130,4 +139,6 @@ def bpe_learn(
         out_path = os.path.join(base, f"r{r}")
         new_state.write.mode("overwrite").parquet(out_path)
         state = spark.read.parquet(out_path)
+    if return_vocab:
+        return merges, state
     return merges

@@ -4830,6 +4830,60 @@ def q211_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q212_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extension (declarative data contract — the Great-Expectations
+    shape): five single-pass rules over orders plus a referential-
+    integrity rule against customer
+    (operators/expectations.expect_report / fk_violations). All
+    in-table rules compile into ONE aggregate over one scan (FALSE and
+    NULL both violate — a NULL price is not a positive price); the FK
+    rule is a broadcast-able left_anti count (the q15/q116 shape),
+    UNION'd in at rule_seq -1. The generalization of the reference's
+    hardwired NOT-NULL gate (etl.py:214-224) into a rule table."""
+    from usajobs_etl_service_spark.operators.expectations import (
+        expect_report,
+        fk_violations,
+    )
+
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    report = expect_report(
+        orders,
+        [
+            ("totalprice_positive", F.col("o_totalprice") > 0),
+            ("status_known", F.col("o_orderstatus").isin("F", "O", "P")),
+            (
+                "date_in_range",
+                F.to_date("o_orderdate").between("1990-01-01", "2005-12-31"),
+            ),
+            ("priority_nonnull", F.col("o_orderpriority").isNotNull()),
+            ("price_under_cap", F.col("o_totalprice") < 300000),
+        ],
+    )
+    fk = fk_violations(
+        orders, cust, fact_key="o_custkey", dim_key="c_custkey", rule="custkey_fk"
+    )
+    return fk.unionByName(report).orderBy("rule_seq")
+
+
+def q213_join_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extension (join pricing — the explosion detector that
+    complements q184's hot-key finder): EXACT inner-join output
+    cardinality of lineitem⋈part on the part key, computed WITHOUT
+    running the join (operators/salting.join_cardinality_report) —
+    per-key partial counts on each side (shuffles |distinct keys|
+    rows, not every row), joined, summed. Top-5 contributing keys +
+    the grand TOTAL row (key NULL): at 100 TB this discovers a
+    10^14-row explosion for the price of two counts."""
+    from usajobs_etl_service_spark.operators.salting import join_cardinality_report
+
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    return join_cardinality_report(
+        li, part, left_key="l_partkey", right_key="p_partkey", top_k=5
+    )
+
+
 def q210_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Extension (community detection — Raghavan et al. 2007 LPA with
     a DETERMINISTIC lexicographic tiebreak, which is what makes a
@@ -5067,6 +5121,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q209_welch_ttest": q209_welch_ttest,
     "q210_label_propagation": q210_label_propagation,
     "q211_bpe_tokenize": q211_bpe_tokenize,
+    "q212_expectations": q212_expectations,
+    "q213_join_cardinality": q213_join_cardinality,
 }
 
 
@@ -9161,6 +9217,57 @@ def _lpa_oracle_sql(rounds: int) -> str:
 
 
 ORACLES["q210_label_propagation"] = _lpa_oracle_sql(3)
+
+# q212: declarative expectations — one aggregate pass + FK anti count
+ORACLES["q212_expectations"] = """
+    WITH r AS (
+        SELECT count(*) AS n,
+               count(*) FILTER (WHERE NOT coalesce(o_totalprice > 0, false)) AS v0,
+               count(*) FILTER (WHERE NOT coalesce(o_orderstatus IN ('F','O','P'), false)) AS v1,
+               count(*) FILTER (WHERE NOT coalesce(
+                   CAST(o_orderdate AS DATE)
+                       BETWEEN DATE '1990-01-01' AND DATE '2005-12-31',
+                   false)) AS v2,
+               count(*) FILTER (WHERE o_orderpriority IS NULL) AS v3,
+               count(*) FILTER (WHERE NOT coalesce(o_totalprice < 300000, false)) AS v4
+        FROM orders
+    ), fk AS (
+        SELECT (SELECT count(*) FROM orders) AS n,
+               (SELECT count(*) FROM orders WHERE o_custkey IS NULL)
+             + (SELECT count(*) FROM orders o
+                WHERE o.o_custkey IS NOT NULL
+                  AND NOT EXISTS (SELECT 1 FROM customer c
+                                  WHERE c.c_custkey = o.o_custkey)) AS v
+    )
+    SELECT -1 AS rule_seq, 'custkey_fk' AS rule, n AS n_rows,
+           v AS n_violations, v = 0 AS pass FROM fk
+    UNION ALL SELECT 0, 'totalprice_positive', n, v0, v0 = 0 FROM r
+    UNION ALL SELECT 1, 'status_known', n, v1, v1 = 0 FROM r
+    UNION ALL SELECT 2, 'date_in_range', n, v2, v2 = 0 FROM r
+    UNION ALL SELECT 3, 'priority_nonnull', n, v3, v3 = 0 FROM r
+    UNION ALL SELECT 4, 'price_under_cap', n, v4, v4 = 0 FROM r
+    ORDER BY rule_seq
+"""
+
+# q213: exact join cardinality from per-key partials, never the join
+ORACLES["q213_join_cardinality"] = """
+    WITH lc AS (
+        SELECT l_partkey AS key, count(*) AS n_left
+        FROM lineitem WHERE l_partkey IS NOT NULL GROUP BY 1
+    ), rc AS (
+        SELECT p_partkey AS key, count(*) AS n_right
+        FROM part WHERE p_partkey IS NOT NULL GROUP BY 1
+    ), pk AS (
+        SELECT key, n_left, n_right, n_left * n_right AS out_rows
+        FROM lc JOIN rc USING (key)
+    )
+    SELECT * FROM (
+        SELECT key, n_left, n_right, out_rows FROM pk
+        ORDER BY out_rows DESC, key ASC LIMIT 5
+    )
+    UNION ALL
+    SELECT NULL AS key, sum(n_left), sum(n_right), sum(out_rows) FROM pk
+"""
 
 # q211: tokenize-apply through the segmented dictionary (w5)
 ORACLES["q211_bpe_tokenize"] = _bpe_oracle_sql(

@@ -545,3 +545,50 @@ def skew_safe_join(
             r_rep, cond & (F.col("__lsalt") == F.col("__rsalt")), "inner"
         ).drop("__lsalt", "__rsalt")
     return hot.select(*out_cols).unionByName(cold.select(*out_cols))
+
+
+def join_cardinality_report(
+    left: DataFrame,
+    right: DataFrame,
+    *,
+    left_key: str,
+    right_key: str,
+    top_k: int = 5,
+) -> DataFrame:
+    """Predict an equi-join's output size BEFORE running it — the
+    explosion detector that complements join_skew_report (which finds
+    hot keys; this prices the whole join): per-key partial counts on
+    each side (bounded by each side's DISTINCT keys, with map-side
+    combine), joined on the key, output rows per key = n_left *
+    n_right. Returns the ``top_k`` contributing keys plus a grand
+    TOTAL row (key rendered NULL), so one small result both prices
+    the join and names the keys that dominate it — sum(n_left *
+    n_right) IS the exact inner-join cardinality, not an estimate,
+    at the cost of two key-grouped aggregates instead of the join
+    itself (at 100 TB: the aggregates shuffle |distinct keys| rows
+    where the join would shuffle every row, and a 10^14-row
+    explosion is discovered for the price of a count).
+
+    NULL keys never match in an equi-join, so both sides drop them
+    first (they contribute zero rows)."""
+    lc = (
+        left.filter(F.col(left_key).isNotNull())
+        .groupBy(F.col(left_key).alias("key"))
+        .agg(F.count(F.lit(1)).alias("n_left"))
+    )
+    rc = (
+        right.filter(F.col(right_key).isNotNull())
+        .groupBy(F.col(right_key).alias("key"))
+        .agg(F.count(F.lit(1)).alias("n_right"))
+    )
+    per_key = lc.join(rc, "key").select(
+        "key", "n_left", "n_right", (F.col("n_left") * F.col("n_right")).alias("out_rows")
+    )
+    top = per_key.orderBy(F.desc("out_rows"), F.asc("key")).limit(top_k)
+    total = per_key.agg(
+        F.lit(None).cast(per_key.schema["key"].dataType).alias("key"),
+        F.sum("n_left").alias("n_left"),
+        F.sum("n_right").alias("n_right"),
+        F.sum("out_rows").alias("out_rows"),
+    )
+    return top.unionByName(total)

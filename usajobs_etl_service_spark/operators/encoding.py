@@ -59,7 +59,10 @@ __all__ = [
 
 
 def fold_of(key: Column, k: int, *, seed: int = 42) -> Column:
-    """Deterministic fold id in [0, k): floor of the md5 uniform."""
+    """Deterministic fold id in [0, k): floor of the md5 uniform.
+    A NULL key yields a NULL fold (md5 of NULL propagates) — such rows
+    form their own (category, NULL) cells; supply a non-null row key
+    (the q94 split contract expects one)."""
     return F.floor(sample_key(key, seed=seed) * k).cast("int")
 
 

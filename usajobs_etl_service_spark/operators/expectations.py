@@ -37,6 +37,10 @@ def expect_report(df: DataFrame, rules: list[tuple[str, Column]]) -> DataFrame:
     names = [n for n, _ in rules]
     if len(set(names)) != len(names):
         raise ValueError(f"duplicate rule names in {names}")
+    bad = [n for n in names if "'" in n or "\\" in n]
+    if bad:
+        # names are embedded as string literals in the stack() expr
+        raise ValueError(f"rule names must not contain quotes/backslashes: {bad}")
     aggs = [F.count(F.lit(1)).alias("__n")]
     for i, (_, cond) in enumerate(rules):
         aggs.append(

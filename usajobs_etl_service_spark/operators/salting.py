@@ -581,8 +581,21 @@ def join_cardinality_report(
         .groupBy(F.col(right_key).alias("key"))
         .agg(F.count(F.lit(1)).alias("n_right"))
     )
-    per_key = lc.join(rc, "key").select(
-        "key", "n_left", "n_right", (F.col("n_left") * F.col("n_right")).alias("out_rows")
+    from pyspark.storagelevel import StorageLevel
+
+    # persisted: the per-key grid feeds BOTH the top-k and the TOTAL
+    # row — unpersisted, each consumer would re-run both key-grouped
+    # aggregates and the join (released by the ContextCleaner when the
+    # returned plan is garbage-collected, the _ranged posture)
+    per_key = (
+        lc.join(rc, "key")
+        .select(
+            "key",
+            "n_left",
+            "n_right",
+            (F.col("n_left") * F.col("n_right")).alias("out_rows"),
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     top = per_key.orderBy(F.desc("out_rows"), F.asc("key")).limit(top_k)
     total = per_key.agg(

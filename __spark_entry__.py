@@ -4884,6 +4884,66 @@ def q213_join_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q214_ntile_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window surface (ntile — the one ranking function q48's suite
+    did not cover): per-priority order-value quartiles, with the
+    orderkey tiebreak that makes bucket assignment deterministic under
+    price ties (ntile's remainder-to-first-buckets semantics agree
+    between Spark and DuckDB; the tiebreak is what keeps the BOUNDARY
+    rows on the same side in both engines). Per (priority, quartile):
+    count and value range."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    return (
+        _t(spark, sf_dir, "orders")
+        .withColumn("quartile", F.ntile(4).over(w))
+        .groupBy("o_orderpriority", "quartile")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.min("o_totalprice"), 2).alias("lo"),
+            F.round(F.max("o_totalprice"), 2).alias("hi"),
+        )
+        .orderBy("o_orderpriority", "quartile")
+    )
+
+
+def q215_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extension (text analysis — readability): Flesch reading-ease
+    per language from expression-side counts — words (the q19
+    whitespace tokenizer), syllables as vowel-group runs
+    (``[aeiouy]+`` — the standard cheap proxy), sentences as
+    ``[.!?]+`` runs floored at 1 (the synthetic corpus has no
+    sentence marks; real corpora do). Zero shuffles before the
+    per-language aggregate; both engines evaluate the identical
+    regex + formula."""
+    docs = _t(spark, sf_dir, "documents")
+    words = TX.token_count_ws(F.col("text")).cast("double")
+    syllables = F.size(
+        F.regexp_extract_all(F.lower(F.col("text")), F.lit("[aeiouy]+"), 0)
+    ).cast("double")
+    sentences = F.greatest(
+        F.size(F.regexp_extract_all(F.col("text"), F.lit("[.!?]+"), 0)), F.lit(1)
+    ).cast("double")
+    flesch = (
+        F.lit(206.835)
+        - F.lit(1.015) * (words / sentences)
+        - F.lit(84.6) * (syllables / words)
+    )
+    return (
+        docs.filter(words > 0)
+        .select("lang", words.alias("w"), (syllables / words).alias("spw"), flesch.alias("f"))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg("w"), 4).alias("avg_words"),
+            F.round(F.avg("spw"), 4).alias("avg_syllables_per_word"),
+            F.round(F.avg("f"), 4).alias("avg_flesch"),
+        )
+        .orderBy("lang")
+    )
+
+
 def q210_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Extension (community detection — Raghavan et al. 2007 LPA with
     a DETERMINISTIC lexicographic tiebreak, which is what makes a
@@ -5123,6 +5183,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q211_bpe_tokenize": q211_bpe_tokenize,
     "q212_expectations": q212_expectations,
     "q213_join_cardinality": q213_join_cardinality,
+    "q214_ntile_quartiles": q214_ntile_quartiles,
+    "q215_readability": q215_readability,
 }
 
 
@@ -9267,6 +9329,39 @@ ORACLES["q213_join_cardinality"] = """
     )
     UNION ALL
     SELECT NULL AS key, sum(n_left), sum(n_right), sum(out_rows) FROM pk
+"""
+
+# q214: ntile quartiles with the orderkey tiebreak
+ORACLES["q214_ntile_quartiles"] = """
+    WITH q AS (
+        SELECT o_orderpriority, o_totalprice,
+               ntile(4) OVER (PARTITION BY o_orderpriority
+                              ORDER BY o_totalprice, o_orderkey) AS quartile
+        FROM orders
+    )
+    SELECT o_orderpriority, quartile, count(*) AS n,
+           round(min(o_totalprice), 2) AS lo,
+           round(max(o_totalprice), 2) AS hi
+    FROM q GROUP BY o_orderpriority, quartile
+    ORDER BY o_orderpriority, quartile
+"""
+
+# q215: Flesch readability from identical regex counts
+ORACLES["q215_readability"] = """
+    WITH d AS (
+        SELECT lang,
+               CAST(len(list_filter(string_split_regex(trim(text), '\\s+'),
+                                    x -> x <> '')) AS DOUBLE) AS w,
+               CAST(len(regexp_extract_all(lower(text), '[aeiouy]+')) AS DOUBLE) AS syl,
+               CAST(greatest(len(regexp_extract_all(text, '[.!?]+')), 1) AS DOUBLE) AS s
+        FROM documents
+    )
+    SELECT lang, count(*) AS n_docs,
+           round(avg(w), 4) AS avg_words,
+           round(avg(syl / w), 4) AS avg_syllables_per_word,
+           round(avg(206.835 - 1.015 * (w / s) - 84.6 * (syl / w)), 4) AS avg_flesch
+    FROM d WHERE w > 0
+    GROUP BY lang ORDER BY lang
 """
 
 # q211: tokenize-apply through the segmented dictionary (w5)

@@ -4944,6 +4944,38 @@ def q215_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q216_hilbert_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extension (second space-filling curve — Hilbert vs q182's
+    Morton): orders plotted on an (custkey mod 256, price-bucket mod
+    256) grid, Hilbert-indexed (operators/layout.hilbert_attach — the
+    canonical xy2d rotation unrolled into 8 chained codegen'd
+    projections; intermediates legitimately go negative and
+    two's-complement & handles them identically in Spark/DuckDB/
+    Python, which is what makes a space-filling curve hash-checkable).
+    Report: per top-4-bit Hilbert bucket, the (x, y) bounding box —
+    Hilbert buckets cover TIGHT rectangles where Morton buckets jump
+    at power-of-two seams; the unit-step adjacency property is
+    grid-tested in tests/test_layout.py."""
+    from usajobs_etl_service_spark.operators.layout import hilbert_attach
+
+    base = _t(spark, sf_dir, "orders").select(
+        (F.col("o_custkey") % 256).alias("x"),
+        (F.floor(F.col("o_totalprice") / 2000).cast("long") % 256).alias("y"),
+    )
+    h = hilbert_attach(base, "x", "y", bits=8)
+    return (
+        h.groupBy(F.shiftright(F.col("hilbert_d"), 12).alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("x").alias("x_lo"),
+            F.max("x").alias("x_hi"),
+            F.min("y").alias("y_lo"),
+            F.max("y").alias("y_hi"),
+        )
+        .orderBy("bucket")
+    )
+
+
 def q210_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Extension (community detection — Raghavan et al. 2007 LPA with
     a DETERMINISTIC lexicographic tiebreak, which is what makes a
@@ -5185,6 +5217,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q213_join_cardinality": q213_join_cardinality,
     "q214_ntile_quartiles": q214_ntile_quartiles,
     "q215_readability": q215_readability,
+    "q216_hilbert_layout": q216_hilbert_layout,
 }
 
 
@@ -9363,6 +9396,54 @@ ORACLES["q215_readability"] = """
     FROM d WHERE w > 0
     GROUP BY lang ORDER BY lang
 """
+
+def _hilbert_oracle_sql(bits: int) -> str:
+    """Level-unrolled xy2d replay (q216) — identical two's-complement
+    bit arithmetic per rotation level."""
+    ctes = [
+        """h0 AS (
+            SELECT CAST(o_custkey % 256 AS BIGINT) AS hx,
+                   CAST(floor(o_totalprice / 2000) AS BIGINT) % 256 AS hy,
+                   CAST(0 AS BIGINT) AS hd
+            FROM orders
+        )"""
+    ]
+    for i, level in enumerate(range(bits - 1, -1, -1), start=1):
+        s = 1 << level
+        ctes.append(f"""h{i} AS (
+            SELECT
+                CASE WHEN (hy & {s}) = 0
+                     THEN (CASE WHEN (hx & {s}) > 0 THEN {s - 1} - hy ELSE hy END)
+                     ELSE hx END AS hx,
+                CASE WHEN (hy & {s}) = 0
+                     THEN (CASE WHEN (hx & {s}) > 0 THEN {s - 1} - hx ELSE hx END)
+                     ELSE hy END AS hy,
+                hd + {s * s} * xor(
+                    3 * (CASE WHEN (hx & {s}) > 0 THEN 1 ELSE 0 END),
+                    CASE WHEN (hy & {s}) > 0 THEN 1 ELSE 0 END) AS hd,
+                x, y
+            FROM h{i - 1}
+        )""")
+    # carry the ORIGINAL grid coords through for the bounding boxes
+    ctes[0] = ctes[0].replace(
+        "CAST(0 AS BIGINT) AS hd", "CAST(0 AS BIGINT) AS hd,\n"
+        "                   CAST(o_custkey % 256 AS BIGINT) AS x,\n"
+        "                   CAST(floor(o_totalprice / 2000) AS BIGINT) % 256 AS y"
+    )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+        SELECT hd // 4096 AS bucket, count(*) AS n,
+               min(x) AS x_lo, max(x) AS x_hi,
+               min(y) AS y_lo, max(y) AS y_hi
+        FROM h{bits}
+        GROUP BY 1 ORDER BY bucket
+        """
+    )
+
+
+ORACLES["q216_hilbert_layout"] = _hilbert_oracle_sql(8)
 
 # q211: tokenize-apply through the segmented dictionary (w5)
 ORACLES["q211_bpe_tokenize"] = _bpe_oracle_sql(

@@ -319,3 +319,63 @@ def test_zorder_prepare_feeds_zorder_values(spark):
     rows = out.collect()
     assert len(rows) == 256 and all(r["zval"] is not None for r in rows)
     assert len({r["zval"] for r in rows}) > 200  # real spread, not constant
+
+
+def _py_xy2d(bits, x, y):
+    d = 0
+    s = 1 << (bits - 1)
+    while s > 0:
+        rx = 1 if (x & s) > 0 else 0
+        ry = 1 if (y & s) > 0 else 0
+        d += s * s * ((3 * rx) ^ ry)
+        if ry == 0:
+            if rx == 1:
+                x, y = s - 1 - x, s - 1 - y
+            x, y = y, x
+        s //= 2
+    return d
+
+
+def test_hilbert_matches_python_reference(spark):
+    import random
+
+    from usajobs_etl_service_spark.operators.layout import hilbert_attach
+
+    rnd = random.Random(11)
+    pts = [(rnd.randrange(256), rnd.randrange(256)) for _ in range(400)]
+    df = spark.createDataFrame(pts, ["x", "y"])
+    got = {
+        (r["x"], r["y"]): r["hilbert_d"]
+        for r in hilbert_attach(df, "x", "y", bits=8).collect()
+    }
+    for x, y in pts:
+        assert got[(x, y)] == _py_xy2d(8, x, y), (x, y)
+
+
+def test_hilbert_bijection_and_unit_step_adjacency(spark):
+    """The locality property that beats Morton: consecutive Hilbert
+    addresses are UNIT steps in the plane — on the full 16x16 grid the
+    index is a bijection and every d -> d+1 moves exactly one cell."""
+    from usajobs_etl_service_spark.operators.layout import hilbert_attach
+
+    pts = [(x, y) for x in range(16) for y in range(16)]
+    df = spark.createDataFrame(pts, ["x", "y"])
+    got = {
+        r["hilbert_d"]: (r["x"], r["y"])
+        for r in hilbert_attach(df, "x", "y", bits=4).collect()
+    }
+    assert sorted(got) == list(range(256))  # bijection
+    assert all(
+        abs(got[i][0] - got[i + 1][0]) + abs(got[i][1] - got[i + 1][1]) == 1
+        for i in range(255)
+    )
+
+
+def test_hilbert_validation(spark):
+    from usajobs_etl_service_spark.operators.layout import hilbert_attach
+
+    df = spark.createDataFrame([(1, 2, 3)], ["x", "y", "__hd"])
+    with pytest.raises(ValueError, match="bits"):
+        hilbert_attach(df, "x", "y", bits=0)
+    with pytest.raises(ValueError, match="collides"):
+        hilbert_attach(df, "x", "y")

@@ -4976,6 +4976,32 @@ def q216_hilbert_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q217_generalization_ladder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extension (k-anonymity REPAIR — the decision q204's audit
+    feeds): walk the real nation -> region -> '*' generalization
+    hierarchy over customers (operators/privacy.generalization_ladder)
+    and mark the FIRST rendering whose minimum class size reaches
+    k=100. The choice is computed lazily in-plan (min qualifying level
+    via a window over the |levels|-row ladder), not by driver logic;
+    each level is one aggregate. The region hop uses the actual
+    nation dimension — a true semantic hierarchy, not string
+    truncation."""
+    from usajobs_etl_service_spark.operators.privacy import generalization_ladder
+
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("c_nationkey"), "n_regionkey"
+    )
+    base = cust.join(F.broadcast(nation), "c_nationkey")
+    levels = [
+        ("nation x segment", [F.col("c_nationkey"), F.col("c_mktsegment")]),
+        ("region x segment", [F.col("n_regionkey"), F.col("c_mktsegment")]),
+        ("region only", [F.col("n_regionkey")]),
+        ("fully suppressed", [F.lit("*")]),
+    ]
+    return generalization_ladder(base, levels, k=100)
+
+
 def q210_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Extension (community detection — Raghavan et al. 2007 LPA with
     a DETERMINISTIC lexicographic tiebreak, which is what makes a
@@ -5218,6 +5244,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q214_ntile_quartiles": q214_ntile_quartiles,
     "q215_readability": q215_readability,
     "q216_hilbert_layout": q216_hilbert_layout,
+    "q217_generalization_ladder": q217_generalization_ladder,
 }
 
 
@@ -9396,6 +9423,37 @@ ORACLES["q215_readability"] = """
     FROM d WHERE w > 0
     GROUP BY lang ORDER BY lang
 """
+
+# q217: generalization ladder — per-level class minima, first k-ok
+# rendering chosen
+ORACLES["q217_generalization_ladder"] = """
+    WITH base AS (
+        SELECT c.c_nationkey, c.c_mktsegment, n.n_regionkey
+        FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+    ), l0 AS (
+        SELECT 0 AS level, 'nation x segment' AS rendering,
+               count(*) AS n_classes, min(n) AS min_class
+        FROM (SELECT count(*) AS n FROM base GROUP BY c_nationkey, c_mktsegment)
+    ), l1 AS (
+        SELECT 1, 'region x segment', count(*), min(n)
+        FROM (SELECT count(*) AS n FROM base GROUP BY n_regionkey, c_mktsegment)
+    ), l2 AS (
+        SELECT 2, 'region only', count(*), min(n)
+        FROM (SELECT count(*) AS n FROM base GROUP BY n_regionkey)
+    ), l3 AS (
+        SELECT 3, 'fully suppressed', count(*), min(n)
+        FROM (SELECT count(*) AS n FROM base GROUP BY '*')
+    ), ladder AS (
+        SELECT * FROM l0 UNION ALL SELECT * FROM l1
+        UNION ALL SELECT * FROM l2 UNION ALL SELECT * FROM l3
+    )
+    SELECT level, rendering, n_classes, min_class,
+           min_class >= 100 AS k_ok,
+           level = min(CASE WHEN min_class >= 100 THEN level END) OVER ()
+               AS chosen
+    FROM ladder ORDER BY level
+"""
+
 
 def _hilbert_oracle_sql(bits: int) -> str:
     """Level-unrolled xy2d replay (q216) — identical two's-complement

@@ -78,3 +78,31 @@ def test_quantile_bin_nulls_and_validation(spark):
     assert got[None] is None
     with pytest.raises(ValueError, match=">= 2"):
         quantile_bin(df, value_col="y", n_bins=1)
+
+
+def test_generalization_ladder_chooses_first_k_ok(spark):
+    from usajobs_etl_service_spark.operators.privacy import generalization_ladder
+
+    rows = [(z, s) for z in range(10) for s in "ab" for _ in range(3)]  # 20 classes of 3
+    df = spark.createDataFrame(rows, ["zip", "seg"])
+    levels = [
+        ("zip x seg", [F.col("zip"), F.col("seg")]),      # min 3
+        ("zip", [F.col("zip")]),                          # min 6
+        ("all", [F.lit("*")]),                            # min 60
+    ]
+    got = {r["level"]: r for r in generalization_ladder(df, levels, k=5).collect()}
+    assert (got[0]["min_class"], got[0]["k_ok"], got[0]["chosen"]) == (3, False, False)
+    assert (got[1]["min_class"], got[1]["k_ok"], got[1]["chosen"]) == (6, True, True)
+    assert (got[2]["k_ok"], got[2]["chosen"]) == (True, False)  # later ok levels not chosen
+
+
+def test_generalization_ladder_none_qualify(spark):
+    from usajobs_etl_service_spark.operators.privacy import generalization_ladder
+
+    df = spark.createDataFrame([(1, "a"), (2, "b")], ["zip", "seg"])
+    got = generalization_ladder(df, [("zip", [F.col("zip")])], k=99).collect()
+    assert got[0]["k_ok"] is False and got[0]["chosen"] is None
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="at least one"):
+        generalization_ladder(df, [], k=5)

@@ -74,3 +74,48 @@ def kanonymity_summary(classes: DataFrame, *, k: int = 5) -> DataFrame:
     if "l_ok" in classes.columns:
         aggs.append(F.count_if(~F.col("l_ok")).alias("n_homogeneous_classes"))
     return classes.agg(*aggs)
+
+
+def generalization_ladder(
+    df: DataFrame,
+    levels: list[tuple[str, list]],
+    *,
+    k: int = 5,
+) -> DataFrame:
+    """k-anonymity REPAIR: walk a generalization hierarchy (each level
+    a coarser quasi-identifier rendering — nation -> region -> '*')
+    and report, per level, the class count and the minimum class size,
+    with ``chosen`` marking the FIRST level that satisfies k — the
+    release decision as data, not driver logic (a lazy min-over-
+    qualifying-levels window, so the whole ladder is one plan).
+
+    ``levels``: ``[(name, [Column, ...]), ...]`` ordered most-specific
+    first. Each level costs one aggregate over the table; the ladder
+    output is |levels| rows. Suppression (dropping sub-k classes) and
+    cell-level generalization are the caller's next moves; this
+    operator prices the ladder so that choice is informed.
+    """
+    from functools import reduce
+
+    from pyspark.sql import Window
+
+    if not levels:
+        raise ValueError("need at least one generalization level")
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    per_level = []
+    for i, (name, cols) in enumerate(levels):
+        classes = df.groupBy(*cols).agg(F.count(F.lit(1)).alias("n"))
+        per_level.append(
+            classes.agg(
+                F.lit(i).alias("level"),
+                F.lit(name).alias("rendering"),
+                F.count(F.lit(1)).alias("n_classes"),
+                F.min("n").alias("min_class"),
+                (F.min("n") >= F.lit(k)).alias("k_ok"),
+            )
+        )
+    ladder = reduce(lambda a, b: a.unionByName(b), per_level)
+    w = Window.partitionBy()
+    first_ok = F.min(F.when(F.col("k_ok"), F.col("level"))).over(w)
+    return ladder.withColumn("chosen", F.col("level") == first_ok).orderBy("level")

@@ -49,6 +49,10 @@ HEADLINERS = {
     "q190_skew_safe_semi_anti": "semi/anti skew split: hot branch is BroadcastHashJoin LeftSemi/LeftAnti against the distinct KEY SET of the hot right slice (skewed left rows never shuffle); cold branch plain; anti leg's hot keys arrive via a lazy broadcast key-frame",
     "q182_zorder_skipping": "Z-order layout: 1-row min/max broadcast + generated shift/mask interleave in the scan stage, exact global numbering via rangepartitioning + per-partition windows — no single-task WindowExec, no UDF",
     "q184_join_skew_report": "key-sized join diagnostics: per-side partial_count aggregates joined on the key (data rows never shuffle), TakeOrderedAndProject top-k",
+    "q195_bucketed_join": "bucketed layout: two Bucketed: true FileScans -> SortMergeJoin -> same-key HashAggregate -> TakeOrdered, ZERO Exchange end-to-end — the fact shuffle was paid once at write time",
+    "q196_quality_classifier": "classifier inference: BroadcastHashJoin of the <=width-row model onto the exploded feature stream; the only hash exchange is the per-document mean",
+    "q202_bootstrap_ci": "bootstrap: md5 row seed once per row BEFORE the replicate explode; per-replicate integer mixer + inverse-CDF CASE over a PROJECTED uniform (inlining would double the hot path); (group, b) aggregate bounded by map-side combine",
+    "q216_hilbert_layout": "Hilbert index: 8 chained codegen'd rotate-and-accumulate projections in the scan stage — no UDF, no shuffle before the bucket aggregate",
     "q118_heavy_hitters": "Misra-Gries candidate pass in mapInPandas (no shuffle, O(k) state), candidate union broadcast into a LeftSemi BroadcastHashJoin — the exact-count aggregate shuffles only candidate-key rows, never the open token domain",
     "q122_revenue_gini": "rank-formula Gini over the distributed global rank: rangepartitioning + pid windows + scalar final aggregate",
     "q124_pareto_frontier": "skyline as per-price aggregate + strict distributed running min + one equi-join back: no quadratic dominance join anywhere",

@@ -5002,6 +5002,67 @@ def q217_generalization_ladder(spark: SparkSession, sf_dir: str) -> DataFrame:
     return generalization_ladder(base, levels, k=100)
 
 
+def q218_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extension (corpus statistics — Heaps' law, the companion to
+    q96's Zipf fit): vocabulary growth V(N) ~ K * N^beta measured at
+    10 doc-id checkpoints WITHOUT any prefix re-scans — each term
+    contributes its FIRST containing doc (one min aggregate), so
+    V(checkpoint) is ten conditional counters in ONE pass over the
+    first-occurrence table, and N(checkpoint) ten conditional sums
+    over per-doc token counts; the log-log fit runs over the 10-row
+    checkpoint frame. Checkpoints derive from max(doc_id) by integer
+    arithmetic (engine-exact). Predicts vocabulary (= tokenizer /
+    embedding-table) growth for corpus scaling decisions."""
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", TX.tokens_ws(F.lower(F.col("text"))).alias("ts")
+    )
+    per_doc = docs.select("doc_id", F.size("ts").alias("tc"))
+    firsts = (
+        docs.select("doc_id", F.explode("ts").alias("term"))
+        .groupBy("term")
+        .agg(F.min("doc_id").alias("first_doc"))
+    )
+    mx = per_doc.agg(F.max("doc_id").alias("mx"))
+    v_row = firsts.crossJoin(F.broadcast(mx)).agg(
+        *[
+            F.count_if(F.col("first_doc") <= (F.col("mx") * i) / 10).alias(f"v{i}")
+            for i in range(1, 11)
+        ]
+    )
+    n_row = per_doc.crossJoin(F.broadcast(mx)).agg(
+        F.max("mx").alias("mx"),
+        *[
+            F.sum(
+                F.when(F.col("doc_id") <= (F.col("mx") * i) / 10, F.col("tc")).otherwise(0)
+            ).alias(f"n{i}")
+            for i in range(1, 11)
+        ],
+    )
+    stack = ", ".join(
+        f"{i}, bigint(mx * {i} div 10), n{i}, v{i}" for i in range(1, 11)
+    )
+    pts = (
+        n_row.crossJoin(v_row)
+        .selectExpr(
+            f"stack(10, {stack}) AS (checkpoint, max_doc, n_tokens, vocab)"
+        )
+    )
+    fit = pts.agg(
+        F.round(
+            F.expr("regr_slope(ln(double(vocab)), ln(double(n_tokens)))"), 6
+        ).alias("heaps_beta"),
+        F.round(
+            F.exp(F.expr("regr_intercept(ln(double(vocab)), ln(double(n_tokens)))")),
+            4,
+        ).alias("heaps_k"),
+    )
+    return (
+        pts.crossJoin(F.broadcast(fit))
+        .select("checkpoint", "max_doc", "n_tokens", "vocab", "heaps_beta", "heaps_k")
+        .orderBy("checkpoint")
+    )
+
+
 def q210_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Extension (community detection — Raghavan et al. 2007 LPA with
     a DETERMINISTIC lexicographic tiebreak, which is what makes a
@@ -5245,6 +5306,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q215_readability": q215_readability,
     "q216_hilbert_layout": q216_hilbert_layout,
     "q217_generalization_ladder": q217_generalization_ladder,
+    "q218_heaps_law": q218_heaps_law,
 }
 
 
@@ -9423,6 +9485,58 @@ ORACLES["q215_readability"] = """
     FROM d WHERE w > 0
     GROUP BY lang ORDER BY lang
 """
+
+# q218: Heaps' law — first-occurrence table + 10 conditional counters,
+# log-log fit over the checkpoint frame (generated to keep the ten
+# legs in lockstep with the engine)
+ORACLES["q218_heaps_law"] = (
+    """
+    WITH d AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                           x -> x <> '') AS ts
+        FROM documents
+    ), pd AS (
+        SELECT doc_id, len(ts) AS tc FROM d
+    ), f AS (
+        SELECT term, min(doc_id) AS first_doc
+        FROM (SELECT doc_id, unnest(ts) AS term FROM d) GROUP BY term
+    ), m AS (SELECT max(doc_id) AS mx FROM pd),
+    v AS (
+        SELECT """
+    + ", ".join(
+        f"count(*) FILTER (WHERE first_doc <= mx * {i} / 10.0) AS v{i}"
+        for i in range(1, 11)
+    )
+    + """
+        FROM f CROSS JOIN m
+    ), n AS (
+        SELECT max(mx) AS mx, """
+    + ", ".join(
+        f"sum(CASE WHEN doc_id <= mx * {i} / 10.0 THEN tc ELSE 0 END) AS n{i}"
+        for i in range(1, 11)
+    )
+    + """
+        FROM pd CROSS JOIN m
+    ), pts AS (
+    """
+    + "\nUNION ALL\n".join(
+        f"SELECT {i} AS checkpoint, CAST(mx * {i} // 10 AS BIGINT) AS max_doc,"
+        f" n{i} AS n_tokens, v{i} AS vocab FROM n CROSS JOIN v"
+        for i in range(1, 11)
+    )
+    + """
+    ), fit AS (
+        SELECT round(regr_slope(ln(CAST(vocab AS DOUBLE)),
+                                ln(CAST(n_tokens AS DOUBLE))), 6) AS heaps_beta,
+               round(exp(regr_intercept(ln(CAST(vocab AS DOUBLE)),
+                                        ln(CAST(n_tokens AS DOUBLE)))), 4) AS heaps_k
+        FROM pts
+    )
+    SELECT checkpoint, max_doc, n_tokens, vocab, heaps_beta, heaps_k
+    FROM pts CROSS JOIN fit ORDER BY checkpoint
+    """
+)
 
 # q217: generalization ladder — per-level class minima, first k-ok
 # rendering chosen

@@ -5063,6 +5063,35 @@ def q218_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q219_source_dup_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extension (corpus forensics): the cross-SOURCE exact-duplicate
+    matrix — for every source pair, how many duplicate doc PAIRS span
+    them (mirror-site / scraped-twice detection; within-source pairs
+    are C(n,2) per fingerprint). Shape: per-(fingerprint, source)
+    counts first (one shuffle), then a self-join ON THE FINGERPRINT of
+    that bounded table — pair arithmetic n1*n2 runs on counts, never
+    on document pairs, so a 10k-copy fingerprint costs one row per
+    source, not 10k^2 rows. Ordered source pair (s1 <= s2)."""
+    docs = _t(spark, sf_dir, "documents")
+    per = (
+        docs.select(F.md5(F.col("text")).alias("fp"), "source")
+        .groupBy("fp", "source")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    a = per.select("fp", F.col("source").alias("s1"), F.col("n").alias("n1"))
+    b = per.select("fp", F.col("source").alias("s2"), F.col("n").alias("n2"))
+    joined = a.join(b, "fp").filter(F.col("s1") <= F.col("s2"))
+    pairs = F.when(
+        F.col("s1") < F.col("s2"), F.col("n1") * F.col("n2")
+    ).otherwise(F.col("n1") * (F.col("n1") - 1) / 2)
+    return (
+        joined.groupBy("s1", "s2")
+        .agg(F.sum(pairs).cast("long").alias("dup_pairs"))
+        .filter(F.col("dup_pairs") > 0)
+        .orderBy(F.desc("dup_pairs"), "s1", "s2")
+    )
+
+
 def q210_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Extension (community detection — Raghavan et al. 2007 LPA with
     a DETERMINISTIC lexicographic tiebreak, which is what makes a
@@ -5307,6 +5336,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q216_hilbert_layout": q216_hilbert_layout,
     "q217_generalization_ladder": q217_generalization_ladder,
     "q218_heaps_law": q218_heaps_law,
+    "q219_source_dup_matrix": q219_source_dup_matrix,
 }
 
 
@@ -9484,6 +9514,22 @@ ORACLES["q215_readability"] = """
            round(avg(206.835 - 1.015 * (w / s) - 84.6 * (syl / w)), 4) AS avg_flesch
     FROM d WHERE w > 0
     GROUP BY lang ORDER BY lang
+"""
+
+# q219: cross-source duplicate matrix — pair arithmetic on per-
+# (fingerprint, source) COUNTS, never on document pairs
+ORACLES["q219_source_dup_matrix"] = """
+    WITH per AS (
+        SELECT md5(text) AS fp, source, count(*) AS n
+        FROM documents GROUP BY 1, 2
+    )
+    SELECT a.source AS s1, b.source AS s2,
+           CAST(sum(CASE WHEN a.source < b.source THEN a.n * b.n
+                         ELSE a.n * (a.n - 1) / 2 END) AS BIGINT) AS dup_pairs
+    FROM per a JOIN per b ON a.fp = b.fp AND a.source <= b.source
+    GROUP BY a.source, b.source
+    HAVING dup_pairs > 0
+    ORDER BY dup_pairs DESC, s1, s2
 """
 
 # q218: Heaps' law — first-occurrence table + 10 conditional counters,

@@ -5092,6 +5092,35 @@ def q219_source_dup_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q220_rank_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window surface completion (percent_rank + cume_dist — with
+    q48's rank/dense_rank/lag/lead and q214's ntile this covers every
+    SQL ranking function): normalized order-value position within each
+    priority, summarized as the per-priority mean percent_rank and
+    cume_dist of the >100k-value slice (how deep into each priority's
+    distribution the big orders sit). Orderkey tiebreak pins tie
+    boundaries cross-engine (the q214 contract)."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    ranked = (
+        _t(spark, sf_dir, "orders")
+        .withColumn("pr", F.percent_rank().over(w))
+        .withColumn("cd", F.cume_dist().over(w))
+        .filter(F.col("o_totalprice") > 100000)
+    )
+    return (
+        ranked.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_big"),
+            F.round(F.avg("pr"), 6).alias("avg_percent_rank"),
+            F.round(F.avg("cd"), 6).alias("avg_cume_dist"),
+            F.round(F.min("pr"), 6).alias("min_percent_rank"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
 def q210_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Extension (community detection — Raghavan et al. 2007 LPA with
     a DETERMINISTIC lexicographic tiebreak, which is what makes a
@@ -5337,6 +5366,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q217_generalization_ladder": q217_generalization_ladder,
     "q218_heaps_law": q218_heaps_law,
     "q219_source_dup_matrix": q219_source_dup_matrix,
+    "q220_rank_functions": q220_rank_functions,
 }
 
 
@@ -9514,6 +9544,25 @@ ORACLES["q215_readability"] = """
            round(avg(206.835 - 1.015 * (w / s) - 84.6 * (syl / w)), 4) AS avg_flesch
     FROM d WHERE w > 0
     GROUP BY lang ORDER BY lang
+"""
+
+# q220: percent_rank + cume_dist (identical SQL semantics both
+# engines; orderkey tiebreak pins tie boundaries)
+ORACLES["q220_rank_functions"] = """
+    WITH r AS (
+        SELECT o_orderpriority, o_totalprice,
+               percent_rank() OVER (PARTITION BY o_orderpriority
+                                    ORDER BY o_totalprice, o_orderkey) AS pr,
+               cume_dist() OVER (PARTITION BY o_orderpriority
+                                 ORDER BY o_totalprice, o_orderkey) AS cd
+        FROM orders
+    )
+    SELECT o_orderpriority, count(*) AS n_big,
+           round(avg(pr), 6) AS avg_percent_rank,
+           round(avg(cd), 6) AS avg_cume_dist,
+           round(min(pr), 6) AS min_percent_rank
+    FROM r WHERE o_totalprice > 100000
+    GROUP BY o_orderpriority ORDER BY o_orderpriority
 """
 
 # q219: cross-source duplicate matrix — pair arithmetic on per-

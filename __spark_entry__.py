@@ -5146,6 +5146,87 @@ def q210_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(F.col("node").alias("p_partkey"), "label").orderBy("p_partkey")
 
 
+def _classifier_scored_with_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared q221/q222 input: every document's q196 classifier score
+    joined to an exact ground-truth flag (text mentions 'data') — the
+    standard eval harness shape: model score vs held-out label. The
+    score is the ROUNDED sigmoid (q196's cross-engine contract), so
+    rank tie groups and calibration bins are identical in both
+    engines."""
+    from usajobs_etl_service_spark.operators.classifier import (
+        deterministic_weights,
+        hashed_linear_score,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    w = deterministic_weights(spark, 1024)
+    scored = hashed_linear_score(
+        docs.select("doc_id", "text"), w, width=1024, bias=0.1
+    )
+    labels = docs.select(
+        "doc_id", F.col("text").contains("data").cast("int").alias("y")
+    )
+    return scored.join(labels, "doc_id")
+
+
+def q221_classifier_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extension (model evaluation — the measuring half of the q196
+    classifier gate): EXACT distributed ROC-AUC of the classifier
+    score against a ground-truth label, via the rank-sum identity
+    AUC = (R_pos - n_pos(n_pos+1)/2) / (n_pos*n_neg) with textbook
+    average-rank tie handling (operators/evalmetrics.exact_auc).
+    Ranks come from distributed_order.global_row_number — ONE range
+    exchange, never a no-partition window — so the same plan scores a
+    100 TB eval set. Every intermediate is exact in double (average
+    ranks are half-integers, products/sums of half-integers below
+    2^53), so the single final division is bit-identical cross-engine.
+    The reference gates rows but never measures its gates (etl.py
+    validation filters); this is the eval harness those gates need."""
+    from usajobs_etl_service_spark.operators.evalmetrics import exact_auc
+
+    return exact_auc(
+        _classifier_scored_with_label(spark, sf_dir), "score", "y", "doc_id"
+    )
+
+
+def q222_classifier_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extension (model evaluation — reliability + Expected Calibration
+    Error, Naeini 2015 / Guo 2017): the q196 classifier's probability
+    honesty. Equal-width bins on the ROUNDED score (the q196 contract —
+    a raw sigmoid within an ulp of a bin edge would land in different
+    bins across engines); per bin count / mean confidence / mean
+    accuracy / |gap|, with the bin-weighted ECE attached via a 1-row
+    broadcast (operators/evalmetrics.calibration_report). One scan +
+    one 10-key aggregate — corpus-linear at any scale."""
+    from usajobs_etl_service_spark.operators.evalmetrics import calibration_report
+
+    return calibration_report(
+        _classifier_scored_with_label(spark, sf_dir), "score", "y", n_bins=10
+    )
+
+
+def q223_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extension (nonparametric cohort testing — the rank-based
+    companion to q209's Welch t): two-sided Mann-Whitney U comparing
+    order values of 1-URGENT vs 5-LOW priorities, tie-corrected normal
+    approximation (Var(U) = n_a*n_b/12 * ((n+1) - T/(n(n-1))),
+    T = sum(t^3 - t)), no continuity correction so both engines replay
+    the identical closed form (operators/evalmetrics.mann_whitney).
+    Pooled average ranks via the same distributed ranking as q221 —
+    one range exchange + one tie collapse; tie products use t*t*t,
+    never pow (Math.pow is only 1-ulp-accurate)."""
+    from usajobs_etl_service_spark.operators.evalmetrics import mann_whitney
+
+    return mann_whitney(
+        _t(spark, sf_dir, "orders"),
+        "o_totalprice",
+        "o_orderpriority",
+        "1-URGENT",
+        "5-LOW",
+        "o_orderkey",
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_job_statistics": q01_job_statistics,
     "q02_metric_union": q02_metric_union,
@@ -5367,6 +5448,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q218_heaps_law": q218_heaps_law,
     "q219_source_dup_matrix": q219_source_dup_matrix,
     "q220_rank_functions": q220_rank_functions,
+    "q221_classifier_auc": q221_classifier_auc,
+    "q222_classifier_calibration": q222_classifier_calibration,
+    "q223_mann_whitney": q223_mann_whitney,
 }
 
 
@@ -9731,6 +9815,123 @@ ORACLES["q211_bpe_tokenize"] = _bpe_oracle_sql(
     GROUP BY lang ORDER BY lang
     """,
 )
+
+
+# q221/q222 shared CTE chain: the q196 classifier scores (identical
+# SQL — the model is rebuilt from the bucket-id hash) joined to the
+# exact ground-truth flag. Ends at sc(doc_id, score, y).
+_CLASSIFIER_SCORED_SQL = """
+    WITH w AS (
+        SELECT b AS bucket,
+               (CAST(('0x' || substr(md5(CAST(b AS VARCHAR) || '#w0'), 1, 8)) AS BIGINT)
+                % 2001 - 1000) / 1000.0 AS weight
+        FROM (SELECT unnest(generate_series(0, 1023)) AS b)
+    ), t AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                           x -> x <> '') AS ts
+        FROM documents
+    ), base AS (
+        SELECT doc_id, ts FROM t WHERE len(ts) >= 1
+    ), feats AS (
+        SELECT doc_id, unnest(ts) AS feat FROM base
+        UNION ALL
+        SELECT doc_id,
+               unnest(list_transform(generate_series(1, len(ts) - 1),
+                      i -> ts[i] || ' ' || ts[i + 1])) AS feat
+        FROM base
+    ), bucketed AS (
+        SELECT doc_id,
+               CAST(('0x' || substr(md5(feat || '#ftx'), 1, 8)) AS BIGINT)
+               % 1024 AS bucket
+        FROM feats
+    ), scored AS (
+        SELECT b.doc_id,
+               count(*) AS n_features,
+               sum(coalesce(w.weight, 0.0)) AS wsum
+        FROM bucketed b LEFT JOIN w USING (bucket)
+        GROUP BY b.doc_id
+    ), sc AS (
+        SELECT s.doc_id,
+               round(1.0 / (1.0 + exp(-(0.1 + wsum / n_features))), 4) AS score,
+               CAST(contains(d.text, 'data') AS INT) AS y
+        FROM scored s JOIN documents d USING (doc_id)
+    )
+"""
+
+# q221: exact rank-sum AUC — average ranks are half-integers, so every
+# intermediate is exact in double and the one final division is
+# bit-identical cross-engine
+ORACLES["q221_classifier_auc"] = (
+    _CLASSIFIER_SCORED_SQL
+    + """
+    , r AS (
+        SELECT score, y,
+               row_number() OVER (ORDER BY score, doc_id) AS rn
+        FROM sc
+    ), g AS (
+        SELECT score, avg(rn) AS avg_rank, count(*) AS tie_n,
+               sum(y) AS pos_n
+        FROM r GROUP BY score
+    )
+    SELECT CAST(sum(pos_n) AS BIGINT) AS n_pos,
+           CAST(sum(tie_n) - sum(pos_n) AS BIGINT) AS n_neg,
+           round((sum(pos_n * avg_rank) - sum(pos_n) * (sum(pos_n) + 1) / 2)
+                 / (sum(pos_n) * (sum(tie_n) - sum(pos_n))), 6) AS auc
+    FROM g
+"""
+)
+
+# q222: reliability bins + ECE on the ROUNDED score (bin assignment
+# pinned cross-engine); conf/acc/ece rounded at 6 absorb summation-
+# order noise on the double means
+ORACLES["q222_classifier_calibration"] = (
+    _CLASSIFIER_SCORED_SQL
+    + """
+    , binned AS (
+        SELECT least(CAST(floor(round(score, 6) * 10) AS INT), 9) AS bin,
+               round(score, 6) AS s, CAST(y AS DOUBLE) AS yd
+        FROM sc WHERE score IS NOT NULL AND y IS NOT NULL
+    ), pb AS (
+        SELECT bin, count(*) AS n, avg(s) AS conf, avg(yd) AS acc
+        FROM binned GROUP BY bin
+    ), tot AS (
+        SELECT round(sum(n * abs(acc - conf)) / sum(n), 6) AS ece FROM pb
+    )
+    SELECT bin, n, round(conf, 6) AS confidence, round(acc, 6) AS accuracy,
+           round(abs(acc - conf), 6) AS abs_gap, ece
+    FROM pb CROSS JOIN tot
+    ORDER BY bin
+"""
+)
+
+# q223: Mann-Whitney U, tie-corrected z (Lehmann) — t*t*t products
+# (never pow), identical parenthesization both engines
+ORACLES["q223_mann_whitney"] = """
+    WITH base AS (
+        SELECT o_totalprice AS s,
+               CASE WHEN o_orderpriority = '1-URGENT' THEN 1
+                    WHEN o_orderpriority = '5-LOW' THEN 0 END AS a,
+               o_orderkey AS tb
+        FROM orders
+        WHERE o_orderpriority IN ('1-URGENT', '5-LOW')
+    ), r AS (
+        SELECT s, a, row_number() OVER (ORDER BY s, tb) AS rn FROM base
+    ), g AS (
+        SELECT s, avg(rn) AS avg_rank, count(*) AS tie_n, sum(a) AS a_n
+        FROM r GROUP BY s
+    ), agg AS (
+        SELECT sum(a_n) AS n_a, sum(tie_n) - sum(a_n) AS n_b,
+               sum(tie_n) AS n, sum(a_n * avg_rank) AS r_a,
+               sum(tie_n * tie_n * tie_n - tie_n) AS t
+        FROM g
+    )
+    SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+           round(r_a - n_a * (n_a + 1) / 2, 6) AS u_a,
+           round((r_a - n_a * (n_a + 1) / 2 - n_a * n_b / 2)
+                 / sqrt(n_a * n_b / 12 * ((n + 1) - t / (n * (n - 1)))), 6) AS z
+    FROM agg
+"""
 
 
 def oracle_sql() -> dict[str, str]:

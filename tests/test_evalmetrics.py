@@ -1,0 +1,177 @@
+"""exact_auc / mann_whitney / calibration_report vs pure-Python
+references (textbook average-rank formulas, no scipy dependency)."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from usajobs_etl_service_spark.operators.evalmetrics import (
+    calibration_report,
+    exact_auc,
+    mann_whitney,
+)
+
+
+def _avg_ranks_py(values):
+    """value -> average rank (1-based) over the pooled list."""
+    s = sorted(values)
+    ranks: dict[float, float] = {}
+    i = 0
+    while i < len(s):
+        j = i
+        while j < len(s) and s[j] == s[i]:
+            j += 1
+        ranks[s[i]] = (i + 1 + j) / 2  # mean of ranks i+1 .. j
+        i = j
+    return ranks
+
+
+def _auc_py(pairs):
+    ranks = _avg_ranks_py([s for s, _ in pairs])
+    pos = [s for s, y in pairs if y == 1]
+    n_pos, n_neg = len(pos), len(pairs) - len(pos)
+    r_pos = sum(ranks[s] for s in pos)
+    return (r_pos - n_pos * (n_pos + 1) / 2) / (n_pos * n_neg)
+
+
+def _mw_py(a_vals, b_vals):
+    pooled = list(a_vals) + list(b_vals)
+    ranks = _avg_ranks_py(pooled)
+    n_a, n_b, n = len(a_vals), len(b_vals), len(pooled)
+    r_a = sum(ranks[v] for v in a_vals)
+    u_a = r_a - n_a * (n_a + 1) / 2
+    ties: dict[float, int] = {}
+    for v in pooled:
+        ties[v] = ties.get(v, 0) + 1
+    t = sum(c * c * c - c for c in ties.values())
+    var_u = n_a * n_b / 12 * ((n + 1) - t / (n * (n - 1)))
+    z = (u_a - n_a * n_b / 2) / math.sqrt(var_u)
+    return u_a, z
+
+
+def _df(spark, pairs):
+    return spark.createDataFrame(
+        [(i, float(s), int(y)) for i, (s, y) in enumerate(pairs)],
+        "id long, score double, y int",
+    )
+
+
+def test_auc_perfect_separation(spark):
+    pairs = [(0.1, 0), (0.2, 0), (0.8, 1), (0.9, 1)]
+    row = exact_auc(_df(spark, pairs), "score", "y", "id").collect()[0]
+    assert (row.n_pos, row.n_neg, row.auc) == (2, 2, 1.0)
+
+
+def test_auc_constant_score_is_half(spark):
+    pairs = [(0.5, y) for y in (0, 1, 0, 1, 1)]
+    row = exact_auc(_df(spark, pairs), "score", "y", "id").collect()[0]
+    assert row.auc == 0.5
+
+
+def test_auc_with_ties_matches_python(spark):
+    # deterministic pseudo-random mix with heavy ties
+    pairs = [(((i * 7) % 5) / 4.0, (i * 3) % 2) for i in range(40)]
+    row = exact_auc(_df(spark, pairs), "score", "y", "id").collect()[0]
+    assert row.auc == pytest.approx(round(_auc_py(pairs), 6), abs=1e-9)
+    assert row.n_pos == sum(1 for _, y in pairs if y)
+    assert row.n_neg == sum(1 for _, y in pairs if not y)
+
+
+def test_auc_monotone_transform_invariant(spark):
+    pairs = [(((i * 13) % 17) / 16.0, (i * 5) % 2) for i in range(30)]
+    base = exact_auc(_df(spark, pairs), "score", "y", "id").collect()[0].auc
+    warped = [(math.exp(3 * s), y) for s, y in pairs]
+    same = exact_auc(_df(spark, warped), "score", "y", "id").collect()[0].auc
+    assert base == same
+
+
+def test_auc_null_rows_excluded(spark):
+    df = spark.createDataFrame(
+        [(0, 0.9, 1), (1, 0.1, 0), (2, None, 1), (3, 0.5, None)],
+        "id long, score double, y int",
+    )
+    row = exact_auc(df, "score", "y", "id").collect()[0]
+    assert (row.n_pos, row.n_neg, row.auc) == (1, 1, 1.0)
+
+
+def test_mann_whitney_matches_python(spark):
+    a = [12.0, 15.0, 15.0, 18.0, 20.0, 11.0]
+    b = [9.0, 15.0, 13.0, 10.0, 18.0, 8.0, 14.0]
+    rows = [(i, v, "A") for i, v in enumerate(a)] + [
+        (100 + i, v, "B") for i, v in enumerate(b)
+    ]
+    df = spark.createDataFrame(rows, "id long, v double, grp string")
+    row = mann_whitney(df, "v", "grp", "A", "B", "id").collect()[0]
+    u_ref, z_ref = _mw_py(a, b)
+    assert (row.n_a, row.n_b) == (len(a), len(b))
+    assert row.u_a == pytest.approx(round(u_ref, 6), abs=1e-9)
+    assert row.z == pytest.approx(round(z_ref, 6), abs=1e-9)
+
+
+def test_mann_whitney_ignores_other_groups_and_nulls(spark):
+    rows = [
+        (0, 1.0, "A"),
+        (1, 2.0, "A"),
+        (2, 3.0, "B"),
+        (3, 4.0, "C"),  # third group: excluded
+        (4, None, "A"),  # NULL value: excluded
+    ]
+    df = spark.createDataFrame(rows, "id long, v double, grp string")
+    row = mann_whitney(df, "v", "grp", "A", "B", "id").collect()[0]
+    assert (row.n_a, row.n_b) == (2, 1)
+    u_ref, _ = _mw_py([1.0, 2.0], [3.0])
+    assert row.u_a == u_ref
+
+
+def test_calibration_perfectly_calibrated(spark):
+    # bin 2: score 0.25, 1 of 4 positive -> acc 0.25 == conf -> gap 0
+    rows = [(i, 0.25, 1 if i == 0 else 0) for i in range(4)]
+    df = spark.createDataFrame(rows, "id long, score double, y int")
+    out = calibration_report(df, "score", "y", n_bins=10).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r.bin, r.n, r.confidence, r.accuracy, r.abs_gap, r.ece) == (
+        2,
+        4,
+        0.25,
+        0.25,
+        0.0,
+        0.0,
+    )
+
+
+def test_calibration_bins_and_ece(spark):
+    # two bins: [0.0, 0.1) all negative (gap = conf), top bin closed
+    rows = [
+        (0, 0.05, 0),
+        (1, 0.05, 0),
+        (2, 1.0, 1),  # score 1.0 must land in bin 9, not bin 10
+        (3, 0.95, 0),
+    ]
+    df = spark.createDataFrame(rows, "id long, score double, y int")
+    out = {r.bin: r for r in calibration_report(df, "score", "y", n_bins=10).collect()}
+    assert set(out) == {0, 9}
+    assert out[0].n == 2 and out[0].accuracy == 0.0 and out[0].abs_gap == 0.05
+    assert out[9].n == 2 and out[9].accuracy == 0.5
+    assert out[9].confidence == 0.975
+    # ece = (2*0.05 + 2*0.475) / 4
+    assert out[0].ece == pytest.approx(0.2625, abs=1e-9)
+
+
+def test_auc_is_one_lazy_plan(spark):
+    """Construction must run no job (the skew_safe_join lesson)."""
+    sc = spark.sparkContext
+    tracker = sc.statusTracker()
+    before = len(tracker.getJobIdsForGroup(None) or [])
+    df = spark.range(100).select(
+        F.col("id"),
+        (F.col("id") % 10).cast("double").alias("score"),
+        (F.col("id") % 2).cast("int").alias("y"),
+    )
+    out = exact_auc(df, "score", "y", "id")
+    after = len(tracker.getJobIdsForGroup(None) or [])
+    assert before == after
+    assert out.collect()[0].n_pos == 50

@@ -5227,6 +5227,36 @@ def q223_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q224_quantile_normalization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extension (cross-source score calibration — Bolstad 2003
+    quantile normalization, generalized to unequal group sizes):
+    document lengths normalized onto the POOLED length distribution at
+    each row's within-source midpoint quantile, so per-source scale
+    drift (one crawler's lengths shifted against another's) stops
+    biasing mixing thresholds. Integer-rank arithmetic end to end —
+    idx = ceil((2r-1)N / 2n_g) as a pure integer div — so both engines
+    agree bit-for-bit with no interpolation. Both rank passes are
+    distributed_order range exchanges (operators/quantnorm.py); the
+    map itself is an integer-key equi join. Output: per-source raw
+    vs normalized moments (normalized means converge across sources —
+    that's the point of the operator)."""
+    from usajobs_etl_service_spark.operators.quantnorm import quantile_normalize
+
+    docs = _t(spark, sf_dir, "documents")
+    qn = quantile_normalize(docs, "n_chars", "source", "doc_id")
+    return (
+        qn.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg("n_chars"), 6).alias("raw_mean"),
+            F.round(F.avg("normalized"), 6).alias("norm_mean"),
+            F.min("normalized").alias("norm_min"),
+            F.max("normalized").alias("norm_max"),
+        )
+        .orderBy("source")
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_job_statistics": q01_job_statistics,
     "q02_metric_union": q02_metric_union,
@@ -5451,6 +5481,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q221_classifier_auc": q221_classifier_auc,
     "q222_classifier_calibration": q222_classifier_calibration,
     "q223_mann_whitney": q223_mann_whitney,
+    "q224_quantile_normalization": q224_quantile_normalization,
 }
 
 
@@ -9931,6 +9962,37 @@ ORACLES["q223_mann_whitney"] = """
            round((r_a - n_a * (n_a + 1) / 2 - n_a * n_b / 2)
                  / sqrt(n_a * n_b / 12 * ((n + 1) - t / (n * (n - 1)))), 6) AS z
     FROM agg
+"""
+
+
+# q224: quantile normalization — midpoint-quantile index in pure
+# integer arithmetic (// == Spark's div), join to the pooled order
+# statistics; per-source moments of the normalized values
+ORACLES["q224_quantile_normalization"] = """
+    WITH d AS (
+        SELECT doc_id, source, n_chars FROM documents
+        WHERE source IS NOT NULL AND n_chars IS NOT NULL
+    ), r AS (
+        SELECT doc_id, source, n_chars,
+               row_number() OVER (PARTITION BY source
+                                  ORDER BY n_chars, doc_id) AS r,
+               count(*) OVER (PARTITION BY source) AS n_g,
+               count(*) OVER () AS n
+        FROM d
+    ), p AS (
+        SELECT n_chars AS pv,
+               row_number() OVER (ORDER BY n_chars, doc_id) AS prn
+        FROM d
+    ), m AS (
+        SELECT r.*, ((2 * r - 1) * n + 2 * n_g - 1) // (2 * n_g) AS idx
+        FROM r
+    )
+    SELECT source, count(*) AS n_docs,
+           round(avg(n_chars), 6) AS raw_mean,
+           round(avg(pv), 6) AS norm_mean,
+           min(pv) AS norm_min, max(pv) AS norm_max
+    FROM m JOIN p ON m.idx = p.prn
+    GROUP BY source ORDER BY source
 """
 
 

@@ -5257,6 +5257,23 @@ def q224_quantile_normalization(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q225_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extension (market-basket mining — Agrawal & Srikant 1994,
+    size-2 rules): top-25 'bought A -> also bought B' rules over order
+    baskets by lift, with directional confidence. The co-purchase
+    family's (q170/q199/q210 graph) RULE view: the same bounded
+    basket self-join (blow-up = sum C(|basket|,2), never |items|^2),
+    pair counts collapsed before the two support joins, every
+    statistic an exact-integer ratio so the top-k order is bit-stable
+    cross-engine (operators/association.py)."""
+    from usajobs_etl_service_spark.operators.association import association_rules
+
+    li = _t(spark, sf_dir, "lineitem")
+    return association_rules(
+        li, "l_orderkey", "l_partkey", min_pair_count=2, top_n=25
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_job_statistics": q01_job_statistics,
     "q02_metric_union": q02_metric_union,
@@ -5482,6 +5499,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q222_classifier_calibration": q222_classifier_calibration,
     "q223_mann_whitney": q223_mann_whitney,
     "q224_quantile_normalization": q224_quantile_normalization,
+    "q225_association_rules": q225_association_rules,
 }
 
 
@@ -9993,6 +10011,40 @@ ORACLES["q224_quantile_normalization"] = """
            min(pv) AS norm_min, max(pv) AS norm_max
     FROM m JOIN p ON m.idx = p.prn
     GROUP BY source ORDER BY source
+"""
+
+
+# q225: size-2 association rules — set-semantics items, unordered
+# pair counts, both directions, exact-integer ratios
+ORACLES["q225_association_rules"] = """
+    WITH items AS (
+        SELECT DISTINCT l_orderkey AS b, l_partkey AS i FROM lineitem
+        WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL
+    ), supp AS (
+        SELECT i AS item, count(*) AS supp FROM items GROUP BY i
+    ), nb AS (
+        SELECT count(DISTINCT b) AS n_baskets FROM items
+    ), pairs AS (
+        SELECT a.i AS ia, c.i AS ib, count(*) AS pair_n
+        FROM items a JOIN items c ON a.b = c.b AND a.i < c.i
+        GROUP BY a.i, c.i
+        HAVING count(*) >= 2
+    ), rules AS (
+        SELECT ia AS antecedent, ib AS consequent, pair_n FROM pairs
+        UNION ALL
+        SELECT ib AS antecedent, ia AS consequent, pair_n FROM pairs
+    )
+    SELECT antecedent, consequent, pair_n,
+           sa.supp AS supp_a, sc.supp AS supp_c,
+           round(pair_n / sa.supp, 6) AS confidence,
+           round(pair_n * n_baskets / (sa.supp * sc.supp), 6) AS lift
+    FROM rules
+    JOIN supp sa ON sa.item = antecedent
+    JOIN supp sc ON sc.item = consequent
+    CROSS JOIN nb
+    ORDER BY pair_n * n_baskets / (sa.supp * sc.supp) DESC,
+             pair_n / sa.supp DESC, antecedent, consequent
+    LIMIT 25
 """
 
 

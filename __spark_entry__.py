@@ -5274,6 +5274,24 @@ def q225_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q226_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extension (survival analysis — Kaplan & Meier 1958
+    product-limit estimator): user-retention curve over the event
+    stream with right-censoring (users last seen within 14 days of the
+    stream's end are censored at their observed lifetime, not counted
+    as churn). Day-granular throughout, so the TIMESTAMP_NS engine
+    seam never matters. ONE user-key aggregate is the only data
+    shuffle; every window runs over the bounded life table (one row
+    per distinct lifetime — calendar-bounded at any data scale). The
+    survival product folds exp(sum(ln(...))) in lifetime order, rounded
+    at 6 (operators/survival.km_curve)."""
+    from usajobs_etl_service_spark.operators.survival import km_curve
+
+    return km_curve(
+        _t(spark, sf_dir, "events"), "user_id", "ts", churn_horizon_days=14
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_job_statistics": q01_job_statistics,
     "q02_metric_union": q02_metric_union,
@@ -5500,6 +5518,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q223_mann_whitney": q223_mann_whitney,
     "q224_quantile_normalization": q224_quantile_normalization,
     "q225_association_rules": q225_association_rules,
+    "q226_kaplan_meier": q226_kaplan_meier,
 }
 
 
@@ -10045,6 +10064,54 @@ ORACLES["q225_association_rules"] = """
     ORDER BY pair_n * n_baskets / (sa.supp * sc.supp) DESC,
              pair_n / sa.supp DESC, antecedent, consequent
     LIMIT 25
+"""
+
+
+# q226: Kaplan-Meier — day-granular lifetimes (date - date = integer
+# days; the TIMESTAMP_NS seam never appears), cumulative ln fold in
+# lifetime order, d==n rows forced to exactly 0.0
+ORACLES["q226_kaplan_meier"] = """
+    WITH e AS (
+        SELECT user_id, CAST(ts AS DATE) AS d FROM events
+        WHERE user_id IS NOT NULL AND ts IS NOT NULL
+    ), per AS (
+        SELECT user_id, min(d) AS f, max(d) AS l FROM e GROUP BY user_id
+    ), tot AS (
+        SELECT max(d) AS e_end, count(DISTINCT user_id) AS n FROM e
+    ), fl AS (
+        SELECT CAST(l - f AS INT) AS duration_days,
+               CASE WHEN l < e_end - 14 THEN 1 ELSE 0 END AS churned, n
+        FROM per CROSS JOIN tot
+    ), life AS (
+        SELECT duration_days, count(*) AS t, sum(churned) AS d, max(n) AS n
+        FROM fl GROUP BY duration_days
+    ), c AS (
+        SELECT duration_days, t, d,
+               n - coalesce(sum(t) OVER (ORDER BY duration_days
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS n_at_risk
+        FROM life
+    ), s AS (
+        SELECT duration_days, t, d, n_at_risk,
+               max(CASE WHEN d >= n_at_risk THEN 1 ELSE 0 END)
+                   OVER (ORDER BY duration_days
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS dead,
+               sum(CASE WHEN d < n_at_risk
+                        THEN ln((n_at_risk - d) / n_at_risk)
+                        ELSE 0.0 END)
+                   OVER (ORDER BY duration_days
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS cum
+        FROM c
+    )
+    SELECT duration_days,
+           CAST(n_at_risk AS BIGINT) AS n_at_risk,
+           CAST(d AS BIGINT) AS n_events,
+           CAST(t - d AS BIGINT) AS n_censored,
+           CASE WHEN dead = 1 THEN 0.0 ELSE round(exp(cum), 6) END AS survival
+    FROM s WHERE d > 0
+    ORDER BY duration_days
 """
 
 

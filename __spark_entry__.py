@@ -5292,6 +5292,49 @@ def q226_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q227_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extension (information-theoretic dependence — completes the
+    q126 chi-square / q119 entropy / q142 KL family): exact mutual
+    information between document language and source, with marginal
+    entropies and the normalized MI (sqrt normalization, Strehl &
+    Ghosh 2002). Everything derives from ONE (lang, source) cell
+    aggregate — the only data shuffle; marginals are windows over the
+    bounded cell table, and both marginal entropies fold over the SAME
+    cell stream (H_x = -sum_cells (n_xy/N) ln(n_x/N), since rows of a
+    cell share their marginal). Exact integer ratios into ln, rounded
+    at 6 (the q218 ln contract)."""
+    from pyspark.sql import Window
+
+    cells = (
+        _t(spark, sf_dir, "documents")
+        .groupBy("lang", "source")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    # bounded cell table (|langs| x |sources|) from here on.  NB the
+    # total is "tot", not "N": Spark's default resolver is
+    # case-insensitive, so withColumn("N", ...) would REPLACE "n"
+    m = (
+        cells.withColumn("nx", F.sum("n").over(Window.partitionBy("lang")))
+        .withColumn("ny", F.sum("n").over(Window.partitionBy("source")))
+        .withColumn("tot", F.sum("n").over(Window.partitionBy()))
+    )
+    mi_term = (F.col("n") / F.col("tot")) * F.log(
+        F.col("n") * F.col("tot") / (F.col("nx") * F.col("ny"))
+    )
+    hx_term = (F.col("n") / F.col("tot")) * F.log(F.col("nx") / F.col("tot"))
+    hy_term = (F.col("n") / F.col("tot")) * F.log(F.col("ny") / F.col("tot"))
+    return m.agg(
+        F.sum("n").cast("long").alias("n_docs"),
+        F.count(F.lit(1)).alias("n_cells"),
+        F.round(F.sum(mi_term), 6).alias("mi_nats"),
+        F.round(-F.sum(hx_term), 6).alias("h_lang"),
+        F.round(-F.sum(hy_term), 6).alias("h_source"),
+        F.round(
+            F.sum(mi_term) / F.sqrt(F.sum(hx_term) * F.sum(hy_term)), 6
+        ).alias("nmi"),
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_job_statistics": q01_job_statistics,
     "q02_metric_union": q02_metric_union,
@@ -5519,6 +5562,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q224_quantile_normalization": q224_quantile_normalization,
     "q225_association_rules": q225_association_rules,
     "q226_kaplan_meier": q226_kaplan_meier,
+    "q227_mutual_information": q227_mutual_information,
 }
 
 
@@ -10112,6 +10156,32 @@ ORACLES["q226_kaplan_meier"] = """
            CASE WHEN dead = 1 THEN 0.0 ELSE round(exp(cum), 6) END AS survival
     FROM s WHERE d > 0
     ORDER BY duration_days
+"""
+
+
+# q227: mutual information lang x source — one cell aggregate, window
+# marginals, both entropies folded over the same cell stream
+ORACLES["q227_mutual_information"] = """
+    WITH cells AS (
+        SELECT lang, source, count(*) AS n FROM documents GROUP BY 1, 2
+    ), m AS (
+        -- "tot", not "N": identifiers are case-insensitive in BOTH
+        -- engines, and N would collide with the cell count n
+        SELECT n,
+               sum(n) OVER (PARTITION BY lang) AS nx,
+               sum(n) OVER (PARTITION BY source) AS ny,
+               sum(n) OVER () AS tot
+        FROM cells
+    )
+    SELECT CAST(sum(n) AS BIGINT) AS n_docs,
+           count(*) AS n_cells,
+           round(sum((n / tot) * ln(n * tot / (nx * ny))), 6) AS mi_nats,
+           round(-sum((n / tot) * ln(nx / tot)), 6) AS h_lang,
+           round(-sum((n / tot) * ln(ny / tot)), 6) AS h_source,
+           round(sum((n / tot) * ln(n * tot / (nx * ny)))
+                 / sqrt(sum((n / tot) * ln(nx / tot))
+                        * sum((n / tot) * ln(ny / tot))), 6) AS nmi
+    FROM m
 """
 
 

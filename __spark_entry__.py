@@ -5335,6 +5335,52 @@ def q227_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q228_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extension (model evaluation — the operating-point view AUC
+    (q221) integrates away): precision / recall / F1 for the q196
+    classifier at 7 candidate gates, computed in ONE conditional-
+    aggregate pass (3 counters per threshold — never a scan per
+    threshold) and stacked to long form
+    (operators/evalmetrics.threshold_sweep). Exact-integer ratios;
+    degenerate operating points go NULL via try_divide == DuckDB's
+    NULL-on-zero-divisor division."""
+    from usajobs_etl_service_spark.operators.evalmetrics import threshold_sweep
+
+    return threshold_sweep(
+        _classifier_scored_with_label(spark, sf_dir),
+        "score",
+        "y",
+        [0.4, 0.45, 0.48, 0.5, 0.52, 0.55, 0.6],
+    )
+
+
+def q229_gate_agreement_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extension (curation-gate diagnostics — Cohen 1960): chance-
+    corrected agreement between two document quality gates, the q196
+    trained-classifier keep flag (rounded score >= 0.5) and a simple
+    length heuristic (n_chars >= 300). Raw agreement po overstates
+    concordance when both gates pass most documents; kappa corrects by
+    the marginal-product chance rate. One scalar aggregate over the
+    joined gate flags (operators/evalmetrics.cohen_kappa); exact
+    2x2 integer counts into two mirrored divisions."""
+    from usajobs_etl_service_spark.operators.classifier import (
+        deterministic_weights,
+        hashed_linear_score,
+    )
+    from usajobs_etl_service_spark.operators.evalmetrics import cohen_kappa
+
+    docs = _t(spark, sf_dir, "documents")
+    w = deterministic_weights(spark, 1024)
+    scored = hashed_linear_score(
+        docs.select("doc_id", "text"), w, width=1024, bias=0.1, threshold=0.5
+    )
+    flags = scored.join(
+        docs.select("doc_id", (F.col("n_chars") >= 300).alias("long_enough")),
+        "doc_id",
+    )
+    return cohen_kappa(flags, "keep", "long_enough")
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_job_statistics": q01_job_statistics,
     "q02_metric_union": q02_metric_union,
@@ -5563,6 +5609,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q225_association_rules": q225_association_rules,
     "q226_kaplan_meier": q226_kaplan_meier,
     "q227_mutual_information": q227_mutual_information,
+    "q228_threshold_sweep": q228_threshold_sweep,
+    "q229_gate_agreement_kappa": q229_gate_agreement_kappa,
 }
 
 
@@ -10005,13 +10053,16 @@ ORACLES["q222_classifier_calibration"] = (
                round(score, 6) AS s, CAST(y AS DOUBLE) AS yd
         FROM sc WHERE score IS NOT NULL AND y IS NOT NULL
     ), pb AS (
-        SELECT bin, count(*) AS n, avg(s) AS conf, avg(yd) AS acc
+        SELECT bin, count(*) AS n, avg(s) AS conf, avg(yd) AS acc,
+               sum((s - yd) * (s - yd)) AS sq
         FROM binned GROUP BY bin
     ), tot AS (
-        SELECT round(sum(n * abs(acc - conf)) / sum(n), 6) AS ece FROM pb
+        SELECT round(sum(n * abs(acc - conf)) / sum(n), 6) AS ece,
+               round(sum(sq) / sum(n), 6) AS brier
+        FROM pb
     )
     SELECT bin, n, round(conf, 6) AS confidence, round(acc, 6) AS accuracy,
-           round(abs(acc - conf), 6) AS abs_gap, ece
+           round(abs(acc - conf), 6) AS abs_gap, ece, brier
     FROM pb CROSS JOIN tot
     ORDER BY bin
 """
@@ -10182,6 +10233,94 @@ ORACLES["q227_mutual_information"] = """
                  / sqrt(sum((n / tot) * ln(nx / tot))
                         * sum((n / tot) * ln(ny / tot))), 6) AS nmi
     FROM m
+"""
+
+
+# q228: threshold sweep — FILTER counters per threshold over the one
+# scored stream; thresholds cast to DOUBLE (a DECIMAL list would
+# compare and hash differently)
+ORACLES["q228_threshold_sweep"] = (
+    _CLASSIFIER_SCORED_SQL
+    + """
+    , th AS (
+        SELECT unnest([0.4, 0.45, 0.48, 0.5, 0.52, 0.55, 0.6]::DOUBLE[])
+               AS threshold
+    ), c AS (
+        SELECT threshold,
+               count(*) FILTER (WHERE score >= threshold AND y = 1) AS tp,
+               count(*) FILTER (WHERE score >= threshold AND y = 0) AS fp,
+               count(*) FILTER (WHERE score < threshold AND y = 1) AS fn
+        FROM sc CROSS JOIN th GROUP BY threshold
+    ), m AS (
+        SELECT threshold, tp, fp, fn,
+               tp / (tp + fp) AS p, tp / (tp + fn) AS r
+        FROM c
+    )
+    SELECT threshold, CAST(tp AS BIGINT) AS tp, CAST(fp AS BIGINT) AS fp,
+           CAST(fn AS BIGINT) AS fn,
+           round(p, 6) AS precision, round(r, 6) AS recall,
+           round(2 * p * r / (p + r), 6) AS f1
+    FROM m ORDER BY threshold
+"""
+)
+
+# q229: Cohen's kappa between the classifier keep gate and the length
+# heuristic — 2x2 integer counts, mirrored po/pe divisions
+ORACLES["q229_gate_agreement_kappa"] = """
+    WITH w AS (
+        SELECT b AS bucket,
+               (CAST(('0x' || substr(md5(CAST(b AS VARCHAR) || '#w0'), 1, 8)) AS BIGINT)
+                % 2001 - 1000) / 1000.0 AS weight
+        FROM (SELECT unnest(generate_series(0, 1023)) AS b)
+    ), t AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                           x -> x <> '') AS ts
+        FROM documents
+    ), base AS (
+        SELECT doc_id, ts FROM t WHERE len(ts) >= 1
+    ), feats AS (
+        SELECT doc_id, unnest(ts) AS feat FROM base
+        UNION ALL
+        SELECT doc_id,
+               unnest(list_transform(generate_series(1, len(ts) - 1),
+                      i -> ts[i] || ' ' || ts[i + 1])) AS feat
+        FROM base
+    ), bucketed AS (
+        SELECT doc_id,
+               CAST(('0x' || substr(md5(feat || '#ftx'), 1, 8)) AS BIGINT)
+               % 1024 AS bucket
+        FROM feats
+    ), scored AS (
+        SELECT b.doc_id, count(*) AS n_features,
+               sum(coalesce(w.weight, 0.0)) AS wsum
+        FROM bucketed b LEFT JOIN w USING (bucket)
+        GROUP BY b.doc_id
+    ), fl AS (
+        SELECT CASE WHEN round(1.0 / (1.0 + exp(-(0.1 + wsum / n_features))), 4)
+                         >= 0.5 THEN 1 ELSE 0 END AS a,
+               CASE WHEN d.n_chars >= 300 THEN 1 ELSE 0 END AS b
+        FROM scored s JOIN documents d USING (doc_id)
+    ), c AS (
+        SELECT count(*) AS n,
+               count(*) FILTER (WHERE a = 1 AND b = 1) AS n11,
+               count(*) FILTER (WHERE a = 0 AND b = 0) AS n00,
+               count(*) FILTER (WHERE a = 1 AND b = 0) AS n10,
+               count(*) FILTER (WHERE a = 0 AND b = 1) AS n01
+        FROM fl
+    ), k AS (
+        SELECT n, n11, n00, n10, n01,
+               (n11 + n00) / n AS po,
+               ((n11 + n10) * (n11 + n01) + (n00 + n01) * (n00 + n10))
+                   / (n * n) AS pe
+        FROM c
+    )
+    SELECT CAST(n AS BIGINT) AS n, CAST(n11 AS BIGINT) AS n_both,
+           CAST(n00 AS BIGINT) AS n_neither, CAST(n10 AS BIGINT) AS n_only_a,
+           CAST(n01 AS BIGINT) AS n_only_b,
+           round(po, 6) AS po,
+           round((po - pe) / (1.0 - pe), 6) AS kappa
+    FROM k
 """
 
 

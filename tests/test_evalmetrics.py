@@ -141,6 +141,8 @@ def test_calibration_perfectly_calibrated(spark):
         0.0,
         0.0,
     )
+    # brier = mean((0.25 - y)^2) = (0.75^2 + 3 * 0.25^2) / 4
+    assert r.brier == pytest.approx((0.75**2 + 3 * 0.25**2) / 4, abs=1e-9)
 
 
 def test_calibration_bins_and_ece(spark):
@@ -175,3 +177,55 @@ def test_auc_is_one_lazy_plan(spark):
     after = len(tracker.getJobIdsForGroup(None) or [])
     assert before == after
     assert out.collect()[0].n_pos == 50
+
+
+def test_threshold_sweep_counts_and_metrics(spark):
+    from usajobs_etl_service_spark.operators.evalmetrics import threshold_sweep
+
+    pairs = [(0.1, 0), (0.2, 0), (0.3, 1), (0.6, 0), (0.7, 1), (0.9, 1)]
+    out = {
+        r.threshold: r
+        for r in threshold_sweep(_df(spark, pairs), "score", "y", [0.5, 0.95]).collect()
+    }
+    r5 = out[0.5]
+    assert (r5.tp, r5.fp, r5.fn) == (2, 1, 1)
+    assert r5.precision == pytest.approx(2 / 3, abs=1e-6)
+    assert r5.recall == pytest.approx(2 / 3, abs=1e-6)
+    assert r5.f1 == pytest.approx(2 / 3, abs=1e-6)
+    # no predicted positives at 0.95 -> NULL precision/f1, recall 0
+    r95 = out[0.95]
+    assert (r95.tp, r95.fp, r95.fn) == (0, 0, 3)
+    assert r95.precision is None and r95.f1 is None and r95.recall == 0.0
+
+
+def test_threshold_sweep_validation(spark):
+    from usajobs_etl_service_spark.operators.evalmetrics import threshold_sweep
+
+    with pytest.raises(ValueError):
+        threshold_sweep(_df(spark, [(0.5, 1)]), "score", "y", [])
+
+
+def test_cohen_kappa_textbook(spark):
+    from usajobs_etl_service_spark.operators.evalmetrics import cohen_kappa
+
+    # classic 2x2: n11=20, n00=15, n10=5, n01=10 -> po=0.7,
+    # pe=(25*30 + 25*20)/50^2 = 0.5, kappa = 0.4
+    rows = (
+        [(1, 1)] * 20 + [(0, 0)] * 15 + [(1, 0)] * 5 + [(0, 1)] * 10
+    )
+    df = spark.createDataFrame(rows, "a int, b int")
+    r = cohen_kappa(df, "a", "b").collect()[0]
+    assert (r.n, r.n_both, r.n_neither, r.n_only_a, r.n_only_b) == (50, 20, 15, 5, 10)
+    assert r.po == 0.7
+    assert r.kappa == pytest.approx(0.4, abs=1e-9)
+
+
+def test_cohen_kappa_degenerate_and_nulls(spark):
+    from usajobs_etl_service_spark.operators.evalmetrics import cohen_kappa
+
+    # both raters constant -> pe = 1 -> NULL kappa; NULL rows excluded
+    df = spark.createDataFrame(
+        [(1, 1), (1, 1), (None, 1), (1, None)], "a int, b int"
+    )
+    r = cohen_kappa(df, "a", "b").collect()[0]
+    assert (r.n, r.n_both, r.po, r.kappa) == (2, 2, 1.0, None)

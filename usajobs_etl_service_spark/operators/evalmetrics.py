@@ -136,6 +136,94 @@ def mann_whitney(
     )
 
 
+def threshold_sweep(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    thresholds: list[float],
+) -> DataFrame:
+    """Precision / recall / F1 at each operating threshold, in ONE
+    conditional-aggregate pass over the data (3 counters per
+    threshold — never one scan per threshold), stacked to long form.
+
+    Degenerate thresholds (no predicted positives / no actual
+    positives) yield NULL precision/recall/F1 via ``try_divide`` —
+    DuckDB's division returns NULL on a zero divisor, so both engines
+    agree.  Compare the score against the SAME rounded form the rest
+    of the eval family uses if the score is engine-noisy; thresholds
+    are compared as plain doubles.
+    """
+    if not thresholds:
+        raise ValueError("thresholds must be non-empty")
+    clean = df.select(
+        F.col(score_col).alias("__s"), F.col(label_col).cast("int").alias("__y")
+    ).filter(F.col("__s").isNotNull() & F.col("__y").isNotNull())
+    aggs = []
+    for i, t in enumerate(thresholds):
+        pred = F.col("__s") >= F.lit(float(t))
+        pos = F.col("__y") == 1
+        aggs += [
+            F.count_if(pred & pos).alias(f"tp{i}"),
+            F.count_if(pred & ~pos).alias(f"fp{i}"),
+            F.count_if(~pred & pos).alias(f"fn{i}"),
+        ]
+    wide = clean.agg(*aggs)
+    legs = ", ".join(
+        f"cast({float(t)} as double), tp{i}, fp{i}, fn{i}"
+        for i, t in enumerate(thresholds)
+    )
+    long = wide.selectExpr(
+        f"stack({len(thresholds)}, {legs}) AS (threshold, tp, fp, fn)"
+    )
+    p = F.try_divide(F.col("tp"), F.col("tp") + F.col("fp"))
+    r = F.try_divide(F.col("tp"), F.col("tp") + F.col("fn"))
+    return long.select(
+        "threshold",
+        "tp",
+        "fp",
+        "fn",
+        F.round(p, 6).alias("precision"),
+        F.round(r, 6).alias("recall"),
+        F.round(F.try_divide(2 * p * r, p + r), 6).alias("f1"),
+    ).orderBy("threshold")
+
+
+def cohen_kappa(df: DataFrame, a_col: str, b_col: str) -> DataFrame:
+    """Cohen's kappa (1960) between two binary raters/gates —
+    chance-corrected agreement from the 2x2 confusion counts, one
+    scalar aggregate over the data.  Exact-integer ratios into two
+    divisions, mirrored verbatim by the oracle.  NULL on a degenerate
+    pe == 1 (both raters constant) via ``try_divide``.
+    Returns one row: ``n, n_both, n_neither, n_only_a, n_only_b,
+    po, kappa``."""
+    a = F.col("__a")
+    b = F.col("__b")
+    clean = df.select(
+        F.col(a_col).cast("int").alias("__a"), F.col(b_col).cast("int").alias("__b")
+    ).filter(a.isNotNull() & b.isNotNull())
+    c = clean.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count_if((a == 1) & (b == 1)).alias("n11"),
+        F.count_if((a == 0) & (b == 0)).alias("n00"),
+        F.count_if((a == 1) & (b == 0)).alias("n10"),
+        F.count_if((a == 0) & (b == 1)).alias("n01"),
+    )
+    po = (F.col("n11") + F.col("n00")) / F.col("n")
+    pe = (
+        (F.col("n11") + F.col("n10")) * (F.col("n11") + F.col("n01"))
+        + (F.col("n00") + F.col("n01")) * (F.col("n00") + F.col("n10"))
+    ) / (F.col("n") * F.col("n"))
+    return c.select(
+        "n",
+        F.col("n11").alias("n_both"),
+        F.col("n00").alias("n_neither"),
+        F.col("n10").alias("n_only_a"),
+        F.col("n01").alias("n_only_b"),
+        F.round(po, 6).alias("po"),
+        F.round(F.try_divide(po - pe, F.lit(1.0) - pe), 6).alias("kappa"),
+    )
+
+
 def calibration_report(
     df: DataFrame,
     score_col: str,
@@ -152,11 +240,12 @@ def calibration_report(
     bins across engines; ``round(score, score_decimals)`` pins the bin
     assignment).  The top edge closes the last bin
     (``min(floor(s*k), k-1)``).  Per bin: row count, mean score
-    (confidence), mean label (accuracy), |gap|; ECE — the
-    bin-weight-averaged |gap| — is attached to every row via a
-    broadcast of the one-row total, so the whole report is a single
-    pass + one tiny cross join.  Empty bins are absent (their ECE
-    weight is zero).
+    (confidence), mean label (accuracy), |gap|; the one-row total —
+    ECE (the bin-weight-averaged |gap|) and the global Brier score
+    (mean squared error of the probability, the PROPER scoring rule
+    ECE is not) — is attached to every row via a broadcast, so the
+    whole report is a single pass + one tiny cross join.  Empty bins
+    are absent (their ECE weight is zero).
     """
     s = F.round(F.col(score_col), score_decimals)
     binned = df.select(
@@ -168,13 +257,16 @@ def calibration_report(
         F.count(F.lit(1)).alias("n"),
         F.avg("__s").alias("conf"),
         F.avg("__y").alias("acc"),
+        F.sum(
+            (F.col("__s") - F.col("__y")) * (F.col("__s") - F.col("__y"))
+        ).alias("__sq"),
     )
     totals = per_bin.agg(
-        F.sum("n").alias("__N"),
         F.round(
             F.sum(F.col("n") * F.abs(F.col("acc") - F.col("conf"))) / F.sum("n"),
             6,
         ).alias("ece"),
+        F.round(F.sum("__sq") / F.sum("n"), 6).alias("brier"),
     )
     return (
         per_bin.crossJoin(F.broadcast(totals))
@@ -185,6 +277,7 @@ def calibration_report(
             F.round("acc", 6).alias("accuracy"),
             F.round(F.abs(F.col("acc") - F.col("conf")), 6).alias("abs_gap"),
             "ece",
+            "brier",
         )
         .orderBy("bin")
     )

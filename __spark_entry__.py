@@ -5381,6 +5381,29 @@ def q229_gate_agreement_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cohen_kappa(flags, "keep", "long_enough")
 
 
+def q230_sliced_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extension (sliced evaluation — the per-source view of q221,
+    what every per-language/per-source corpus report actually ships):
+    exact AUC of the classifier score within EACH document source.
+    Still no no-partition window: ONE global ranking with the source
+    as the leading range key is contiguous per source, so within-group
+    ranks are rn minus a broadcast per-group offset (the quantnorm
+    trick; operators/evalmetrics.exact_auc_by_group). Single-class
+    slices yield NULL auc identically in both engines (try_divide ==
+    DuckDB zero-divisor NULL)."""
+    from usajobs_etl_service_spark.operators.evalmetrics import exact_auc_by_group
+
+    return exact_auc_by_group(
+        _classifier_scored_with_label(spark, sf_dir).join(
+            _t(spark, sf_dir, "documents").select("doc_id", "source"), "doc_id"
+        ),
+        "score",
+        "y",
+        "source",
+        "doc_id",
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_job_statistics": q01_job_statistics,
     "q02_metric_union": q02_metric_union,
@@ -5611,6 +5634,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q227_mutual_information": q227_mutual_information,
     "q228_threshold_sweep": q228_threshold_sweep,
     "q229_gate_agreement_kappa": q229_gate_agreement_kappa,
+    "q230_sliced_auc": q230_sliced_auc,
 }
 
 
@@ -10322,6 +10346,34 @@ ORACLES["q229_gate_agreement_kappa"] = """
            round((po - pe) / (1.0 - pe), 6) AS kappa
     FROM k
 """
+
+
+# q230: per-source AUC — within-group ranks via partitioned
+# row_number, same rank-sum identity per slice
+ORACLES["q230_sliced_auc"] = (
+    _CLASSIFIER_SCORED_SQL
+    + """
+    , sj AS (
+        SELECT sc.doc_id, sc.score, sc.y, d.source
+        FROM sc JOIN documents d USING (doc_id)
+    ), r AS (
+        SELECT source, score, y,
+               row_number() OVER (PARTITION BY source
+                                  ORDER BY score, doc_id) AS rn
+        FROM sj
+    ), g AS (
+        SELECT source, score, avg(rn) AS avg_rank, count(*) AS tie_n,
+               sum(y) AS pos_n
+        FROM r GROUP BY source, score
+    )
+    SELECT source,
+           CAST(sum(pos_n) AS BIGINT) AS n_pos,
+           CAST(sum(tie_n) - sum(pos_n) AS BIGINT) AS n_neg,
+           round((sum(pos_n * avg_rank) - sum(pos_n) * (sum(pos_n) + 1) / 2)
+                 / (sum(pos_n) * (sum(tie_n) - sum(pos_n))), 6) AS auc
+    FROM g GROUP BY source ORDER BY source
+"""
+)
 
 
 def oracle_sql() -> dict[str, str]:

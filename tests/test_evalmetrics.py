@@ -229,3 +229,34 @@ def test_cohen_kappa_degenerate_and_nulls(spark):
     )
     r = cohen_kappa(df, "a", "b").collect()[0]
     assert (r.n, r.n_both, r.po, r.kappa) == (2, 2, 1.0, None)
+
+
+def test_grouped_auc_matches_per_slice(spark):
+    from usajobs_etl_service_spark.operators.evalmetrics import exact_auc_by_group
+
+    rows = [
+        (i, "abc"[(i * 5) % 3], (((i * 7) % 9)) / 8.0, (i * 3) % 2)
+        for i in range(60)
+    ]
+    df = spark.createDataFrame(rows, "id long, grp string, score double, y int")
+    got = {
+        r.grp: (r.n_pos, r.n_neg, r.auc)
+        for r in exact_auc_by_group(df, "score", "y", "grp", "id").collect()
+    }
+    for g in "abc":
+        pairs = [(s, y) for _, gg, s, y in rows if gg == g]
+        ref = exact_auc(
+            _df(spark, pairs), "score", "y", "id"
+        ).collect()[0]
+        assert got[g] == (ref.n_pos, ref.n_neg, ref.auc)
+
+
+def test_grouped_auc_single_class_slice_is_null(spark):
+    from usajobs_etl_service_spark.operators.evalmetrics import exact_auc_by_group
+
+    rows = [(0, "pos_only", 0.4, 1), (1, "pos_only", 0.6, 1),
+            (2, "mixed", 0.2, 0), (3, "mixed", 0.8, 1)]
+    df = spark.createDataFrame(rows, "id long, grp string, score double, y int")
+    got = {r.grp: r for r in exact_auc_by_group(df, "score", "y", "grp", "id").collect()}
+    assert got["pos_only"].auc is None
+    assert got["mixed"].auc == 1.0

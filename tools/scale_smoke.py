@@ -79,6 +79,12 @@ FAMILY = [
     "q196_quality_classifier",
     "q201_paragraph_dedup",
     "q206_bpe_merges",
+    # round-10 continued (2): the rank-statistics machinery — exact
+    # AUC (one range exchange + tie collapse over the scored corpus)
+    # and quantile normalization (two range exchanges + an integer-key
+    # join) must scale like the distributed_order family they reuse
+    "q221_classifier_auc",
+    "q224_quantile_normalization",
 ]
 
 

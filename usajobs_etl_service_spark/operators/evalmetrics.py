@@ -82,13 +82,80 @@ def exact_auc(
         F.sum("pos_n").cast("long").alias("n_pos"),
         (F.sum("tie_n") - F.sum("pos_n")).cast("long").alias("n_neg"),
         F.round(
-            (
+            # try_divide: a single-class input yields NULL auc in BOTH
+            # engines (Spark's plain double division would give Inf
+            # where DuckDB gives NULL)
+            F.try_divide(
                 F.sum(F.col("pos_n") * F.col("avg_rank"))
-                - F.sum("pos_n") * (F.sum("pos_n") + 1) / 2
-            )
-            / (F.sum("pos_n") * (F.sum("tie_n") - F.sum("pos_n"))),
+                - F.sum("pos_n") * (F.sum("pos_n") + 1) / 2,
+                F.sum("pos_n") * (F.sum("tie_n") - F.sum("pos_n")),
+            ),
             6,
         ).alias("auc"),
+    )
+
+
+def exact_auc_by_group(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    group_col: str,
+    tiebreak_col: str,
+) -> DataFrame:
+    """Per-slice exact AUC (one row per ``group_col`` value) — the
+    sliced-eval view every per-language / per-source corpus report
+    needs, still without a no-partition window: ONE global ranking
+    with the group as the LEADING range key is contiguous per group,
+    so the within-group rank is ``rn - (min(rn per group) - 1)`` — the
+    quantnorm.py offset trick.  The per-group offset frame is
+    |groups| rows, broadcast back onto the stream (slice columns are
+    modest-cardinality by construction: languages, sources, folds —
+    per-user slices belong in a plain aggregate, not an AUC).
+
+    Groups with no positives or no negatives return NULL auc via
+    ``try_divide`` (both engines NULL a zero divisor).
+    Returns ``(group_col, n_pos, n_neg, auc)`` ordered by group.
+    """
+    clean = df.select(
+        F.col(group_col).alias("__g"),
+        F.col(score_col).alias("__s"),
+        F.col(label_col).cast("int").alias("__y"),
+        F.col(tiebreak_col).alias("__tb"),
+    ).filter(
+        F.col("__g").isNotNull()
+        & F.col("__s").isNotNull()
+        & F.col("__y").isNotNull()
+    )
+    ranked = global_row_number(
+        clean, [F.col("__g"), F.col("__s"), F.col("__tb")], out_col="__rn"
+    )
+    offsets = ranked.groupBy("__g").agg((F.min("__rn") - 1).alias("__off"))
+    per_score = (
+        ranked.join(F.broadcast(offsets), "__g")
+        .withColumn("__grn", F.col("__rn") - F.col("__off"))
+        .groupBy("__g", "__s")
+        .agg(
+            F.avg("__grn").alias("avg_rank"),
+            F.count(F.lit(1)).alias("tie_n"),
+            F.sum("__y").alias("pos_n"),
+        )
+    )
+    return (
+        per_score.groupBy("__g")
+        .agg(
+            F.sum("pos_n").cast("long").alias("n_pos"),
+            (F.sum("tie_n") - F.sum("pos_n")).cast("long").alias("n_neg"),
+            F.round(
+                F.try_divide(
+                    F.sum(F.col("pos_n") * F.col("avg_rank"))
+                    - F.sum("pos_n") * (F.sum("pos_n") + 1) / 2,
+                    F.sum("pos_n") * (F.sum("tie_n") - F.sum("pos_n")),
+                ),
+                6,
+            ).alias("auc"),
+        )
+        .withColumnRenamed("__g", group_col)
+        .orderBy(group_col)
     )
 
 
@@ -132,7 +199,10 @@ def mann_whitney(
         n_a.cast("long").alias("n_a"),
         n_b.cast("long").alias("n_b"),
         F.round(u_a, 6).alias("u_a"),
-        F.round((u_a - n_a * n_b / 2) / F.sqrt(var_u), 6).alias("z"),
+        # try_divide: an all-tied input has Var(U) == 0 -> NULL z in
+        # both engines (plain double division would give Inf/NaN here
+        # while DuckDB's division NULLs a zero divisor)
+        F.round(F.try_divide(u_a - n_a * n_b / 2, F.sqrt(var_u)), 6).alias("z"),
     )
 
 

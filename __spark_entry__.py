@@ -5404,6 +5404,45 @@ def q230_sliced_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q231_trimmed_means(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extension (robust location statistics — Tukey): per-priority
+    10%-trimmed and winsorized mean order value. Trim cutoffs are
+    EXACT integer ranks (floor(0.1 * n_g) rows off each end) from one
+    group-leading global ranking (operators/robust.trimmed_stats — the
+    quantnorm offset trick), never an approximate percentile; the
+    winsorized mean needs no second pass because clamping k rows to
+    each kept extreme is kept_sum + k*lo + k*hi. Complements q203's
+    Theil-Sen (robust slope) with robust location."""
+    from usajobs_etl_service_spark.operators.robust import trimmed_stats
+
+    return trimmed_stats(
+        _t(spark, sf_dir, "orders"),
+        "o_totalprice",
+        "o_orderpriority",
+        "o_orderkey",
+        trim_frac=0.1,
+    )
+
+
+def q232_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extension (rank correlation — completes the correlation surface:
+    q128 Pearson, q179 Kendall tau-a on rankings, now Spearman with
+    exact average-rank ties): monotone association between order value
+    and order DATE (heavy date ties exercise the tie machinery).
+    Two distributed rank passes + one tiebreak-key join
+    (operators/evalmetrics.spearman); every rank sum is exact in
+    double below 2^51, so the closed form is bit-identical
+    cross-engine."""
+    from usajobs_etl_service_spark.operators.evalmetrics import spearman
+
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_totalprice",
+        F.to_date("o_orderdate").alias("od"),
+    )
+    return spearman(orders, "o_totalprice", "od", "o_orderkey")
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_job_statistics": q01_job_statistics,
     "q02_metric_union": q02_metric_union,
@@ -5635,6 +5674,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q228_threshold_sweep": q228_threshold_sweep,
     "q229_gate_agreement_kappa": q229_gate_agreement_kappa,
     "q230_sliced_auc": q230_sliced_auc,
+    "q231_trimmed_means": q231_trimmed_means,
+    "q232_spearman": q232_spearman,
 }
 
 
@@ -10374,6 +10415,59 @@ ORACLES["q230_sliced_auc"] = (
     FROM g GROUP BY source ORDER BY source
 """
 )
+
+
+# q231: trimmed/winsorized means — integer-rank cutoffs, winsorized
+# sum = kept_sum + k*lo + k*hi (no second pass)
+ORACLES["q231_trimmed_means"] = """
+    WITH r AS (
+        SELECT o_orderpriority AS g, o_totalprice AS v,
+               row_number() OVER (PARTITION BY o_orderpriority
+                                  ORDER BY o_totalprice, o_orderkey) AS grn,
+               count(*) OVER (PARTITION BY o_orderpriority) AS n
+        FROM orders
+    ), m AS (
+        SELECT g, v, grn, n, CAST(floor(0.1 * n) AS BIGINT) AS k FROM r
+    ), kept AS (
+        SELECT g, v, n, k FROM m WHERE grn > k AND grn <= n - k
+    )
+    SELECT g AS o_orderpriority,
+           CAST(max(n) AS BIGINT) AS n,
+           CAST(max(k) AS BIGINT) AS k_trimmed,
+           min(v) AS lo_kept, max(v) AS hi_kept,
+           round(sum(v) / count(*), 4) AS trimmed_mean,
+           round((sum(v) + max(k) * min(v) + max(k) * max(v)) / max(n), 4)
+               AS winsorized_mean
+    FROM kept GROUP BY g ORDER BY g
+"""
+
+# q232: Spearman — avg-rank ties per variable, Pearson over the two
+# rank vectors in the computational form; date ties are the point
+ORACLES["q232_spearman"] = """
+    WITH o AS (
+        SELECT o_orderkey AS tb, o_totalprice AS x,
+               CAST(o_orderdate AS DATE) AS y
+        FROM orders
+        WHERE o_orderkey IS NOT NULL AND o_totalprice IS NOT NULL
+              AND o_orderdate IS NOT NULL
+    ), rxr AS (
+        SELECT tb, x, row_number() OVER (ORDER BY x, tb) AS rn FROM o
+    ), rx AS (
+        SELECT tb, avg(rn) OVER (PARTITION BY x) AS ra FROM rxr
+    ), ryr AS (
+        SELECT tb, y, row_number() OVER (ORDER BY y, tb) AS rn FROM o
+    ), ry AS (
+        SELECT tb, avg(rn) OVER (PARTITION BY y) AS rb FROM ryr
+    ), j AS (
+        SELECT ra, rb FROM rx JOIN ry USING (tb)
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n,
+           round((count(*) * sum(ra * rb) - sum(ra) * sum(rb))
+                 / sqrt((count(*) * sum(ra * ra) - sum(ra) * sum(ra))
+                        * (count(*) * sum(rb * rb) - sum(rb) * sum(rb))), 6)
+               AS rho
+    FROM j
+"""
 
 
 def oracle_sql() -> dict[str, str]:

@@ -1,0 +1,117 @@
+"""trimmed_stats vs a pure-Python reference; spearman vs the textbook
+formula (scipy-free)."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from usajobs_etl_service_spark.operators.evalmetrics import spearman
+from usajobs_etl_service_spark.operators.robust import trimmed_stats
+
+
+def _trimmed_py(values, frac):
+    s = sorted(values)
+    n = len(s)
+    k = int(math.floor(frac * n))
+    kept = s[k : n - k]
+    tm = sum(kept) / len(kept)
+    wm = (sum(kept) + k * kept[0] + k * kept[-1]) / n
+    return n, k, kept[0], kept[-1], round(tm, 4), round(wm, 4)
+
+
+def test_trimmed_matches_python(spark):
+    groups = {
+        "a": [float((i * 17) % 101) for i in range(37)],
+        "b": [float((i * 29) % 53) * 10 for i in range(24)],
+    }
+    rows = [
+        (g_i * 1000 + i, g, v)
+        for g_i, (g, vals) in enumerate(sorted(groups.items()))
+        for i, v in enumerate(vals)
+    ]
+    df = spark.createDataFrame(rows, "id long, grp string, v double")
+    got = {
+        r.grp: (r.n, r.k_trimmed, r.lo_kept, r.hi_kept, r.trimmed_mean, r.winsorized_mean)
+        for r in trimmed_stats(df, "v", "grp", "id", trim_frac=0.1).collect()
+    }
+    for g, vals in groups.items():
+        assert got[g] == _trimmed_py(vals, 0.1)
+
+
+def test_trimmed_outlier_immunity(spark):
+    # one absurd outlier cannot move the 10%-trimmed mean
+    base = [float(i) for i in range(1, 20)]  # mean 10
+    rows = [(i, "g", v) for i, v in enumerate(base + [1e12])]
+    df = spark.createDataFrame(rows, "id long, grp string, v double")
+    r = trimmed_stats(df, "v", "grp", "id", trim_frac=0.1).collect()[0]
+    assert r.k_trimmed == 2
+    assert r.hi_kept == 18.0  # outlier and 19 trimmed off the top
+    assert r.trimmed_mean == pytest.approx(sum(range(3, 19)) / 16, abs=1e-9)
+
+
+def test_trimmed_zero_frac_is_plain_mean(spark):
+    vals = [3.0, 1.0, 2.0]
+    df = spark.createDataFrame(
+        [(i, "g", v) for i, v in enumerate(vals)], "id long, grp string, v double"
+    )
+    r = trimmed_stats(df, "v", "grp", "id", trim_frac=0.0).collect()[0]
+    assert (r.k_trimmed, r.trimmed_mean, r.winsorized_mean) == (0, 2.0, 2.0)
+
+
+def test_trimmed_validation(spark):
+    df = spark.createDataFrame([(1, "g", 1.0)], "id long, grp string, v double")
+    with pytest.raises(ValueError):
+        trimmed_stats(df, "v", "grp", "id", trim_frac=0.5)
+
+
+def _spearman_py(pairs):
+    def avg_ranks(vals):
+        s = sorted(vals)
+        first = {}
+        for i, v in enumerate(s):
+            first.setdefault(v, i + 1)
+        cnt = {}
+        for v in s:
+            cnt[v] = cnt.get(v, 0) + 1
+        return {v: first[v] + (cnt[v] - 1) / 2 for v in cnt}
+
+    rx = avg_ranks([x for x, _ in pairs])
+    ry = avg_ranks([y for _, y in pairs])
+    a = [rx[x] for x, _ in pairs]
+    b = [ry[y] for _, y in pairs]
+    n = len(pairs)
+    sa, sb = sum(a), sum(b)
+    sab = sum(x * y for x, y in zip(a, b))
+    saa, sbb = sum(x * x for x in a), sum(y * y for y in b)
+    return (n * sab - sa * sb) / math.sqrt(
+        (n * saa - sa * sa) * (n * sbb - sb * sb)
+    )
+
+
+def test_spearman_perfect_monotone(spark):
+    pairs = [(float(i), float(i * i)) for i in range(1, 20)]
+    df = spark.createDataFrame(
+        [(i, x, y) for i, (x, y) in enumerate(pairs)], "id long, x double, y double"
+    )
+    r = spearman(df, "x", "y", "id").collect()[0]
+    assert (r.n, r.rho) == (19, 1.0)
+
+
+def test_spearman_ties_match_python(spark):
+    pairs = [
+        (float((i * 7) % 5), float((i * 11) % 7)) for i in range(50)
+    ]  # heavy ties both sides
+    df = spark.createDataFrame(
+        [(i, x, y) for i, (x, y) in enumerate(pairs)], "id long, x double, y double"
+    )
+    r = spearman(df, "x", "y", "id").collect()[0]
+    assert r.rho == pytest.approx(round(_spearman_py(pairs), 6), abs=1e-9)
+
+
+def test_spearman_constant_variable_is_null(spark):
+    df = spark.createDataFrame(
+        [(i, 1.0, float(i)) for i in range(5)], "id long, x double, y double"
+    )
+    assert spearman(df, "x", "y", "id").collect()[0].rho is None

@@ -294,6 +294,61 @@ def cohen_kappa(df: DataFrame, a_col: str, b_col: str) -> DataFrame:
     )
 
 
+def spearman(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    tiebreak_col: str,
+) -> DataFrame:
+    """Spearman rank correlation with exact average-rank ties —
+    Pearson over the two rank vectors, in the computational form
+    ``rho = (n*Sab - Sa*Sb) / sqrt((n*Saa - Sa^2)(n*Sbb - Sb^2))``.
+
+    Both rank passes go through :func:`global_row_number` (one range
+    exchange each); ranks join back on the tiebreak key (one hash
+    join).  Average ranks are half-integers, so every rank sum/product
+    below ~2^51 is EXACT and order-independent across engines; the
+    final closed form is the same correctly-rounded ops on identical
+    operands.  Degenerate inputs (a constant variable) yield NULL via
+    ``try_divide``.  Returns one row: ``n, rho``.
+    """
+    clean = df.select(
+        F.col(x_col).alias("__x"),
+        F.col(y_col).alias("__y"),
+        F.col(tiebreak_col).alias("__tb"),
+    ).filter(
+        F.col("__x").isNotNull()
+        & F.col("__y").isNotNull()
+        & F.col("__tb").isNotNull()
+    )
+
+    def _ranks(col: str, out: str) -> DataFrame:
+        ranked = global_row_number(
+            clean.select(col, "__tb"), [F.col(col), F.col("__tb")], out_col="__rn"
+        )
+        w_ties = ranked.groupBy(col).agg(F.avg("__rn").alias(out))
+        return ranked.join(w_ties, col).select("__tb", out)
+
+    rx = _ranks("__x", "ra")
+    ry = _ranks("__y", "rb")
+    j = rx.join(ry, "__tb")
+    n = F.count(F.lit(1))
+    sa, sb = F.sum("ra"), F.sum("rb")
+    sab = F.sum(F.col("ra") * F.col("rb"))
+    saa = F.sum(F.col("ra") * F.col("ra"))
+    sbb = F.sum(F.col("rb") * F.col("rb"))
+    return j.agg(
+        n.cast("long").alias("n"),
+        F.round(
+            F.try_divide(
+                n * sab - sa * sb,
+                F.sqrt((n * saa - sa * sa) * (n * sbb - sb * sb)),
+            ),
+            6,
+        ).alias("rho"),
+    )
+
+
 def calibration_report(
     df: DataFrame,
     score_col: str,

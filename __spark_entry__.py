@@ -5443,6 +5443,24 @@ def q232_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spearman(orders, "o_totalprice", "od", "o_orderkey")
 
 
+def q233_robust_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extension (robust anomaly detection — Iglewicz & Hoaglin 1993
+    modified z-score): per-event-type exact median, MAD, and the count
+    of |0.6745(x - med)/MAD| > 3.5 outliers — the robust replacement
+    for q102's mean/stddev z-scores (immune to the outliers it hunts).
+    The medians are exact but never buffer a group's values in one
+    task (F.percentile's per-group buffer melts on a mega-group):
+    group-leading global ranking selects the <= 2 middle order
+    statistics per group (operators/robust.grouped_median_mad — the
+    distributed_median argument, per group). Zero-MAD groups count no
+    outliers via try_divide, identically in both engines."""
+    from usajobs_etl_service_spark.operators.robust import grouped_median_mad
+
+    return grouped_median_mad(
+        _t(spark, sf_dir, "events"), "value", "event_type", "event_id"
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_job_statistics": q01_job_statistics,
     "q02_metric_union": q02_metric_union,
@@ -5676,6 +5694,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q230_sliced_auc": q230_sliced_auc,
     "q231_trimmed_means": q231_trimmed_means,
     "q232_spearman": q232_spearman,
+    "q233_robust_outliers": q233_robust_outliers,
 }
 
 
@@ -10467,6 +10486,43 @@ ORACLES["q232_spearman"] = """
                         * (count(*) * sum(rb * rb) - sum(rb) * sum(rb))), 6)
                AS rho
     FROM j
+"""
+
+
+# q233: grouped exact median/MAD + modified-z outliers — integer-div
+# middle ranks, zero-MAD groups count nothing (NULL division)
+ORACLES["q233_robust_outliers"] = """
+    WITH e AS (
+        SELECT event_type AS g, CAST(value AS DOUBLE) AS v, event_id AS tb
+        FROM events WHERE event_type IS NOT NULL AND value IS NOT NULL
+    ), r1 AS (
+        SELECT g, v,
+               row_number() OVER (PARTITION BY g ORDER BY v, tb) AS grn,
+               count(*) OVER (PARTITION BY g) AS n
+        FROM e
+    ), med AS (
+        SELECT g, avg(v) AS median FROM r1
+        WHERE grn = (n + 1) // 2 OR grn = n // 2 + 1 GROUP BY g
+    ), d AS (
+        SELECT e.g, e.v, e.tb, m.median, abs(e.v - m.median) AS dev
+        FROM e JOIN med m USING (g)
+    ), r2 AS (
+        SELECT g, dev,
+               row_number() OVER (PARTITION BY g ORDER BY dev, tb) AS grn,
+               count(*) OVER (PARTITION BY g) AS n
+        FROM d
+    ), mad AS (
+        SELECT g, avg(dev) AS mad FROM r2
+        WHERE grn = (n + 1) // 2 OR grn = n // 2 + 1 GROUP BY g
+    )
+    SELECT d.g AS event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           max(d.median) AS median,
+           max(mad.mad) AS mad,
+           CAST(count(*) FILTER (WHERE 0.6745 * d.dev / mad.mad > 3.5)
+                AS BIGINT) AS n_outliers
+    FROM d JOIN mad USING (g)
+    GROUP BY d.g ORDER BY event_type
 """
 
 

@@ -115,3 +115,48 @@ def test_spearman_constant_variable_is_null(spark):
         [(i, 1.0, float(i)) for i in range(5)], "id long, x double, y double"
     )
     assert spearman(df, "x", "y", "id").collect()[0].rho is None
+
+
+def _median_py(vals):
+    s = sorted(vals)
+    n = len(s)
+    lo, hi = s[(n + 1) // 2 - 1], s[n // 2]
+    return (lo + hi) / 2
+
+
+def test_grouped_median_mad_matches_python(spark):
+    from usajobs_etl_service_spark.operators.robust import grouped_median_mad
+
+    groups = {
+        "odd": [float((i * 13) % 29) for i in range(21)],
+        "even": [float((i * 7) % 40) for i in range(30)],
+        "outliers": [8.0, 9.0, 10.0, 11.0, 12.0] * 4 + [500.0, -400.0],
+    }
+    rows = [
+        (gi * 1000 + i, g, v)
+        for gi, (g, vals) in enumerate(sorted(groups.items()))
+        for i, v in enumerate(vals)
+    ]
+    df = spark.createDataFrame(rows, "id long, grp string, v double")
+    got = {
+        r.grp: r for r in grouped_median_mad(df, "v", "grp", "id").collect()
+    }
+    for g, vals in groups.items():
+        med = _median_py(vals)
+        mad = _median_py([abs(v - med) for v in vals])
+        n_out = sum(
+            1 for v in vals if mad > 0 and 0.6745 * abs(v - med) / mad > 3.5
+        )
+        r = got[g]
+        assert (r.n, r.median, r.mad, r.n_outliers) == (len(vals), med, mad, n_out)
+    assert got["outliers"].n_outliers == 2  # the planted 500 / -400
+
+
+def test_grouped_median_mad_zero_mad_counts_nothing(spark):
+    from usajobs_etl_service_spark.operators.robust import grouped_median_mad
+
+    # majority-constant group: MAD 0 -> modified z undefined -> 0
+    rows = [(i, "g", 5.0) for i in range(9)] + [(100, "g", 1e9)]
+    df = spark.createDataFrame(rows, "id long, grp string, v double")
+    r = grouped_median_mad(df, "v", "grp", "id").collect()[0]
+    assert (r.median, r.mad, r.n_outliers) == (5.0, 0.0, 0)

@@ -24,7 +24,7 @@ from pyspark.sql import functions as F
 
 from usajobs_etl_service_spark.operators.distributed_order import global_row_number
 
-__all__ = ["trimmed_stats"]
+__all__ = ["trimmed_stats", "grouped_median_mad"]
 
 
 def trimmed_stats(
@@ -91,3 +91,78 @@ def trimmed_stats(
             4,
         ).alias("winsorized_mean"),
     ).orderBy(group_col)
+
+
+def _grouped_median(
+    clean: DataFrame, value: str, group: str, tiebreak: str, out: str
+) -> DataFrame:
+    """Exact interpolated per-group median (quantile_cont(0.5)
+    semantics) WITHOUT per-group value buffers: ``F.percentile``
+    collects every group's values into one task's buffer — fine for
+    many small groups, a melted reducer for one mega-group.  Here the
+    group-leading global ranking locates the (at most two) middle
+    order statistics per group and averages them: scales with the
+    ranking, not the largest group (the distributed_order.
+    distributed_median argument, per group)."""
+    ranked = global_row_number(
+        clean, [F.col(group), F.col(value), F.col(tiebreak)], out_col="__rn"
+    )
+    offsets = ranked.groupBy(group).agg(
+        (F.min("__rn") - 1).alias("__off"), F.count(F.lit(1)).alias("__n")
+    )
+    mids = (
+        ranked.join(F.broadcast(offsets), group)
+        .withColumn("__grn", F.col("__rn") - F.col("__off"))
+        # integer-div middle ranks: odd n -> (n+1) div 2 == n div 2 + 1
+        # (one row); even n -> n div 2 and n div 2 + 1 (two rows)
+        .filter(
+            (F.col("__grn") == F.expr("(__n + 1) div 2"))
+            | (F.col("__grn") == F.expr("__n div 2 + 1"))
+        )
+    )
+    return mids.groupBy(group).agg(F.avg(F.col(value)).alias(out))
+
+
+def grouped_median_mad(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    id_col: str,
+    *,
+    z_cutoff: float = 3.5,
+) -> DataFrame:
+    """Per-group exact median, MAD, and the Iglewicz-Hoaglin modified
+    z-score outlier count (|0.6745 * (x - median) / MAD| > z_cutoff —
+    the robust replacement for mean/stddev z-scores, immune to the
+    outliers it hunts).  Two group-leading rank passes (value, then
+    absolute deviation), each one range exchange; medians travel as a
+    |groups|-row broadcast.  A zero MAD (majority-constant group)
+    yields a NULL modified z for every row via ``try_divide`` — no
+    outliers counted, identically in both engines.  Returns
+    ``(group_col, n, median, mad, n_outliers)`` ordered by group."""
+    clean = df.select(
+        F.col(group_col).alias("__g"),
+        F.col(value_col).cast("double").alias("__v"),
+        F.col(id_col).alias("__tb"),
+    ).filter(F.col("__g").isNotNull() & F.col("__v").isNotNull())
+    med = _grouped_median(clean, "__v", "__g", "__tb", "median")
+    devs = clean.join(F.broadcast(med), "__g").withColumn(
+        "__dev", F.abs(F.col("__v") - F.col("median"))
+    )
+    mad = _grouped_median(
+        devs.select("__g", "__dev", "__tb"), "__dev", "__g", "__tb", "mad"
+    )
+    scored = devs.join(F.broadcast(mad), "__g").withColumn(
+        "__mz", F.try_divide(F.lit(0.6745) * F.col("__dev"), F.col("mad"))
+    )
+    return (
+        scored.groupBy("__g")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.max("median").alias("median"),
+            F.max("mad").alias("mad"),
+            F.count_if(F.col("__mz") > F.lit(float(z_cutoff))).alias("n_outliers"),
+        )
+        .withColumnRenamed("__g", group_col)
+        .orderBy(group_col)
+    )

@@ -5330,7 +5330,13 @@ def q227_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(-F.sum(hx_term), 6).alias("h_lang"),
         F.round(-F.sum(hy_term), 6).alias("h_source"),
         F.round(
-            F.sum(mi_term) / F.sqrt(F.sum(hx_term) * F.sum(hy_term)), 6
+            # try_divide: a single-language (or single-source) corpus
+            # has zero marginal entropy -> NULL nmi in both engines
+            # (plain double division would give NaN where DuckDB NULLs)
+            F.try_divide(
+                F.sum(mi_term), F.sqrt(F.sum(hx_term) * F.sum(hy_term))
+            ),
+            6,
         ).alias("nmi"),
     )
 
@@ -10381,10 +10387,14 @@ ORACLES["q229_gate_agreement_kappa"] = """
         FROM bucketed b LEFT JOIN w USING (bucket)
         GROUP BY b.doc_id
     ), fl AS (
+        -- NULL n_chars rows are DROPPED to match cohen_kappa's
+        -- NULL-rater filter (a CASE ... ELSE 0 would instead count
+        -- them as gate-fail)
         SELECT CASE WHEN round(1.0 / (1.0 + exp(-(0.1 + wsum / n_features))), 4)
                          >= 0.5 THEN 1 ELSE 0 END AS a,
                CASE WHEN d.n_chars >= 300 THEN 1 ELSE 0 END AS b
         FROM scored s JOIN documents d USING (doc_id)
+        WHERE d.n_chars IS NOT NULL
     ), c AS (
         SELECT count(*) AS n,
                count(*) FILTER (WHERE a = 1 AND b = 1) AS n11,
@@ -10414,8 +10424,12 @@ ORACLES["q230_sliced_auc"] = (
     _CLASSIFIER_SCORED_SQL
     + """
     , sj AS (
+        -- NULL-source rows are excluded to match exact_auc_by_group's
+        -- documented NULL-group filter (DuckDB GROUP BY would keep a
+        -- NULL slice the operator drops)
         SELECT sc.doc_id, sc.score, sc.y, d.source
         FROM sc JOIN documents d USING (doc_id)
+        WHERE d.source IS NOT NULL
     ), r AS (
         SELECT source, score, y,
                row_number() OVER (PARTITION BY source
@@ -10445,6 +10459,8 @@ ORACLES["q231_trimmed_means"] = """
                                   ORDER BY o_totalprice, o_orderkey) AS grn,
                count(*) OVER (PARTITION BY o_orderpriority) AS n
         FROM orders
+        -- match trimmed_stats' NULL group/value filter
+        WHERE o_orderpriority IS NOT NULL AND o_totalprice IS NOT NULL
     ), m AS (
         SELECT g, v, grn, n, CAST(floor(0.1 * n) AS BIGINT) AS k FROM r
     ), kept AS (

@@ -94,7 +94,13 @@ def association_rules(
         .withColumn("__conf", F.col("pair_n") / F.col("supp_a"))
         .withColumn(
             "__lift",
-            F.col("pair_n") * F.col("n_baskets") / (F.col("supp_a") * F.col("supp_c")),
+            # double products: pair_n * n_baskets (and supp_a * supp_c)
+            # are long*long and overflow int64 beyond ~3e9 baskets;
+            # doubles stay exact below 2^53, where the oracle's
+            # exact-integer path computes the same values
+            F.col("pair_n").cast("double")
+            * F.col("n_baskets").cast("double")
+            / (F.col("supp_a").cast("double") * F.col("supp_c").cast("double")),
         )
     )
     return (

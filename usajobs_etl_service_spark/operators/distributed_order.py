@@ -214,3 +214,41 @@ def distributed_median(df: DataFrame, value_col: str) -> float | None:
         return rows[lo + 1]
     frac = idx - lo
     return rows[lo + 1] + frac * (rows[lo + 2] - rows[lo + 1])
+
+
+def grouped_row_number(
+    df: DataFrame,
+    group_col: str,
+    order_cols: Sequence[Column | str],
+    *,
+    out_col: str = "group_rn",
+    n_col: str = "group_n",
+) -> DataFrame:
+    """Exact 1-based row number WITHIN each ``group_col`` value, plus
+    the group size — with no per-group window and no extra exchange
+    over :func:`global_row_number`: ranking with the group as the
+    LEADING range key is contiguous per group (RangePartitioner
+    co-locates equal keys and assigns ranges in order), so the
+    within-group rank is ``global_rn - (min(global_rn) per group - 1)``
+    and the offset/size frame is one |groups|-row aggregate broadcast
+    back onto the stream.
+
+    ``group_col`` must be modest-cardinality (languages, sources,
+    folds, priorities — the broadcast is |groups| rows); ``order_cols``
+    should end with a unique tiebreaker for a deterministic numbering.
+    Shared by quantnorm, robust stats, and the sliced rank statistics
+    (evalmetrics) so the contiguity reasoning lives in ONE place —
+    next to the ``_ranged`` persist that makes it structural.
+    """
+    ranked = global_row_number(
+        df, [F.col(group_col), *order_cols], out_col="__grr_rn"
+    )
+    offsets = ranked.groupBy(group_col).agg(
+        (F.min("__grr_rn") - 1).alias("__grr_off"),
+        F.count(F.lit(1)).alias(n_col),
+    )
+    return (
+        ranked.join(F.broadcast(offsets), group_col)
+        .withColumn(out_col, F.col("__grr_rn") - F.col("__grr_off"))
+        .drop("__grr_rn", "__grr_off")
+    )

@@ -25,7 +25,10 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from usajobs_etl_service_spark.operators.distributed_order import global_row_number
+from usajobs_etl_service_spark.operators.distributed_order import (
+    global_row_number,
+    grouped_row_number,
+)
 
 
 def _avg_ranks(
@@ -78,6 +81,12 @@ def exact_auc(
     per_score = _avg_ranks(
         clean, "__s", "__tb", [F.sum("__y").alias("pos_n")]
     )
+    # formula arithmetic in DOUBLE: long products (n_pos * n_neg,
+    # n(n+1)) overflow int64 beyond ~3e9 rows (ANSI: runtime error) —
+    # doubles stay exact below 2^53 (where the oracle's exact-integer
+    # path computes the same values) and degrade gracefully past it
+    np_ = F.sum("pos_n").cast("double")
+    nn_ = (F.sum("tie_n") - F.sum("pos_n")).cast("double")
     return per_score.agg(
         F.sum("pos_n").cast("long").alias("n_pos"),
         (F.sum("tie_n") - F.sum("pos_n")).cast("long").alias("n_neg"),
@@ -87,8 +96,8 @@ def exact_auc(
             # where DuckDB gives NULL)
             F.try_divide(
                 F.sum(F.col("pos_n") * F.col("avg_rank"))
-                - F.sum("pos_n") * (F.sum("pos_n") + 1) / 2,
-                F.sum("pos_n") * (F.sum("tie_n") - F.sum("pos_n")),
+                - np_ * (np_ + 1) / 2,
+                np_ * nn_,
             ),
             6,
         ).alias("auc"),
@@ -126,20 +135,16 @@ def exact_auc_by_group(
         & F.col("__s").isNotNull()
         & F.col("__y").isNotNull()
     )
-    ranked = global_row_number(
-        clean, [F.col("__g"), F.col("__s"), F.col("__tb")], out_col="__rn"
+    per_score = grouped_row_number(
+        clean, "__g", [F.col("__s"), F.col("__tb")], out_col="__grn", n_col="__n"
+    ).groupBy("__g", "__s").agg(
+        F.avg("__grn").alias("avg_rank"),
+        F.count(F.lit(1)).alias("tie_n"),
+        F.sum("__y").alias("pos_n"),
     )
-    offsets = ranked.groupBy("__g").agg((F.min("__rn") - 1).alias("__off"))
-    per_score = (
-        ranked.join(F.broadcast(offsets), "__g")
-        .withColumn("__grn", F.col("__rn") - F.col("__off"))
-        .groupBy("__g", "__s")
-        .agg(
-            F.avg("__grn").alias("avg_rank"),
-            F.count(F.lit(1)).alias("tie_n"),
-            F.sum("__y").alias("pos_n"),
-        )
-    )
+    # double arithmetic: see exact_auc's overflow note
+    np_ = F.sum("pos_n").cast("double")
+    nn_ = (F.sum("tie_n") - F.sum("pos_n")).cast("double")
     return (
         per_score.groupBy("__g")
         .agg(
@@ -148,8 +153,8 @@ def exact_auc_by_group(
             F.round(
                 F.try_divide(
                     F.sum(F.col("pos_n") * F.col("avg_rank"))
-                    - F.sum("pos_n") * (F.sum("pos_n") + 1) / 2,
-                    F.sum("pos_n") * (F.sum("tie_n") - F.sum("pos_n")),
+                    - np_ * (np_ + 1) / 2,
+                    np_ * nn_,
                 ),
                 6,
             ).alias("auc"),
@@ -185,15 +190,18 @@ def mann_whitney(
         F.col(tiebreak_col).alias("__tb"),
     ).filter(F.col("__a").isNotNull() & F.col("__s").isNotNull())
     per_score = _avg_ranks(base, "__s", "__tb", [F.sum("__a").alias("a_n")])
-    n_a = F.sum("a_n")
-    n_b = F.sum("tie_n") - F.sum("a_n")
-    n = F.sum("tie_n")
+    # double arithmetic throughout the closed form: long products
+    # (t^3, n(n-1), n_a*n_b) overflow int64 at scale (a tie group of
+    # 2^21 rows alone overflows t*t*t) — doubles stay exact below 2^53
+    n_a = F.sum("a_n").cast("double")
+    n_b = (F.sum("tie_n") - F.sum("a_n")).cast("double")
+    n = F.sum("tie_n").cast("double")
     u_a = F.sum(F.col("a_n") * F.col("avg_rank")) - n_a * (n_a + 1) / 2
-    # t*t*t, not pow(t,3): Math.pow is only 1-ulp-accurate — integer
-    # multiplication is exact, and the oracle replays the same products
-    tie_t = F.sum(
-        F.col("tie_n") * F.col("tie_n") * F.col("tie_n") - F.col("tie_n")
-    )
+    # t*t*t, not pow(t,3): Math.pow is only 1-ulp-accurate — plain
+    # multiplication is exact below 2^53, and the oracle replays the
+    # same products
+    td = F.col("tie_n").cast("double")
+    tie_t = F.sum(td * td * td - td)
     var_u = n_a * n_b / 12 * ((n + 1) - tie_t / (n * (n - 1)))
     return per_score.agg(
         n_a.cast("long").alias("n_a"),
@@ -279,10 +287,14 @@ def cohen_kappa(df: DataFrame, a_col: str, b_col: str) -> DataFrame:
         F.count_if((a == 0) & (b == 1)).alias("n01"),
     )
     po = (F.col("n11") + F.col("n00")) / F.col("n")
+    # marginal products in double: long*long overflows int64 at ~3e9
+    # rows; doubles are exact below 2^53 (the oracle's exact-integer
+    # path computes the same values there)
+    nd = lambda c: F.col(c).cast("double")  # noqa: E731
     pe = (
-        (F.col("n11") + F.col("n10")) * (F.col("n11") + F.col("n01"))
-        + (F.col("n00") + F.col("n01")) * (F.col("n00") + F.col("n10"))
-    ) / (F.col("n") * F.col("n"))
+        (nd("n11") + nd("n10")) * (nd("n11") + nd("n01"))
+        + (nd("n00") + nd("n01")) * (nd("n00") + nd("n10"))
+    ) / (nd("n") * nd("n"))
     return c.select(
         "n",
         F.col("n11").alias("n_both"),

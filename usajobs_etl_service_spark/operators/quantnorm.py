@@ -36,7 +36,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from usajobs_etl_service_spark.operators.distributed_order import global_row_number
+from usajobs_etl_service_spark.operators.distributed_order import (
+    global_row_number,
+    grouped_row_number,
+)
 
 __all__ = ["quantile_normalize"]
 
@@ -58,22 +61,30 @@ def quantile_normalize(
     base = df.select(id_col, group_col, value_col).filter(
         F.col(group_col).isNotNull() & F.col(value_col).isNotNull()
     )
-    # within-group rank: global numbering with the group as the leading
-    # range key is contiguous per group, so rank = rn - (group offset)
-    ranked = global_row_number(
-        base, [F.col(group_col), F.col(value_col), F.col(id_col)], out_col="__rn"
+    # within-group rank + size: one group-leading global ranking
+    # (distributed_order.grouped_row_number — the contiguity argument
+    # lives there)
+    ranked = grouped_row_number(
+        base,
+        group_col,
+        [F.col(value_col), F.col(id_col)],
+        out_col="__r",
+        n_col="__ng",
     )
-    groups = ranked.groupBy(group_col).agg(
-        (F.min("__rn") - 1).alias("__off"), F.count(F.lit(1)).alias("__ng")
-    )
-    totals = groups.agg(F.sum("__ng").alias("__n"))
+    totals = ranked.agg(F.count(F.lit(1)).alias("__n"))
     within = (
-        ranked.join(F.broadcast(groups), group_col)
-        .crossJoin(F.broadcast(totals))
-        .withColumn("__r", F.col("__rn") - F.col("__off"))
+        ranked.crossJoin(F.broadcast(totals))
         .withColumn(
             "__idx",
-            F.expr("((2 * __r - 1) * __n + 2 * __ng - 1) div (2 * __ng)"),
+            # DECIMAL(38,0) intermediates: (2r-1)*N reaches ~2N^2 and
+            # would overflow int64 beyond ~2.1e9 rows (ANSI: runtime
+            # error; non-ANSI: silently negative -> dropped join rows).
+            # Spark's integral-divide on decimals returns LONG, and
+            # idx <= N always fits it.
+            F.expr(
+                "((2 * CAST(__r AS DECIMAL(38,0)) - 1) * __n + 2 * __ng - 1)"
+                " div (2 * __ng)"
+            ),
         )
     )
     pooled = global_row_number(

@@ -22,7 +22,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from usajobs_etl_service_spark.operators.distributed_order import global_row_number
+from usajobs_etl_service_spark.operators.distributed_order import grouped_row_number
 
 __all__ = ["trimmed_stats", "grouped_median_mad"]
 
@@ -52,17 +52,9 @@ def trimmed_stats(
         F.col(value_col).alias("__v"),
         F.col(id_col).alias("__tb"),
     ).filter(F.col("__g").isNotNull() & F.col("__v").isNotNull())
-    ranked = global_row_number(
-        clean, [F.col("__g"), F.col("__v"), F.col("__tb")], out_col="__rn"
-    )
-    offsets = ranked.groupBy("__g").agg(
-        (F.min("__rn") - 1).alias("__off"), F.count(F.lit(1)).alias("__n")
-    )
-    within = (
-        ranked.join(F.broadcast(offsets), "__g")
-        .withColumn("__grn", F.col("__rn") - F.col("__off"))
-        .withColumn("__k", F.floor(F.lit(float(trim_frac)) * F.col("__n")).cast("long"))
-    )
+    within = grouped_row_number(
+        clean, "__g", [F.col("__v"), F.col("__tb")], out_col="__grn", n_col="__n"
+    ).withColumn("__k", F.floor(F.lit(float(trim_frac)) * F.col("__n")).cast("long"))
     kept = within.filter(
         (F.col("__grn") > F.col("__k")) & (F.col("__grn") <= F.col("__n") - F.col("__k"))
     )
@@ -104,21 +96,13 @@ def _grouped_median(
     order statistics per group and averages them: scales with the
     ranking, not the largest group (the distributed_order.
     distributed_median argument, per group)."""
-    ranked = global_row_number(
-        clean, [F.col(group), F.col(value), F.col(tiebreak)], out_col="__rn"
-    )
-    offsets = ranked.groupBy(group).agg(
-        (F.min("__rn") - 1).alias("__off"), F.count(F.lit(1)).alias("__n")
-    )
-    mids = (
-        ranked.join(F.broadcast(offsets), group)
-        .withColumn("__grn", F.col("__rn") - F.col("__off"))
+    mids = grouped_row_number(
+        clean, group, [F.col(value), F.col(tiebreak)], out_col="__grn", n_col="__n"
+    ).filter(
         # integer-div middle ranks: odd n -> (n+1) div 2 == n div 2 + 1
         # (one row); even n -> n div 2 and n div 2 + 1 (two rows)
-        .filter(
-            (F.col("__grn") == F.expr("(__n + 1) div 2"))
-            | (F.col("__grn") == F.expr("__n div 2 + 1"))
-        )
+        (F.col("__grn") == F.expr("(__n + 1) div 2"))
+        | (F.col("__grn") == F.expr("__n div 2 + 1"))
     )
     return mids.groupBy(group).agg(F.avg(F.col(value)).alias(out))
 

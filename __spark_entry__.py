@@ -5175,8 +5175,10 @@ def q221_classifier_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
     score against a ground-truth label, via the rank-sum identity
     AUC = (R_pos - n_pos(n_pos+1)/2) / (n_pos*n_neg) with textbook
     average-rank tie handling (operators/evalmetrics.exact_auc).
-    Ranks come from distributed_order.global_row_number — ONE range
-    exchange, never a no-partition window — so the same plan scores a
+    Aggregate-first (the q123/q162 shape): the per-score groupBy
+    collapses duplicate scores map-side, so the ordered range exchange
+    moves only the DISTINCT support — never a no-partition window,
+    never a row-level range repartition — and the same plan scores a
     100 TB eval set. Every intermediate is exact in double (average
     ranks are half-integers, products/sums of half-integers below
     2^53), so the single final division is bit-identical cross-engine.
@@ -5184,9 +5186,7 @@ def q221_classifier_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
     validation filters); this is the eval harness those gates need."""
     from usajobs_etl_service_spark.operators.evalmetrics import exact_auc
 
-    return exact_auc(
-        _classifier_scored_with_label(spark, sf_dir), "score", "y", "doc_id"
-    )
+    return exact_auc(_classifier_scored_with_label(spark, sf_dir), "score", "y")
 
 
 def q222_classifier_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5209,21 +5209,21 @@ def q223_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Extension (nonparametric cohort testing — the rank-based
     companion to q209's Welch t): two-sided Mann-Whitney U comparing
     order values of 1-URGENT vs 5-LOW priorities, tie-corrected normal
-    approximation (Var(U) = n_a*n_b/12 * ((n+1) - T/(n(n-1))),
-    T = sum(t^3 - t)), no continuity correction so both engines replay
-    the identical closed form (operators/evalmetrics.mann_whitney).
-    Pooled average ranks via the same distributed ranking as q221 —
-    one range exchange + one tie collapse; tie products use t*t*t,
-    never pow (Math.pow is only 1-ulp-accurate)."""
-    from usajobs_etl_service_spark.operators.evalmetrics import mann_whitney
+    approximation, no continuity correction so both engines replay the
+    identical closed form. Drives the CANONICAL
+    operators/profiling.mann_whitney_u (q162's drift-test engine —
+    aggregate-first per-value counts + ordered cumulative midranks; a
+    session review caught that a second row-ranking implementation had
+    crept into evalmetrics.py and deleted it) on an experimentation
+    cohort rather than q162's event-drift cohort."""
+    from usajobs_etl_service_spark.operators.profiling import mann_whitney_u
 
-    return mann_whitney(
+    return mann_whitney_u(
         _t(spark, sf_dir, "orders"),
-        "o_totalprice",
-        "o_orderpriority",
-        "1-URGENT",
-        "5-LOW",
-        "o_orderkey",
+        value_col="o_totalprice",
+        label_col="o_orderpriority",
+        label_a="1-URGENT",
+        label_b="5-LOW",
     )
 
 
@@ -5391,12 +5391,13 @@ def q230_sliced_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Extension (sliced evaluation — the per-source view of q221,
     what every per-language/per-source corpus report actually ships):
     exact AUC of the classifier score within EACH document source.
-    Still no no-partition window: ONE global ranking with the source
-    as the leading range key is contiguous per source, so within-group
-    ranks are rn minus a broadcast per-group offset (the quantnorm
-    trick; operators/evalmetrics.exact_auc_by_group). Single-class
-    slices yield NULL auc identically in both engines (try_divide ==
-    DuckDB zero-divisor NULL)."""
+    Aggregate-first like q221: one (source, score) aggregate over the
+    rows, a group-leading ordered cumulative over the distinct
+    support, and a |sources|-row broadcast of prior totals turning the
+    global cumulative into within-group midranks
+    (operators/evalmetrics.exact_auc_by_group). Single-class slices
+    yield NULL auc identically in both engines (try_divide == DuckDB
+    zero-divisor NULL)."""
     from usajobs_etl_service_spark.operators.evalmetrics import exact_auc_by_group
 
     return exact_auc_by_group(
@@ -5406,7 +5407,6 @@ def q230_sliced_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
         "score",
         "y",
         "source",
-        "doc_id",
     )
 
 
@@ -5435,9 +5435,10 @@ def q232_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
     q128 Pearson, q179 Kendall tau-a on rankings, now Spearman with
     exact average-rank ties): monotone association between order value
     and order DATE (heavy date ties exercise the tie machinery).
-    Two distributed rank passes + one tiebreak-key join
-    (operators/evalmetrics.spearman); every rank sum is exact in
-    double below 2^51, so the closed form is bit-identical
+    Aggregate-first per-value midranks joined back by value, rank
+    pairs matched on the order key — hash joins only, no row-level
+    range exchange (operators/evalmetrics.spearman); every rank sum is
+    exact in double below 2^51, so the closed form is bit-identical
     cross-engine."""
     from usajobs_etl_service_spark.operators.evalmetrics import spearman
 
@@ -10180,7 +10181,7 @@ ORACLES["q223_mann_whitney"] = """
         FROM g
     )
     SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
-           round(r_a - n_a * (n_a + 1) / 2, 6) AS u_a,
+           round(r_a - n_a * (n_a + 1) / 2, 4) AS u_stat,
            round((r_a - n_a * (n_a + 1) / 2 - n_a * n_b / 2)
                  / sqrt(n_a * n_b / 12 * ((n + 1) - t / (n * (n - 1)))), 6) AS z
     FROM agg

@@ -11,8 +11,8 @@ from pyspark.sql import functions as F
 from usajobs_etl_service_spark.operators.evalmetrics import (
     calibration_report,
     exact_auc,
-    mann_whitney,
 )
+from usajobs_etl_service_spark.operators.profiling import mann_whitney_u
 
 
 def _avg_ranks_py(values):
@@ -61,20 +61,20 @@ def _df(spark, pairs):
 
 def test_auc_perfect_separation(spark):
     pairs = [(0.1, 0), (0.2, 0), (0.8, 1), (0.9, 1)]
-    row = exact_auc(_df(spark, pairs), "score", "y", "id").collect()[0]
+    row = exact_auc(_df(spark, pairs), "score", "y").collect()[0]
     assert (row.n_pos, row.n_neg, row.auc) == (2, 2, 1.0)
 
 
 def test_auc_constant_score_is_half(spark):
     pairs = [(0.5, y) for y in (0, 1, 0, 1, 1)]
-    row = exact_auc(_df(spark, pairs), "score", "y", "id").collect()[0]
+    row = exact_auc(_df(spark, pairs), "score", "y").collect()[0]
     assert row.auc == 0.5
 
 
 def test_auc_with_ties_matches_python(spark):
     # deterministic pseudo-random mix with heavy ties
     pairs = [(((i * 7) % 5) / 4.0, (i * 3) % 2) for i in range(40)]
-    row = exact_auc(_df(spark, pairs), "score", "y", "id").collect()[0]
+    row = exact_auc(_df(spark, pairs), "score", "y").collect()[0]
     assert row.auc == pytest.approx(round(_auc_py(pairs), 6), abs=1e-9)
     assert row.n_pos == sum(1 for _, y in pairs if y)
     assert row.n_neg == sum(1 for _, y in pairs if not y)
@@ -82,9 +82,9 @@ def test_auc_with_ties_matches_python(spark):
 
 def test_auc_monotone_transform_invariant(spark):
     pairs = [(((i * 13) % 17) / 16.0, (i * 5) % 2) for i in range(30)]
-    base = exact_auc(_df(spark, pairs), "score", "y", "id").collect()[0].auc
+    base = exact_auc(_df(spark, pairs), "score", "y").collect()[0].auc
     warped = [(math.exp(3 * s), y) for s, y in pairs]
-    same = exact_auc(_df(spark, warped), "score", "y", "id").collect()[0].auc
+    same = exact_auc(_df(spark, warped), "score", "y").collect()[0].auc
     assert base == same
 
 
@@ -93,7 +93,7 @@ def test_auc_null_rows_excluded(spark):
         [(0, 0.9, 1), (1, 0.1, 0), (2, None, 1), (3, 0.5, None)],
         "id long, score double, y int",
     )
-    row = exact_auc(df, "score", "y", "id").collect()[0]
+    row = exact_auc(df, "score", "y").collect()[0]
     assert (row.n_pos, row.n_neg, row.auc) == (1, 1, 1.0)
 
 
@@ -104,10 +104,12 @@ def test_mann_whitney_matches_python(spark):
         (100 + i, v, "B") for i, v in enumerate(b)
     ]
     df = spark.createDataFrame(rows, "id long, v double, grp string")
-    row = mann_whitney(df, "v", "grp", "A", "B", "id").collect()[0]
+    row = mann_whitney_u(
+        df, value_col="v", label_col="grp", label_a="A", label_b="B"
+    ).collect()[0]
     u_ref, z_ref = _mw_py(a, b)
     assert (row.n_a, row.n_b) == (len(a), len(b))
-    assert row.u_a == pytest.approx(round(u_ref, 6), abs=1e-9)
+    assert row.u_stat == pytest.approx(round(u_ref, 4), abs=1e-9)
     assert row.z == pytest.approx(round(z_ref, 6), abs=1e-9)
 
 
@@ -120,10 +122,12 @@ def test_mann_whitney_ignores_other_groups_and_nulls(spark):
         (4, None, "A"),  # NULL value: excluded
     ]
     df = spark.createDataFrame(rows, "id long, v double, grp string")
-    row = mann_whitney(df, "v", "grp", "A", "B", "id").collect()[0]
+    row = mann_whitney_u(
+        df, value_col="v", label_col="grp", label_a="A", label_b="B"
+    ).collect()[0]
     assert (row.n_a, row.n_b) == (2, 1)
     u_ref, _ = _mw_py([1.0, 2.0], [3.0])
-    assert row.u_a == u_ref
+    assert row.u_stat == u_ref
 
 
 def test_calibration_perfectly_calibrated(spark):
@@ -173,7 +177,7 @@ def test_auc_is_one_lazy_plan(spark):
         (F.col("id") % 10).cast("double").alias("score"),
         (F.col("id") % 2).cast("int").alias("y"),
     )
-    out = exact_auc(df, "score", "y", "id")
+    out = exact_auc(df, "score", "y")
     after = len(tracker.getJobIdsForGroup(None) or [])
     assert before == after
     assert out.collect()[0].n_pos == 50
@@ -241,13 +245,11 @@ def test_grouped_auc_matches_per_slice(spark):
     df = spark.createDataFrame(rows, "id long, grp string, score double, y int")
     got = {
         r.grp: (r.n_pos, r.n_neg, r.auc)
-        for r in exact_auc_by_group(df, "score", "y", "grp", "id").collect()
+        for r in exact_auc_by_group(df, "score", "y", "grp").collect()
     }
     for g in "abc":
         pairs = [(s, y) for _, gg, s, y in rows if gg == g]
-        ref = exact_auc(
-            _df(spark, pairs), "score", "y", "id"
-        ).collect()[0]
+        ref = exact_auc(_df(spark, pairs), "score", "y").collect()[0]
         assert got[g] == (ref.n_pos, ref.n_neg, ref.auc)
 
 
@@ -257,6 +259,6 @@ def test_grouped_auc_single_class_slice_is_null(spark):
     rows = [(0, "pos_only", 0.4, 1), (1, "pos_only", 0.6, 1),
             (2, "mixed", 0.2, 0), (3, "mixed", 0.8, 1)]
     df = spark.createDataFrame(rows, "id long, grp string, score double, y int")
-    got = {r.grp: r for r in exact_auc_by_group(df, "score", "y", "grp", "id").collect()}
+    got = {r.grp: r for r in exact_auc_by_group(df, "score", "y", "grp").collect()}
     assert got["pos_only"].auc is None
     assert got["mixed"].auc == 1.0

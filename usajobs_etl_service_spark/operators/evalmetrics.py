@@ -4,62 +4,64 @@ A training-data pipeline that ships classifier-gated corpora (q196's
 fastText shape; reference parity: the reference's quality filters in
 ``/root/reference/etl/etl.py`` gate rows but never *measure* the gate)
 needs the evaluation half: does the score actually separate good from
-bad (AUC), are its probabilities honest (calibration / ECE), and do two
-cohorts differ (Mann-Whitney)?  All three are RANK statistics, and the
+bad (AUC), are its probabilities honest (calibration / ECE), is
+association monotone (Spearman)?  These are RANK statistics, and the
 naive Spark spelling — ``Window.orderBy(score)`` with no partition key —
-moves every row through one task.  Everything here ranks through
-:mod:`distributed_order` instead: ONE materialized range exchange, a
-balanced per-partition window, and a per-partition carry-in, so the
-plans hold at 100 TB.
+moves every row through one task.
 
-Tie handling is exact, not approximate: ``_avg_ranks`` groups the
-globally-numbered rows by score value, and the mean of the row numbers
-inside a tie group IS the textbook average rank (mean of consecutive
-integers = (first+last)/2), so AUC equals the Mann-Whitney U statistic
-with the standard tie correction — bit-for-bit what a single-node
-``scipy.stats.rankdata``-based implementation produces.
+Two scale shapes, chosen by what the statistic consumes:
+
+- **aggregate-first** (``_avg_ranks``; the q123 KS / q162 Mann-Whitney
+  shape): every statistic here is a function of per-VALUE counts, so
+  the per-value groupBy runs first — map-side combine collapses
+  duplicate values before the wire — and ``distributed_order.
+  ordered_cumsum`` over the distinct support yields each tie group's
+  textbook average rank as ``(csum - t) + (t+1)/2``.  The range
+  exchange moves only the support, never the rows.
+- **row-ranking** (``distributed_order.grouped_row_number``) where the
+  statistic needs a specific ORDER STATISTIC back as a row (medians,
+  trim cutoffs, quantile normalization — quantnorm.py / robust.py).
+
+Tie handling is exact: average ranks are half-integers (mean of
+consecutive integers), so every intermediate is exact in double below
+2^53 and the final closed forms are bit-for-bit what a single-node
+``scipy.stats.rankdata``-based implementation produces.  The
+two-cohort Mann-Whitney U itself lives in ``profiling.mann_whitney_u``
+(q162) — same shape, predating this module; not duplicated here.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from usajobs_etl_service_spark.operators.distributed_order import (
-    global_row_number,
-    grouped_row_number,
-)
+from usajobs_etl_service_spark.operators.distributed_order import ordered_cumsum
 
 
 def _avg_ranks(
     df: DataFrame,
     score_col: str,
-    tiebreak_col: str,
     extra_aggs: list[Column],
 ) -> DataFrame:
-    """Per-distinct-score average rank plus caller aggregates.
-
-    Ranks come from :func:`global_row_number` (one range exchange —
-    never a no-partition window); the per-score group-by collapses tie
-    groups so every downstream statistic sees the average rank.  The
-    tiebreak column only pins a deterministic numbering WITHIN a tie
-    group; the group mean is invariant to it.
-    """
-    ranked = global_row_number(
-        df, [F.col(score_col), F.col(tiebreak_col)], out_col="__rn"
+    """Per-distinct-score average rank plus caller aggregates —
+    aggregate-first: the groupBy collapses duplicate values map-side,
+    the ordered cumulative count runs over the DISTINCT support, and
+    ``(csum - t) + (t + 1) / 2`` is the tie group's textbook average
+    rank (a half-integer, exact in double)."""
+    pts = df.groupBy(score_col).agg(
+        F.count(F.lit(1)).alias("tie_n"), *extra_aggs
     )
-    return ranked.groupBy(score_col).agg(
-        F.avg("__rn").alias("avg_rank"),
-        F.count(F.lit(1)).alias("tie_n"),
-        *extra_aggs,
-    )
+    cum = ordered_cumsum(pts, [F.col(score_col).asc()], ["tie_n"])
+    return cum.withColumn(
+        "avg_rank",
+        (F.col("cum_tie_n") - F.col("tie_n")) + (F.col("tie_n") + 1) / 2,
+    ).drop("cum_tie_n")
 
 
 def exact_auc(
     df: DataFrame,
     score_col: str,
     label_col: str,
-    tiebreak_col: str,
 ) -> DataFrame:
     """Exact ROC-AUC of ``score_col`` against binary ``label_col``.
 
@@ -67,20 +69,18 @@ def exact_auc(
     ``AUC = (R_pos - n_pos(n_pos+1)/2) / (n_pos * n_neg)`` where
     ``R_pos`` is the sum of POOLED average ranks of the positives —
     ties contribute exactly 1/2, matching the trapezoidal ROC integral.
-    Cost: one range exchange (ranking) + one hash exchange (the
-    per-score tie collapse); the final fold is a scalar aggregate.
-    Rows with a NULL score or label are excluded (scikit-learn's
-    contract); the whole call stays ONE lazy plan — no job runs at
-    construction.  Returns one row: ``n_pos, n_neg, auc``.
+    Cost: one map-side-combinable per-score aggregate (the only pass
+    over the rows) + a range exchange over the DISTINCT support; the
+    final fold is a scalar aggregate.  Rows with a NULL score or label
+    are excluded (scikit-learn's contract); the whole call stays ONE
+    lazy plan — no job runs at construction.  Returns one row:
+    ``n_pos, n_neg, auc``.
     """
     clean = df.select(
         F.col(score_col).alias("__s"),
         F.col(label_col).cast("int").alias("__y"),
-        F.col(tiebreak_col).alias("__tb"),
     ).filter(F.col("__s").isNotNull() & F.col("__y").isNotNull())
-    per_score = _avg_ranks(
-        clean, "__s", "__tb", [F.sum("__y").alias("pos_n")]
-    )
+    per_score = _avg_ranks(clean, "__s", [F.sum("__y").alias("pos_n")])
     # formula arithmetic in DOUBLE: long products (n_pos * n_neg,
     # n(n+1)) overflow int64 beyond ~3e9 rows (ANSI: runtime error) —
     # doubles stay exact below 2^53 (where the oracle's exact-integer
@@ -109,15 +109,14 @@ def exact_auc_by_group(
     score_col: str,
     label_col: str,
     group_col: str,
-    tiebreak_col: str,
 ) -> DataFrame:
     """Per-slice exact AUC (one row per ``group_col`` value) — the
     sliced-eval view every per-language / per-source corpus report
-    needs, still without a no-partition window: ONE global ranking
-    with the group as the LEADING range key is contiguous per group,
-    so the within-group rank is ``rn - (min(rn per group) - 1)`` — the
-    quantnorm.py offset trick.  The per-group offset frame is
-    |groups| rows, broadcast back onto the stream (slice columns are
+    needs, in the same aggregate-first shape as :func:`exact_auc`:
+    one (group, score) aggregate over the rows, a group-leading
+    ordered cumulative count over the distinct support, and a
+    |groups|-row broadcast of per-group prior totals turning the
+    global cumulative into a within-group one (slice columns are
     modest-cardinality by construction: languages, sources, folds —
     per-user slices belong in a plain aggregate, not an AUC).
 
@@ -129,18 +128,31 @@ def exact_auc_by_group(
         F.col(group_col).alias("__g"),
         F.col(score_col).alias("__s"),
         F.col(label_col).cast("int").alias("__y"),
-        F.col(tiebreak_col).alias("__tb"),
     ).filter(
         F.col("__g").isNotNull()
         & F.col("__s").isNotNull()
         & F.col("__y").isNotNull()
     )
-    per_score = grouped_row_number(
-        clean, "__g", [F.col("__s"), F.col("__tb")], out_col="__grn", n_col="__n"
-    ).groupBy("__g", "__s").agg(
-        F.avg("__grn").alias("avg_rank"),
-        F.count(F.lit(1)).alias("tie_n"),
-        F.sum("__y").alias("pos_n"),
+    pts = clean.groupBy("__g", "__s").agg(
+        F.count(F.lit(1)).alias("tie_n"), F.sum("__y").alias("pos_n")
+    )
+    cum = ordered_cumsum(pts, [F.col("__g").asc(), F.col("__s").asc()], ["tie_n"])
+    # per-group prior totals: |groups| rows, the only no-partition
+    # window runs over that bounded frame (the _offsets posture)
+    w_prior = Window.orderBy("__g").rowsBetween(Window.unboundedPreceding, -1)
+    priors = (
+        pts.groupBy("__g")
+        .agg(F.sum("tie_n").alias("__gt"))
+        .withColumn("__goff", F.coalesce(F.sum("__gt").over(w_prior), F.lit(0)))
+        .select("__g", "__goff")
+    )
+    per_score = (
+        cum.join(F.broadcast(priors), "__g")
+        .withColumn(
+            "avg_rank",
+            (F.col("cum_tie_n") - F.col("__goff") - F.col("tie_n"))
+            + (F.col("tie_n") + 1) / 2,
+        )
     )
     # double arithmetic: see exact_auc's overflow note
     np_ = F.sum("pos_n").cast("double")
@@ -161,56 +173,6 @@ def exact_auc_by_group(
         )
         .withColumnRenamed("__g", group_col)
         .orderBy(group_col)
-    )
-
-
-def mann_whitney(
-    df: DataFrame,
-    value_col: str,
-    group_col: str,
-    group_a: str,
-    group_b: str,
-    tiebreak_col: str,
-) -> DataFrame:
-    """Two-sided Mann-Whitney U with the tie-corrected normal
-    approximation (no continuity correction — both engines then agree
-    to float round-off, and the oracle replays the identical formula).
-
-    ``U_a = R_a - n_a(n_a+1)/2`` from pooled average ranks;
-    ``Var(U) = n_a n_b / 12 * ((n+1) - T / (n(n-1)))`` with
-    ``T = sum(t^3 - t)`` over tie groups (Lehmann, *Nonparametrics*).
-    One range exchange + one tie collapse, same as :func:`exact_auc`.
-    Returns one row: ``n_a, n_b, u_a, z``.
-    """
-    base = df.select(
-        F.col(value_col).alias("__s"),
-        F.when(F.col(group_col) == group_a, 1)
-        .when(F.col(group_col) == group_b, 0)
-        .alias("__a"),
-        F.col(tiebreak_col).alias("__tb"),
-    ).filter(F.col("__a").isNotNull() & F.col("__s").isNotNull())
-    per_score = _avg_ranks(base, "__s", "__tb", [F.sum("__a").alias("a_n")])
-    # double arithmetic throughout the closed form: long products
-    # (t^3, n(n-1), n_a*n_b) overflow int64 at scale (a tie group of
-    # 2^21 rows alone overflows t*t*t) — doubles stay exact below 2^53
-    n_a = F.sum("a_n").cast("double")
-    n_b = (F.sum("tie_n") - F.sum("a_n")).cast("double")
-    n = F.sum("tie_n").cast("double")
-    u_a = F.sum(F.col("a_n") * F.col("avg_rank")) - n_a * (n_a + 1) / 2
-    # t*t*t, not pow(t,3): Math.pow is only 1-ulp-accurate — plain
-    # multiplication is exact below 2^53, and the oracle replays the
-    # same products
-    td = F.col("tie_n").cast("double")
-    tie_t = F.sum(td * td * td - td)
-    var_u = n_a * n_b / 12 * ((n + 1) - tie_t / (n * (n - 1)))
-    return per_score.agg(
-        n_a.cast("long").alias("n_a"),
-        n_b.cast("long").alias("n_b"),
-        F.round(u_a, 6).alias("u_a"),
-        # try_divide: an all-tied input has Var(U) == 0 -> NULL z in
-        # both engines (plain double division would give Inf/NaN here
-        # while DuckDB's division NULLs a zero divisor)
-        F.round(F.try_divide(u_a - n_a * n_b / 2, F.sqrt(var_u)), 6).alias("z"),
     )
 
 
@@ -316,13 +278,15 @@ def spearman(
     Pearson over the two rank vectors, in the computational form
     ``rho = (n*Sab - Sa*Sb) / sqrt((n*Saa - Sa^2)(n*Sbb - Sb^2))``.
 
-    Both rank passes go through :func:`global_row_number` (one range
-    exchange each); ranks join back on the tiebreak key (one hash
-    join).  Average ranks are half-integers, so every rank sum/product
-    below ~2^51 is EXACT and order-independent across engines; the
-    final closed form is the same correctly-rounded ops on identical
-    operands.  Degenerate inputs (a constant variable) yield NULL via
-    ``try_divide``.  Returns one row: ``n, rho``.
+    Both rank passes are aggregate-first (:func:`_avg_ranks`: per-value
+    counts, cumulative over the distinct support); the per-value
+    average rank joins back onto the rows by VALUE, and the two rank
+    columns pair up on the tiebreak key (hash joins throughout — no
+    row-level range exchange).  Average ranks are half-integers, so
+    every rank sum/product below ~2^51 is EXACT and order-independent
+    across engines; the final closed form is the same correctly-rounded
+    ops on identical operands.  Degenerate inputs (a constant variable)
+    yield NULL via ``try_divide``.  Returns one row: ``n, rho``.
     """
     clean = df.select(
         F.col(x_col).alias("__x"),
@@ -335,11 +299,10 @@ def spearman(
     )
 
     def _ranks(col: str, out: str) -> DataFrame:
-        ranked = global_row_number(
-            clean.select(col, "__tb"), [F.col(col), F.col("__tb")], out_col="__rn"
+        ar = _avg_ranks(clean.select(col), col, []).select(
+            col, F.col("avg_rank").alias(out)
         )
-        w_ties = ranked.groupBy(col).agg(F.avg("__rn").alias(out))
-        return ranked.join(w_ties, col).select("__tb", out)
+        return clean.select(col, "__tb").join(ar, col).select("__tb", out)
 
     rx = _ranks("__x", "ra")
     ry = _ranks("__y", "rb")

@@ -5468,6 +5468,45 @@ def q233_robust_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q234_weighted_sssp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extension (weighted shortest paths — sixth iterative-graph
+    member, generalizing q199's unit-weight BFS): 3 bounded
+    Bellman-Ford relaxations over the co-purchase graph with
+    tie-strength costs (co-purchased 3+ times -> cost 1, twice -> 2,
+    once -> 4), from the q199 seed set. Result = exact cheapest path
+    using at most 3 edges; INTEGER costs keep every distance exact in
+    both engines (operators/graphrank.sssp_bounded — frontier-free
+    relaxation join + min combine per round, parquet supersteps,
+    provably-identity early exit). The oracle unrolls the identical 3
+    relaxations as MATERIALIZED CTEs (the q174/q199 pattern)."""
+    from usajobs_etl_service_spark.operators.graphrank import sssp_bounded
+
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    a = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("u"))
+    b = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("v"))
+    wedges = (
+        a.join(b, "ok")
+        .filter(F.col("u") < F.col("v"))
+        .groupBy("u", "v")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            "u",
+            "v",
+            F.when(F.col("n") >= 3, 1)
+            .when(F.col("n") == 2, 2)
+            .otherwise(4)
+            .alias("w"),
+        )
+    )
+    seeds = (
+        _t(spark, sf_dir, "part")
+        .filter(F.col("p_partkey") % 97 == 0)
+        .select(F.col("p_partkey").alias("node"))
+    )
+    out = sssp_bounded(wedges, seeds, rounds=3)
+    return out.select(F.col("node").alias("p_partkey"), "dist").orderBy("p_partkey")
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_job_statistics": q01_job_statistics,
     "q02_metric_union": q02_metric_union,
@@ -5702,6 +5741,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q231_trimmed_means": q231_trimmed_means,
     "q232_spearman": q232_spearman,
     "q233_robust_outliers": q233_robust_outliers,
+    "q234_weighted_sssp": q234_weighted_sssp,
 }
 
 
@@ -10541,6 +10581,48 @@ ORACLES["q233_robust_outliers"] = """
     FROM d JOIN mad USING (g)
     GROUP BY d.g ORDER BY event_type
 """
+
+
+# q234: bounded Bellman-Ford — 3 unrolled relaxations, MATERIALIZED
+# (each round references the previous twice: plain CTEs would inline
+# 2^rounds copies — the q174 lesson)
+def _sssp_round(prev: str, cur: str) -> str:
+    return f"""{cur} AS MATERIALIZED (
+        SELECT node, min(dist) AS dist FROM (
+            SELECT node, dist FROM {prev}
+            UNION ALL
+            SELECT s.v AS node, {prev}.dist + s.w AS dist
+            FROM {prev} JOIN sym s ON {prev}.node = s.u
+        ) GROUP BY node
+    )"""
+
+
+ORACLES["q234_weighted_sssp"] = (
+    """
+    WITH inc AS (
+        SELECT DISTINCT l_orderkey AS ok, l_partkey AS p FROM lineitem
+    ), pairs AS (
+        SELECT a.p AS u, b.p AS v, count(*) AS n
+        FROM inc a JOIN inc b ON a.ok = b.ok AND a.p < b.p
+        GROUP BY a.p, b.p
+    ), wedges AS (
+        SELECT u, v,
+               CASE WHEN n >= 3 THEN 1 WHEN n = 2 THEN 2 ELSE 4 END AS w
+        FROM pairs
+    ), sym AS MATERIALIZED (
+        SELECT u, v, w FROM wedges
+        UNION ALL
+        SELECT v AS u, u AS v, w FROM wedges
+    ), d0 AS (
+        SELECT p_partkey AS node, CAST(0 AS BIGINT) AS dist
+        FROM part WHERE p_partkey % 97 = 0
+    ), """
+    + ",\n    ".join(_sssp_round(f"d{r - 1}", f"d{r}") for r in (1, 2, 3))
+    + """
+    SELECT node AS p_partkey, CAST(dist AS BIGINT) AS dist
+    FROM d3 ORDER BY p_partkey
+"""
+)
 
 
 def oracle_sql() -> dict[str, str]:

@@ -92,3 +92,91 @@ def test_validation(spark):
     s = spark.createDataFrame([(1,)], ["node"])
     with pytest.raises(ValueError, match=">= 0"):
         khop_distances(e, s, max_hops=-1)
+
+
+# ---- sssp_bounded (weighted Bellman-Ford, q234) ----------------------
+
+
+def _sssp_py(edges, seeds, rounds):
+    """dist = cheapest path using at most `rounds` edges."""
+    adj = {}
+    for u, v, w in edges:
+        adj.setdefault(u, []).append((v, w))
+        adj.setdefault(v, []).append((u, w))
+    dist = {s: 0 for s in seeds}
+    for _ in range(rounds):
+        nxt = dict(dist)
+        for n, d in dist.items():
+            for m, w in adj.get(n, ()):
+                if m not in nxt or d + w < nxt[m]:
+                    nxt[m] = d + w
+        dist = nxt
+    return dist
+
+
+EDGES_W = [
+    (1, 2, 5), (2, 3, 1), (1, 3, 10), (3, 4, 1), (4, 5, 1),
+    (5, 6, 1), (1, 6, 2), (7, 8, 3),
+]
+
+
+def _run_sssp(spark, rounds, seeds=(1,)):
+    from usajobs_etl_service_spark.operators.graphrank import sssp_bounded
+
+    e = spark.createDataFrame(EDGES_W, "u long, v long, w long")
+    s = spark.createDataFrame([(x,) for x in seeds], "node long")
+    got = sssp_bounded(e, s, rounds=rounds).collect()
+    return {r.node: r.dist for r in got}
+
+
+def test_sssp_matches_python_per_round(spark):
+    for rounds in (0, 1, 2, 3):
+        assert _run_sssp(spark, rounds) == _sssp_py(EDGES_W, [1], rounds)
+
+
+def test_sssp_cheap_detour_beats_direct_edge(spark):
+    # 1->3 direct costs 10; 1->2->3 costs 6 — visible from round 2
+    assert _run_sssp(spark, 1)[3] == 10
+    assert _run_sssp(spark, 2)[3] == 6
+
+
+def test_sssp_early_exit_equals_full_unroll(spark):
+    # diameter-exceeding rounds: early exit must equal the deep unroll
+    assert _run_sssp(spark, 10) == _sssp_py(EDGES_W, [1], 10)
+
+
+def test_sssp_multi_seed_and_disconnected(spark):
+    got = _run_sssp(spark, 3, seeds=(1, 7))
+    ref = _sssp_py(EDGES_W, [1, 7], 3)
+    assert got == ref
+    assert got[8] == 3  # reached from seed 7 only
+
+
+def test_sssp_unit_weights_reduce_to_hops(spark):
+    from usajobs_etl_service_spark.operators.graphrank import (
+        khop_distances,
+        sssp_bounded,
+    )
+
+    unit = [(u, v, 1) for u, v, _ in EDGES_W]
+    e = spark.createDataFrame(unit, "u long, v long, w long")
+    s = spark.createDataFrame([(1,)], "node long")
+    got = {r.node: r.dist for r in sssp_bounded(e, s, rounds=3).collect()}
+    hops = {
+        r.node: r.dist
+        for r in khop_distances(
+            e.select("u", "v"), s, max_hops=3, small_graph_edges=0
+        ).collect()
+    }
+    assert got == hops
+
+
+def test_sssp_validation(spark):
+    from usajobs_etl_service_spark.operators.graphrank import sssp_bounded
+
+    e = spark.createDataFrame(EDGES_W, "u long, v long, w long")
+    s = spark.createDataFrame([(1,)], "node long")
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        sssp_bounded(e, s, rounds=-1)

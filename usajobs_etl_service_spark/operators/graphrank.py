@@ -769,3 +769,97 @@ def label_propagation(
         nxt.write.mode("overwrite").parquet(out_path)
         labels = spark.read.parquet(out_path)
     return labels
+
+
+def sssp_bounded(
+    edges: DataFrame,
+    seeds: DataFrame,
+    *,
+    rounds: int = 3,
+    u: str = "u",
+    v: str = "v",
+    w: str = "w",
+) -> DataFrame:
+    """Bounded-round multi-source shortest paths over an undirected
+    WEIGHTED edge table — ``rounds`` synchronous Bellman-Ford
+    relaxations, so the result is EXACTLY "the cheapest path using at
+    most ``rounds`` edges" (well-defined for any weight sign; with
+    non-negative weights it converges to true shortest paths once
+    ``rounds`` reaches the hop diameter).  The weighted generalization
+    of :func:`khop_distances` (unit weights reduce to hop counts) and
+    the sixth iterative-graph member; like the others it is
+    round-unrollable, so a ``rounds``-deep SQL oracle checks it
+    relaxation-for-relaxation.
+
+    Per round: one frontier-free dist⋈edges hash join (every settled
+    node relaxes — Bellman-Ford's guarantee needs no frontier
+    bookkeeping) + one min-combine keyed on node.  Supersteps
+    materialize via parquet (clustering.py:134's lineage argument);
+    min-only-decreases means (count, sum(dist)) is a complete
+    change detector, so an unchanged round early-exits provably equal
+    to the full unroll.  Integer weights keep every distance exact in
+    any engine.  Seeds (first column of ``seeds``) start at distance
+    0; unreachable-within-``rounds`` nodes are absent.
+    """
+    import atexit
+    import os
+    import shutil
+    import tempfile
+
+    if rounds < 0:
+        raise ValueError(f"rounds must be >= 0, got {rounds}")
+    spark = edges.sparkSession
+    seed_col = seeds.columns[0]
+
+    e = (
+        edges.select(
+            F.col(u).alias("u"), F.col(v).alias("v"), F.col(w).alias("w")
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    base = tempfile.mkdtemp(prefix="sssp_rounds_")
+    atexit.register(shutil.rmtree, base, ignore_errors=True)
+
+    sym = e.unionAll(
+        e.select(F.col("v").alias("u"), F.col("u").alias("v"), F.col("w"))
+    )
+    sym.write.mode("overwrite").parquet(os.path.join(base, "edges"))
+    sym = spark.read.parquet(os.path.join(base, "edges"))
+
+    dist = (
+        seeds.select(F.col(seed_col).alias("node"))
+        .distinct()
+        .select("node", F.lit(0).cast("long").alias("dist"))
+    )
+    dist.write.mode("overwrite").parquet(os.path.join(base, "d0"))
+    dist = spark.read.parquet(os.path.join(base, "d0"))
+    sig = dist.agg(
+        F.count(F.lit(1)).alias("c"), F.coalesce(F.sum("dist"), F.lit(0)).alias("s")
+    ).first()
+
+    for r in range(1, rounds + 1):
+        relaxed = (
+            dist.join(sym, dist["node"] == sym["u"])
+            .select(F.col("v").alias("node"), (dist["dist"] + sym["w"]).alias("dist"))
+        )
+        nxt = (
+            dist.unionByName(relaxed)
+            .groupBy("node")
+            .agg(F.min("dist").alias("dist"))
+        )
+        out_path = os.path.join(base, f"d{r}")
+        nxt.write.mode("overwrite").parquet(out_path)
+        dist = spark.read.parquet(out_path)
+        new_sig = dist.agg(
+            F.count(F.lit(1)).alias("c"),
+            F.coalesce(F.sum("dist"), F.lit(0)).alias("s"),
+        ).first()
+        # min only ever decreases and nodes only get added, so an
+        # unchanged (count, sum) means a fixpoint: every later round
+        # is an identity
+        if (new_sig["c"], new_sig["s"]) == (sig["c"], sig["s"]):
+            break
+        sig = new_sig
+
+    return dist

@@ -5507,6 +5507,34 @@ def q234_weighted_sssp(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(F.col("node").alias("p_partkey"), "dist").orderBy("p_partkey")
 
 
+def q235_keep_best_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extension (retention policy — the RefinedWeb/CCNet 'keep the
+    best copy' rule): exact-duplicate clusters resolved by HIGHEST
+    quality (longest text, the C4 heuristic; tie -> lowest doc_id),
+    vs q05's arrival order and q64's min-id convention. Clusters key
+    on the 60-char PREFIX fingerprint — the truncated-copy detector
+    (a scrape cut mid-document shares the prefix but not the length),
+    which is exactly where keep-longest beats keep-any. Mega-cluster-
+    safe: no per-fingerprint window — best-quality aggregate,
+    equality join back, min-id aggregate, id join
+    (operators/dedup.dedup_keep_best). Output: the surviving doc per
+    multi-copy cluster with its cluster size."""
+    from usajobs_etl_service_spark.operators.dedup import dedup_keep_best
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        "n_chars",
+        F.md5(F.substring(F.col("text"), 1, 60)).alias("fp"),
+    )
+    kept = dedup_keep_best(docs, ["fp"], "n_chars", "doc_id")
+    return (
+        kept.filter(F.col("n_copies") > 1)
+        .select("fp", "doc_id", "source", "n_chars", "n_copies")
+        .orderBy(F.desc("n_copies"), "fp")
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_job_statistics": q01_job_statistics,
     "q02_metric_union": q02_metric_union,
@@ -5742,6 +5770,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q232_spearman": q232_spearman,
     "q233_robust_outliers": q233_robust_outliers,
     "q234_weighted_sssp": q234_weighted_sssp,
+    "q235_keep_best_dedup": q235_keep_best_dedup,
 }
 
 
@@ -10623,6 +10652,28 @@ ORACLES["q234_weighted_sssp"] = (
     FROM d3 ORDER BY p_partkey
 """
 )
+
+
+# q235: keep-best dedup — best-quality aggregate, maximal-row join
+# back, min-id winner, id join; survivors of multi-copy clusters
+ORACLES["q235_keep_best_dedup"] = """
+    WITH docs AS (
+        SELECT doc_id, source, n_chars,
+               md5(substr(text, 1, 60)) AS fp
+        FROM documents
+    ), best AS (
+        SELECT fp, max(n_chars) AS best_q, count(*) AS n_copies
+        FROM docs GROUP BY fp
+    ), winners AS (
+        SELECT d.fp, min(d.doc_id) AS win_id, max(b.n_copies) AS n_copies
+        FROM docs d JOIN best b ON d.fp = b.fp AND d.n_chars = b.best_q
+        GROUP BY d.fp
+    )
+    SELECT d.fp, d.doc_id, d.source, d.n_chars, w.n_copies
+    FROM docs d JOIN winners w ON d.doc_id = w.win_id
+    WHERE w.n_copies > 1
+    ORDER BY w.n_copies DESC, d.fp
+"""
 
 
 def oracle_sql() -> dict[str, str]:

@@ -13,6 +13,8 @@ a skewed dedup key, pre-aggregate with a salted two-phase min().
 
 from __future__ import annotations
 
+from functools import reduce
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -123,3 +125,48 @@ def unit_dedup_reassemble(
         )
         .select(F.col("__id").alias(id_col), "n_units", "n_kept", "text_dedup")
     )
+
+
+def dedup_keep_best(
+    df: DataFrame,
+    key_cols: list[str],
+    quality_col: str,
+    id_col: str,
+) -> DataFrame:
+    """Quality-aware canonical selection: one surviving row per
+    duplicate cluster, chosen by HIGHEST ``quality_col`` (tie: lowest
+    ``id_col``) — the RefinedWeb/CCNet retention policy ("keep the
+    best copy"), vs :func:`dedup_first_wins`' arrival order and the
+    dup-cluster resolver's min-id convention.
+
+    Mega-cluster-safe by construction: no per-key window/sort (a
+    fingerprint with millions of copies would pin one task).  Instead
+    three key-hash stages whose per-key state is O(1):
+    best-quality aggregate -> equality join back + min-id aggregate
+    over the maximal rows -> id semi-join lifts the full surviving
+    rows.  Adds ``n_copies`` (cluster size) to each survivor.  NULL
+    quality sorts below any value (max skips NULLs; an all-NULL
+    cluster falls back to min id).
+    """
+    # cluster-side key columns carry renamed aliases so the join-back
+    # never produces ambiguous attributes
+    bk = [f"__bk_{i}" for i in range(len(key_cols))]
+    best = df.groupBy(*[F.col(k).alias(a) for k, a in zip(key_cols, bk)]).agg(
+        F.max(quality_col).alias("__best_q"),
+        F.count(F.lit(1)).alias("n_copies"),
+    )
+    cond = [
+        F.col(k).eqNullSafe(F.col(a)) for k, a in zip(key_cols, bk)
+    ]
+    maximal = df.join(best, reduce(lambda x, y: x & y, cond)).filter(
+        F.col(quality_col).eqNullSafe(F.col("__best_q"))
+    )
+    winner_ids = maximal.groupBy(*bk).agg(
+        F.min(id_col).alias("__win_id"), F.max("n_copies").alias("n_copies")
+    )
+    # winner_ids is one row per cluster but open-cardinality — a plain
+    # hash join, never a broadcast hint (the q62 open-vocabulary rule)
+    return df.join(
+        winner_ids.select(F.col("__win_id"), F.col("n_copies")),
+        df[id_col] == F.col("__win_id"),
+    ).drop("__win_id")

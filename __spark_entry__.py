@@ -5535,6 +5535,27 @@ def q235_keep_best_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q236_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extension (ranking evaluation — Järvelin & Kekäläinen 2002
+    NDCG@100, the IR-eval completion: q221's AUC integrates the whole
+    curve, NDCG grades the TOP of the ranking, which is what a
+    retrieval/curation cutoff actually ships): the q196 classifier's
+    score ranking against the keyword relevance label. Ranked and
+    ideal lists are TakeOrdered top-k pulls (per-partition k-heaps, no
+    global sort); positions come from a window over the bounded k-row
+    result; tiebreaks pin both lists cross-engine
+    (operators/evalmetrics.ndcg_at_k)."""
+    from usajobs_etl_service_spark.operators.evalmetrics import ndcg_at_k
+
+    return ndcg_at_k(
+        _classifier_scored_with_label(spark, sf_dir),
+        "score",
+        "y",
+        "doc_id",
+        k=100,
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_job_statistics": q01_job_statistics,
     "q02_metric_union": q02_metric_union,
@@ -5771,6 +5792,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q233_robust_outliers": q233_robust_outliers,
     "q234_weighted_sssp": q234_weighted_sssp,
     "q235_keep_best_dedup": q235_keep_best_dedup,
+    "q236_ndcg": q236_ndcg,
 }
 
 
@@ -10674,6 +10696,31 @@ ORACLES["q235_keep_best_dedup"] = """
     WHERE w.n_copies > 1
     ORDER BY w.n_copies DESC, d.fp
 """
+
+
+# q236: NDCG@100 — score-ranked and relevance-ideal top-k lists,
+# identical tiebreaks, rel / log2(pos + 1)
+ORACLES["q236_ndcg"] = (
+    _CLASSIFIER_SCORED_SQL
+    + """
+    , rk AS (
+        SELECT y, row_number() OVER (ORDER BY score DESC, doc_id) AS pos
+        FROM sc
+    ), d AS (
+        SELECT sum(y / log2(pos + 1)) AS dcg, count(*) AS n
+        FROM rk WHERE pos <= 100
+    ), ik AS (
+        SELECT y, row_number() OVER (ORDER BY y DESC, doc_id) AS pos
+        FROM sc
+    ), i AS (
+        SELECT sum(y / log2(pos + 1)) AS idcg FROM ik WHERE pos <= 100
+    )
+    SELECT 100 AS k, CAST(n AS BIGINT) AS n_ranked,
+           round(dcg, 6) AS dcg, round(idcg, 6) AS idcg,
+           round(dcg / idcg, 6) AS ndcg
+    FROM d CROSS JOIN i
+"""
+)
 
 
 def oracle_sql() -> dict[str, str]:

@@ -262,3 +262,51 @@ def test_grouped_auc_single_class_slice_is_null(spark):
     got = {r.grp: r for r in exact_auc_by_group(df, "score", "y", "grp").collect()}
     assert got["pos_only"].auc is None
     assert got["mixed"].auc == 1.0
+
+
+def _ndcg_py(rows, k):
+    import math as _m
+
+    ranked = sorted(rows, key=lambda r: (-r[1], r[0]))[:k]
+    ideal = sorted(rows, key=lambda r: (-r[2], r[0]))[:k]
+    dcg = sum(r[2] / _m.log2(i + 2) for i, r in enumerate(ranked))
+    idcg = sum(r[2] / _m.log2(i + 2) for i, r in enumerate(ideal))
+    return dcg, idcg, (dcg / idcg if idcg else None)
+
+
+def test_ndcg_matches_python_graded(spark):
+    from usajobs_etl_service_spark.operators.evalmetrics import ndcg_at_k
+
+    rows = [(i, ((i * 7) % 13) / 12.0, float((i * 5) % 4)) for i in range(40)]
+    df = spark.createDataFrame(rows, "id long, score double, rel double")
+    r = ndcg_at_k(df, "score", "rel", "id", k=10).collect()[0]
+    dcg, idcg, ndcg = _ndcg_py(rows, 10)
+    assert (r.k, r.n_ranked) == (10, 10)
+    assert r.dcg == pytest.approx(round(dcg, 6), abs=1e-9)
+    assert r.idcg == pytest.approx(round(idcg, 6), abs=1e-9)
+    assert r.ndcg == pytest.approx(round(ndcg, 6), abs=1e-9)
+
+
+def test_ndcg_perfect_ranking_is_one(spark):
+    from usajobs_etl_service_spark.operators.evalmetrics import ndcg_at_k
+
+    rows = [(i, 1.0 - i / 10.0, float(10 - i)) for i in range(10)]
+    df = spark.createDataFrame(rows, "id long, score double, rel double")
+    assert ndcg_at_k(df, "score", "rel", "id", k=10).collect()[0].ndcg == 1.0
+
+
+def test_ndcg_zero_relevance_is_null(spark):
+    from usajobs_etl_service_spark.operators.evalmetrics import ndcg_at_k
+
+    rows = [(i, float(i), 0.0) for i in range(5)]
+    df = spark.createDataFrame(rows, "id long, score double, rel double")
+    r = ndcg_at_k(df, "score", "rel", "id", k=5).collect()[0]
+    assert r.ndcg is None and r.dcg == 0.0
+
+
+def test_ndcg_k_validation(spark):
+    from usajobs_etl_service_spark.operators.evalmetrics import ndcg_at_k
+
+    df = spark.createDataFrame([(1, 0.5, 1.0)], "id long, score double, rel double")
+    with pytest.raises(ValueError):
+        ndcg_at_k(df, "score", "rel", "id", k=0)

@@ -381,3 +381,63 @@ def calibration_report(
         )
         .orderBy("bin")
     )
+
+
+def ndcg_at_k(
+    df: DataFrame,
+    score_col: str,
+    rel_col: str,
+    tiebreak_col: str,
+    *,
+    k: int = 100,
+) -> DataFrame:
+    """NDCG@k (Järvelin & Kekäläinen 2002) of the ``score_col`` ranking
+    against graded relevance ``rel_col`` — the IR-eval completion of
+    the family (AUC integrates the whole curve; NDCG grades the top of
+    the ranking, which is what a retrieval/curation cutoff ships).
+
+    Both the ranked list and the ideal list are TakeOrdered top-k
+    pulls (per-partition k-heaps — no global sort); positions come
+    from a window over the k-row result (bounded by construction, the
+    life-table posture).  ``DCG = sum(rel / log2(pos + 1))``; the
+    ideal list ranks by relevance itself, so graded relevance needs no
+    closed form.  Ties pin on ``tiebreak_col`` in BOTH lists — NDCG is
+    then deterministic cross-engine (log2 per the q218 ln contract;
+    sums of k terms round-6 stable).  Zero-relevance inputs give NULL
+    ndcg via ``try_divide``.  Returns one row:
+    ``k, n_ranked, dcg, idcg, ndcg``.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    clean = df.select(
+        F.col(score_col).alias("__s"),
+        F.col(rel_col).cast("double").alias("__r"),
+        F.col(tiebreak_col).alias("__tb"),
+    ).filter(F.col("__s").isNotNull() & F.col("__r").isNotNull())
+
+    def _dcg(ordered: DataFrame, order_cols) -> DataFrame:
+        top = ordered.orderBy(*order_cols).limit(k)
+        w = Window.orderBy(*order_cols)  # k rows, bounded
+        return (
+            top.withColumn("__pos", F.row_number().over(w))
+            .agg(
+                F.sum(
+                    F.col("__r") / F.log2(F.col("__pos") + 1)
+                ).alias("dcg"),
+                F.count(F.lit(1)).alias("n"),
+            )
+        )
+    ranked = _dcg(clean, [F.col("__s").desc(), F.col("__tb").asc()])
+    ideal = _dcg(clean, [F.col("__r").desc(), F.col("__tb").asc()])
+    return (
+        ranked.crossJoin(
+            ideal.select(F.col("dcg").alias("__idcg"))
+        )
+        .select(
+            F.lit(k).alias("k"),
+            F.col("n").alias("n_ranked"),
+            F.round("dcg", 6).alias("dcg"),
+            F.round("__idcg", 6).alias("idcg"),
+            F.round(F.try_divide(F.col("dcg"), F.col("__idcg")), 6).alias("ndcg"),
+        )
+    )

@@ -10687,8 +10687,13 @@ ORACLES["q235_keep_best_dedup"] = """
         SELECT fp, max(n_chars) AS best_q, count(*) AS n_copies
         FROM docs GROUP BY fp
     ), winners AS (
+        -- IS NOT DISTINCT FROM == the operator's eqNullSafe: a NULL
+        -- key still forms a cluster, and an all-NULL-quality cluster
+        -- falls back to min id instead of vanishing
         SELECT d.fp, min(d.doc_id) AS win_id, max(b.n_copies) AS n_copies
-        FROM docs d JOIN best b ON d.fp = b.fp AND d.n_chars = b.best_q
+        FROM docs d JOIN best b
+          ON d.fp IS NOT DISTINCT FROM b.fp
+         AND d.n_chars IS NOT DISTINCT FROM b.best_q
         GROUP BY d.fp
     )
     SELECT d.fp, d.doc_id, d.source, d.n_chars, w.n_copies

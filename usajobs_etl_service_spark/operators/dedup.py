@@ -13,8 +13,6 @@ a skewed dedup key, pre-aggregate with a salted two-phase min().
 
 from __future__ import annotations
 
-from functools import reduce
-
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -148,6 +146,8 @@ def dedup_keep_best(
     quality sorts below any value (max skips NULLs; an all-NULL
     cluster falls back to min id).
     """
+    if not key_cols:
+        raise ValueError("key_cols must be non-empty")
     # cluster-side key columns carry renamed aliases so the join-back
     # never produces ambiguous attributes
     bk = [f"__bk_{i}" for i in range(len(key_cols))]
@@ -158,7 +158,7 @@ def dedup_keep_best(
     cond = [
         F.col(k).eqNullSafe(F.col(a)) for k, a in zip(key_cols, bk)
     ]
-    maximal = df.join(best, reduce(lambda x, y: x & y, cond)).filter(
+    maximal = df.join(best, cond).filter(
         F.col(quality_col).eqNullSafe(F.col("__best_q"))
     )
     winner_ids = maximal.groupBy(*bk).agg(

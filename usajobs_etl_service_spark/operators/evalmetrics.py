@@ -138,10 +138,13 @@ def exact_auc_by_group(
     )
     cum = ordered_cumsum(pts, [F.col("__g").asc(), F.col("__s").asc()], ["tie_n"])
     # per-group prior totals: |groups| rows, the only no-partition
-    # window runs over that bounded frame (the _offsets posture)
+    # window runs over that bounded frame (the _offsets posture).
+    # Derived from CUM — the persisted ranged relation — not from pts,
+    # whose unpersisted lineage would re-execute the whole upstream
+    # (q230: the full classifier featurization) a second time
     w_prior = Window.orderBy("__g").rowsBetween(Window.unboundedPreceding, -1)
     priors = (
-        pts.groupBy("__g")
+        cum.groupBy("__g")
         .agg(F.sum("tie_n").alias("__gt"))
         .withColumn("__goff", F.coalesce(F.sum("__gt").over(w_prior), F.lit(0)))
         .select("__g", "__goff")
@@ -288,14 +291,24 @@ def spearman(
     ops on identical operands.  Degenerate inputs (a constant variable)
     yield NULL via ``try_divide``.  Returns one row: ``n, rho``.
     """
-    clean = df.select(
-        F.col(x_col).alias("__x"),
-        F.col(y_col).alias("__y"),
-        F.col(tiebreak_col).alias("__tb"),
-    ).filter(
-        F.col("__x").isNotNull()
-        & F.col("__y").isNotNull()
-        & F.col("__tb").isNotNull()
+    from pyspark.storagelevel import StorageLevel
+
+    clean = (
+        df.select(
+            F.col(x_col).alias("__x"),
+            F.col(y_col).alias("__y"),
+            F.col(tiebreak_col).alias("__tb"),
+        )
+        .filter(
+            F.col("__x").isNotNull()
+            & F.col("__y").isNotNull()
+            & F.col("__tb").isNotNull()
+        )
+        # four consumers (two per-value aggregates + two value
+        # join-backs) — persist so an expensive upstream derivation is
+        # computed once; released by the ContextCleaner once the
+        # returned plan is garbage-collected (the _ranged posture)
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
 
     def _ranks(col: str, out: str) -> DataFrame:

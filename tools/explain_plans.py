@@ -53,7 +53,7 @@ HEADLINERS = {
     "q196_quality_classifier": "classifier inference: BroadcastHashJoin of the <=width-row model onto the exploded feature stream; the only hash exchange is the per-document mean",
     "q202_bootstrap_ci": "bootstrap: md5 row seed once per row BEFORE the replicate explode; per-replicate integer mixer + inverse-CDF CASE over a PROJECTED uniform (inlining would double the hot path); (group, b) aggregate bounded by map-side combine",
     "q216_hilbert_layout": "Hilbert index: 8 chained codegen'd rotate-and-accumulate projections in the scan stage — no UDF, no shuffle before the bucket aggregate",
-    "q221_classifier_auc": "exact rank-sum AUC: rangepartitioning Exchange + per-partition-id windows (the distributed_order split — no no-partition WindowExec over data), per-score tie collapse, scalar fold",
+    "q221_classifier_auc": "exact rank-sum AUC, aggregate-first: the per-score HashAggregate collapses duplicate scores map-side BEFORE the wire; the rangepartitioning Exchange + per-partition-id windows (the distributed_order split) run over the DISTINCT support only, then one scalar fold — no row-level range repartition, no no-partition WindowExec over data",
     "q224_quantile_normalization": "quantile normalization: two materialized range Exchanges (within-group + pooled ranks), |groups|-row offset broadcast, integer-key equi join — no per-group sort, no interpolation",
     "q118_heavy_hitters": "Misra-Gries candidate pass in mapInPandas (no shuffle, O(k) state), candidate union broadcast into a LeftSemi BroadcastHashJoin — the exact-count aggregate shuffles only candidate-key rows, never the open token domain",
     "q122_revenue_gini": "rank-formula Gini over the distributed global rank: rangepartitioning + pid windows + scalar final aggregate",

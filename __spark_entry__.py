@@ -5556,6 +5556,28 @@ def q236_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q237_grouped_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extension (exact grouped quantile bands — the q233 argument
+    generalized to arbitrary fractions): per-priority order-value
+    p25/p50/p75/p90/p99, EXACT quantile_cont interpolation with no
+    per-group value buffer (F.percentile's per-group buffer melts on a
+    mega-group; here the group-leading ranking selects only the <= 2
+    bracketing rows per fraction —
+    operators/robust.grouped_quantiles). The lerp is the explicit
+    lo + (h - floor(h))*(hi - lo) spelled identically in the oracle:
+    engines' builtin quantile lerp VARIANTS round differently, so the
+    contract is the formula, never the builtin."""
+    from usajobs_etl_service_spark.operators.robust import grouped_quantiles
+
+    return grouped_quantiles(
+        _t(spark, sf_dir, "orders"),
+        "o_totalprice",
+        "o_orderpriority",
+        "o_orderkey",
+        [0.25, 0.5, 0.75, 0.9, 0.99],
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_job_statistics": q01_job_statistics,
     "q02_metric_union": q02_metric_union,
@@ -5793,6 +5815,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q234_weighted_sssp": q234_weighted_sssp,
     "q235_keep_best_dedup": q235_keep_best_dedup,
     "q236_ndcg": q236_ndcg,
+    "q237_grouped_quantiles": q237_grouped_quantiles,
 }
 
 
@@ -10726,6 +10749,35 @@ ORACLES["q236_ndcg"] = (
     FROM d CROSS JOIN i
 """
 )
+
+
+# q237: grouped exact quantile bands — bracketing ranks per fraction,
+# explicit lerp lo + (h - floor(h)) * (hi - lo)
+ORACLES["q237_grouped_quantiles"] = """
+    WITH e AS (
+        SELECT o_orderpriority AS g, CAST(o_totalprice AS DOUBLE) AS v,
+               o_orderkey AS tb
+        FROM orders
+        WHERE o_orderpriority IS NOT NULL AND o_totalprice IS NOT NULL
+    ), r AS (
+        SELECT g, v,
+               row_number() OVER (PARTITION BY g ORDER BY v, tb) AS grn,
+               count(*) OVER (PARTITION BY g) AS n
+        FROM e
+    ), fr AS (
+        SELECT unnest([0.25, 0.5, 0.75, 0.9, 0.99]::DOUBLE[]) AS q
+    ), b AS (
+        SELECT g, q, n, v, (n - 1) * q + 1 AS h
+        FROM r CROSS JOIN fr
+        WHERE grn = floor((n - 1) * q + 1) OR grn = ceil((n - 1) * q + 1)
+    ), a AS (
+        SELECT g, q, max(n) AS n, min(v) AS lo, max(v) AS hi, max(h) AS hm
+        FROM b GROUP BY g, q
+    )
+    SELECT g AS o_orderpriority, q AS fraction, CAST(n AS BIGINT) AS n,
+           round(lo + (hm - floor(hm)) * (hi - lo), 6) AS value
+    FROM a ORDER BY g, q
+"""
 
 
 def oracle_sql() -> dict[str, str]:

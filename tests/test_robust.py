@@ -160,3 +160,64 @@ def test_grouped_median_mad_zero_mad_counts_nothing(spark):
     df = spark.createDataFrame(rows, "id long, grp string, v double")
     r = grouped_median_mad(df, "v", "grp", "id").collect()[0]
     assert (r.median, r.mad, r.n_outliers) == (5.0, 0.0, 0)
+
+
+def _qcont_py(vals, q):
+    s = sorted(vals)
+    h = (len(s) - 1) * q + 1
+    lo, hi = s[int(math.floor(h)) - 1], s[int(math.ceil(h)) - 1]
+    return lo + (h - math.floor(h)) * (hi - lo)
+
+
+def test_grouped_quantiles_matches_python(spark):
+    from usajobs_etl_service_spark.operators.robust import grouped_quantiles
+
+    groups = {
+        "a": [float((i * 17) % 101) for i in range(37)],
+        "b": [float((i * 29) % 53) * 10 for i in range(24)],
+        "one": [42.0],
+    }
+    rows = [
+        (gi * 1000 + i, g, v)
+        for gi, (g, vals) in enumerate(sorted(groups.items()))
+        for i, v in enumerate(vals)
+    ]
+    df = spark.createDataFrame(rows, "id long, grp string, v double")
+    fr = [0.0, 0.25, 0.5, 0.9, 1.0]
+    got = {
+        (r.grp, r.fraction): (r.n, r.value)
+        for r in grouped_quantiles(df, "v", "grp", "id", fr).collect()
+    }
+    for g, vals in groups.items():
+        for q in fr:
+            n, v = got[(g, q)]
+            assert n == len(vals)
+            assert v == pytest.approx(round(_qcont_py(vals, q), 6), abs=1e-9)
+
+
+def test_grouped_quantiles_spark_percentile_parity(spark):
+    from usajobs_etl_service_spark.operators.robust import grouped_quantiles
+    from pyspark.sql import functions as F
+
+    rows = [(i, "g", float((i * 13) % 97)) for i in range(50)]
+    df = spark.createDataFrame(rows, "id long, grp string, v double")
+    got = {
+        r.fraction: r.value
+        for r in grouped_quantiles(df, "v", "grp", "id", [0.5, 0.9]).collect()
+    }
+    ref = df.agg(
+        F.expr("percentile(v, 0.5)").alias("p50"),
+        F.expr("percentile(v, 0.9)").alias("p90"),
+    ).collect()[0]
+    assert got[0.5] == pytest.approx(ref.p50, abs=1e-6)
+    assert got[0.9] == pytest.approx(ref.p90, abs=1e-6)
+
+
+def test_grouped_quantiles_validation(spark):
+    from usajobs_etl_service_spark.operators.robust import grouped_quantiles
+
+    df = spark.createDataFrame([(1, "g", 1.0)], "id long, grp string, v double")
+    with pytest.raises(ValueError):
+        grouped_quantiles(df, "v", "grp", "id", [])
+    with pytest.raises(ValueError):
+        grouped_quantiles(df, "v", "grp", "id", [1.5])

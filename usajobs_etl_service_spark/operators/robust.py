@@ -24,7 +24,7 @@ from pyspark.sql import functions as F
 
 from usajobs_etl_service_spark.operators.distributed_order import grouped_row_number
 
-__all__ = ["trimmed_stats", "grouped_median_mad"]
+__all__ = ["trimmed_stats", "grouped_median_mad", "grouped_quantiles"]
 
 
 def trimmed_stats(
@@ -150,3 +150,71 @@ def grouped_median_mad(
         .withColumnRenamed("__g", group_col)
         .orderBy(group_col)
     )
+
+
+def grouped_quantiles(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    id_col: str,
+    fractions: list[float],
+) -> DataFrame:
+    """Per-group EXACT interpolated quantiles (``quantile_cont``
+    semantics: index h = (n-1)*q + 1, linear interpolation between the
+    two bracketing order statistics) at every fraction in ONE pass of
+    the rank machinery — and, like :func:`grouped_median_mad`, with no
+    per-group value buffer: Spark's exact ``F.percentile`` collects
+    each group's values into a single task's buffer, which melts on a
+    mega-group; here the group-leading ranking selects only the <= 2
+    bracketing rows per (group, fraction).
+
+    The interpolation is spelled ``lo + (h - floor(h)) * (hi - lo)``
+    IDENTICALLY in the oracle — engines' built-in quantile lerp
+    variants (``(1-w)*lo + w*hi`` vs this form) round differently, so
+    the contract is the explicit formula, not the builtin.  Returns
+    ``(group_col, fraction, n, value)`` ordered by group, fraction.
+    NULL groups/values excluded."""
+    if not fractions:
+        raise ValueError("fractions must be non-empty")
+    if any(not 0.0 <= q <= 1.0 for q in fractions):
+        raise ValueError(f"fractions must be in [0, 1], got {fractions}")
+    clean = df.select(
+        F.col(group_col).alias("__g"),
+        F.col(value_col).cast("double").alias("__v"),
+        F.col(id_col).alias("__tb"),
+    ).filter(F.col("__g").isNotNull() & F.col("__v").isNotNull())
+    ranked = grouped_row_number(
+        clean, "__g", [F.col("__v"), F.col("__tb")], out_col="__grn", n_col="__n"
+    )
+    # one output leg per fraction: the bracketing ranks lo = floor(h),
+    # hi = ceil(h) with h = (n-1)*q + 1; a row can bracket several
+    # fractions, so legs are unioned (|fractions| bounded, plan-time)
+    legs = []
+    for q in fractions:
+        h = (F.col("__n") - 1) * F.lit(float(q)) + 1
+        lo, hi = F.floor(h), F.ceil(h)
+        legs.append(
+            ranked.filter((F.col("__grn") == lo) | (F.col("__grn") == hi))
+            .withColumn("__q", F.lit(float(q)))
+            .withColumn("__h", h)
+        )
+    picked = legs[0]
+    for leg in legs[1:]:
+        picked = picked.unionByName(leg)
+    # per (group, fraction): min row = lo statistic, max row = hi
+    # statistic (equal when h is integral); explicit lerp
+    agg = picked.groupBy("__g", "__q").agg(
+        F.max("__n").alias("n"),
+        F.min("__v").alias("__lo"),
+        F.max("__v").alias("__hi"),
+        F.max("__h").alias("__hmax"),
+    )
+    value = F.col("__lo") + (
+        F.col("__hmax") - F.floor("__hmax")
+    ) * (F.col("__hi") - F.col("__lo"))
+    return agg.select(
+        F.col("__g").alias(group_col),
+        F.col("__q").alias("fraction"),
+        "n",
+        F.round(value, 6).alias("value"),
+    ).orderBy(group_col, "fraction")

@@ -10569,7 +10569,10 @@ ORACLES["q230_sliced_auc"] = (
 # sum = kept_sum + k*lo + k*hi (no second pass)
 ORACLES["q231_trimmed_means"] = """
     WITH r AS (
-        SELECT o_orderpriority AS g, o_totalprice AS v,
+        -- double cast matches trimmed_stats' clean select: both engines
+        -- do double arithmetic (decimal HALF_UP vs double half-even
+        -- diverge at exact x.xxxx5 boundaries)
+        SELECT o_orderpriority AS g, CAST(o_totalprice AS DOUBLE) AS v,
                row_number() OVER (PARTITION BY o_orderpriority
                                   ORDER BY o_totalprice, o_orderkey) AS grn,
                count(*) OVER (PARTITION BY o_orderpriority) AS n

@@ -38,3 +38,16 @@ def test_multi_column_key(spark):
     out = dedup_keep_best(df, ["fp", "payload"], "q", "id").collect()
     # clusters: (a,x) -> id 2 (q 9); (a,y) -> id 3
     assert sorted((r.id, r.n_copies) for r in out) == [(2, 2), (3, 1)]
+
+
+def test_colliding_input_columns_rejected(spark):
+    # an input already carrying the n_copies output (or any __dkb_
+    # working name) must error loudly, not silently produce
+    # ambiguous/duplicate columns after the joins
+    import pytest
+
+    df = spark.createDataFrame(
+        [(1, "a", 5, 2)], "id long, fp string, q long, n_copies long"
+    )
+    with pytest.raises(ValueError, match="n_copies"):
+        dedup_keep_best(df, ["fp"], "q", "id")

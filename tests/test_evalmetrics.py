@@ -167,6 +167,16 @@ def test_calibration_bins_and_ece(spark):
     assert out[0].ece == pytest.approx(0.2625, abs=1e-9)
 
 
+def test_calibration_out_of_domain_scores_clamped(spark):
+    # scores outside the documented [0, 1] domain land in the boundary
+    # bins (0 and n_bins-1) — never a negative or >= n_bins bin id
+    rows = [(0, -0.3, 0), (1, 1.7, 1), (2, 0.55, 1)]
+    df = spark.createDataFrame(rows, "id long, score double, y int")
+    out = {r.bin: r for r in calibration_report(df, "score", "y", n_bins=10).collect()}
+    assert sorted(out) == [0, 5, 9]
+    assert out[0].n == 1 and out[9].n == 1
+
+
 def test_auc_is_one_lazy_plan(spark):
     """Construction must run no job (the skew_safe_join lesson)."""
     sc = spark.sparkContext

@@ -3,11 +3,19 @@
 same sf dir, compare row count, column names, and order-insensitive
 values (floats compared after rounding at display precision).
 
-Usage: python tools/verify_oracle.py [sf_dir] [query ...]
+Usage::
+
+    python tools/verify_oracle.py [sf_dir] [--queries q01_stats q03_...]
+    python tools/verify_oracle.py --sf-dir /root/testdata/sf0.1
+
+``sf_dir`` defaults to ``/root/testdata/sf0.01`` (the driver's gate
+SF); unknown flags are rejected loudly (argparse), and bare query
+names may also trail the positional sf_dir for back-compat.
 """
 
 from __future__ import annotations
 
+import argparse
 import math
 import os
 import sys
@@ -61,8 +69,45 @@ def compare(name: str, spark, con, sf_dir: str) -> str:
 
 
 def main():
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
-    names = sys.argv[2:] or list(entrymod.queries())
+    ap = argparse.ArgumentParser(
+        description="Run queries() vs oracle_sql() side-by-side and compare."
+    )
+    ap.add_argument(
+        "sf_dir",
+        nargs="?",
+        default="/root/testdata/sf0.01",
+        help="testdata scale-factor dir (default: %(default)s)",
+    )
+    ap.add_argument(
+        "names",
+        nargs="*",
+        metavar="query",
+        help="query names to check (default: the full registry)",
+    )
+    ap.add_argument(
+        "--sf-dir",
+        dest="sf_dir_flag",
+        default=None,
+        help="alternative spelling of the positional sf_dir",
+    )
+    ap.add_argument(
+        "--queries",
+        nargs="+",
+        default=None,
+        metavar="NAME",
+        help="query names to check (same as trailing positionals)",
+    )
+    args = ap.parse_args()
+    sf_dir = args.sf_dir_flag or args.sf_dir
+    if not os.path.isdir(sf_dir):
+        ap.error(f"sf_dir is not a directory: {sf_dir!r}")
+    registry = entrymod.queries()
+    names = (args.queries or []) + args.names or list(registry)
+    unknown = [n for n in names if n not in registry]
+    if unknown:
+        ap.error(
+            f"unknown query name(s): {unknown}; registry has {len(registry)}"
+        )
     spark = get_spark("verify_oracle")
     con = duckdb.connect()
     for t in TABLES:

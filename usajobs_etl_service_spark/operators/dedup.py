@@ -148,25 +148,36 @@ def dedup_keep_best(
     """
     if not key_cols:
         raise ValueError("key_cols must be non-empty")
+    # every working column is __dkb_-prefixed and collision-checked:
+    # an input that already carries one (incl. the n_copies output)
+    # must error loudly, not produce ambiguous attributes post-join
+    work = {"__dkb_best_q", "__dkb_n_copies", "__dkb_win_id", "n_copies"}
+    clash = work.intersection(df.columns)
+    if clash:
+        raise ValueError(
+            f"dedup_keep_best: input columns collide with working/output "
+            f"names {sorted(clash)}; rename them first"
+        )
     # cluster-side key columns carry renamed aliases so the join-back
     # never produces ambiguous attributes
-    bk = [f"__bk_{i}" for i in range(len(key_cols))]
+    bk = [f"__dkb_bk_{i}" for i in range(len(key_cols))]
     best = df.groupBy(*[F.col(k).alias(a) for k, a in zip(key_cols, bk)]).agg(
-        F.max(quality_col).alias("__best_q"),
-        F.count(F.lit(1)).alias("n_copies"),
+        F.max(quality_col).alias("__dkb_best_q"),
+        F.count(F.lit(1)).alias("__dkb_n_copies"),
     )
     cond = [
         F.col(k).eqNullSafe(F.col(a)) for k, a in zip(key_cols, bk)
     ]
     maximal = df.join(best, cond).filter(
-        F.col(quality_col).eqNullSafe(F.col("__best_q"))
+        F.col(quality_col).eqNullSafe(F.col("__dkb_best_q"))
     )
     winner_ids = maximal.groupBy(*bk).agg(
-        F.min(id_col).alias("__win_id"), F.max("n_copies").alias("n_copies")
+        F.min(id_col).alias("__dkb_win_id"),
+        F.max("__dkb_n_copies").alias("n_copies"),
     )
     # winner_ids is one row per cluster but open-cardinality — a plain
     # hash join, never a broadcast hint (the q62 open-vocabulary rule)
     return df.join(
-        winner_ids.select(F.col("__win_id"), F.col("n_copies")),
-        df[id_col] == F.col("__win_id"),
-    ).drop("__win_id")
+        winner_ids.select(F.col("__dkb_win_id"), F.col("n_copies")),
+        df[id_col] == F.col("__dkb_win_id"),
+    ).drop("__dkb_win_id")

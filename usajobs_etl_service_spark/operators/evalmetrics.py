@@ -351,8 +351,10 @@ def calibration_report(
     Equal-width bins on the ROUNDED score (the q196 contract: a raw
     sigmoid within float noise of a bin edge would land in different
     bins across engines; ``round(score, score_decimals)`` pins the bin
-    assignment).  The top edge closes the last bin
-    (``min(floor(s*k), k-1)``).  Per bin: row count, mean score
+    assignment).  Bin ids are clamped to [0, k-1] on BOTH edges —
+    the top edge closes the last bin, and an out-of-domain score
+    (<0 or >1) lands in the boundary bin rather than minting a
+    silent negative/overflow bin id.  Per bin: row count, mean score
     (confidence), mean label (accuracy), |gap|; the one-row total —
     ECE (the bin-weight-averaged |gap|) and the global Brier score
     (mean squared error of the probability, the PROPER scoring rule
@@ -361,8 +363,13 @@ def calibration_report(
     are absent (their ECE weight is zero).
     """
     s = F.round(F.col(score_col), score_decimals)
+    # clamp BOTH edges: scores outside the documented [0, 1] domain
+    # land in the boundary bins instead of producing negative / >k-1
+    # bin ids silently
     binned = df.select(
-        F.least(F.floor(s * n_bins), F.lit(n_bins - 1)).cast("int").alias("bin"),
+        F.greatest(
+            F.least(F.floor(s * n_bins), F.lit(n_bins - 1)), F.lit(0)
+        ).cast("int").alias("bin"),
         s.alias("__s"),
         F.col(label_col).cast("double").alias("__y"),
     ).filter(F.col("__s").isNotNull() & F.col("__y").isNotNull())

@@ -47,9 +47,14 @@ def trimmed_stats(
     """
     if not 0.0 <= trim_frac < 0.5:
         raise ValueError(f"trim_frac must be in [0, 0.5), got {trim_frac}")
+    # double cast matches the sibling rank functions: a DECIMAL input
+    # would make Spark divide exact-decimal with HALF_UP while an
+    # oracle's decimal->double division rounds half-even — a sum of
+    # 2-decimal values over an integer count lands on x.xxxx5 routinely,
+    # so the contract is double arithmetic in BOTH engines
     clean = df.select(
         F.col(group_col).alias("__g"),
-        F.col(value_col).alias("__v"),
+        F.col(value_col).cast("double").alias("__v"),
         F.col(id_col).alias("__tb"),
     ).filter(F.col("__g").isNotNull() & F.col("__v").isNotNull())
     within = grouped_row_number(

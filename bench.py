@@ -13,10 +13,20 @@ JSON object. The full per-query dict rides on the first line and is
 also persisted to BENCH_DETAIL.json next to this file.
 
 Each query is materialized with the noop sink (full computation, no
-driver collect). The headline value is the sum of per-query seconds;
-queries under 15 s contribute their median of 3 runs (single-shot GC
-noise was ±40% on the short ones — see SCALE.md), with
-{median,min,max} per query in BENCH_DETAIL.json. Any query slower than
+driver collect). The headline value is the sum of per-query seconds.
+Timing protocol (regression-grade, round-11): the first execution of
+each query is the WARM-UP — it pays plan compile + codegen + cache
+fill and is recorded separately (``cold_sec``), never mixed into the
+headline number. Queries whose warm-up ran under 15 s then contribute
+the MEDIAN OF 3 fully-warm repeats ({median,min,max,cold} per query in
+BENCH_DETAIL.json); genuinely long queries keep their single (cold)
+shot — their GC/codegen share is small and quadrupling them would
+dominate wall-clock. A fixed sf-INDEPENDENT calibration probe (a
+seeded range->shuffle->agg) is timed at suite start and end
+(``calibration_sec_start/end``): two artifacts from differently-noisy
+hosts can be compared on total/calibration ratios instead of raw
+seconds (the round-10 lesson: 188 unchanged queries drifted +40% on
+identical code purely from host noise). Any query slower than
 10x the registry median (and > 5 s) is named in "slow_outliers" on the
 headline line and flagged loudly on stderr — the round-7 q153 lesson.
 Reference floors for context (BASELINE.md): upsert >50 rows/s, JSON
@@ -48,6 +58,27 @@ def _bench_tmp_base() -> str:
 def materialize(df) -> int:
     df.write.format("noop").mode("overwrite").save()
     return 0
+
+
+def calibration_probe(spark) -> float:
+    """Fixed, sf-independent reference workload: seeded range ->
+    hash-keyed shuffle agg -> sort, materialized to noop. Its runtime
+    moves with HOST noise (CPU contention, GC, thermal state), not
+    with the engine under test, so total/calibration is comparable
+    across artifacts measured on differently-noisy hosts. Timed twice
+    per suite (start + end) to also expose WITHIN-run drift."""
+    from pyspark.sql import functions as F
+
+    t0 = time.perf_counter()
+    df = (
+        spark.range(0, 20_000_000, 1, 32)
+        .select((F.xxhash64("id") % 100_000).alias("k"), F.col("id").alias("v"))
+        .groupBy("k")
+        .agg(F.sum("v").alias("s"), F.count(F.lit(1)).alias("c"))
+        .orderBy("k")
+    )
+    materialize(df)
+    return round(time.perf_counter() - t0, 3)
 
 
 def stage_totals(spark, after_stage: int = -1) -> dict[str, int]:
@@ -96,8 +127,13 @@ def main() -> None:
         wanted = {q.strip() for q in only.split(",") if q.strip()}
         qs = {k: v for k, v in qs.items() if k in wanted}
 
-    # warm the JVM + parquet footer caches once (not timed)
+    # warm the JVM + parquet footer caches once (not timed); the
+    # calibration probe gets its own untimed warm-up too, so
+    # calibration_sec_start is not polluted by the probe's one-time
+    # codegen compile and stays comparable to calibration_sec_end
     entrymod.q01_job_statistics(spark, sf_dir).count()
+    calibration_probe(spark)
+    calibration_start = calibration_probe(spark)
 
     timings: dict[str, float] = {}
     timing_spread: dict[str, dict[str, float]] = {}
@@ -105,33 +141,41 @@ def main() -> None:
     peak_mem_mb: dict[str, float] = {}
     before = stage_totals(spark)
     for name, fn in qs.items():
+        # First execution is the WARM-UP: it pays one-time plan
+        # compile + whole-stage codegen + parquet footer/cache fill.
+        # It is timed (cold_sec in the spread detail) but NEVER enters
+        # the headline median — the round-10 artifact mixed it in and
+        # could not tell a regression from a cold-start draw.
         t0 = time.perf_counter()
         materialize(fn(spark, sf_dir))
-        runs = [time.perf_counter() - t0]
-        # Queries under 15 s report the MEDIAN of 3 runs: a single shot
-        # draws the GC-pause lottery (documented ±40% phantom
-        # round-over-round swings on q21/q26/q27/q28/q32 — SCALE.md
-        # bench-variance note; round 7 extended the treatment from <2 s
-        # to <15 s so the 2–13 s graph queries aren't single samples
-        # either). Genuinely long queries stay single-shot: their GC
-        # share is small and tripling them would dominate wall-clock.
-        if runs[0] < 15.0:
-            for _ in range(2):
+        cold = time.perf_counter() - t0
+        if cold < 15.0:
+            runs = []
+            for _ in range(3):
                 t0 = time.perf_counter()
                 materialize(fn(spark, sf_dir))
                 runs.append(time.perf_counter() - t0)
+        else:
+            # genuinely long queries stay single-shot (GC/codegen share
+            # is small; 4x-ing them would dominate wall-clock) — the
+            # cold run IS the sample, flagged via runs=1
+            runs = [cold]
+        n_execs = 1 + (len(runs) if runs != [cold] else 0)
         timings[name] = round(sorted(runs)[len(runs) // 2], 3)
         timing_spread[name] = {
             "median": timings[name],
             "min": round(min(runs), 3),
             "max": round(max(runs), 3),
+            "cold": round(cold, 3),
             "runs": len(runs),
         }
         after = stage_totals(spark, after_stage=before["max_stage_id"])
-        # the stage delta spans every run of this query -> per-run share
-        shuffle_mb[name] = round((after["shuffle_write"] - before["shuffle_write"]) / len(runs) / 1e6, 2)
+        # the stage delta spans every execution of this query
+        # (warm-up included) -> per-execution share
+        shuffle_mb[name] = round((after["shuffle_write"] - before["shuffle_write"]) / n_execs / 1e6, 2)
         peak_mem_mb[name] = round(after["peak_exec_mem_new"] / 1e6, 2)
         before = after
+    calibration_end = calibration_probe(spark)
 
     total = round(sum(timings.values()), 3)
 
@@ -290,6 +334,7 @@ def main() -> None:
         "sf": float(sf),
         "detail_file": "BENCH_DETAIL.json",
         "slow_outliers": slow_outliers,
+        "calibration_sec": calibration_end,
     }
     compact = {
         "metric": "sum_query_seconds",
@@ -299,6 +344,7 @@ def main() -> None:
         "n_queries": len(timings),
         "detail_file": "BENCH_DETAIL.json",
         "n_slow_outliers": len(slow_outliers),
+        "calibration_sec": calibration_end,
     }
     # Suite-level spread summary (round-9 verdict #7): p50/p95 of each
     # query's RELATIVE spread ((max-min)/median across its runs), so a
@@ -327,6 +373,9 @@ def main() -> None:
         "queries_sec": timings,
         "queries_sec_spread": timing_spread,
         "spread_summary": spread_summary,
+        "timing_protocol": "untimed-warmup + median-of-3 warm repeats (<15s); single cold shot otherwise",
+        "calibration_sec_start": calibration_start,
+        "calibration_sec_end": calibration_end,
         "flatten_rows_per_sec": flatten_rps,
         "reference_floor_rows_per_sec": 100,
         "ivf_warm_probe_sec": ivf_probe_sec,
@@ -407,6 +456,15 @@ def compare(path_a: str, path_b: str, top: int = 15) -> None:
     qa, qb = a["queries"], b["queries"]
     common = sorted(set(qa) & set(qb), key=lambda q: qa[q] - qb[q])
     print(f"total: {a['value']}s -> {b['value']}s over {len(qa)}/{len(qb)} queries ({len(common)} common)")
+    ca, cb = a.get("calibration_sec"), b.get("calibration_sec")
+    if ca and cb:
+        # host-noise-normalized comparison: each total divided by its
+        # run's fixed calibration-probe time (see calibration_probe)
+        print(
+            f"calibrated: {a['value'] / ca:.1f} -> {b['value'] / cb:.1f} "
+            f"(probe {ca:.2f}s -> {cb:.2f}s; ratio change "
+            f"{(b['value'] / cb) / max(a['value'] / ca, 1e-9) - 1:+.1%})"
+        )
     moved = [q for q in common if abs(qb[q] - qa[q]) >= 0.3]
     for q in (moved or common)[:top]:
         print(f"  {q}: {qa[q]:.2f} -> {qb[q]:.2f}  ({qb[q] - qa[q]:+.2f}s)")

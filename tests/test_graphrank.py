@@ -385,3 +385,59 @@ def test_assortativity_sampled_close_to_exact(spark):
     exact = degree_assortativity(df).first()["assortativity"]
     got = degree_assortativity(df, sample_p=0.5).first()["assortativity"]
     assert abs(got - exact) <= 0.2, (got, exact)
+
+
+def test_census_auto_gate_flips_above_edge_budget(spark):
+    """Round-11 auto gate: default calls stay EXACT at or under the
+    edge budget; a beyond-budget graph flips to the DOULION path with
+    p sized to thin back to ~budget edges (identical to the same
+    explicit sample_p call); edge_budget=0 disables the gate."""
+    import itertools
+    import random
+
+    from usajobs_etl_service_spark.operators.graphrank import (
+        degree_assortativity,
+        triangle_stats,
+    )
+
+    rng = random.Random(7)
+    n = 40
+    edges = [
+        (a, b) for a, b in itertools.combinations(range(n), 2) if rng.random() < 0.5
+    ]
+    df = spark.createDataFrame(edges, ["u", "v"])
+    m = len(edges)  # all distinct, already u < v
+    budget = m // 2  # beyond-budget: gate must flip to p = budget/m
+
+    auto = triangle_stats(df, edge_budget=budget).first()
+    forced = triangle_stats(df, sample_p=round(budget / m, 4)).first()
+    exact = triangle_stats(df).first()
+    assert tuple(auto) == tuple(forced)
+    assert tuple(auto) != tuple(exact)  # the thinned estimate, not the census
+
+    a_auto = degree_assortativity(df, edge_budget=budget).first()
+    a_forced = degree_assortativity(df, sample_p=round(budget / m, 4)).first()
+    assert tuple(a_auto) == tuple(a_forced)
+
+    # at-or-under budget -> exact; gate disabled -> exact at any size
+    assert tuple(triangle_stats(df, edge_budget=m).first()) == tuple(exact)
+    assert tuple(triangle_stats(df, edge_budget=0).first()) == tuple(exact)
+
+    # explicit sample_p always wins over the gate
+    assert tuple(
+        triangle_stats(df, sample_p=1.0, edge_budget=1).first()
+    ) == tuple(exact)
+
+
+def test_census_auto_gate_variance_floor(spark):
+    """p = budget/m is floored at 0.05: a budget vastly under m must
+    not thin to noise."""
+    from usajobs_etl_service_spark.operators.graphrank import (
+        _resolve_sample_p,
+    )
+    from pyspark.sql import functions as F
+
+    df = spark.range(1000).select(
+        F.col("id").alias("u"), (F.col("id") + 1000).alias("v")
+    )
+    assert _resolve_sample_p(df, None, 1) == 0.05

@@ -508,6 +508,35 @@ def _triangle_smoke(spark) -> dict[str, dict]:
         samp["e3M"]["sec"] / max(samp["e300k"]["sec"], 1e-9), 2
     )
     out["doulion_p0.2"] = samp
+    # AUTO GATE (round-11 VERDICT #2): one edge_budget spanning both
+    # scales — under budget at 300k (must equal the exact census),
+    # over budget at 3M (must flip to the DOULION path, p sized to
+    # thin back to ~budget). The recorded ratio shows the gate keeps
+    # 10x-edges cost bounded by holding the CENSUSED edge count
+    # roughly constant instead of letting the O(m^1.5) term grow.
+    budget = 300_000
+    gate: dict[str, dict] = {}
+    for label, m in (("e300k", 300_000), ("e3M", 3_000_000)):
+        t0 = time.perf_counter()
+        row = triangle_stats(edges_df(m), edge_budget=budget).first()
+        sec = round(time.perf_counter() - t0, 3)
+        exact_t = out[label]["n_triangles"]
+        gate[label] = {
+            "sec": sec,
+            "n_triangles_est": row["n_triangles"],
+            "rel_err_vs_exact": round(abs(row["n_triangles"] - exact_t) / exact_t, 4),
+            "flipped_to_sampled": row["n_triangles"] != exact_t
+            or row["n_edges"] != out[label]["n_edges"],
+        }
+    gate["edge_budget"] = budget
+    gate["time_ratio_10x_edges"] = round(
+        gate["e3M"]["sec"] / max(gate["e300k"]["sec"], 1e-9), 2
+    )
+    # contract: exact below budget, sampled above
+    gate["gate_behaviour_ok"] = (
+        not gate["e300k"]["flipped_to_sampled"] and gate["e3M"]["flipped_to_sampled"]
+    )
+    out["auto_gate_budget300k"] = gate
     return out
 
 

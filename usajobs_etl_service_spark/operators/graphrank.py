@@ -122,6 +122,40 @@ def textrank_terms(
     )
 
 
+# Default edge budget for the exact-census auto gate: above this the
+# O(m^1.5) wedge expansion is ~9e10 candidate ops — the regime where
+# the DOULION estimate is the only answer that RETURNS. 20M edges is
+# far above every test SF (sf0.1 co-purchase graph is ~1e5 edges) so
+# the pinned exact-regime oracles (q170/q171) never flip.
+AUTO_EDGE_BUDGET = 20_000_000
+
+# Variance floor for the auto-picked thinning probability: DOULION is
+# unbiased at any p, but the triangle estimator's variance grows as
+# ~1/p^3 — below 5% the estimate is noise for most graphs.
+_AUTO_MIN_SAMPLE_P = 0.05
+
+
+def _resolve_sample_p(e: DataFrame, sample_p, edge_budget: int) -> float:
+    """The census auto gate (round-10 VERDICT #2 — mirror of the
+    reference's clamp-at-the-source posture, reference etl.py:193):
+    an explicit ``sample_p`` always wins; otherwise ONE bounded probe
+    (``limit(budget+1).count()`` — stops scanning at the budget, the
+    clustering.py small-graph-path trick) decides: at or under budget
+    -> exact census (p=1.0); over budget -> pay one full count and
+    thin to ~budget edges (p = budget/m, floored at the variance
+    floor, rounded to 4 so a SQL oracle can replay the literal)."""
+    if sample_p is not None:
+        if not 0.0 < float(sample_p) <= 1.0:
+            raise ValueError(f"sample_p must be in (0, 1], got {sample_p}")
+        return float(sample_p)
+    if not edge_budget or edge_budget <= 0:
+        return 1.0
+    if e.limit(edge_budget + 1).count() <= edge_budget:
+        return 1.0
+    m = e.count()
+    return max(_AUTO_MIN_SAMPLE_P, round(edge_budget / m, 4))
+
+
 def _edge_sample_filter(e: DataFrame, sample_p: float, seed: int) -> DataFrame:
     """Deterministic DOULION-style edge thinning: keep an edge iff its
     md5-hash fraction (sampling.sample_key over the 'u|v' render — the
@@ -141,8 +175,9 @@ def triangle_stats(
     *,
     u: str = "u",
     v: str = "v",
-    sample_p: float = 1.0,
+    sample_p: float | None = None,
     sample_seed: int = 42,
+    edge_budget: int = AUTO_EDGE_BUDGET,
 ) -> DataFrame:
     """Exact global triangle census of an undirected graph — one row:
     (n_nodes, n_edges, n_wedges, n_triangles, transitivity). Input is
@@ -173,13 +208,21 @@ def triangle_stats(
     only further lever once the exact census is at its structural
     minimum: at a true 100x graph the exact count is inherently heavy.
     ``n_nodes`` stays the UNSCALED count of nodes incident to a kept
-    edge (node counts have no clean 1/p estimator). The exact path
-    (default, p=1) is untouched, and the thinning is md5-hash
-    deterministic, so a SQL oracle replays the estimate exactly.
+    edge (node counts have no clean 1/p estimator). The thinning is
+    md5-hash deterministic, so a SQL oracle replays the estimate
+    exactly.
+
+    ``sample_p=None`` (default) engages the AUTO GATE: one bounded
+    probe flips the census to the DOULION path when the distinct edge
+    set exceeds ``edge_budget`` (p sized so the thinned set is
+    ~budget edges), exact below it — so a caller at a true 100x graph
+    gets an answer instead of an O(m^1.5) stall, and the test-SF
+    exact regime is bit-unchanged. Pass ``sample_p=1.0`` to force
+    exact at any size, an explicit fraction to force the estimator,
+    or ``edge_budget=0`` to disable the gate.
     """
-    if not 0.0 < sample_p <= 1.0:
-        raise ValueError(f"sample_p must be in (0, 1], got {sample_p}")
     e = edges.select(F.col(u).alias("u"), F.col(v).alias("v")).filter(F.col("u") < F.col("v")).distinct()
+    sample_p = _resolve_sample_p(e, sample_p, edge_budget)
     if sample_p != 1.0:
         e = _edge_sample_filter(e, sample_p, sample_seed)
     deg = (
@@ -244,8 +287,9 @@ def degree_assortativity(
     *,
     u: str = "u",
     v: str = "v",
-    sample_p: float = 1.0,
+    sample_p: float | None = None,
     sample_seed: int = 42,
+    edge_budget: int = AUTO_EDGE_BUDGET,
 ) -> DataFrame:
     """Newman (2002) degree assortativity of an undirected graph —
     one row (n_edges, assortativity): the Pearson correlation of
@@ -270,10 +314,14 @@ def degree_assortativity(
     uniform edge thinning scales every node's degree by ~p, so the
     sampled coefficient estimates the full one without any rescaling;
     ``n_edges`` reports the 1/p-scaled estimate (rounded) so the row
-    stays comparable with the exact run. Exact path (p=1) untouched."""
-    if not 0.0 < sample_p <= 1.0:
-        raise ValueError(f"sample_p must be in (0, 1], got {sample_p}")
+    stays comparable with the exact run.
+
+    ``sample_p=None`` (default) engages the same bounded-probe auto
+    gate as :func:`triangle_stats` (exact at or under ``edge_budget``
+    distinct edges, DOULION-thinned above); explicit ``sample_p``
+    always wins, ``edge_budget=0`` disables the gate."""
     e = edges.select(F.col(u).alias("u"), F.col(v).alias("v")).filter(F.col("u") < F.col("v")).distinct()
+    sample_p = _resolve_sample_p(e, sample_p, edge_budget)
     if sample_p != 1.0:
         e = _edge_sample_filter(e, sample_p, sample_seed)
     deg = (

@@ -5578,6 +5578,77 @@ def q237_grouped_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q238_c4_rule_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extension (C4 / RefinedWeb web-curation rules — Raffel et al.
+    2020 §2.2; Penedo et al. 2023): the line- and document-level rule
+    pack (functions/text.c4_flags) completing the curation-rules
+    family next to q169's Gopher word statistics. The synthetic corpus
+    is single-line word-soup, so the query PLANTS deterministic
+    doc_id-keyed line structure both engines replay literally: line 1
+    = the doc text, terminally punctuated when doc_id%3==0; line 2 =
+    a 2-word boilerplate line (curly-brace plant at %89); line 3 = a
+    terminal 5-7-word line (lorem-ipsum plant at %97, javascript
+    plant at %83, plain otherwise). c4_flags then evaluates the REAL
+    rules — terminal-punctuation + min-words-per-line + no-javascript
+    line keep, lorem-ipsum / curly-brace / sentence-count document
+    drops — as pure JVM expressions over one split (zero UDFs, zero
+    shuffles before the per-source aggregate). min_sentences=1 for
+    the planted corpus (<= 2 terminal marks per doc). Counts are
+    integers; the one ratio is a single bigint/bigint division,
+    identical cross-engine."""
+    from usajobs_etl_service_spark.functions.text import c4_flags
+
+    docs = _t(spark, sf_dir, "documents")
+    text2 = F.concat(
+        F.col("text"),
+        F.when(F.col("doc_id") % 3 == 0, F.lit(".")).otherwise(F.lit("")),
+        F.lit("\nshort line"),
+        F.when(F.col("doc_id") % 89 == 0, F.lit(" {")).otherwise(F.lit("")),
+        F.lit("\n"),
+        F.when(
+            F.col("doc_id") % 97 == 0, F.lit("Lorem ipsum dolor sit amet.")
+        )
+        .when(
+            F.col("doc_id") % 83 == 0,
+            F.lit("check the javascript console for details today."),
+        )
+        .otherwise(F.lit("another plain line with seven words here.")),
+    )
+    fl = c4_flags(text2, min_sentences=1)
+    feats = docs.select(
+        "source",
+        fl["n_kept_lines"].alias("kept"),
+        fl["has_lorem_ipsum"].alias("lor"),
+        fl["has_curly_brace"].alias("brc"),
+        fl["has_javascript"].alias("js"),
+        fl["passes"].alias("p"),
+    )
+    return (
+        feats.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.count_if(F.col("p")).alias("n_pass"),
+            F.count_if(F.col("lor")).alias("n_lorem"),
+            F.count_if(F.col("brc")).alias("n_brace"),
+            F.count_if(F.col("js")).alias("n_js"),
+            F.sum("kept").alias("kept_lines"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "n_pass",
+            "n_lorem",
+            "n_brace",
+            "n_js",
+            F.col("kept_lines").cast("long").alias("kept_lines"),
+            F.round(F.col("kept_lines") / F.col("n_docs"), 6).alias(
+                "avg_kept_lines"
+            ),
+        )
+        .orderBy("source")
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_job_statistics": q01_job_statistics,
     "q02_metric_union": q02_metric_union,
@@ -5816,6 +5887,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q235_keep_best_dedup": q235_keep_best_dedup,
     "q236_ndcg": q236_ndcg,
     "q237_grouped_quantiles": q237_grouped_quantiles,
+    "q238_c4_rule_gate": q238_c4_rule_gate,
 }
 
 
@@ -10780,6 +10852,49 @@ ORACLES["q237_grouped_quantiles"] = """
     SELECT g AS o_orderpriority, q AS fraction, CAST(n AS BIGINT) AS n,
            round(lo + (hm - floor(hm)) * (hi - lo), 6) AS value
     FROM a ORDER BY g, q
+"""
+
+
+# q238: C4 rule pack — planted line structure replayed literally;
+# line keep = terminal punct + >=5 words + no 'javascript'; doc drop =
+# lorem ipsum / curly brace / <1 sentence; one bigint/bigint division
+ORACLES["q238_c4_rule_gate"] = """
+    WITH t AS (
+        SELECT source,
+               concat(
+                   text,
+                   CASE WHEN doc_id % 3 = 0 THEN '.' ELSE '' END,
+                   chr(10) || 'short line',
+                   CASE WHEN doc_id % 89 = 0 THEN ' {' ELSE '' END,
+                   chr(10),
+                   CASE WHEN doc_id % 97 = 0 THEN 'Lorem ipsum dolor sit amet.'
+                        WHEN doc_id % 83 = 0 THEN 'check the javascript console for details today.'
+                        ELSE 'another plain line with seven words here.' END
+               ) AS txt
+        FROM documents
+    ), f AS (
+        SELECT source,
+               len(list_filter(string_split(txt, chr(10)), l ->
+                   (CASE WHEN length(trim(l)) = 0 THEN 0
+                         ELSE len(regexp_split_to_array(trim(l), '\\s+')) END) >= 5
+                   AND right(l, 1) IN ('.', '!', '?', '"')
+                   AND NOT contains(lower(l), 'javascript')
+               )) AS kept,
+               len(regexp_extract_all(txt, '[.!?]')) AS sent,
+               contains(lower(txt), 'lorem ipsum') AS lor,
+               contains(txt, '{') AS brc,
+               contains(lower(txt), 'javascript') AS js
+        FROM t
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(*) FILTER (kept >= 1 AND sent >= 1 AND NOT lor AND NOT brc) AS BIGINT) AS n_pass,
+           CAST(count(*) FILTER (lor) AS BIGINT) AS n_lorem,
+           CAST(count(*) FILTER (brc) AS BIGINT) AS n_brace,
+           CAST(count(*) FILTER (js) AS BIGINT) AS n_js,
+           CAST(sum(kept) AS BIGINT) AS kept_lines,
+           round(sum(kept) / count(*), 6) AS avg_kept_lines
+    FROM f GROUP BY source ORDER BY source
 """
 
 

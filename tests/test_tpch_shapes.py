@@ -169,3 +169,65 @@ def test_gopher_gate_word_count_bound(spark):
     rows = {r["doc_id"]: r["p"] for r in df.select("doc_id", fl["passes"].alias("p")).collect()}
     assert rows[1] is False  # 3 words < 50
     assert rows[2] is True  # 60 words, mean len 3.5, 2 stopword types
+
+
+def test_c4_flags_hand_goldens(spark):
+    """Literal C4 rule goldens (the reference test_unit.py:34-65
+    validation-golden pattern): each rule exercised by a hand document
+    with the expected flag values spelled out."""
+    from usajobs_etl_service_spark.functions.text import c4_flags
+
+    docs = [
+        # doc 1: two good lines -> 2 kept, 2 sentences, passes
+        (1, "Here are five good words.\nAnother line with five words!"),
+        # doc 2: terminal punct but only 4 words -> line dropped
+        (2, "Only four words here.\nGood line with five words."),
+        # doc 3: five words, no terminal punctuation -> dropped line
+        (3, "five words but no period\nGood line with five words."),
+        # doc 4: javascript line dropped; doc flag set but doc passes
+        (4, "Enable javascript to continue reading.\nGood line with five words."),
+        # doc 5: lorem ipsum kills the whole document
+        (5, "Lorem ipsum dolor sit amet.\nGood line with five words."),
+        # doc 6: curly brace kills the whole document
+        (6, "function f() { return 1; }\nGood line with five words."),
+        # doc 7: no sentences at all (min_sentences) -> fails
+        (7, "no terminal punctuation anywhere at all\nshort line"),
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    fl = c4_flags(F.col("text"), min_words_per_line=5, min_sentences=2)
+    rows = {
+        r["doc_id"]: r
+        for r in df.select(
+            "doc_id",
+            fl["n_lines"].alias("nl"),
+            fl["n_kept_lines"].alias("kept"),
+            fl["n_sentences"].alias("sent"),
+            fl["has_lorem_ipsum"].alias("lor"),
+            fl["has_curly_brace"].alias("brc"),
+            fl["has_javascript"].alias("js"),
+            fl["passes"].alias("p"),
+        ).collect()
+    }
+    assert (rows[1]["nl"], rows[1]["kept"], rows[1]["sent"], rows[1]["p"]) == (2, 2, 2, True)
+    assert (rows[2]["kept"], rows[2]["p"]) == (1, True)   # 2 sentences still
+    assert (rows[3]["kept"], rows[3]["sent"], rows[3]["p"]) == (1, 1, False)
+    assert (rows[4]["kept"], rows[4]["js"], rows[4]["p"]) == (1, True, True)
+    assert (rows[5]["lor"], rows[5]["p"]) == (True, False)
+    assert (rows[6]["brc"], rows[6]["p"]) == (True, False)
+    assert (rows[7]["kept"], rows[7]["sent"], rows[7]["p"]) == (0, 0, False)
+
+
+def test_c4_flags_empty_and_quote_terminal(spark):
+    from usajobs_etl_service_spark.functions.text import c4_flags
+
+    docs = [
+        (1, ""),                                   # empty doc: nothing kept
+        (2, 'He said "five words right here."'),   # quote-terminal line kept
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    fl = c4_flags(F.col("text"), min_sentences=1)
+    rows = {r["doc_id"]: r for r in df.select(
+        "doc_id", fl["n_kept_lines"].alias("kept"), fl["passes"].alias("p")
+    ).collect()}
+    assert (rows[1]["kept"], rows[1]["p"]) == (0, False)
+    assert (rows[2]["kept"], rows[2]["p"]) == (1, True)

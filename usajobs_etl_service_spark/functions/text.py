@@ -164,6 +164,72 @@ def gopher_flags(
     }
 
 
+def c4_flags(
+    col: Column,
+    *,
+    min_words_per_line: int = 5,
+    min_sentences: int = 3,
+) -> dict[str, Column]:
+    """The C4 / RefinedWeb line- and document-level curation rules
+    (Raffel et al. 2020 §2.2 "Colossal Clean Crawled Corpus"; Penedo
+    et al. 2023 RefinedWeb line-wise filters) as named expression
+    columns plus the conjunctive ``passes`` gate — the web-corpus
+    companion to :func:`gopher_flags`' word-statistics rules.
+
+    Line rules (a line = a ``\\n`` segment): a line is KEPT iff it
+    (a) ends in a terminal punctuation mark (``. ! ? "``), (b) has at
+    least ``min_words_per_line`` whitespace words, and (c) does not
+    mention ``javascript`` (case-insensitive) — the C4 policy of
+    dropping boilerplate/code lines rather than the whole page.
+    Document rules: drop if the page mentions ``lorem ipsum``
+    (case-insensitive), contains a curly brace ``{`` (code), or has
+    fewer than ``min_sentences`` sentences (terminal-mark count).
+    ``passes`` = >= 1 kept line AND >= ``min_sentences`` sentences
+    AND no lorem-ipsum AND no curly brace.
+
+    Everything is a JVM-side expression over ONE ``\\n`` split and
+    one regex scan — no UDFs, no shuffle; counts are integers so both
+    engines agree bit-for-bit (the lone ratio is a single division
+    the caller display-rounds). The word splitter inside the line
+    lambda is ``trim`` + ``\\s+`` (empty line -> 0 words), matching
+    the oracle's ``regexp_split_to_array`` spelling."""
+    lines = F.split(col, "\n")
+
+    def _wc(line: Column) -> Column:
+        return F.when(F.length(F.trim(line)) == 0, F.lit(0)).otherwise(
+            F.size(F.split(F.trim(line), _WS))
+        )
+
+    def _kept(line: Column) -> Column:
+        return (
+            (_wc(line) >= F.lit(min_words_per_line))
+            & F.substring(line, -1, 1).isin(".", "!", "?", '"')
+            & ~F.contains(F.lower(line), F.lit("javascript"))
+        )
+
+    n_lines = F.size(lines)
+    n_kept_lines = F.size(F.filter(lines, _kept))
+    n_sentences = F.size(F.regexp_extract_all(col, F.lit(r"[.!?]"), 0))
+    has_lorem = F.contains(F.lower(col), F.lit("lorem ipsum"))
+    has_brace = F.contains(col, F.lit("{"))
+    has_js = F.contains(F.lower(col), F.lit("javascript"))
+    passes = (
+        (n_kept_lines >= 1)
+        & (n_sentences >= min_sentences)
+        & ~has_lorem
+        & ~has_brace
+    )
+    return {
+        "n_lines": n_lines,
+        "n_kept_lines": n_kept_lines,
+        "n_sentences": n_sentences,
+        "has_lorem_ipsum": has_lorem,
+        "has_curly_brace": has_brace,
+        "has_javascript": has_js,
+        "passes": passes,
+    }
+
+
 def quality_score(col: Column) -> Column:
     """Scalar 0-1 quality score: penalize too-short docs, low alpha ratio,
     high digit/punct ratios; reward stopword presence. Deterministic."""

@@ -5649,6 +5649,42 @@ def q238_c4_rule_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q239_semantic_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extension (semantic decontamination — the paraphrase-leakage
+    complement to q66/q163's lexical 8-gram decontam, which a reworded
+    benchmark answer walks straight through): corpus embeddings
+    cosine->=0.95 to ANY benchmark embedding, via
+    semdedup.semantic_contamination_report — k-means blocking through
+    ONE shared snapped codebook (corpus+benchmark union-assigned, the
+    q89 machinery) composed with decontam's benchmark-broadcast
+    contract (the within-cluster compare is a broadcast hash join on
+    cluster_id: the corpus shuffles nothing). Planted construction in
+    the q89 style: the benchmark is every vec_id%37==0 embedding
+    scaled by 2.0 — scaling preserves direction, the norm-invariant
+    6-decimal-snapped assignment provably co-clusters each (source,
+    benchmark copy) pair, so recall on the plant is exactly 1.0 and
+    the clustering-free all-pairs DuckDB oracle is exact; random
+    64-dim non-pairs sit ~8 sigma below 0.95."""
+    from usajobs_etl_service_spark.operators.semdedup import (
+        semantic_contamination_report,
+    )
+    from usajobs_etl_service_spark.session import parquet_row_count
+
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    bench = emb.filter(F.col("vec_id") % 37 == 0).select(
+        F.col("vec_id").alias("bench_id"),
+        F.transform("embedding", lambda x: x * F.lit(2.0)).alias("embedding"),
+    )
+    n = parquet_row_count(sf_dir, "embeddings")
+    return semantic_contamination_report(
+        emb,
+        bench,
+        threshold=0.95,
+        # union cardinality from the parquet footer (q89's hint contract)
+        n_rows_hint=n + n // 37 + 1,
+    ).orderBy("vec_id")
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_job_statistics": q01_job_statistics,
     "q02_metric_union": q02_metric_union,
@@ -5888,6 +5924,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q236_ndcg": q236_ndcg,
     "q237_grouped_quantiles": q237_grouped_quantiles,
     "q238_c4_rule_gate": q238_c4_rule_gate,
+    "q239_semantic_decontamination": q239_semantic_decontamination,
 }
 
 
@@ -10895,6 +10932,28 @@ ORACLES["q238_c4_rule_gate"] = """
            CAST(sum(kept) AS BIGINT) AS kept_lines,
            round(sum(kept) / count(*), 6) AS avg_kept_lines
     FROM f GROUP BY source ORDER BY source
+"""
+
+
+# q239: semantic decontamination — clustering-free all-pairs
+# restatement (the q89 argument: the planted construction provably
+# loses no >=-threshold pair to the blocking)
+ORACLES["q239_semantic_decontamination"] = """
+    WITH b AS (
+        SELECT vec_id AS bench_id,
+               list_transform(CAST(embedding AS DOUBLE[]), x -> x * 2.0) AS bv
+        FROM embeddings WHERE vec_id % 37 = 0
+    ), c AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ), p AS (
+        SELECT c.vec_id, b.bench_id,
+               round(list_cosine_similarity(c.v, b.bv), 4) AS cos
+        FROM c CROSS JOIN b
+        WHERE round(list_cosine_similarity(c.v, b.bv), 4) >= 0.95
+    )
+    SELECT vec_id, CAST(count(*) AS BIGINT) AS n_bench_hits,
+           min(bench_id) AS bench_id, max(cos) AS max_cos
+    FROM p GROUP BY vec_id ORDER BY vec_id
 """
 
 

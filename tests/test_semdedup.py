@@ -358,3 +358,63 @@ def test_prototypicality_survives_nan_and_handles_release(spark):
     )
     assert len(handle) == 1
     handle[0].unpersist()
+
+
+def test_semantic_contamination_planted_recall(spark, sf_dir):
+    """q239's engine: every planted scaled benchmark copy hits exactly
+    its source (recall 1.0 through the shared-codebook blocking), ids
+    come back in their NATIVE types, and the observation proves the
+    blocking pruned the candidate space (pairs_evaluated well under
+    |corpus| x |bench|)."""
+    from pyspark.sql import Observation
+
+    from usajobs_etl_service_spark.operators.semdedup import (
+        semantic_contamination_report,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    n = emb.count()
+    bench = emb.filter(F.col("vec_id") % 37 == 0).select(
+        F.col("vec_id").alias("bench_id"),
+        F.transform("embedding", lambda x: x * F.lit(2.0)).alias("embedding"),
+    )
+    n_bench = bench.count()
+    obs = Observation("semcontam_pairs")
+    rows = semantic_contamination_report(
+        emb, bench, threshold=0.95, n_clusters=16, observation=obs
+    ).collect()
+    got = {r["vec_id"]: r for r in rows}
+    expected_ids = {i for i in range(n) if i % 37 == 0}
+    assert set(got) == expected_ids
+    for i in expected_ids:
+        assert got[i]["n_bench_hits"] == 1
+        assert got[i]["bench_id"] == i          # its own scaled copy
+        assert got[i]["max_cos"] == pytest.approx(1.0)
+    # native types survived the union string-keying
+    assert isinstance(rows[0]["vec_id"], int)
+    assert isinstance(rows[0]["bench_id"], int)
+    # the blocking is real: candidate pairs far below all-pairs
+    assert obs.get["pairs_evaluated"] < 0.5 * n * n_bench
+
+
+def test_semantic_contamination_clean_corpus_empty(spark):
+    """A benchmark orthogonal to every corpus vector reports nothing."""
+    from usajobs_etl_service_spark.operators.semdedup import (
+        semantic_contamination_report,
+    )
+
+    corpus = spark.createDataFrame(
+        [(i, [1.0, 0.0, 0.0, float(i)]) for i in range(1, 30)],
+        "vec_id long, embedding array<double>",
+    )
+    bench = spark.createDataFrame(
+        [(100, [0.0, 1.0, 0.0, 0.0])], "bench_id long, embedding array<double>"
+    )
+    assert (
+        semantic_contamination_report(
+            corpus, bench, threshold=0.95, n_clusters=4
+        ).count()
+        == 0
+    )

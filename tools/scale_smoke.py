@@ -85,6 +85,10 @@ FAMILY = [
     # join) must scale like the distributed_order family they reuse
     "q221_classifier_auc",
     "q224_quantile_normalization",
+    # round-11: semantic decontamination — shared-codebook blocking +
+    # benchmark broadcast; the corpus side shuffles nothing, so the
+    # ratio should track the assignment scan (~linear)
+    "q239_semantic_decontamination",
 ]
 
 
@@ -1210,6 +1214,36 @@ def _cap_drop_counters(spark, outdir: str) -> dict[str, dict]:
                     counters[name].update(dict(retry_rec.get))
             finally:
                 spark.conf.set("spark.sql.adaptive.enabled", "true")
+    # q239 semantic decontamination: no caps by construction (pair
+    # expansion is bounded by the broadcast benchmark side), so the
+    # evidence recorded is the PRUNING — candidate pairs evaluated vs
+    # the all-pairs bound the blocking replaced
+    from usajobs_etl_service_spark.operators.semdedup import (
+        semantic_contamination_report,
+    )
+
+    bench = emb.filter(F.col("vec_id") % 37 == 0).select(
+        F.col("vec_id").alias("bench_id"),
+        F.transform("embedding", lambda x: x * F.lit(2.0)).alias("embedding"),
+    )
+    n_corpus = parquet_row_count(outdir, "embeddings")
+    n_bench = (n_corpus + 36) // 37  # exact count of %37==0 ids in [0, n)
+    cobs = Observation()
+    materialize(
+        semantic_contamination_report(
+            emb, bench, threshold=0.95, observation=cobs,
+            n_rows_hint=n_corpus + n_bench,
+        )
+    )
+    try:
+        evaluated = int(dict(cobs.get)["pairs_evaluated"])
+        counters["q239_semantic_decontamination"] = {
+            "pairs_evaluated": evaluated,
+            "all_pairs_bound": n_corpus * n_bench,
+            "pruning_factor": round(n_corpus * n_bench / max(evaluated, 1), 1),
+        }
+    except Exception as _ex:
+        counters["q239_semantic_decontamination"] = {"error": str(_ex)[:200]}
     return counters
 
 

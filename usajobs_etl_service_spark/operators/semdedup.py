@@ -831,3 +831,106 @@ def prototypicality_prune(
             (F.col("__rn") <= F.floor(F.lit(float(prune_frac)) * F.col("__nc"))).cast("int").alias("pruned"),
         )
     )
+
+
+def semantic_contamination_report(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    embedding_col: str = "embedding",
+    bench_id_col: str = "bench_id",
+    bench_embedding_col: str = "embedding",
+    threshold: float = 0.95,
+    n_clusters: int | None = None,
+    seed: int = 42,
+    round_digits: int = 4,
+    n_rows_hint: int | None = None,
+    observation=None,
+) -> DataFrame:
+    """SEMANTIC decontamination (round-10 VERDICT #4): corpus
+    documents whose embedding is cosine->=``threshold`` similar to ANY
+    benchmark embedding — the paraphrase-leakage complement to
+    operators/decontam.py's lexical 8-gram contract (q66/q163), which
+    a reworded benchmark answer walks straight through.
+
+    Composition of the two proven scale shapes:
+
+    - **k-means blocking (this module)**: corpus and benchmark are
+      assigned through ONE shared codebook by unioning them into a
+      single :func:`assign_clusters` pass under disjoint string keys
+      (``c|id`` / ``b|id`` — the embeddings never collide however the
+      caller keys them). Assignment is norm-invariant with 6-decimal
+      score snapping, so a benchmark item that is a scaled copy of a
+      corpus document PROVABLY lands in its cluster — the q89 recall
+      anchor, which is what makes an exact oracle possible.
+    - **benchmark broadcast (decontam's contract)**: the benchmark is
+      small by definition, so the within-cluster compare is a
+      ``broadcast`` hash join on ``cluster_id`` — the corpus shuffles
+      NOTHING (one scan + map-side join), and each corpus row computes
+      exact cosine only against the benchmark members of ITS cluster
+      (~|bench|/C of the benchmark) instead of all of it.
+
+    Returns ``(id_col, n_bench_hits, bench_id, max_cos)`` — hit count,
+    the MINIMUM hitting benchmark id, and the maximum cosine (rounded
+    at ``round_digits``), one row per contaminated corpus id.
+
+    ``observation`` (optional ``Observation``) records
+    ``pairs_evaluated`` — the number of (corpus, bench) candidate
+    pairs the blocking let through; tests assert it is well under
+    |corpus| x |bench| (the blocking is real, not decorative).
+
+    Like every family member: no caps are needed here because the
+    pair expansion is corpus-row x same-cluster-bench — bounded by the
+    broadcast side, never quadratic in a hot cluster.
+    """
+    cs = corpus.select(
+        F.concat(F.lit("c|"), F.col(id_col).cast("string")).alias("__k"),
+        F.col(embedding_col).alias("__emb"),
+    )
+    bs = benchmark.select(
+        F.concat(F.lit("b|"), F.col(bench_id_col).cast("string")).alias("__k"),
+        F.col(bench_embedding_col).alias("__emb"),
+    )
+    assigned = assign_clusters(
+        cs.unionByName(bs),
+        id_col="__k",
+        embedding_col="__emb",
+        n_clusters=n_clusters,
+        seed=seed,
+        n_rows_hint=n_rows_hint,
+    ).withColumn("__nv", l2_normalize(F.col("__emb").cast("array<double>")))
+    # ids are cast back to their NATIVE input types right here, before
+    # any aggregate: min() over the string render would order '10'
+    # before '9' and the output schema would silently widen to string
+    corp_id_t = corpus.schema[id_col].dataType
+    bench_id_t = benchmark.schema[bench_id_col].dataType
+    corp = assigned.filter(F.col("__k").startswith("c|")).select(
+        F.expr("substring(__k, 3)").cast(corp_id_t).alias("__cid"),
+        F.col("cluster_id"),
+        F.col("__nv").alias("__cnv"),
+    )
+    ben = assigned.filter(F.col("__k").startswith("b|")).select(
+        F.expr("substring(__k, 3)").cast(bench_id_t).alias("__bid"),
+        F.col("cluster_id"),
+        F.col("__nv").alias("__bnv"),
+    )
+    pairs = corp.join(F.broadcast(ben), "cluster_id").withColumn(
+        "__cos", F.round(dot(F.col("__cnv"), F.col("__bnv")), round_digits)
+    )
+    if observation is not None:
+        pairs = pairs.observe(
+            observation, F.count(F.lit(1)).alias("pairs_evaluated")
+        )
+    hits = pairs.filter(F.col("__cos") >= F.lit(float(threshold)))
+    out = hits.groupBy("__cid").agg(
+        F.count(F.lit(1)).alias("n_bench_hits"),
+        F.min("__bid").alias("bench_id"),
+        F.max("__cos").alias("max_cos"),
+    )
+    return out.select(
+        F.col("__cid").alias(id_col),
+        "n_bench_hits",
+        "bench_id",
+        "max_cos",
+    )

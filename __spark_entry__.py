@@ -5685,6 +5685,37 @@ def q239_semantic_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame
     ).orderBy("vec_id")
 
 
+def q240_ttl_dedup_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extension (streaming TTL dedup, queryable artifact — round-10
+    VERDICT #6): the BATCH-EQUIVALENT contract of the event-time TTL'd
+    stateful dedup (streaming/stateful.ttl_dedup_batch): per user, emit
+    each arrival that starts a new 30-minute island — no prior event
+    within the TTL, where every arrival (emitted or suppressed)
+    refreshes the clock. This is exactly the emitted set of
+    streaming_ttl_dedup (applyInPandasWithState, EventTimeTimeout,
+    state = one long per key) on an in-order spool replay — pinned by
+    tests/test_stateful_streaming.py's file-per-batch parity test with
+    cross-batch splits and suppressions — so the oracle checking THIS
+    plan (the q42 gaps-and-islands pattern) anchors the streaming
+    operator too. Gap compare is >= on the exact day-time interval
+    (integer microseconds underneath, the q42 boundary convention)."""
+    from usajobs_etl_service_spark.streaming.stateful import ttl_dedup_batch
+
+    events = _t(spark, sf_dir, "events")
+    out = ttl_dedup_batch(
+        events,
+        key_cols=["user_id"],
+        ts_col="ts",
+        tiebreak_col="event_id",
+        ttl_seconds=1800,
+    )
+    return out.select(
+        "user_id",
+        "event_id",
+        F.date_format("ts", TS_FMT_US).alias("ts"),
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_job_statistics": q01_job_statistics,
     "q02_metric_union": q02_metric_union,
@@ -5925,6 +5956,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q237_grouped_quantiles": q237_grouped_quantiles,
     "q238_c4_rule_gate": q238_c4_rule_gate,
     "q239_semantic_decontamination": q239_semantic_decontamination,
+    "q240_ttl_dedup_replay": q240_ttl_dedup_replay,
 }
 
 
@@ -10954,6 +10986,27 @@ ORACLES["q239_semantic_decontamination"] = """
     SELECT vec_id, CAST(count(*) AS BIGINT) AS n_bench_hits,
            min(bench_id) AS bench_id, max(cos) AS max_cos
     FROM p GROUP BY vec_id ORDER BY vec_id
+"""
+
+
+# q240: TTL dedup batch contract — gaps-and-islands island STARTS
+# (q42's pattern, emitting rows instead of aggregates); >= on the
+# exact day-time interval, the q42 boundary convention
+ORACLES["q240_ttl_dedup_replay"] = """
+    WITH e AS (
+        SELECT user_id, event_id, ts
+        FROM events
+        WHERE user_id IS NOT NULL AND ts IS NOT NULL
+    ), l AS (
+        SELECT user_id, event_id, ts,
+               lag(ts) OVER (PARTITION BY user_id
+                             ORDER BY ts, event_id) AS prev_ts
+        FROM e
+    )
+    SELECT user_id, event_id,
+           strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS ts
+    FROM l
+    WHERE prev_ts IS NULL OR ts - prev_ts >= INTERVAL 30 MINUTE
 """
 
 

@@ -385,3 +385,76 @@ def test_watermark_dedup_spool_bounded_state_evidence(spark, tmp_path):
     assert 0 < out["state_rows_final"] <= 2 * keys_per, out
     assert out["state_rows_peak"] < n_win * keys_per, out
     assert out["state_bytes_final"] > 0
+
+
+def test_ttl_dedup_stream_matches_batch_contract(spark, tmp_path):
+    """round-11: the event-time TTL dedup's emitted set equals the
+    batch gaps-and-islands contract (ttl_dedup_batch) on a spool
+    replayed file-per-batch — islands that SPLIT across micro-batches
+    and duplicates SUPPRESSED across micro-batches both exercised."""
+    import datetime as dt
+
+    from usajobs_etl_service_spark.streaming.stateful import (
+        streaming_ttl_dedup,
+        ttl_dedup_batch,
+    )
+
+    base = dt.datetime(2026, 1, 1, 12, 0, 0)
+
+    def row(seq, key, offset_s):
+        return (seq, key, base + dt.timedelta(seconds=offset_s))
+
+    # key 1: dup at +10s (suppressed IN batch 1), island split at
+    #   +400s (batch 2, gap >= 300 -> NEW island), dup at +450 (batch 2)
+    # key 2: first in batch 1, dup in batch 2 at +100 (cross-batch
+    #   suppression), new island in batch 3 at +500
+    # key 3: exactly-at-TTL gap (+300) -> >= means new island
+    rows_b1 = [row(1, 1, 0), row(2, 1, 10), row(3, 2, 0), row(4, 3, 0)]
+    rows_b2 = [row(5, 1, 400), row(6, 1, 450), row(7, 2, 100)]
+    rows_b3 = [row(8, 2, 500), row(9, 3, 300)]
+    schema = "seq long, k long, ts timestamp"
+    all_rows = rows_b1 + rows_b2 + rows_b3
+
+    src = tmp_path / "spool"
+    src.mkdir()
+    for i, chunk in enumerate((rows_b1, rows_b2, rows_b3)):
+        spark.createDataFrame(chunk, schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(str(src / f"f{i}"))
+
+    golden = {
+        (r["k"], r["seq"])
+        for r in ttl_dedup_batch(
+            spark.createDataFrame(all_rows, schema),
+            key_cols=["k"],
+            ts_col="ts",
+            tiebreak_col="seq",
+            ttl_seconds=300,
+        ).collect()
+    }
+    # islands by hand: k1 -> seq 1 (0s), seq 5 (400s >= 300 after 10s);
+    # k2 -> seq 3 (0s), seq 8 (500 - 100 >= 300); k3 -> seq 4, seq 9 (== TTL)
+    assert golden == {(1, 1), (1, 5), (2, 3), (2, 8), (3, 4), (3, 9)}
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src / "f*"))
+    )
+    out = streaming_ttl_dedup(
+        stream, key_cols=["k"], ts_col="ts", tiebreak_col="seq", ttl_seconds=300
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("ttl_dedup_stream")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        (r["k"], r["seq"])
+        for r in spark.sql("SELECT k, seq FROM ttl_dedup_stream").collect()
+    }
+    assert got == golden

@@ -161,3 +161,131 @@ def streaming_heavy_hitter_candidates(
         outputMode="update",
         timeoutConf=timeout,
     )
+
+
+def ttl_dedup_batch(
+    df: DataFrame,
+    *,
+    key_cols: list[str],
+    ts_col: str = "ts",
+    tiebreak_col: str,
+    ttl_seconds: int,
+) -> DataFrame:
+    """BATCH-EQUIVALENT contract of the TTL'd streaming dedup — the
+    queryable artifact (round-10 VERDICT #6) a SQL oracle can check
+    with the q42 gaps-and-islands pattern.
+
+    Semantics: per key, arrivals are ordered by ``(ts, tiebreak)`` and
+    a row is EMITTED iff it starts a new island — no prior arrival
+    within ``ttl_seconds`` of it. This is exactly the state lifecycle
+    of a TTL that REFRESHES on every arrival (suppressed duplicates
+    extend the timeout, as both streaming variants do): islands split
+    where consecutive-arrival gaps reach the TTL, and the island start
+    is the one emitted row. Gap comparison is ``>=`` on the exact
+    day-time interval (timestamp subtraction is integer microseconds
+    underneath in both engines, and works for TIMESTAMP and
+    TIMESTAMP_NTZ alike — the q42 boundary convention).
+
+    One per-key window (hash partition on the key, the q42 shape —
+    per-key cardinality is event-stream bounded); NULL keys/timestamps
+    are excluded (no arrival order is defined for them)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    if not key_cols:
+        raise ValueError("ttl_dedup_batch: need at least one key column")
+    clean = df.filter(
+        F.col(ts_col).isNotNull()
+        & F.lit(True)
+        & F.expr(" AND ".join(f"{k} IS NOT NULL" for k in key_cols))
+    )
+    w = Window.partitionBy(*key_cols).orderBy(F.col(ts_col), F.col(tiebreak_col))
+    prev = F.lag(F.col(ts_col)).over(w)
+    return (
+        clean.withColumn("__prev_ts", prev)
+        .filter(
+            F.col("__prev_ts").isNull()
+            | (
+                F.col(ts_col) - F.col("__prev_ts")
+                >= F.expr(f"INTERVAL {int(ttl_seconds)} SECONDS")
+            )
+        )
+        .drop("__prev_ts")
+    )
+
+
+def streaming_ttl_dedup(
+    df: DataFrame,
+    *,
+    key_cols: list[str],
+    ts_col: str = "ts",
+    tiebreak_col: str,
+    ttl_seconds: int,
+    output_cols: list[str] | None = None,
+    watermark: str = "0 seconds",
+) -> DataFrame:
+    """EVENT-TIME TTL dedup: the streaming twin of
+    :func:`ttl_dedup_batch`, with state that the watermark provably
+    bounds. Emits each key's island-start rows; every arrival
+    (emitted or suppressed) refreshes the key's ``last_seen``
+    timestamp, and the state times out at ``last_seen + ttl`` — an
+    eviction that is semantically a NO-OP (any later in-order row is
+    >= ttl past ``last_seen`` and would start a new island anyway),
+    which is what makes the emitted set identical to the batch
+    contract REGARDLESS of micro-batch boundaries. State per key is
+    one long (vs the processing-time variant's per-key boolean that
+    only a wall-clock TTL can evict).
+
+    In-order contract: arrivals later than the watermark (late rows
+    delivered after their key's state was evicted) re-emit — the
+    inherent trade of ANY TTL'd dedup with bounded state; replay
+    spools in event-time order (the availableNow file-per-batch
+    cadence) to stay exact."""
+    from pyspark.sql import functions as F
+
+    if not key_cols:
+        raise ValueError("streaming_ttl_dedup: need at least one key column")
+    output_cols = output_cols or list(dict.fromkeys([*key_cols, ts_col, tiebreak_col]))
+    out_schema = df.select(*output_cols).schema
+    ttl_us = int(ttl_seconds) * 1_000_000
+
+    def fn(key, pdfs: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            state.remove()
+            return
+        last_us = state.get[0] if state.exists else None
+        parts = [p for p in pdfs if len(p)]
+        if not parts:
+            return
+        batch = pd.concat(parts, ignore_index=True)
+        batch = batch.sort_values([ts_col, tiebreak_col], kind="mergesort")
+        ts_us = batch[ts_col].astype("int64") // 1000
+        emit_mask = []
+        for t in ts_us:
+            is_start = last_us is None or t - last_us >= ttl_us
+            emit_mask.append(is_start)
+            last_us = t  # EVERY arrival refreshes the TTL
+        state.update((int(last_us),))
+        # evict once the watermark passes last_seen + ttl (no-op
+        # semantically; must stay strictly above the current watermark)
+        timeout_ms = max(
+            int(last_us) // 1000 + int(ttl_seconds) * 1000,
+            state.getCurrentWatermarkMs() + 1,
+        )
+        state.setTimeoutTimestamp(timeout_ms)
+        emitted = batch.loc[emit_mask, output_cols]
+        if len(emitted):
+            yield emitted
+
+    return (
+        df.withWatermark(ts_col, watermark)
+        .select(*dict.fromkeys([*key_cols, ts_col, tiebreak_col, *output_cols]))
+        .groupBy(*key_cols)
+        .applyInPandasWithState(
+            fn,
+            outputStructType=out_schema,
+            stateStructType="last_us long",
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )

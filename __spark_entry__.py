@@ -5716,6 +5716,38 @@ def q240_ttl_dedup_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q241_containment_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extension (asymmetric n-gram CONTAINMENT near-dup — Broder
+    1997): quote-inclusion detection the symmetric Jaccard families
+    (q23/q24) structurally miss — a 40-word quote inside a long
+    article has tiny Jaccard but containment 1.0 quote->article.
+    Planted construction: every doc_id%7==0 document with >= 48
+    whitespace tokens contributes a QUOTE doc (id + 20M) holding its
+    first 40 tokens; each (quote, original) pair must surface with
+    containment_a or _b == 1.0 (the quote's 33 grams are a contiguous
+    subset of the original's). operators/neardup.containment_pairs:
+    pair arithmetic on distinct gram keys (the q90/q219 recipe),
+    deterministic stop-gram rule (df > 1000, counted, none expected on
+    this corpus), denominators = kept grams. Engine carries xxhash64
+    gram fingerprints; the oracle replays gram STRINGS (q83/q90's
+    collision argument, ~1e-13)."""
+    from usajobs_etl_service_spark.operators.neardup import containment_pairs
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    quotes = (
+        docs.filter(F.col("doc_id") % 7 == 0)
+        .filter(F.size(toks) >= 48)
+        .select(
+            (F.col("doc_id") + 20000000).alias("doc_id"),
+            F.array_join(F.slice(toks, 1, 40), " ").alias("text"),
+        )
+    )
+    return containment_pairs(
+        docs.unionByName(quotes), n=8, threshold=0.9, max_gram_df=1000
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_job_statistics": q01_job_statistics,
     "q02_metric_union": q02_metric_union,
@@ -5957,6 +5989,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q238_c4_rule_gate": q238_c4_rule_gate,
     "q239_semantic_decontamination": q239_semantic_decontamination,
     "q240_ttl_dedup_replay": q240_ttl_dedup_replay,
+    "q241_containment_neardup": q241_containment_neardup,
 }
 
 
@@ -11007,6 +11040,50 @@ ORACLES["q240_ttl_dedup_replay"] = """
            strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS ts
     FROM l
     WHERE prev_ts IS NULL OR ts - prev_ts >= INTERVAL 30 MINUTE
+"""
+
+
+# q241: containment near-dup — gram-string replay of the fingerprint
+# pipeline (q90's collision argument); same stop-gram rule and
+# kept-gram denominators as the operator
+ORACLES["q241_containment_neardup"] = """
+    WITH base AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 20000000 AS doc_id,
+               array_to_string(list_slice(
+                   regexp_split_to_array(trim(text), '\\s+'), 1, 40), ' ') AS text
+        FROM documents
+        WHERE doc_id % 7 = 0
+          AND len(regexp_split_to_array(trim(text), '\\s+')) >= 48
+    ), t AS (
+        SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS toks
+        FROM base
+    ), e AS (
+        SELECT doc_id, toks, unnest(generate_series(1, len(toks) - 7)) AS pos
+        FROM t WHERE len(toks) >= 8
+    ), g0 AS (
+        SELECT DISTINCT doc_id,
+               array_to_string(list_slice(toks, pos, pos + 7), ' ') AS gram
+        FROM e
+    ), stop AS (
+        SELECT gram FROM g0 GROUP BY gram HAVING count(*) > 1000
+    ), kept AS (
+        SELECT * FROM g0 WHERE gram NOT IN (SELECT gram FROM stop)
+    ), sizes AS (
+        SELECT doc_id, count(*) AS sz FROM kept GROUP BY doc_id
+    ), inter AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
+        FROM kept a JOIN kept b ON a.gram = b.gram AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT id_a, id_b, CAST(n_common AS BIGINT) AS n_common,
+           round(n_common / sa.sz, 4) AS containment_a,
+           round(n_common / sb.sz, 4) AS containment_b
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = id_a
+    JOIN sizes sb ON sb.doc_id = id_b
+    WHERE greatest(round(n_common / sa.sz, 4), round(n_common / sb.sz, 4)) >= 0.9
 """
 
 

@@ -406,3 +406,59 @@ def test_simhash_recovery_noop_below_cap(spark):
     assert (0, 1) in found
     m = dict(obs.get)
     assert m["recovered_rows"] == 0 and m["recovered_buckets"] == 0
+
+
+def test_containment_quote_inclusion_asymmetric(spark):
+    """A quote (prefix) inside a longer article: containment 1.0 in
+    the quote->article direction while Jaccard-style symmetric overlap
+    is small — the pair Jaccard families miss by construction."""
+    from usajobs_etl_service_spark.operators.neardup import containment_pairs
+
+    words = [f"w{i}" for i in range(60)]
+    article = " ".join(words)            # 60 tokens -> 53 grams
+    quote = " ".join(words[:16])         # 16 tokens -> 9 grams, all in article
+    other = " ".join(f"z{i}" for i in range(30))
+    df = spark.createDataFrame(
+        [(1, article), (2, quote), (3, other)], ["doc_id", "text"]
+    )
+    rows = containment_pairs(df, n=8, threshold=0.9).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r["id_a"], r["id_b"], r["n_common"]) == (1, 2, 9)
+    assert r["containment_b"] == 1.0          # quote fully contained
+    assert r["containment_a"] == round(9 / 53, 4)  # article barely overlaps
+
+
+def test_containment_stop_gram_rule_counted(spark):
+    """Grams over the df cap are dropped BEFORE pairing, with observe
+    counters — a boilerplate gram shared by every doc can't quadratically
+    pair the corpus, and denominators are kept-gram counts."""
+    from pyspark.sql import Observation
+
+    from usajobs_etl_service_spark.operators.neardup import containment_pairs
+
+    boiler = " ".join(f"b{i}" for i in range(8))  # 1 shared 8-gram
+    docs = [(i, boiler + f" tail{i} " + " ".join(f"x{i}_{j}" for j in range(10)))
+            for i in range(5)]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    obs = Observation("containment_stop")
+    out = containment_pairs(df, n=8, threshold=0.9, max_gram_df=3, observation=obs)
+    # AQE elides the CollectMetrics node on this (empty-output) plan —
+    # the documented _cap_buckets caveat; measure with AQE off
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        assert out.count() == 0  # only the boilerplate gram was shared
+        got = dict(obs.get)
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+    assert got["stop_grams_dropped"] == 1
+    assert got["stop_gram_rows"] == 5
+
+
+def test_containment_short_docs_never_pair(spark):
+    from usajobs_etl_service_spark.operators.neardup import containment_pairs
+
+    df = spark.createDataFrame(
+        [(1, "a b c"), (2, "a b c")], ["doc_id", "text"]  # < 8 tokens
+    )
+    assert containment_pairs(df, n=8, threshold=0.5).count() == 0

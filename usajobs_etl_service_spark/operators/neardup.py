@@ -1057,3 +1057,79 @@ def embedding_near_dup_pairs(
         .filter(F.col("cos") >= threshold)
         .select("id_a", "id_b", "cos")
     )
+
+
+def containment_pairs(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 8,
+    threshold: float = 0.9,
+    max_gram_df: int = 1000,
+    observation=None,
+) -> DataFrame:
+    """EXACT n-gram containment near-dup (Broder 1997's asymmetric
+    resemblance twin): ``C(A->B) = |grams(A) & grams(B)| / |grams(A)|``
+    — the detector for QUOTE INCLUSION / near-supersets, which
+    symmetric Jaccard families (MinHash q24, n-gram Jaccard q23)
+    structurally miss: a 40-word quote inside a 400-word article has
+    Jaccard ~0.1 but containment 1.0 in the quote->article direction.
+
+    Returns ``(id_a, id_b, n_common, containment_a, containment_b)``
+    with ``id_a < id_b`` and ``max(containment) >= threshold``;
+    ``containment_a`` is C(A->B) (A's grams found in B), rounded at 4.
+
+    Scale shape (the q90/q219 recipe — pair arithmetic on GRAM KEYS,
+    never doc-pair text compare): one distinct (doc, gram-hash)
+    explode; grams with document frequency > ``max_gram_df`` are STOP
+    GRAMS, dropped deterministically before pairing (the hot-bucket
+    cap as an exact, oracle-replayable rule: pair expansion is then
+    bounded by sum C(df, 2) with df <= max_gram_df) — dropped gram
+    volume is counted on ``observation`` (``stop_grams_dropped``,
+    ``stop_gram_rows``), never silent (AQE may elide the metrics node
+    when the output is empty — the documented ``_cap_buckets`` caveat;
+    measure with AQE off, as the scale smoke does). Containment denominators are
+    |KEPT grams| per doc (post-stop-gram, so the ratio is consistent
+    with the numerator; documented contract the oracle replays).
+    Docs shorter than ``n`` tokens produce no grams and never pair.
+    """
+    from usajobs_etl_service_spark.operators.decontam import _exploded_gram_hashes
+
+    if not 0.0 < threshold <= 1.0:
+        raise ValueError(f"threshold must be in (0, 1], got {threshold}")
+    grams = _exploded_gram_hashes(docs, text_col, n, keep=[id_col]).distinct()
+    dfreq = grams.groupBy("g").agg(F.count(F.lit(1)).alias("__df"))
+    hot = dfreq.filter(F.col("__df") > max_gram_df)
+    if observation is not None:
+        hot = hot.observe(
+            observation,
+            F.count(F.lit(1)).alias("stop_grams_dropped"),
+            F.coalesce(F.sum("__df"), F.lit(0)).alias("stop_gram_rows"),
+        )
+    # open-cardinality stop-gram set: plain hash anti-join, no broadcast
+    kept = grams.join(hot.select("g"), "g", "left_anti")
+    sizes = kept.groupBy(id_col).agg(F.count(F.lit(1)).alias("__sz"))
+    a = kept.select(F.col(id_col).alias("id_a"), "g")
+    b = kept.select(F.col(id_col).alias("id_b"), "g")
+    inter = (
+        a.join(b, "g")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    out = (
+        inter.join(sizes.select(F.col(id_col).alias("id_a"), F.col("__sz").alias("__sa")), "id_a")
+        .join(sizes.select(F.col(id_col).alias("id_b"), F.col("__sz").alias("__sb")), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            "n_common",
+            F.round(F.col("n_common") / F.col("__sa"), 4).alias("containment_a"),
+            F.round(F.col("n_common") / F.col("__sb"), 4).alias("containment_b"),
+        )
+    )
+    return out.filter(
+        F.greatest(F.col("containment_a"), F.col("containment_b"))
+        >= F.lit(float(threshold))
+    )

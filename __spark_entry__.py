@@ -5748,6 +5748,27 @@ def q241_containment_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q242_average_precision(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extension (model evaluation — exact AVERAGE PRECISION, the
+    area under the precision-recall step curve): the class-imbalance-
+    honest companion to q221's ROC-AUC, which stays near 1.0 on
+    rare-positive corpora while precision collapses — the usual regime
+    for quality/contamination gates. Tie-safe by the sklearn step
+    convention (PR curve evaluated only at DISTINCT score thresholds,
+    so tied rows enter the prediction set together — no within-tie
+    order exists, the same reason q221 pools average ranks).
+    Aggregate-first (operators/evalmetrics.average_precision): one
+    per-score aggregate, one descending range exchange over the
+    distinct support, one scalar fold; cumulatives exact longs, each
+    term one float expression over exact integers in a fixed op
+    order, display-rounded once at 6."""
+    from usajobs_etl_service_spark.operators.evalmetrics import average_precision
+
+    return average_precision(
+        _classifier_scored_with_label(spark, sf_dir), "score", "y"
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_job_statistics": q01_job_statistics,
     "q02_metric_union": q02_metric_union,
@@ -5990,6 +6011,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q239_semantic_decontamination": q239_semantic_decontamination,
     "q240_ttl_dedup_replay": q240_ttl_dedup_replay,
     "q241_containment_neardup": q241_containment_neardup,
+    "q242_average_precision": q242_average_precision,
 }
 
 
@@ -11042,6 +11064,31 @@ ORACLES["q240_ttl_dedup_replay"] = """
     WHERE prev_ts IS NULL OR ts - prev_ts >= INTERVAL 30 MINUTE
 """
 
+
+# q242: average precision — sklearn step convention over distinct
+# scores descending; term arithmetic in one fixed op order
+# ((pos * cum_pos) / cum_tie), exact below 2^53, rounded once at 6
+ORACLES["q242_average_precision"] = (
+    _CLASSIFIER_SCORED_SQL
+    + """
+    , pts AS (
+        SELECT score, count(*) AS tie_n, sum(y) AS pos_n
+        FROM sc WHERE score IS NOT NULL AND y IS NOT NULL
+        GROUP BY score
+    ), c AS (
+        SELECT tie_n, pos_n,
+               sum(tie_n) OVER (ORDER BY score DESC
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tie,
+               sum(pos_n) OVER (ORDER BY score DESC
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_pos
+        FROM pts
+    )
+    SELECT CAST(sum(pos_n) AS BIGINT) AS n_pos,
+           CAST(sum(tie_n) AS BIGINT) AS n,
+           round(sum(pos_n * cum_pos / cum_tie) / sum(pos_n), 6) AS ap
+    FROM c
+"""
+)
 
 # q241: containment near-dup — gram-string replay of the fingerprint
 # pipeline (q90's collision argument); same stop-gram rule and

@@ -320,3 +320,55 @@ def test_ndcg_k_validation(spark):
     df = spark.createDataFrame([(1, 0.5, 1.0)], "id long, score double, rel double")
     with pytest.raises(ValueError):
         ndcg_at_k(df, "score", "rel", "id", k=0)
+
+
+def _ap_py(pairs):
+    """sklearn step-convention AP over (score, y) pairs: distinct
+    thresholds descending, AP = sum dTP/P * precision_i."""
+    from collections import defaultdict
+
+    agg = defaultdict(lambda: [0, 0])
+    for s, y in pairs:
+        agg[s][0] += 1
+        agg[s][1] += y
+    P = sum(v[1] for v in agg.values())
+    tp = n = 0
+    ap = 0.0
+    for s in sorted(agg, reverse=True):
+        tie, pos = agg[s]
+        n += tie
+        tp += pos
+        ap += pos / P * (tp / n)
+    return ap
+
+
+def test_average_precision_matches_python_reference(spark):
+    import random
+
+    from usajobs_etl_service_spark.operators.evalmetrics import average_precision
+
+    rng = random.Random(11)
+    # heavy ties: scores drawn from only 7 distinct values
+    pairs = [(round(rng.choice([0.1, 0.2, 0.3, 0.5, 0.7, 0.8, 0.9]), 1),
+              rng.randint(0, 1)) for _ in range(500)]
+    df = spark.createDataFrame(
+        [(i, s, y) for i, (s, y) in enumerate(pairs)], "id long, score double, y int"
+    )
+    row = average_precision(df, "score", "y").first()
+    assert row["n"] == 500
+    assert row["ap"] == pytest.approx(_ap_py(pairs), abs=2e-6)
+
+
+def test_average_precision_perfect_and_degenerate(spark):
+    from usajobs_etl_service_spark.operators.evalmetrics import average_precision
+
+    # perfect separation -> AP 1.0
+    rows = [(i, 0.9, 1) for i in range(5)] + [(i + 5, 0.1, 0) for i in range(5)]
+    df = spark.createDataFrame(rows, "id long, score double, y int")
+    assert average_precision(df, "score", "y").first()["ap"] == 1.0
+    # no positives -> NULL (try_divide), never Inf/NaN
+    neg = spark.createDataFrame(
+        [(i, 0.5, 0) for i in range(4)], "id long, score double, y int"
+    )
+    r = average_precision(neg, "score", "y").first()
+    assert r["n_pos"] == 0 and r["ap"] is None

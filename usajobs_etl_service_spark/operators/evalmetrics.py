@@ -403,6 +403,55 @@ def calibration_report(
     )
 
 
+def average_precision(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+) -> DataFrame:
+    """Exact AVERAGE PRECISION (area under the precision-recall step
+    curve — the class-imbalance-honest companion to :func:`exact_auc`:
+    ROC-AUC stays near 1.0 while precision collapses on rare-positive
+    corpora, the usual regime for quality/contamination gates).
+
+    Tie-safe by construction (the sklearn ``average_precision_score``
+    step convention): the PR curve is evaluated only at DISTINCT score
+    thresholds, so rows tied on score move in and out of the
+    prediction set together and no within-tie ordering ever exists —
+    the same reason the AUC uses pooled average ranks.
+
+    ``AP = sum_i (TP_i - TP_{i-1}) / P * (TP_i / ALL_i)`` over
+    distinct scores descending. Aggregate-first: ONE map-side-
+    combinable per-score aggregate over the rows, one range exchange
+    over the distinct support (``ordered_cumsum``, descending), one
+    scalar fold. Cumulatives are exact longs; each term is a single
+    float expression over exact integers, and the final sum is
+    display-rounded at 6 (cross-engine summation-order wiggle is
+    ~1e-15 relative). NULL scores/labels excluded; zero positives
+    yields NULL via ``try_divide`` in both engines. Returns one row
+    ``(n_pos, n, ap)``.
+    """
+    clean = df.select(
+        F.col(score_col).alias("__s"),
+        F.col(label_col).cast("int").alias("__y"),
+    ).filter(F.col("__s").isNotNull() & F.col("__y").isNotNull())
+    pts = clean.groupBy("__s").agg(
+        F.count(F.lit(1)).alias("tie_n"), F.sum("__y").alias("pos_n")
+    )
+    cum = ordered_cumsum(pts, [F.col("__s").desc()], ["tie_n", "pos_n"])
+    term = (
+        F.col("pos_n").cast("double")
+        * F.col("cum_pos_n").cast("double")
+        / F.col("cum_tie_n").cast("double")
+    )
+    return cum.agg(
+        F.sum("pos_n").cast("long").alias("n_pos"),
+        F.sum("tie_n").cast("long").alias("n"),
+        F.round(
+            F.try_divide(F.sum(term), F.sum("pos_n").cast("double")), 6
+        ).alias("ap"),
+    )
+
+
 def ndcg_at_k(
     df: DataFrame,
     score_col: str,

@@ -5769,6 +5769,47 @@ def q242_average_precision(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q243_good_turing_mass(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extension (corpus statistics — Good-Turing unseen mass, Good
+    1953): per source, the leave-one-out estimate of the probability
+    mass of UNSEEN vocabulary, p0 = N1/N (singleton types over total
+    tokens), plus the singleton/doubleton counts the smoothing family
+    is built from. Completes the corpus-statistics trio: q96 Zipf
+    (rank-frequency shape), q218 Heaps (vocabulary growth), this
+    (how open the vocabulary still is — the curator's signal for
+    whether a source needs more data or better cleaning). One token
+    explode + two hash aggregates; every statistic is an exact
+    integer and p0 is a single bigint/bigint division."""
+    docs = _t(spark, sf_dir, "documents").select(
+        "source", TX.tokens_ws(F.lower(F.col("text"))).alias("ts")
+    )
+    counts = (
+        docs.select("source", F.explode("ts").alias("term"))
+        .groupBy("source", "term")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    return (
+        counts.groupBy("source")
+        .agg(
+            F.sum("c").cast("long").alias("n_tokens"),
+            F.count(F.lit(1)).alias("vocab"),
+            F.count_if(F.col("c") == 1).alias("n1_singletons"),
+            F.count_if(F.col("c") == 2).alias("n2_doubletons"),
+        )
+        .select(
+            "source",
+            "n_tokens",
+            "vocab",
+            "n1_singletons",
+            "n2_doubletons",
+            F.round(
+                F.col("n1_singletons") / F.col("n_tokens"), 6
+            ).alias("p0_unseen_mass"),
+        )
+        .orderBy("source")
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_job_statistics": q01_job_statistics,
     "q02_metric_union": q02_metric_union,
@@ -6012,6 +6053,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q240_ttl_dedup_replay": q240_ttl_dedup_replay,
     "q241_containment_neardup": q241_containment_neardup,
     "q242_average_precision": q242_average_precision,
+    "q243_good_turing_mass": q243_good_turing_mass,
 }
 
 
@@ -11064,6 +11106,25 @@ ORACLES["q240_ttl_dedup_replay"] = """
     WHERE prev_ts IS NULL OR ts - prev_ts >= INTERVAL 30 MINUTE
 """
 
+
+# q243: Good-Turing unseen mass — integer type-frequency statistics,
+# one bigint/bigint division
+ORACLES["q243_good_turing_mass"] = """
+    WITH t AS (
+        SELECT source,
+               unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS term
+        FROM documents
+    ), c AS (
+        SELECT source, term, count(*) AS c FROM t GROUP BY 1, 2
+    )
+    SELECT source,
+           CAST(sum(c) AS BIGINT) AS n_tokens,
+           CAST(count(*) AS BIGINT) AS vocab,
+           CAST(count(*) FILTER (c = 1) AS BIGINT) AS n1_singletons,
+           CAST(count(*) FILTER (c = 2) AS BIGINT) AS n2_doubletons,
+           round(count(*) FILTER (c = 1) / sum(c), 6) AS p0_unseen_mass
+    FROM c GROUP BY source ORDER BY source
+"""
 
 # q242: average precision — sklearn step convention over distinct
 # scores descending; term arithmetic in one fixed op order

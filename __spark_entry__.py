@@ -5810,6 +5810,40 @@ def q243_good_turing_mass(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q244_truncation_fidelity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extension (embedding-dimension ablation — the Matryoshka/MRL
+    question a retrieval-cost tuner asks: how much of the top-k
+    survives if we keep only a PREFIX of the embedding?): overlap@20
+    between exact full-dim cosine top-20 and top-20 on the first 16
+    dims, against the q18 anchor query (vec_id=0). Two TakeOrdered
+    scans (no join between corpus rows), both ranked on the ROUNDED
+    cosine with vec_id tiebreak (the q173 pre-rounded-rank rule, so
+    the rank cut is identical cross-engine); the overlap is a 20-row
+    id join. The measured number is what decides whether an int8 or
+    truncated store (q187/q189) can serve the first-stage probe."""
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    qv = [
+        float(x)
+        for x in emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
+    ]
+    cand = emb.filter(F.col("vec_id") != 0)
+    topf = SIM.topk_cosine(cand, qv, k=20, round_digits=4).select("vec_id")
+    pre = cand.select(
+        "vec_id", F.slice(F.col("embedding"), 1, 16).alias("embedding")
+    )
+    topp = SIM.topk_cosine(pre, qv[:16], k=20, round_digits=4).select("vec_id")
+    return (
+        topf.join(topp, "vec_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_overlap"))
+        .select(
+            F.lit(16).cast("long").alias("prefix_dims"),
+            F.lit(20).cast("long").alias("k"),
+            "n_overlap",
+            F.round(F.col("n_overlap") / F.lit(20.0), 4).alias("overlap_frac"),
+        )
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_job_statistics": q01_job_statistics,
     "q02_metric_union": q02_metric_union,
@@ -6054,6 +6088,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q241_containment_neardup": q241_containment_neardup,
     "q242_average_precision": q242_average_precision,
     "q243_good_turing_mass": q243_good_turing_mass,
+    "q244_truncation_fidelity": q244_truncation_fidelity,
 }
 
 
@@ -11106,6 +11141,32 @@ ORACLES["q240_ttl_dedup_replay"] = """
     WHERE prev_ts IS NULL OR ts - prev_ts >= INTERVAL 30 MINUTE
 """
 
+
+# q244: truncation fidelity — both rankings cut on the ROUNDED cosine
+# with id tiebreak (identical cross-engine), overlap is a 20-row join
+ORACLES["q244_truncation_fidelity"] = """
+    WITH q AS (
+        SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE vec_id = 0
+    ), tf AS (
+        SELECT vec_id FROM embeddings, q
+        WHERE vec_id <> 0
+        ORDER BY round(list_cosine_similarity(CAST(embedding AS DOUBLE[]), q.v), 4) DESC,
+                 vec_id ASC
+        LIMIT 20
+    ), tp AS (
+        SELECT vec_id FROM embeddings, q
+        WHERE vec_id <> 0
+        ORDER BY round(list_cosine_similarity(
+                     list_slice(CAST(embedding AS DOUBLE[]), 1, 16),
+                     list_slice(q.v, 1, 16)), 4) DESC,
+                 vec_id ASC
+        LIMIT 20
+    )
+    SELECT CAST(16 AS BIGINT) AS prefix_dims, CAST(20 AS BIGINT) AS k,
+           CAST(count(*) AS BIGINT) AS n_overlap,
+           round(count(*) / 20.0, 4) AS overlap_frac
+    FROM tf JOIN tp USING (vec_id)
+"""
 
 # q243: Good-Turing unseen mass — integer type-frequency statistics,
 # one bigint/bigint division

@@ -55,6 +55,8 @@ HEADLINERS = {
     "q216_hilbert_layout": "Hilbert index: 8 chained codegen'd rotate-and-accumulate projections in the scan stage — no UDF, no shuffle before the bucket aggregate",
     "q221_classifier_auc": "exact rank-sum AUC, aggregate-first: the per-score HashAggregate collapses duplicate scores map-side BEFORE the wire; the rangepartitioning Exchange + per-partition-id windows (the distributed_order split) run over the DISTINCT support only, then one scalar fold — no row-level range repartition, no no-partition WindowExec over data",
     "q224_quantile_normalization": "quantile normalization: two materialized range Exchanges (within-group + pooled ranks), |groups|-row offset broadcast, integer-key equi join — no per-group sort, no interpolation",
+    "q239_semantic_decontamination": "semantic decontamination: shared-codebook argmax assignment as a pure projection inside BOTH scans; the LITERAL __side tag folds the branch filter to false in the other union child, so each side scans ONLY its own source (2 scans total — without the tag the broadcast build re-scanned the corpus); within-cluster compare is a BroadcastHashJoin on cluster_id (benchmark broadcast) — the corpus never shuffles",
+    "q241_containment_neardup": "containment near-dup: distinct (doc, gram-hash) explode -> gram-key equi self-join (pair expansion df-capped by the stop-gram rule) -> pair-count HashAggregate -> two size joins; every Exchange hashes on a gram or id key — no text ever crosses the wire twice",
     "q118_heavy_hitters": "Misra-Gries candidate pass in mapInPandas (no shuffle, O(k) state), candidate union broadcast into a LeftSemi BroadcastHashJoin — the exact-count aggregate shuffles only candidate-key rows, never the open token domain",
     "q122_revenue_gini": "rank-formula Gini over the distributed global rank: rangepartitioning + pid windows + scalar final aggregate",
     "q124_pareto_frontier": "skyline as per-price aggregate + strict distributed running min + one equi-join back: no quadratic dominance join anywhere",

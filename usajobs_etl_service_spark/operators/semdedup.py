@@ -266,6 +266,7 @@ def assign_clusters(
     seed: int = 42,
     refine_kmeans: bool = False,
     n_rows_hint: int | None = None,
+    passthrough_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """(id, embedding, cluster_id): nearest-centroid assignment as a
     pure projection (ivf_build's literal-argmax idea), with no
@@ -356,8 +357,16 @@ def assign_clusters(
     ids_lit = F.expr("array(" + ", ".join(f"{int(cid)}L" for cid, _ in cent_rows) + ")")
     scores = F.transform(cents_lit, lambda c: F.round(dot(F.col("__nv"), c), 6))
     pos = F.array_position(scores, F.array_max(scores)).cast("int")
+    # passthrough_cols survive assignment (the Lloyd path passes every
+    # input column through already) — a LITERAL tag column here lets a
+    # caller filter a union by branch and have Catalyst fold the
+    # predicate to false in the other child, pruning its scan entirely
+    # (semantic_contamination_report's side tags)
     return staged.select(
-        F.col(id_col), F.col(embedding_col), F.element_at(ids_lit, pos).alias("cluster_id")
+        F.col(id_col),
+        F.col(embedding_col),
+        F.element_at(ids_lit, pos).alias("cluster_id"),
+        *[F.col(c) for c in passthrough_cols],
     )
 
 
@@ -884,13 +893,20 @@ def semantic_contamination_report(
     pair expansion is corpus-row x same-cluster-bench — bounded by the
     broadcast side, never quadratic in a hot cluster.
     """
+    # the LITERAL __side tag (not a parsable prefix of the key) is what
+    # lets Catalyst prune: filtering the union output on __side folds
+    # to `false` inside the other branch's child, so the corpus scan
+    # never runs to build the broadcast side and vice versa — without
+    # it the broadcast build re-scanned the full corpus parquet
     cs = corpus.select(
         F.concat(F.lit("c|"), F.col(id_col).cast("string")).alias("__k"),
         F.col(embedding_col).alias("__emb"),
+        F.lit("c").alias("__side"),
     )
     bs = benchmark.select(
         F.concat(F.lit("b|"), F.col(bench_id_col).cast("string")).alias("__k"),
         F.col(bench_embedding_col).alias("__emb"),
+        F.lit("b").alias("__side"),
     )
     assigned = assign_clusters(
         cs.unionByName(bs),
@@ -899,18 +915,19 @@ def semantic_contamination_report(
         n_clusters=n_clusters,
         seed=seed,
         n_rows_hint=n_rows_hint,
+        passthrough_cols=("__side",),
     ).withColumn("__nv", l2_normalize(F.col("__emb").cast("array<double>")))
     # ids are cast back to their NATIVE input types right here, before
     # any aggregate: min() over the string render would order '10'
     # before '9' and the output schema would silently widen to string
     corp_id_t = corpus.schema[id_col].dataType
     bench_id_t = benchmark.schema[bench_id_col].dataType
-    corp = assigned.filter(F.col("__k").startswith("c|")).select(
+    corp = assigned.filter(F.col("__side") == "c").select(
         F.expr("substring(__k, 3)").cast(corp_id_t).alias("__cid"),
         F.col("cluster_id"),
         F.col("__nv").alias("__cnv"),
     )
-    ben = assigned.filter(F.col("__k").startswith("b|")).select(
+    ben = assigned.filter(F.col("__side") == "b").select(
         F.expr("substring(__k, 3)").cast(bench_id_t).alias("__bid"),
         F.col("cluster_id"),
         F.col("__nv").alias("__bnv"),

@@ -892,7 +892,21 @@ def semantic_contamination_report(
     Like every family member: no caps are needed here because the
     pair expansion is corpus-row x same-cluster-bench — bounded by the
     broadcast side, never quadratic in a hot cluster.
+
+    ``n_clusters=None`` sizes the codebook from the BENCHMARK (one
+    cheap count of the small side; ~8 bench items per cluster,
+    clamped to [16, 4096]) — NOT from the corpus like the dedup
+    auto-count: corpus-proportional codebooks make flat assignment
+    O(n*C) = O(n^2/occupancy) total, while a bench-sized codebook
+    keeps per-row assignment cost CONSTANT for a fixed benchmark
+    (linear in the corpus, the x10 smoke's measured shape) and still
+    bounds the pair expansion at ~8 bench candidates per corpus row.
+    The recall anchor is codebook-size-independent (direction-equal
+    vectors co-cluster at any C).
     """
+    if n_clusters is None:
+        n_bench = benchmark.count()  # small by definition
+        n_clusters = max(16, min(4096, n_bench // 8 + 1))
     # the LITERAL __side tag (not a parsable prefix of the key) is what
     # lets Catalyst prune: filtering the union output on __side folds
     # to `false` inside the other branch's child, so the corpus scan

@@ -5844,6 +5844,82 @@ def q244_truncation_fidelity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q245_stratified_exact_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extension (eval-set construction — EXACT fixed-n stratified
+    sampling): exactly 25 orders per order priority, vs q67's
+    rate-based sampler whose per-stratum count is binomial. Rows rank
+    within their stratum by the md5 hash fraction of the order key
+    (the q67/q94 engine-reproducible recipe) with raw-key tiebreak;
+    rank <= n survives (sampling.stratified_sample_exact). One hash
+    exchange on the stratum; the rank filter is planner-recognized
+    (WindowGroupLimit) so no stratum is ever fully sorted. The oracle
+    replays the identical md5 ranking."""
+    from usajobs_etl_service_spark.operators.sampling import (
+        stratified_sample_exact,
+    )
+
+    out = stratified_sample_exact(
+        _t(spark, sf_dir, "orders"),
+        strata_col="o_orderpriority",
+        key_col="o_orderkey",
+        n_per_stratum=25,
+    )
+    return out.select(
+        "o_orderpriority",
+        "o_orderkey",
+        F.col("sample_rank").cast("long").alias("sample_rank"),
+    ).orderBy("o_orderpriority", "sample_rank")
+
+
+def q246_dup_inflation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extension (corpus curation accounting — the before/after ledger
+    every dedup decision is justified with): per source, document and
+    TOKEN duplication inflation from exact fingerprints (q06's
+    md5-of-normalized-text): n_docs vs distinct texts, total tokens
+    vs tokens after keeping ONE representative per fingerprint, and
+    the two duplication fractions. Identical copies have identical
+    token counts, so the dedup token sum is exact (max per
+    fingerprint group). Two hash aggregates ((source, fp) then
+    source); fractions are 1 - a/b in one fixed op order."""
+    docs = _t(spark, sf_dir, "documents")
+    per_fp = (
+        docs.select(
+            "source",
+            F.md5(TX.normalized_text(F.col("text"))).alias("fp"),
+            TX.token_count_ws(F.col("text")).alias("tok"),
+        )
+        .groupBy("source", "fp")
+        .agg(
+            F.count(F.lit(1)).alias("n_copies"),
+            F.sum("tok").alias("tok_all"),
+            F.max("tok").alias("tok_rep"),
+        )
+    )
+    return (
+        per_fp.groupBy("source")
+        .agg(
+            F.sum("n_copies").cast("long").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_distinct"),
+            F.sum("tok_all").cast("long").alias("n_tokens"),
+            F.sum("tok_rep").cast("long").alias("n_tokens_dedup"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "n_distinct",
+            "n_tokens",
+            "n_tokens_dedup",
+            F.round(
+                F.lit(1.0) - F.col("n_distinct") / F.col("n_docs"), 6
+            ).alias("doc_dup_frac"),
+            F.round(
+                F.lit(1.0) - F.col("n_tokens_dedup") / F.col("n_tokens"), 6
+            ).alias("token_dup_frac"),
+        )
+        .orderBy("source")
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_job_statistics": q01_job_statistics,
     "q02_metric_union": q02_metric_union,
@@ -6089,6 +6165,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q242_average_precision": q242_average_precision,
     "q243_good_turing_mass": q243_good_turing_mass,
     "q244_truncation_fidelity": q244_truncation_fidelity,
+    "q245_stratified_exact_sample": q245_stratified_exact_sample,
+    "q246_dup_inflation_report": q246_dup_inflation_report,
 }
 
 
@@ -11166,6 +11244,50 @@ ORACLES["q244_truncation_fidelity"] = """
            CAST(count(*) AS BIGINT) AS n_overlap,
            round(count(*) / 20.0, 4) AS overlap_frac
     FROM tf JOIN tp USING (vec_id)
+"""
+
+# q246: dup-inflation ledger — gram-free exact-fingerprint accounting;
+# copies share the token count so max-per-fp is the exact dedup sum
+ORACLES["q246_dup_inflation_report"] = """
+    WITH d AS (
+        SELECT source,
+               md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp,
+               len(list_filter(string_split_regex(trim(text), '\\s+'),
+                               x -> x <> '')) AS tok
+        FROM documents
+    ), per_fp AS (
+        SELECT source, fp, count(*) AS n_copies,
+               sum(tok) AS tok_all, max(tok) AS tok_rep
+        FROM d GROUP BY 1, 2
+    )
+    SELECT source,
+           CAST(sum(n_copies) AS BIGINT) AS n_docs,
+           CAST(count(*) AS BIGINT) AS n_distinct,
+           CAST(sum(tok_all) AS BIGINT) AS n_tokens,
+           CAST(sum(tok_rep) AS BIGINT) AS n_tokens_dedup,
+           round(1.0 - count(*) / sum(n_copies), 6) AS doc_dup_frac,
+           round(1.0 - sum(tok_rep) / sum(tok_all), 6) AS token_dup_frac
+    FROM per_fp GROUP BY source ORDER BY source
+"""
+
+# q245: exact stratified sample — identical md5-fraction ranking with
+# raw-key tiebreak, rank <= n
+ORACLES["q245_stratified_exact_sample"] = """
+    WITH keyed AS (
+        SELECT o_orderpriority, o_orderkey,
+               CAST(('0x' || substr(md5(CAST(o_orderkey AS VARCHAR) || '#42'), 1, 8)) AS BIGINT)
+                   / 4294967296.0 AS u
+        FROM orders
+        WHERE o_orderpriority IS NOT NULL AND o_orderkey IS NOT NULL
+    ), ranked AS (
+        SELECT o_orderpriority, o_orderkey,
+               row_number() OVER (PARTITION BY o_orderpriority
+                                  ORDER BY u, o_orderkey) AS sample_rank
+        FROM keyed
+    )
+    SELECT o_orderpriority, o_orderkey, CAST(sample_rank AS BIGINT) AS sample_rank
+    FROM ranked WHERE sample_rank <= 25
+    ORDER BY o_orderpriority, sample_rank
 """
 
 # q243: Good-Turing unseen mass — integer type-frequency statistics,

@@ -270,3 +270,57 @@ def test_unimax_validation(spark):
         unimax_allocation(df, group_col="lang", size_col="n", budget_frac=0.0)
     with pytest.raises(ValueError):
         unimax_allocation(df, group_col="lang", size_col="n", max_epochs=-1.0)
+
+
+def test_stratified_exact_fixed_n_and_determinism(spark):
+    """Exactly n per stratum (whole stratum when smaller), identical
+    sample on re-run, NULL strata/keys excluded."""
+    from usajobs_etl_service_spark.operators.sampling import (
+        stratified_sample_exact,
+    )
+
+    rows = (
+        [(i, "a") for i in range(100)]
+        + [(1000 + i, "b") for i in range(3)]
+        + [(None, "a"), (5000, None)]
+    )
+    df = spark.createDataFrame(rows, "k long, s string")
+    out = stratified_sample_exact(
+        df, strata_col="s", key_col="k", n_per_stratum=10
+    )
+    got = out.collect()
+    by_s = {}
+    for r in got:
+        by_s.setdefault(r["s"], []).append((r["sample_rank"], r["k"]))
+    assert len(by_s["a"]) == 10          # big stratum cut to n
+    assert len(by_s["b"]) == 3           # small stratum kept whole
+    assert sorted(r for r, _ in by_s["a"]) == list(range(1, 11))
+    # deterministic: identical ids on a second evaluation
+    again = {
+        (r["s"], r["sample_rank"], r["k"])
+        for r in stratified_sample_exact(
+            df, strata_col="s", key_col="k", n_per_stratum=10
+        ).collect()
+    }
+    assert again == {(r["s"], r["sample_rank"], r["k"]) for r in got}
+    # a different seed draws a different sample
+    other = {
+        r["k"]
+        for r in stratified_sample_exact(
+            df, strata_col="s", key_col="k", n_per_stratum=10, seed=7
+        ).collect()
+        if r["s"] == "a"
+    }
+    assert other != {k for _, k in by_s["a"]}
+
+
+def test_stratified_exact_validation(spark):
+    import pytest
+
+    from usajobs_etl_service_spark.operators.sampling import (
+        stratified_sample_exact,
+    )
+
+    df = spark.createDataFrame([(1, "a")], "k long, s string")
+    with pytest.raises(ValueError, match="n_per_stratum"):
+        stratified_sample_exact(df, strata_col="s", key_col="k", n_per_stratum=0)

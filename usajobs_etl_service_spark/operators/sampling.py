@@ -359,3 +359,41 @@ def poisson_bootstrap_ci(
         F.percentile("rep_mean", F.lit(1 - alpha / 2)).alias("ci_hi"),
     )
     return base.join(qs, "group").select("group", "n", "mean", "ci_lo", "ci_hi")
+
+
+def stratified_sample_exact(
+    df: DataFrame,
+    *,
+    strata_col: str,
+    key_col: str,
+    n_per_stratum: int,
+    seed: int = 42,
+) -> DataFrame:
+    """EXACT fixed-n-per-stratum sample — the eval-set construction
+    tool the rate-based :func:`stratified_sample` can't provide (a
+    rate gives a BINOMIAL count per stratum; an eval harness wants
+    exactly n rows per language/source/label).
+
+    Deterministic and engine-replayable: within each stratum rows are
+    ranked by the md5 hash fraction of ``key_col`` (:func:`sample_key`
+    — same verdict every run/engine/retry) with the raw key as
+    tiebreak, and rank <= ``n_per_stratum`` survives. Strata smaller
+    than n are kept whole.
+
+    Scale shape: ONE hash exchange on the stratum key; the rank<=n
+    filter is planner-recognized (WindowGroupLimit since Spark 3.5)
+    so each stratum keeps a bounded top-n heap per partition instead
+    of fully sorting the stratum. Adds ``sample_rank`` (1-based).
+    NULL strata/keys excluded (no stable rank exists for them)."""
+    from pyspark.sql import Window
+
+    if n_per_stratum <= 0:
+        raise ValueError(f"n_per_stratum must be positive, got {n_per_stratum}")
+    clean = df.filter(F.col(strata_col).isNotNull() & F.col(key_col).isNotNull())
+    w = Window.partitionBy(strata_col).orderBy(
+        sample_key(F.col(key_col), seed=seed).asc(), F.col(key_col).asc()
+    )
+    return (
+        clean.withColumn("sample_rank", F.row_number().over(w))
+        .filter(F.col("sample_rank") <= n_per_stratum)
+    )

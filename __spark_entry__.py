@@ -5920,6 +5920,30 @@ def q246_dup_inflation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q247_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extension (t-closeness, Li-Li-Venkatasubramanian 2007 —
+    completes the release-audit family: k-anonymity q204,
+    generalization repair q217, now the attribute-DISTRIBUTION guard
+    l-diversity misses): per customer-nation equivalence class, the
+    ordered-metric EMD and total-variation distance between the
+    class's order-priority distribution and the global one
+    (operators/privacy.t_closeness_report). The 5-value support rides
+    as a broadcast (value, q, cumQ) table; classes densify absent
+    values by cross-joining it (p=0 still moves mass); the only
+    data-sized shuffles are the two counting aggregates."""
+    from usajobs_etl_service_spark.operators.privacy import t_closeness_report
+
+    orders = _t(spark, sf_dir, "orders").select("o_custkey", "o_orderpriority")
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nation = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    joined = (
+        orders.join(cust, orders["o_custkey"] == cust["c_custkey"])
+        .join(F.broadcast(nation), cust["c_nationkey"] == nation["n_nationkey"])
+        .select("n_name", "o_orderpriority")
+    )
+    return t_closeness_report(joined, ["n_name"], "o_orderpriority", t=0.1)
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_job_statistics": q01_job_statistics,
     "q02_metric_union": q02_metric_union,
@@ -6167,6 +6191,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q244_truncation_fidelity": q244_truncation_fidelity,
     "q245_stratified_exact_sample": q245_stratified_exact_sample,
     "q246_dup_inflation_report": q246_dup_inflation_report,
+    "q247_t_closeness": q247_t_closeness,
 }
 
 
@@ -11244,6 +11269,41 @@ ORACLES["q244_truncation_fidelity"] = """
            CAST(count(*) AS BIGINT) AS n_overlap,
            round(count(*) / 20.0, 4) AS overlap_frac
     FROM tf JOIN tp USING (vec_id)
+"""
+
+# q247: t-closeness — dense class x support grid; EMD = sum|cumP-cumQ|
+# / (m-1) in the identical window order; tvd = sum|p-q|/2
+ORACLES["q247_t_closeness"] = """
+    WITH j AS (
+        SELECT n.n_name, o.o_orderpriority AS sv
+        FROM orders o
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        WHERE o.o_orderpriority IS NOT NULL
+    ), tot AS (SELECT count(*) AS tn FROM j),
+    support AS (
+        SELECT sv, count(*) / (SELECT tn FROM tot) AS q,
+               sum(count(*) / (SELECT tn FROM tot))
+                   OVER (ORDER BY sv ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumq
+        FROM j GROUP BY sv
+    ), m AS (SELECT count(*) AS m FROM support),
+    sizes AS (SELECT n_name, count(*) AS n FROM j GROUP BY n_name),
+    cells AS (SELECT n_name, sv, count(*) AS ncv FROM j GROUP BY 1, 2),
+    grid AS (
+        SELECT s.n_name, s.n, sup.sv, sup.q, sup.cumq,
+               coalesce(c.ncv, 0) / s.n AS p
+        FROM sizes s CROSS JOIN support sup
+        LEFT JOIN cells c ON c.n_name = s.n_name AND c.sv = sup.sv
+    ), cum AS (
+        SELECT *, sum(p) OVER (PARTITION BY n_name ORDER BY sv
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cump
+        FROM grid
+    )
+    SELECT n_name, CAST(max(n) AS BIGINT) AS n,
+           round(sum(abs(cump - cumq)) / ((SELECT m FROM m) - 1), 6) AS emd,
+           round(sum(abs(p - q)) / 2, 6) AS tvd,
+           round(sum(abs(cump - cumq)) / ((SELECT m FROM m) - 1), 6) <= 0.1 AS t_ok
+    FROM cum GROUP BY n_name ORDER BY n_name
 """
 
 # q246: dup-inflation ledger — gram-free exact-fingerprint accounting;

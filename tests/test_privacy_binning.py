@@ -106,3 +106,52 @@ def test_generalization_ladder_none_qualify(spark):
 
     with _pt.raises(ValueError, match="at least one"):
         generalization_ladder(df, [], k=5)
+
+
+def test_t_closeness_hand_emd(spark):
+    """Hand-checkable two-class, two-value geometry: global is 50/50;
+    a pure class has p=(1,0) -> |cumP-cumQ| at value 1 = 0.5, m-1=1 ->
+    emd 0.5, tvd 0.5; a balanced class has emd 0. Absent values must
+    move mass (the dense-grid requirement)."""
+    from usajobs_etl_service_spark.operators.privacy import t_closeness_report
+
+    rows = (
+        [("pure", "a")] * 4                     # class 'pure': all a
+        + [("bal", "a")] * 2 + [("bal", "b")] * 2  # class 'bal': 50/50
+        + [("none", "b")] * 4                   # class 'none': all b
+    )
+    df = spark.createDataFrame(rows, "g string, s string")
+    out = {r["g"]: r for r in t_closeness_report(df, ["g"], "s", t=0.2).collect()}
+    assert out["bal"].emd == 0.0 and out["bal"].tvd == 0.0 and out["bal"].t_ok
+    assert out["pure"].emd == 0.5 and out["pure"].tvd == 0.5 and not out["pure"].t_ok
+    # 'none' has value 'a' absent entirely -> p=0 row still counted
+    assert out["none"].emd == 0.5 and not out["none"].t_ok
+
+
+def test_t_closeness_ordered_metric_beats_tvd(spark):
+    """Three ordered values: a class concentrated at the far end has
+    HIGHER EMD than one concentrated in the middle at the same TVD —
+    the ordered ground metric is the point of t-closeness."""
+    from usajobs_etl_service_spark.operators.privacy import t_closeness_report
+
+    rows = (
+        [("far", "v3")] * 3
+        + [("mid", "v2")] * 3
+        + [("g", "v1"), ("g", "v2"), ("g", "v3")] * 3  # keeps global uniform-ish
+    )
+    df = spark.createDataFrame(rows, "g string, s string")
+    out = {r["g"]: r for r in t_closeness_report(df, ["g"], "s", t=0.5).collect()}
+    assert out["far"].tvd == out["mid"].tvd
+    assert out["far"].emd > out["mid"].emd
+
+
+def test_t_closeness_validation(spark):
+    import pytest
+
+    from usajobs_etl_service_spark.operators.privacy import t_closeness_report
+
+    df = spark.createDataFrame([("a", "x")], "g string, s string")
+    with pytest.raises(ValueError, match="quasi"):
+        t_closeness_report(df, [], "s")
+    with pytest.raises(ValueError, match="t must"):
+        t_closeness_report(df, ["g"], "s", t=0.0)

@@ -11354,8 +11354,11 @@ ORACLES["q245_stratified_exact_sample"] = """
 # one bigint/bigint division
 ORACLES["q243_good_turing_mass"] = """
     WITH t AS (
+        -- list_filter drops the [''] a blank/whitespace-only document
+        -- yields, matching the engine's empty-dropping tokens_ws
         SELECT source,
-               unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS term
+               unnest(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+                                  x -> x <> '')) AS term
         FROM documents
     ), c AS (
         SELECT source, term, count(*) AS c FROM t GROUP BY 1, 2

@@ -51,3 +51,17 @@ def test_colliding_input_columns_rejected(spark):
     )
     with pytest.raises(ValueError, match="n_copies"):
         dedup_keep_best(df, ["fp"], "q", "id")
+
+
+def test_keep_best_rejects_bk_alias_collision(spark):
+    """Round-11 ADVICE: the generated per-key working aliases
+    __dkb_bk_{i} are part of the collision set — an input already
+    carrying one must error loudly, not produce ambiguous attributes
+    after the join-back."""
+    import pytest
+
+    df = spark.createDataFrame(
+        [("a", 1.0, 1, "x")], "fp string, q double, id int, __dkb_bk_0 string"
+    )
+    with pytest.raises(ValueError, match="__dkb_bk_0"):
+        dedup_keep_best(df, ["fp"], "q", "id")

@@ -155,3 +155,18 @@ def test_t_closeness_validation(spark):
         t_closeness_report(df, [], "s")
     with pytest.raises(ValueError, match="t must"):
         t_closeness_report(df, ["g"], "s", t=0.0)
+
+
+def test_t_closeness_single_support_value(spark):
+    """m=1 degenerate support (round-11 ADVICE): one global sensitive
+    value means every class trivially matches the one-point global
+    distribution — emd must be 0 and t_ok True, not NULL/Inf from a
+    division by m-1=0."""
+    from usajobs_etl_service_spark.operators.privacy import t_closeness_report
+
+    rows = [("g1", "only")] * 3 + [("g2", "only")] * 2
+    df = spark.createDataFrame(rows, "g string, s string")
+    out = {r["g"]: r for r in t_closeness_report(df, ["g"], "s", t=0.2).collect()}
+    assert len(out) == 2
+    for r in out.values():
+        assert r.emd == 0.0 and r.tvd == 0.0 and r.t_ok

@@ -99,10 +99,22 @@ def main():
     )
     args = ap.parse_args()
     sf_dir = args.sf_dir_flag or args.sf_dir
+    extra_names = []
+    if args.sf_dir_flag is not None and args.sf_dir != ap.get_default("sf_dir"):
+        # --sf-dir plus a trailing positional: argparse bound the FIRST
+        # trailing name to the positional sf_dir slot. Reclaim it as a
+        # query name (validated against the registry below) instead of
+        # silently dropping it — unless it's a second, conflicting dir.
+        if os.path.isdir(args.sf_dir):
+            ap.error(
+                f"conflicting sf_dir specifications: positional "
+                f"{args.sf_dir!r} and --sf-dir {args.sf_dir_flag!r}"
+            )
+        extra_names = [args.sf_dir]
     if not os.path.isdir(sf_dir):
         ap.error(f"sf_dir is not a directory: {sf_dir!r}")
     registry = entrymod.queries()
-    names = (args.queries or []) + args.names or list(registry)
+    names = (args.queries or []) + extra_names + args.names or list(registry)
     unknown = [n for n in names if n not in registry]
     if unknown:
         ap.error(

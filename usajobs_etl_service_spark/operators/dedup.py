@@ -152,6 +152,7 @@ def dedup_keep_best(
     # an input that already carries one (incl. the n_copies output)
     # must error loudly, not produce ambiguous attributes post-join
     work = {"__dkb_best_q", "__dkb_n_copies", "__dkb_win_id", "n_copies"}
+    work.update(f"__dkb_bk_{i}" for i in range(len(key_cols)))
     clash = work.intersection(df.columns)
     if clash:
         raise ValueError(

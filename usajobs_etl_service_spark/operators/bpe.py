@@ -65,6 +65,7 @@ def bpe_learn(
     text_col: str = "text",
     n_merges: int = 5,
     return_vocab: bool = False,
+    checkpoint_every: int = 16,
 ):
     """Learn ``n_merges`` BPE merges over the whitespace-lowercased
     corpus. Returns ``[(round, pair_a, pair_b, pair_count), ...]`` —
@@ -76,17 +77,33 @@ def bpe_learn(
     is the final segmented dictionary ``(word, freq, syms)`` — the
     tokenize-APPLY artifact: a corpus tokenizes by joining its words
     against this table (subwords-per-word = the symbol count), never
-    by re-running the folds per document."""
+    by re-running the folds per document.
+
+    Round cost: the state table is VOCAB-bounded, so supersteps ride
+    the cache, not parquet — each round is exactly ONE job (the argmax
+    aggregate, which also materializes the previous round's fold as a
+    side effect); the predecessor's cache is released as soon as its
+    successor is materialized, and the final fold is never even
+    computed unless ``return_vocab`` asks for it (the merge table
+    alone can't observe it). Every ``checkpoint_every`` rounds the
+    state additionally materializes to parquet and the cache chain
+    resets — bounding plan nesting and recompute depth for real
+    tokenizer runs (thousands of merges) while a 5-merge job never
+    touches disk (round-11 VERDICT #5: the old per-round parquet
+    round-trip serialized 5 extra write jobs)."""
     import atexit
     import os
     import shutil
     import tempfile
 
+    from pyspark import StorageLevel
+
     if n_merges < 1:
         raise ValueError(f"n_merges must be >= 1, got {n_merges}")
+    if checkpoint_every < 1:
+        raise ValueError(f"checkpoint_every must be >= 1, got {checkpoint_every}")
     spark = df.sparkSession
-    base = tempfile.mkdtemp(prefix="bpe_rounds_")
-    atexit.register(shutil.rmtree, base, ignore_errors=True)
+    base: str | None = None  # tempdir materializes only if a checkpoint fires
 
     words = (
         df.select(F.explode(tokens_ws(F.lower(F.col(text_col)))).alias("word"))
@@ -100,9 +117,8 @@ def bpe_learn(
             ).alias("syms"),
         )
     )
-    path0 = os.path.join(base, "r0")
-    words.write.mode("overwrite").parquet(path0)
-    state = spark.read.parquet(path0)
+    state = words.persist(StorageLevel.MEMORY_AND_DISK)
+    prev: DataFrame | None = None
 
     merges: list[tuple[int, str, str, int]] = []
     for r in range(1, n_merges + 1):
@@ -121,10 +137,17 @@ def bpe_learn(
             .agg(F.sum("freq").alias("cnt"))
         )
         top = pairs.orderBy(F.desc("cnt"), "a", "b").limit(1).collect()
+        # this action materialized `state`; its predecessor is now
+        # recomputation-free and can release its cache
+        if prev is not None:
+            prev.unpersist()
+            prev = None
         if not top:
             break
         a, b, cnt = top[0]["a"], top[0]["b"], top[0]["cnt"]
         merges.append((r, a, b, int(cnt)))
+        if r == n_merges and not return_vocab:
+            break  # the last fold is unobservable through the merge table
         # padded containment guard: only words holding the pair fold
         touched = F.instr(
             F.concat(F.lit(" "), F.col("syms"), F.lit(" ")), f" {a} {b} "
@@ -136,9 +159,30 @@ def bpe_learn(
             .otherwise(F.col("syms"))
             .alias("syms"),
         )
-        out_path = os.path.join(base, f"r{r}")
-        new_state.write.mode("overwrite").parquet(out_path)
-        state = spark.read.parquet(out_path)
+        if r % checkpoint_every == 0:
+            # lineage/plan-depth reset for long merge runs: one parquet
+            # materialization, then the cache chain restarts from a scan
+            if base is None:
+                base = tempfile.mkdtemp(prefix="bpe_rounds_")
+                atexit.register(shutil.rmtree, base, ignore_errors=True)
+            out_path = os.path.join(base, f"r{r}")
+            new_state.write.mode("overwrite").parquet(out_path)
+            state.unpersist()
+            state = spark.read.parquet(out_path).persist(
+                StorageLevel.MEMORY_AND_DISK
+            )
+            prev = None
+        else:
+            prev, state = state, new_state.persist(StorageLevel.MEMORY_AND_DISK)
     if return_vocab:
+        # materialize the final dictionary, then release its one cached
+        # predecessor; the vocab frame itself stays cached for the
+        # caller's tokenize join
+        state.count()
+        if prev is not None:
+            prev.unpersist()
         return merges, state
+    state.unpersist()
+    if prev is not None:
+        prev.unpersist()
     return merges

@@ -81,6 +81,22 @@ def calibration_probe(spark) -> float:
     return round(time.perf_counter() - t0, 3)
 
 
+def calibration_median(spark) -> dict:
+    """Median-of-3 timed probes after one untimed warm-up (round-11
+    VERDICT #7: the single probe shot was the noisier term of the
+    same-day artifact pair — the probe earns its keep across HOSTS,
+    so its own sample must be regression-grade too). Returns the
+    median plus the raw runs for the BENCH_DETAIL spread record."""
+    calibration_probe(spark)  # untimed warm-up (one-time codegen)
+    runs = [calibration_probe(spark) for _ in range(3)]
+    return {
+        "median": sorted(runs)[1],
+        "min": min(runs),
+        "max": max(runs),
+        "runs": runs,
+    }
+
+
 def stage_totals(spark, after_stage: int = -1) -> dict[str, int]:
     """Cumulative shuffle/spill bytes across all stages so far, via the
     UI REST API (the per-query delta is the query's own cost), plus the
@@ -128,12 +144,12 @@ def main() -> None:
         qs = {k: v for k, v in qs.items() if k in wanted}
 
     # warm the JVM + parquet footer caches once (not timed); the
-    # calibration probe gets its own untimed warm-up too, so
-    # calibration_sec_start is not polluted by the probe's one-time
-    # codegen compile and stays comparable to calibration_sec_end
+    # calibration probe gets its own untimed warm-up inside
+    # calibration_median, so the recorded start median is not polluted
+    # by the probe's one-time codegen compile and stays comparable to
+    # the end median
     entrymod.q01_job_statistics(spark, sf_dir).count()
-    calibration_probe(spark)
-    calibration_start = calibration_probe(spark)
+    calibration_start = calibration_median(spark)
 
     timings: dict[str, float] = {}
     timing_spread: dict[str, dict[str, float]] = {}
@@ -175,7 +191,7 @@ def main() -> None:
         shuffle_mb[name] = round((after["shuffle_write"] - before["shuffle_write"]) / n_execs / 1e6, 2)
         peak_mem_mb[name] = round(after["peak_exec_mem_new"] / 1e6, 2)
         before = after
-    calibration_end = calibration_probe(spark)
+    calibration_end = calibration_median(spark)
 
     total = round(sum(timings.values()), 3)
 
@@ -334,7 +350,7 @@ def main() -> None:
         "sf": float(sf),
         "detail_file": "BENCH_DETAIL.json",
         "slow_outliers": slow_outliers,
-        "calibration_sec": calibration_end,
+        "calibration_sec": calibration_end["median"],
     }
     compact = {
         "metric": "sum_query_seconds",
@@ -344,7 +360,7 @@ def main() -> None:
         "n_queries": len(timings),
         "detail_file": "BENCH_DETAIL.json",
         "n_slow_outliers": len(slow_outliers),
-        "calibration_sec": calibration_end,
+        "calibration_sec": calibration_end["median"],
     }
     # Suite-level spread summary (round-9 verdict #7): p50/p95 of each
     # query's RELATIVE spread ((max-min)/median across its runs), so a
@@ -374,8 +390,9 @@ def main() -> None:
         "queries_sec_spread": timing_spread,
         "spread_summary": spread_summary,
         "timing_protocol": "untimed-warmup + median-of-3 warm repeats (<15s); single cold shot otherwise",
-        "calibration_sec_start": calibration_start,
-        "calibration_sec_end": calibration_end,
+        "calibration_sec_start": calibration_start["median"],
+        "calibration_sec_end": calibration_end["median"],
+        "calibration_spread": {"start": calibration_start, "end": calibration_end},
         "flatten_rows_per_sec": flatten_rps,
         "reference_floor_rows_per_sec": 100,
         "ivf_warm_probe_sec": ivf_probe_sec,

@@ -90,8 +90,10 @@ def test_real_codec_is_explicitly_stubbed():
             MM.decode_audio(b"x", "wav", codec="real")
 
 
+@pytest.mark.gated
 def test_real_image_codec_when_available():
-    """Exercised the day PIL lands in the environment; skipped until then."""
+    """Exercised the day PIL lands in the environment; skipped until
+    then (the [media] extra's -m gated lane)."""
     PIL_Image = pytest.importorskip("PIL.Image")
     import io
 
@@ -102,8 +104,10 @@ def test_real_image_codec_when_available():
     assert (px[0, 0] == [10, 20, 30]).all()
 
 
+@pytest.mark.gated
 def test_real_audio_codec_when_available():
-    """Exercised the day soundfile lands in the environment; skipped until then."""
+    """Exercised the day soundfile lands in the environment; skipped
+    until then (the [media] extra's -m gated lane)."""
     sf = pytest.importorskip("soundfile")
     import io
 

@@ -285,7 +285,9 @@ def q19_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         TX.char_count(F.col("text")).alias("chars"),
         n_tokens.alias("tokens_ws"),
-        F.round(F.length("text").cast("double") / n_tokens, 3).alias("chars_per_token"),
+        # try_divide: a 0-token (empty/whitespace) document reports
+        # NULL, not an ANSI divide-by-zero abort (fuzz-sweep find)
+        F.round(F.try_divide(F.length("text").cast("double"), n_tokens), 3).alias("chars_per_token"),
     )
 
 
@@ -1985,7 +1987,15 @@ def q106_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     from usajobs_etl_service_spark.operators.salting import salted_topk_per_key
     from usajobs_etl_service_spark.operators.sampling import sample_key
 
-    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    # A-ES requires w > 0: zero-length (and NULL-length) documents are
+    # unsampleable by definition, and ln(u)/0 would abort under ANSI —
+    # the predicate excludes them identically in both engines
+    # (fuzz-sweep find: the fixed SFs carry no empty documents)
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id", "lang", "n_chars")
+        .filter(F.col("n_chars") > 0)
+    )
     keyed = docs.withColumn(
         "es_key",
         F.round(
@@ -6357,6 +6367,9 @@ ORACLES: dict[str, str] = {
         SELECT p_partkey,
                CASE WHEN p_partkey % 3 = 2 THEN 'Not specified'
                     WHEN p_partkey % 5 = 0 THEN 'Not specified'
+                    -- NULL price => NULL min/max range => the engine's
+                    -- F3 missing-remuneration default (fuzz-sweep find)
+                    WHEN p_retailprice IS NULL THEN 'Not specified'
                     WHEN p_partkey % 3 = 0 THEN
                          '$' || format('{:,}', CAST(floor(p_retailprice * 100) AS BIGINT))
                           || ' - $' || format('{:,}', CAST(floor(p_retailprice * 150) AS BIGINT))
@@ -6420,7 +6433,8 @@ ORACLES: dict[str, str] = {
         SELECT doc_id,
                length(text) AS chars,
                len(list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '')) AS tokens_ws,
-               round(CAST(length(text) AS DOUBLE) / len(list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '')), 3) AS chars_per_token
+               round(CAST(length(text) AS DOUBLE)
+                     / NULLIF(len(list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '')), 0), 3) AS chars_per_token
         FROM documents
     """,
     "q20_flatten_ingest": """
@@ -6431,7 +6445,9 @@ ORACLES: dict[str, str] = {
                    || ' - $' || format('{:,}', CAST(floor(o_totalprice) + 5000 AS BIGINT))
                    || ' Per Year' AS position_remuneration,
                CAST(o_orderdate AS DATE) AS position_start_date,
-               o_orderpriority AS organization_name,
+               -- F6 default-on-missing: a NULL/absent JSON field
+               -- flattens to '' in the engine (fuzz-sweep find)
+               coalesce(o_orderpriority, '') AS organization_name,
                o_orderstatus AS department_name,
                'Information Technology' AS job_category,
                'GS-13' AS job_grade
@@ -6647,12 +6663,19 @@ ORACLES: dict[str, str] = {
     """,
     "q33_json_props": """
         SELECT event_type,
-               round(avg(CAST(json_extract(props, '$.k') AS INTEGER)), 4) AS avg_k,
-               max(CAST(json_extract(props, '$.k') AS INTEGER)) AS max_k
+               -- json_valid guard: the engine's get_json_object yields
+               -- NULL on malformed props; DuckDB json_extract raises
+               -- (P3 malformed-row tolerance, fuzz-sweep find)
+               round(avg(CASE WHEN json_valid(props)
+                              THEN CAST(json_extract(props, '$.k') AS INTEGER) END), 4) AS avg_k,
+               max(CASE WHEN json_valid(props)
+                        THEN CAST(json_extract(props, '$.k') AS INTEGER) END) AS max_k
         FROM events GROUP BY event_type
     """,
     "q34_views_layer": """
-        SELECT count(*) AS n_recent, count(DISTINCT o_orderpriority) AS n_orgs FROM orders
+        -- coalesce mirrors the engine's F6 flatten default: a NULL
+        -- priority lands as '' in the view, a sixth distinct value
+        SELECT count(*) AS n_recent, count(DISTINCT coalesce(o_orderpriority, '')) AS n_orgs FROM orders
     """,
     # q35 (HLL approximate) and q36 (IVF ANN) are rows-only by design
     "q37_rest_scan_pipeline": """
@@ -6757,7 +6780,17 @@ ORACLES: dict[str, str] = {
                round(s.value, 3) AS signup_value_asof,
                strftime(s.ts, '%Y-%m-%d %H:%M:%S.%f') AS signup_ts
         FROM events e
-        ASOF LEFT JOIN (SELECT user_id, ts, value FROM events WHERE event_type = 'signup') s
+        -- right side deduped per (user, ts) by the engine's
+        -- deterministic tie rule (greatest value, NULL last): native
+        -- ASOF leaves the equal-ts winner unspecified (fuzz-sweep find)
+        ASOF LEFT JOIN (
+            SELECT user_id, ts, value FROM (
+                SELECT user_id, ts, value,
+                       row_number() OVER (PARTITION BY user_id, ts
+                                          ORDER BY value DESC NULLS LAST) AS rn
+                FROM events WHERE event_type = 'signup'
+            ) WHERE rn = 1
+        ) s
           ON e.user_id = s.user_id AND e.ts >= s.ts
     """,
     "q46_native_datasource": """
@@ -6787,8 +6820,11 @@ ORACLES: dict[str, str] = {
         FROM orders GROUP BY o_orderpriority
     """,
     "q50_map_ops": """
+        -- json_valid guard: the engine's from_json yields a NULL map
+        -- on malformed props and explode drops the row entirely
+        -- (P3 malformed-row tolerance, fuzz-sweep find)
         SELECT event_id, 'k' AS key, CAST(json_extract(props, '$.k') AS INTEGER) AS val
-        FROM events
+        FROM events WHERE json_valid(props)
     """,
     "q51_inverted_index": """
         SELECT doc_id, lang FROM documents
@@ -7704,6 +7740,7 @@ ORACLES: dict[str, str] = {
                    round(ln(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '#11'), 1, 8)) AS BIGINT)
                             / 4294967296.0) / CAST(n_chars AS DOUBLE), 9) AS es_key
             FROM documents
+            WHERE n_chars > 0
         )
         SELECT lang, doc_id, n_chars, es_key FROM (
             SELECT lang, doc_id, n_chars, es_key,

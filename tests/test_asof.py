@@ -56,3 +56,30 @@ def test_asof_single_shuffle(spark):
     # union + one window: exactly one hash-partition exchange, no join node
     assert p.count("Exchange") == 1
     assert "Join" not in p
+
+
+def test_asof_row_atomic_carry_with_null_fields(spark):
+    """Fuzz-sweep regression: a NEWER right row with a NULL value must
+    win AS A ROW — the old per-column last(ignorenulls) carry stitched
+    the older row's value onto the newer row's timestamp."""
+    left = spark.createDataFrame([(1, _ts(20), "x")], "k long, ts timestamp, payload string")
+    right = spark.createDataFrame(
+        [(1, _ts(3), 30.0), (1, _ts(10), None)],
+        "k long, rts timestamp, price double",
+    )
+    row = asof_join(left, right, on=["k"], left_ts="ts", right_ts="rts").first()
+    assert row["rts_asof"] == _ts(10)
+    assert row["price_asof"] is None  # the matched ROW's value, not a mix
+
+
+def test_asof_equal_ts_ties_pick_greatest_value(spark):
+    """Fuzz-sweep regression: duplicate right rows on (key, ts) resolve
+    deterministically to the greatest value (NULL last) — replayable in
+    SQL as ORDER BY value DESC NULLS LAST."""
+    left = spark.createDataFrame([(1, _ts(10), "x")], "k long, ts timestamp, payload string")
+    right = spark.createDataFrame(
+        [(1, _ts(10), None), (1, _ts(10), 5.0), (1, _ts(10), 9.0)],
+        "k long, rts timestamp, price double",
+    )
+    row = asof_join(left, right, on=["k"], left_ts="ts", right_ts="rts").first()
+    assert row["price_asof"] == 9.0

@@ -953,7 +953,11 @@ def q61_distribution_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     events = _t(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy(F.round("value", 3).asc(), F.col("event_id").asc())
+    # explicit NULLS FIRST: Spark's ASC default, which DuckDB must be
+    # told about (its ASC default is NULLS LAST — fuzz-sweep find)
+    w = Window.partitionBy("user_id").orderBy(
+        F.round("value", 3).asc_nulls_first(), F.col("event_id").asc()
+    )
     return events.select(
         "event_id",
         "user_id",
@@ -1733,7 +1737,16 @@ def q93_fuzzy_edit_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact."""
     from usajobs_etl_service_spark.operators.neardup import edit_distance_near_dup_pairs
 
-    docs = _t(spark, sf_dir, "documents").select("doc_id", F.trim("text").alias("t"))
+    # ASCII regime pin (fuzz-sweep find): Levenshtein UNITS diverge
+    # across engines on non-ASCII text (JVM UTF-16 code units vs
+    # DuckDB codepoints/bytes — an emoji edit costs 1 vs 2), so the
+    # oracle-checked contract restricts to octet_length == length
+    # (byte count == char count <=> pure ASCII, in both engines)
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.octet_length("text") == F.length("text"))
+        .select("doc_id", F.trim("text").alias("t"))
+    )
     planted = docs.select(
         (F.col("doc_id") + 10000000).alias("doc_id"),
         F.concat(
@@ -2392,8 +2405,12 @@ def q123_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     from usajobs_etl_service_spark.operators.distributed_order import ordered_cumsum
 
     events = _t(spark, sf_dir, "events")
+    # NULL values are non-observations: engines disagree on where a
+    # NULL group sorts in the CDF (Spark NULLS FIRST vs DuckDB NULLS
+    # LAST on ASC) and a NULL is not a sample point (fuzz-sweep find)
     pts = (
         events.filter(F.col("event_type").isin("view", "purchase"))
+        .filter(F.col("value").isNotNull())
         .groupBy("value")
         .agg(
             F.sum(F.when(F.col("event_type") == "view", 1).otherwise(0)).alias("a"),
@@ -2434,7 +2451,11 @@ def q124_pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
     don't dominate each other and all survive."""
     from usajobs_etl_service_spark.operators.distributed_order import ordered_cummin
 
-    part = _t(spark, sf_dir, "part")
+    # NULL coordinates leave the dominance order undefined: exclude
+    # them from the skyline domain on both sides (fuzz-sweep find — a
+    # NULL-price min poisoned the running min via NULLS FIRST while
+    # the NOT-EXISTS oracle let every NULL row survive)
+    part = _t(spark, sf_dir, "part").filter(F.col("p_retailprice").isNotNull())
     per_price = part.groupBy("p_retailprice").agg(F.min("p_size").alias("m"))
     with_min = ordered_cummin(
         per_price, [F.col("p_retailprice").asc()], ["m"], strict=True
@@ -2460,8 +2481,13 @@ def q125_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     order-invariant."""
     from usajobs_etl_service_spark.operators.distributed_order import ordered_cumsum
 
-    li = _t(spark, sf_dir, "lineitem").select(
-        F.col("l_extendedprice").alias("price"), F.col("l_quantity").alias("w")
+    # NULL prices are non-observations (their weights would otherwise
+    # accumulate at engine-dependent ends of the CDF: Spark NULLS
+    # FIRST vs DuckDB NULLS LAST — fuzz-sweep find)
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_extendedprice").isNotNull())
+        .select(F.col("l_extendedprice").alias("price"), F.col("l_quantity").alias("w"))
     )
     cum = ordered_cumsum(li, [F.col("price").asc()], ["w"])
     total = li.agg(F.sum("w").alias("tot_w"))
@@ -2727,7 +2753,11 @@ def q136_argmax_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     self-join back). Ties broken deterministically by taking max_by
     over the (value, event_id) struct — struct comparison is
     lexicographic in both engines."""
-    events = _t(spark, sf_dir, "events")
+    # argmax over DEFINED values only: engines disagree on where a
+    # NULL struct FIELD sorts (Spark smallest vs DuckDB largest), so a
+    # NULL-value row would win min_by in one engine and max_by in the
+    # other (fuzz-sweep find)
+    events = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
     return events.groupBy("event_type").agg(
         F.expr("max_by(event_id, struct(value, event_id))").alias("max_value_event"),
         F.expr("min_by(event_id, struct(value, event_id))").alias("min_value_event"),
@@ -6513,8 +6543,12 @@ ORACLES: dict[str, str] = {
             SELECT doc_id + 10000000 AS doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS nt
             FROM documents
         )
+        -- zero-token documents have no SimHash signature (the engine
+        -- excludes them from banding: a signature over an empty
+        -- feature set is degenerate; exact dedup handles empties)
         SELECT a.doc_id AS id_a, b.doc_id AS id_b
         FROM u a JOIN u b ON a.nt = b.nt AND a.doc_id < b.doc_id
+        WHERE a.nt <> ''
     """,
     # q89: clustering-free restatement — on the planted construction the
     # k-means blocking provably loses no >=-threshold pair (see q89
@@ -6580,7 +6614,7 @@ ORACLES: dict[str, str] = {
                      + (CASE WHEN n_chars > 0 THEN CAST(n_alpha AS DOUBLE) / n_chars ELSE 0.0 END) * 0.3
                      + (1 - least((CASE WHEN n_chars > 0 THEN CAST(n_digit AS DOUBLE) / n_chars ELSE 0.0 END) * 4, 1.0)) * 0.15
                      + (1 - least((CASE WHEN n_chars > 0 THEN CAST(n_chars - n_alpha - n_digit - n_space AS DOUBLE) / n_chars ELSE 0.0 END) * 4, 1.0)) * 0.15
-                     + least(CAST(stop_hits AS DOUBLE) / 5.0, 1.0) * 0.1
+                     + least(CAST(stop_hits AS DOUBLE) / 5.0, 1.0) * 0.1 + 1e-9
                    , 4) AS quality
             FROM f
         ),
@@ -6938,7 +6972,8 @@ ORACLES: dict[str, str] = {
                round(percent_rank() OVER w, 6) AS pct_rank,
                round(cume_dist()    OVER w, 6) AS cume
         FROM events
-        WINDOW w AS (PARTITION BY user_id ORDER BY round(value, 3) ASC, event_id ASC)
+        WINDOW w AS (PARTITION BY user_id
+                     ORDER BY round(value, 3) ASC NULLS FIRST, event_id ASC)
     """,
     "q62_tfidf_top_terms": """
         WITH toks AS (
@@ -7214,7 +7249,7 @@ ORACLES: dict[str, str] = {
                  + (CASE WHEN n_chars > 0 THEN CAST(n_alpha AS DOUBLE) / n_chars ELSE 0.0 END) * 0.3
                  + (1 - least((CASE WHEN n_chars > 0 THEN CAST(n_digit AS DOUBLE) / n_chars ELSE 0.0 END) * 4, 1.0)) * 0.15
                  + (1 - least((CASE WHEN n_chars > 0 THEN CAST(n_chars - n_alpha - n_digit - n_space AS DOUBLE) / n_chars ELSE 0.0 END) * 4, 1.0)) * 0.15
-                 + least(CAST(stop_hits AS DOUBLE) / 5.0, 1.0) * 0.1
+                 + least(CAST(stop_hits AS DOUBLE) / 5.0, 1.0) * 0.1 + 1e-9
                , 4) AS quality
         FROM f
     """,
@@ -7237,7 +7272,7 @@ ORACLES: dict[str, str] = {
                      + (CASE WHEN n_chars > 0 THEN CAST(n_alpha AS DOUBLE) / n_chars ELSE 0.0 END) * 0.3
                      + (1 - least((CASE WHEN n_chars > 0 THEN CAST(n_digit AS DOUBLE) / n_chars ELSE 0.0 END) * 4, 1.0)) * 0.15
                      + (1 - least((CASE WHEN n_chars > 0 THEN CAST(n_chars - n_alpha - n_digit - n_space AS DOUBLE) / n_chars ELSE 0.0 END) * 4, 1.0)) * 0.15
-                     + least(CAST(stop_hits AS DOUBLE) / 5.0, 1.0) * 0.1
+                     + least(CAST(stop_hits AS DOUBLE) / 5.0, 1.0) * 0.1 + 1e-9
                    , 4) AS quality
             FROM f
         ),
@@ -7479,7 +7514,9 @@ ORACLES: dict[str, str] = {
     # rows.
     "q93_fuzzy_edit_dedup": """
         WITH base AS (
+            -- ASCII regime: octet_length == length in both engines
             SELECT doc_id, trim(text) AS t FROM documents
+            WHERE strlen(text) = length(text)  -- strlen: bytes (DuckDB's octet count)
         ), u AS (
             SELECT doc_id, t FROM base
             UNION ALL
@@ -8049,6 +8086,7 @@ ORACLES: dict[str, str] = {
                    count(*) FILTER (WHERE event_type = 'view') AS a,
                    count(*) FILTER (WHERE event_type = 'purchase') AS b
             FROM events WHERE event_type IN ('view', 'purchase')
+              AND value IS NOT NULL
             GROUP BY value
         ), cum AS (
             SELECT sum(a) OVER w AS cum_a, sum(b) OVER w AS cum_b
@@ -8066,9 +8104,10 @@ ORACLES: dict[str, str] = {
     "q124_pareto_frontier": """
         SELECT p.p_partkey, p.p_retailprice, p.p_size
         FROM part p
-        WHERE NOT EXISTS (
+        WHERE p.p_retailprice IS NOT NULL AND NOT EXISTS (
             SELECT 1 FROM part q
-            WHERE q.p_retailprice <= p.p_retailprice AND q.p_size <= p.p_size
+            WHERE q.p_retailprice IS NOT NULL
+              AND q.p_retailprice <= p.p_retailprice AND q.p_size <= p.p_size
               AND (q.p_retailprice < p.p_retailprice OR q.p_size < p.p_size)
         )
     """,
@@ -8079,9 +8118,10 @@ ORACLES: dict[str, str] = {
             SELECT l_extendedprice AS price,
                    sum(l_quantity) OVER (ORDER BY l_extendedprice
                                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_w
-            FROM lineitem
+            FROM lineitem WHERE l_extendedprice IS NOT NULL
         ), tot AS (
             SELECT sum(l_quantity) AS tot_w FROM lineitem
+            WHERE l_extendedprice IS NOT NULL
         )
         SELECT round(min(price), 2) AS weighted_median_price,
                round(max(tot_w), 2) AS total_weight
@@ -8505,7 +8545,7 @@ ORACLES: dict[str, str] = {
                struct_extract(min(row(value, event_id)), 2) AS min_value_event,
                round(max(value), 4) AS max_value,
                round(min(value), 4) AS min_value
-        FROM events GROUP BY event_type
+        FROM events WHERE value IS NOT NULL GROUP BY event_type
     """,
     "q132_grouping_sets": """
         SELECT l_returnflag, l_linestatus,
@@ -8665,7 +8705,7 @@ ORACLES: dict[str, str] = {
                      + (CASE WHEN n_chars > 0 THEN CAST(n_alpha AS DOUBLE) / n_chars ELSE 0.0 END) * 0.3
                      + (1 - least((CASE WHEN n_chars > 0 THEN CAST(n_digit AS DOUBLE) / n_chars ELSE 0.0 END) * 4, 1.0)) * 0.15
                      + (1 - least((CASE WHEN n_chars > 0 THEN CAST(n_chars - n_alpha - n_digit - n_space AS DOUBLE) / n_chars ELSE 0.0 END) * 4, 1.0)) * 0.15
-                     + least(CAST(stop_hits AS DOUBLE) / 5.0, 1.0) * 0.1
+                     + least(CAST(stop_hits AS DOUBLE) / 5.0, 1.0) * 0.1 + 1e-9
                    , 4) AS score,
                    CAST(n_tokens AS BIGINT) AS n_tokens
             FROM f
@@ -8775,10 +8815,13 @@ ORACLES: dict[str, str] = {
     # engine-identical.
     "q157_prototypicality_prune": """
         WITH nv AS (
+            -- zero-norm vectors are out of the cosine domain (the
+            -- engine filters norm > 0 before seeding/assignment)
             SELECT vec_id,
                    list_transform(CAST(embedding AS DOUBLE[]),
                        x -> x / sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]), y -> y * y)))) AS v
             FROM embeddings
+            WHERE list_sum(list_transform(CAST(embedding AS DOUBLE[]), y -> y * y)) > 0
         ), seeds AS (
             SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR) || '#proto') ASC, vec_id ASC) AS centroid_id,
                    v
@@ -9913,7 +9956,10 @@ ORACLES: dict[str, str] = {
                (sum(p2.n) - p.n) AS n_oof,
                round(((sum(p2.s) - p.s) + 20.0 * (SELECT prior FROM tot))
                      / ((sum(p2.n) - p.n) + 20.0), 4) AS te
-        FROM parts p JOIN parts p2 USING (category)
+        -- null-safe join: a NULL category is its own level (the
+        -- engine's window path keeps it; USING-equality dropped it —
+        -- fuzz-sweep find)
+        FROM parts p JOIN parts p2 ON p.category IS NOT DISTINCT FROM p2.category
         GROUP BY p.category, p.fold, p.n, p.s
         ORDER BY category, fold
     """,

@@ -241,7 +241,15 @@ def quality_score(col: Column) -> Column:
         + (1 - F.least(f["punct_ratio"] * 4, F.lit(1.0))) * 0.15
         + F.least(f["stopword_hits"].cast("double") / F.lit(5.0), F.lit(1.0)) * 0.1
     )
-    return F.round(score, 4)
+    # +1e-9 half-up stabilizer (fuzz-sweep find): the score is a
+    # rational with denominator 200*n_chars, so EXACT x.xxxx5 values
+    # occur (e.g. 0.7 + 0.3*394/480 = 0.94625). The nearest double
+    # sits just BELOW the half, and engines then disagree — Spark
+    # rounds the exact binary expansion (down), DuckDB the shortest
+    # decimal repr (up). The nudge is 4 orders below the rational
+    # spacing (1/(200*n_chars) ~ 1e-5), so it only resolves exact
+    # ties, always upward, identically in any engine.
+    return F.round(score + F.lit(1e-9), 4)
 
 
 # ---------------------------------------------------------------------------

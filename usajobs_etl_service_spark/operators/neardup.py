@@ -625,6 +625,12 @@ def simhash_near_dup_pairs(
     Hamming distance <= 3 shares at least one exact band by pigeonhole
     when bands=4), then exact Hamming filter.
 
+    Domain: documents with ZERO whitespace tokens (empty/whitespace-
+    only text) carry no signature and are excluded from banding — a
+    SimHash over an empty feature set is degenerate, and at corpus
+    scale the empty-doc population would otherwise concentrate into
+    one saturated bucket. Exact dedup (dedup.py) owns empties.
+
     Saturated buckets are RECOVERED, not dropped. SimHash cannot widen
     its bands the way SRP auto-scales planes (4x16 bits is pigeonhole-
     pinned for Hamming<=3 over 64 bits), so corpus growth concentrates

@@ -696,6 +696,12 @@ def prototypicality_prune(
 
     from pyspark.storagelevel import StorageLevel
 
+    # domain predicate (fuzz-sweep find): zero-norm and NULL embeddings
+    # have no cosine direction — l2_normalize yields an all-NULL vector
+    # whose scores poison seeds and means differently per engine. Out
+    # of domain, excluded identically here and in the SQL oracle (the
+    # q106 w>0 posture).
+    df = df.filter(norm(F.col(embedding_col).cast("array<double>")) > 0)
     nv = l2_normalize(F.col(embedding_col).cast("array<double>"))
     # seeds: TakeOrderedAndProject on (md5(id), id) over the raw frame,
     # then normalize ONLY the n_clusters winners — ordering needs no

@@ -89,6 +89,10 @@ FAMILY = [
     # benchmark broadcast; the corpus side shuffles nothing, so the
     # ratio should track the assignment scan (~linear)
     "q239_semantic_decontamination",
+    # round-12: containment near-dup (gram-key pair arithmetic with the
+    # observe-counted stop-gram cap) is a documents-corpus operator and
+    # was the round-11 family member without an x-MULT row
+    "q241_containment_neardup",
 ]
 
 
@@ -209,6 +213,7 @@ def run(outdir: str) -> None:
         "int8_store_vs_inline": _int8_store_smoke(spark, outdir, big),
         "watermark_dedup_state": _watermark_dedup_state_smoke(spark),
         "ttl_dedup_state": _ttl_dedup_state_smoke(spark),
+        "closers_orders_side": _closers_smoke(spark),
         "cc_distributed_rounds": _cc_rounds(spark, outdir),
         "kcore_distributed": _kcore_smoke(spark),
         "triangle_census": _triangle_smoke(spark),
@@ -1140,6 +1145,59 @@ def _ttl_dedup_state_smoke(spark) -> dict:
         }
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+def _closers_smoke(spark) -> dict:
+    """Round-11 closers that run on the ORDERS-shaped side of the star
+    (so the documents-corpus x-MULT dir can't exercise them): exact
+    fixed-n stratified sampling (q245's WindowGroupLimit rank cut) and
+    the t-closeness release audit (q247's broadcast support grid), each
+    timed at 1x vs MULTx synthetic rows. Both are aggregate/rank-cut
+    shapes whose output is strata-bounded, so the ratio should track
+    the scan, far under the linear bar."""
+    from pyspark.sql import functions as F
+
+    from usajobs_etl_service_spark.operators.privacy import t_closeness_report
+    from usajobs_etl_service_spark.operators.sampling import stratified_sample_exact
+
+    n_small = 200_000
+    n_big = n_small * MULT
+    strata = [f"s{i:02d}" for i in range(25)]
+    sens = [f"v{i}" for i in range(5)]
+
+    def frame(n):
+        return (
+            spark.range(n)
+            .select(
+                F.col("id").alias("k"),
+                F.concat(F.lit("s"), F.format_string("%02d", (F.col("id") % 25).cast("int"))).alias("g"),
+                F.concat(F.lit("v"), (F.xxhash64("id") % 5 + 5) % 5).alias("sv"),
+            )
+        )
+
+    out: dict = {"strata": len(strata), "sample_n": 40, "support": len(sens)}
+    for op_name in ("stratified_exact", "t_closeness"):
+        rec = {}
+        for label, n in (("base", n_small), (f"x{MULT}", n_big)):
+            df = frame(n)
+            if op_name == "stratified_exact":
+                run_df = stratified_sample_exact(df, strata_col="g", key_col="k", n_per_stratum=40, seed=7)
+            else:
+                run_df = t_closeness_report(df, ["g"], "sv", t=0.2)
+            t0 = time.perf_counter()
+            rows = run_df.count()
+            t1 = time.perf_counter() - t0
+            t0 = time.perf_counter()
+            run_df.count()
+            t2 = time.perf_counter() - t0
+            rec[label] = {"sec": round(min(t1, t2), 3), "rows": rows}
+        rec[f"time_ratio_{MULT}x_data"] = round(
+            rec[f"x{MULT}"]["sec"] / max(rec["base"]["sec"], 1e-9), 2
+        )
+        out[op_name] = rec
+    out["stratified_rows_ok"] = out["stratified_exact"]["base"]["rows"] == 25 * 40
+    out["t_closeness_rows_ok"] = out["t_closeness"]["base"]["rows"] == 25
+    return out
 
 
 def _int8_store_smoke(spark, outdir: str, big: str) -> dict[str, dict]:

@@ -660,7 +660,15 @@ def q41_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q42_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Session windows (30-min gap) per user — Spark's stateful
-    session_window vs a gaps-and-islands SQL oracle."""
+    session_window vs a gaps-and-islands SQL oracle.
+
+    Boundary semantics (fuzz-sweep seed-3 find): ``session_window``
+    MERGES an event arriving EXACTLY ``gap`` after its predecessor
+    (closed boundary — the oracle's island predicate is strictly
+    ``>``), unlike the funnel/q240 gaps-and-islands family whose
+    documented contract is ``>= gap`` starts a new island. Both are
+    self-consistent engine/oracle pairs; they differ from each other
+    only on the exact-gap knife edge."""
     from usajobs_etl_service_spark.streaming.pipeline import sessionize
 
     events = _t(spark, sf_dir, "events")
@@ -6779,8 +6787,12 @@ ORACLES: dict[str, str] = {
     "q42_sessionize": """
         WITH marked AS (
             SELECT user_id, ts, value,
+                   -- STRICTLY greater: Spark's session_window merges
+                   -- an event at EXACTLY gap after its predecessor
+                   -- (closed boundary; fuzz-sweep seed-3 find — the
+                   -- fixed SFs carry no exact-1800s gap)
                    CASE WHEN lag(ts) OVER w IS NULL
-                             OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+                             OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
                         THEN 1 ELSE 0 END AS new_session
             FROM events
             WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)

@@ -36,6 +36,20 @@ Usage::
 
 Writes one JSON artifact (``FUZZ_ORACLE.json`` at the repo root) with
 per-seed, per-query results; exits non-zero on any FAIL/ERROR.
+
+Known boundary (probed round 12, ``--empty events`` sweeps 247/247):
+``--empty documents,embeddings`` currently reds ~21 queries, all in
+three defensible classes — fixture probes that index a collected row
+(vec_id=0/doc_id=0 absent from an empty corpus -> TypeError),
+operators that RAISE LOUDLY on empty input (prototypicality seed
+guard, BPE schema inference, kappa/Heaps degenerate denominators),
+and genuine cross-engine empty-set semantics (Spark CUBE over an
+empty frame emits no grand-total row, DuckDB emits one; the profiler
+describes an empty table with 4 metadata rows, a SQL oracle has no
+rows to describe). None are silent wrong answers; hardening the
+fixture queries against empty corpora is future work, tracked in
+TODO.md. Use ``--artifact`` to keep exploratory runs out of the
+committed FUZZ_ORACLE.json.
 """
 
 from __future__ import annotations

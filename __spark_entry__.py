@@ -47,7 +47,47 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def _max_date(spark: SparkSession, sf_dir: str, table: str, ts_col: str):
+    """Anchor-date probe (max date of a timestamp column). Served from
+    parquet row-group statistics on the driver when they are exact
+    (int/timestamp physical types; the parquet_row_count posture — no
+    Spark job at construction time, which bench.py times), falling back
+    to the Spark aggregate otherwise. The INT64-nanos case applies the
+    same div-1000 truncation read_table applies before taking the UTC
+    date, so both paths yield the identical value."""
+    import datetime as _dt
+
+    from usajobs_etl_service_spark.session import parquet_col_stat
+
+    v = parquet_col_stat(sf_dir, table, ts_col, "max")
+    if isinstance(v, int) and v >= 0:
+        # INT64 TIMESTAMP(NANOS) read as long (read_table: ts div 1000
+        # -> micros); non-negative guard keeps py floor-div == SQL div
+        micros = v // 1000
+        v = _dt.datetime(1970, 1, 1) + _dt.timedelta(microseconds=micros)
+    if isinstance(v, _dt.datetime):
+        return v.date()  # session tz is pinned UTC; stats are stored UTC
+    if isinstance(v, _dt.date):
+        return v
     return _t(spark, sf_dir, table).agg(F.max(F.to_date(ts_col))).first()[0]
+
+
+def _qvec(spark: SparkSession, sf_dir: str, vec_id: int = 0) -> list:
+    """The query-vector construction probe: a single-row unique-key
+    lookup on the embeddings table, served from the parquet input via
+    pyarrow on the driver (~5 ms vs ~180 ms for the Spark
+    filter+first — a construction-time job bench.py times on every
+    repeat), Spark fallback for non-parquet layouts."""
+    from usajobs_etl_service_spark.session import parquet_lookup_value
+
+    row = parquet_lookup_value(sf_dir, "embeddings", "vec_id", vec_id, "embedding")
+    if row is None:
+        row = (
+            _t(spark, sf_dir, "embeddings")
+            .filter(F.col("vec_id") == vec_id)
+            .select("embedding")
+            .first()[0]
+        )
+    return [float(x) for x in row]
 
 
 # ---------------------------------------------------------------------------
@@ -146,8 +186,13 @@ def q08_like_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q09_key_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P7: equality lookup by unique key (test_integration.py:140-147)."""
+    from usajobs_etl_service_spark.session import parquet_col_stat
+
     orders = _t(spark, sf_dir, "orders")
-    min_key = orders.agg(F.min("o_orderkey")).first()[0]
+    # exact int64 min from the parquet footer stats (no construction job)
+    min_key = parquet_col_stat(sf_dir, "orders", "o_orderkey", "min")
+    if min_key is None:
+        min_key = orders.agg(F.min("o_orderkey")).first()[0]
     return orders.filter(F.col("o_orderkey") == F.lit(min_key)).select(
         "o_orderkey", "o_custkey", "o_orderstatus", F.round("o_totalprice", 2).alias("o_totalprice")
     )
@@ -273,7 +318,7 @@ def q18_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Extension (similarity search): exact brute-force top-20 cosine
     against the vec_id=0 embedding."""
     emb = _t(spark, sf_dir, "embeddings")
-    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]]
+    qvec = _qvec(spark, sf_dir)
     return SIM.topk_cosine(emb.filter(F.col("vec_id") != 0), qvec, k=20, round_digits=4)
 
 
@@ -518,7 +563,7 @@ def q36_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     from usajobs_etl_service_spark.operators.similarity import ivf_build, ivf_topk_cosine
 
     emb = _t(spark, sf_dir, "embeddings")
-    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]]
+    qvec = _qvec(spark, sf_dir)
     index, cents = ivf_build(emb.filter(F.col("vec_id") != 0), n_centroids=16)
     return ivf_topk_cosine(index, cents, qvec, k=10, nprobe=4)
 
@@ -904,7 +949,7 @@ def q57_ivf_fullprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     IVF build/assign/probe path, leaving only recall-at-nprobe<C as the
     approximate (rows-only, test-asserted) part."""
     emb = _t(spark, sf_dir, "embeddings")
-    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 1).select("embedding").first()[0]]
+    qvec = _qvec(spark, sf_dir, 1)
     index, cents = SIM.ivf_build(emb.filter(F.col("vec_id") != 1), n_centroids=16)
     return SIM.ivf_topk_cosine(index, cents, qvec, k=15, nprobe=16)
 
@@ -1859,7 +1904,16 @@ def q98_pq_adc_exact_regime(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.transform(F.col("embedding").cast("array<double>"),
                     lambda x: F.when(x >= 0, F.lit(1.0)).otherwise(F.lit(-1.0))).alias("embedding"),
     )
-    q0 = emb.filter(F.col("vec_id") == 0).select("embedding").first()["embedding"]
+    # the sign transform above is elementwise, so the query row can be
+    # read from parquet on the driver and sign-mapped in Python: the
+    # same (x >= 0 -> 1.0, else/NULL/NaN -> -1.0) verdict per element
+    from usajobs_etl_service_spark.session import parquet_lookup_value
+
+    _raw0 = parquet_lookup_value(sf_dir, "embeddings", "vec_id", 0, "embedding")
+    if _raw0 is None:
+        q0 = emb.filter(F.col("vec_id") == 0).select("embedding").first()["embedding"]
+    else:
+        q0 = [1.0 if (x is not None and float(x) >= 0) else -1.0 for x in _raw0]
     data = emb.filter(F.col("vec_id") != 0)
     books = pq_train_distinct(data, m=16)
     codes = pq_encode(data, books)
@@ -3850,7 +3904,7 @@ def q173_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.col("bm25").alias("score")
     )
     emb = _t(spark, sf_dir, "embeddings")
-    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]]
+    qvec = _qvec(spark, sf_dir)
     dense = SIM.topk_cosine(emb, qvec, k=100, round_digits=4).select(
         F.col("vec_id").alias("doc_id"), F.col("sim").alias("score")
     )
@@ -3916,7 +3970,7 @@ def q176_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     from usajobs_etl_service_spark.operators.similarity import mmr_rerank
 
     emb = _t(spark, sf_dir, "embeddings")
-    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]]
+    qvec = _qvec(spark, sf_dir)
     return mmr_rerank(emb, qvec, k_candidates=30, k_select=10, lam=0.7)
 
 
@@ -3980,7 +4034,7 @@ def q179_ranking_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.col("bm25").alias("score")
     )
     emb = _t(spark, sf_dir, "embeddings")
-    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]]
+    qvec = _qvec(spark, sf_dir)
     dense = SIM.topk_cosine(emb, qvec, k=20, round_digits=4).select(
         F.col("vec_id").alias("doc_id"), F.col("sim").alias("score")
     )
@@ -4243,10 +4297,7 @@ def q189_int8_store_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"spark_graft_q189_store_{os.path.basename(sf_dir.rstrip('/'))}_{os.getpid()}",
     )
     quantize_write(emb.filter(F.col("vec_id") != 0), store)
-    qvec = [
-        float(x)
-        for x in emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
-    ]
+    qvec = _qvec(spark, sf_dir)
     out = quantized_topk_cosine(
         quantize_load(spark, store), qvec, k=20, shortlist=100
     )
@@ -4362,10 +4413,7 @@ def q193_int8_mips_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    qvec = [
-        float(x)
-        for x in emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
-    ]
+    qvec = _qvec(spark, sf_dir)
     corpus = emb.filter(F.col("vec_id") != 0)
     store_path = os.path.join(
         tempfile.gettempdir(),
@@ -4398,10 +4446,7 @@ def q194_quantized_ivf_fullprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    qvec = [
-        float(x)
-        for x in emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
-    ]
+    qvec = _qvec(spark, sf_dir)
     index, cents = quantized_ivf_build(
         emb.filter(F.col("vec_id") != 0), n_centroids=16
     )
@@ -5870,10 +5915,7 @@ def q244_truncation_fidelity(spark: SparkSession, sf_dir: str) -> DataFrame:
     id join. The measured number is what decides whether an int8 or
     truncated store (q187/q189) can serve the first-stage probe."""
     emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    qv = [
-        float(x)
-        for x in emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
-    ]
+    qv = _qvec(spark, sf_dir)
     cand = emb.filter(F.col("vec_id") != 0)
     topf = SIM.topk_cosine(cand, qv, k=20, round_digits=4).select("vec_id")
     pre = cand.select(

@@ -133,13 +133,15 @@ def minhash_signatures_df(
     )
     ex = toks.select("id", F.explode(shingles_from_tokens(F.col("toks"), shingle_k)).alias("s"))
     hashed = ex.select("id", F.xxhash64("s").alias("h"))
-    aggs = [
-        F.min(F.xxhash64(F.col("h"), F.lit(seed * 1_000_003 + i))).alias(f"m{i}")
-        for i in range(num_hashes)
-    ]
-    return hashed.groupBy("id").agg(*aggs).select(
-        "id", F.array(*[F.col(f"m{i}") for i in range(num_hashes)]).alias("sig")
+    # all lanes in ONE SQL expression parsed JVM-side: the per-lane
+    # Column construction was ~500 py4j round trips of driver time per
+    # call (construction is inside bench.py's timed region — the
+    # simhash_signatures_df argument); an array of aggregates is the
+    # identical partial+final min plan
+    lanes = ", ".join(
+        f"min(xxhash64(h, {seed * 1_000_003 + i}))" for i in range(num_hashes)
     )
+    return hashed.groupBy("id").agg(F.expr(f"array({lanes})").alias("sig"))
 
 
 def signature_similarity(sig_a: Column, sig_b: Column) -> Column:
@@ -564,50 +566,55 @@ def simhash_signatures_df(df: DataFrame, *, id_col: str, text_col: str) -> DataF
     hashed = ex.select("id", F.xxhash64("t").alias("h"))
     # pack 4 per-bit ones-counters into each long (16-bit fields): 16
     # sum aggregates instead of 64 cuts whole-stage-codegen compile time
-    # ~4x.
-    h = F.col("h")
-
-    def packed(g: int):
-        parts = [
-            F.shiftleft(F.shiftright(h, 4 * g + k).bitwiseAND(F.lit(1)).cast("long"), 16 * k)
+    # ~4x. The expressions are built as ONE SQL string parsed JVM-side:
+    # the equivalent Column-by-Column construction is ~700 py4j round
+    # trips, measured 3.4 s of driver time per call — construction is
+    # inside bench.py's timed region (guide §1), and parsing the same
+    # tree from SQL is milliseconds. Semantics are unchanged
+    # expression-for-expression.
+    def packed(g: int) -> str:
+        return " + ".join(
+            f"shiftleft(cast(shiftright(h, {4 * g + k}) & 1 as bigint), {16 * k})"
             for k in range(4)
-        ]
-        return reduce(lambda a, b: a + b, parts)
+        )
 
-    aggs = [F.sum(packed(g)).alias(f"p{g}") for g in range(16)]
+    aggs = [F.expr(f"sum({packed(g)})").alias(f"p{g}") for g in range(16)]
     votes = hashed.groupBy("id").agg(F.count(F.lit(1)).alias("n"), *aggs)
-    # bit j set iff ones_j > n/2  (votes_j = 2*ones_j - n > 0)
-    bit_exprs = []
+    # bit j set iff ones_j > n/2  (votes_j = 2*ones_j - n > 0); bit 63's
+    # weight is Long.MIN_VALUE (two's complement) spelled as a shift so
+    # the SQL parser never sees an overflowing literal
+    terms = []
     for j in range(64):
         g, k = divmod(j, 4)
-        ones = F.shiftright(F.col(f"p{g}"), 16 * k).bitwiseAND(F.lit(0xFFFF))
-        bit_exprs.append(
-            F.when(ones * 2 > F.col("n"), F.lit((1 << j) if j < 63 else -(1 << 63)).cast("long")).otherwise(
-                F.lit(0).cast("long")
-            )
+        w = (
+            "shiftleft(cast(1 as bigint), 63)"
+            if j == 63
+            else f"cast({1 << j} as bigint)"
         )
-    return votes.select("id", reduce(lambda a, b: a.bitwiseOR(b), bit_exprs).alias("sig"))
+        terms.append(
+            f"(case when (shiftright(p{g}, {16 * k}) & 65535) * 2 > n"
+            f" then {w} else cast(0 as bigint) end)"
+        )
+    return votes.select("id", F.expr(" | ".join(terms)).alias("sig"))
 
 
-def _simhash_rem48(sig: Column, band: Column) -> Column:
+def _simhash_rem48(sig: str, band: str) -> Column:
     """The 48 signature bits OUTSIDE 16-bit band ``band``, packed into
     the low 48 bits of a long (remaining bands in ascending index
     order). ``band`` is a data column bounded to {0,1,2,3}, so the
     band-dependent shifts unroll into a 4-way CASE of literal-shift
-    expressions (shift amounts must be Python ints in codegen)."""
-    from functools import reduce
+    expressions (shift amounts must be Python ints in codegen). Args
+    are COLUMN NAMES: the tree is built as one SQL string parsed
+    JVM-side (the simhash_signatures_df construction-cost argument)."""
 
-    def rem_for(b: int) -> Column:
-        parts = []
-        for i, j in enumerate(jj for jj in range(4) if jj != b):
-            chunk = F.shiftrightunsigned(sig, 16 * j).bitwiseAND(F.lit(0xFFFF))
-            parts.append(F.shiftleft(chunk, 16 * i))
-        return reduce(lambda a, b2: a.bitwiseOR(b2), parts)
+    def rem_for(b: int) -> str:
+        return " | ".join(
+            f"shiftleft(shiftrightunsigned({sig}, {16 * j}) & 65535, {16 * i})"
+            for i, j in enumerate(jj for jj in range(4) if jj != b)
+        )
 
-    expr = F.when(band == 0, rem_for(0))
-    for b in (1, 2, 3):
-        expr = expr.when(band == b, rem_for(b))
-    return expr
+    cases = " ".join(f"when {band} = {b} then ({rem_for(b)})" for b in range(4))
+    return F.expr(f"case {cases} end")
 
 
 def simhash_near_dup_pairs(
@@ -714,7 +721,7 @@ def simhash_near_dup_pairs(
     # Tier-1: saturated rows re-band the OTHER 48 bits into 4x12-bit
     # sub-bands; fit rows keep their level-1 bucket as (-1, -1). One
     # conditional explode — no branch, no subtree duplication.
-    rem = _simhash_rem48(F.col("sig"), F.col("band"))
+    rem = _simhash_rem48("sig", "band")
     passthrough = F.array(
         F.struct(F.lit(-1).alias("sband"), F.lit(-1).cast("long").alias("skey"))
     )

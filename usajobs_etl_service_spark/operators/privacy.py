@@ -157,8 +157,14 @@ def t_closeness_report(
     clean = df.filter(F.col(sensitive_col).isNotNull())
     # global support: q per value + its ordered cumulative (bounded,
     # computed once; the no-partition window runs over the support
-    # only — the _offsets posture)
-    total = clean.count()
+    # only — the _offsets posture). total and the support size come
+    # from ONE aggregate job (they were two sequential count() jobs —
+    # construction-time cost bench.py times on every repeat)
+    _tm = clean.agg(
+        F.count(F.lit(1)).alias("__t"),
+        F.count_distinct(F.col(sensitive_col)).alias("__m"),
+    ).first()
+    total, m = _tm["__t"], _tm["__m"]
     support = (
         clean.groupBy(F.col(sensitive_col).alias("__sv"))
         .agg(F.count(F.lit(1)).alias("__nv"))
@@ -171,7 +177,6 @@ def t_closeness_report(
         )
         .select("__sv", "__q", "__cumq")
     )
-    m = support.count()
     sizes = clean.groupBy(*quasi_cols).agg(F.count(F.lit(1)).alias("n"))
     cells = clean.groupBy(
         *quasi_cols, F.col(sensitive_col).alias("__sv")

@@ -60,6 +60,50 @@ def get_spark(
     return spark
 
 
+# Arrow types whose from_arrow_schema conversion is known to equal
+# Spark's own parquet schema inference (asserted table-by-table in
+# tests/test_session_probes.py). Anything else — decimals, maps,
+# structs, exotic encodings — routes to the plain inference path.
+_SAFE_ARROW_TYPES = (
+    "int8", "int16", "int32", "int64", "uint8", "uint16", "uint32",
+    "float", "double", "string", "large_string", "bool", "date32[day]",
+    "binary", "large_binary", "timestamp[s]", "timestamp[ms]",
+    "timestamp[us]", "timestamp[ns]",
+)
+
+
+def _footer_schema(path: str):
+    """Spark StructType for a parquet file/directory derived from the
+    footer via pyarrow on the driver (~2 ms) instead of Spark's
+    DataFrameReader inference (~105 ms of driver/py4j setup per call —
+    paid at DataFrame-construction time, which bench.py times; guide
+    §1). Same footer bytes, same resulting schema — validated
+    type-for-type against Spark inference in tests; returns ``None``
+    (callers fall back to inference) for any non-vetted column type."""
+    try:
+        import pyarrow.parquet as pq
+        from pyspark.sql.pandas.types import from_arrow_schema
+
+        f = path
+        if os.path.isdir(path):
+            parts = sorted(
+                x for x in os.listdir(path) if x.endswith(".parquet")
+            )
+            if not parts:
+                return None
+            f = os.path.join(path, parts[0])
+        arrow = pq.read_schema(f)
+        for t in arrow.types:
+            s = str(t)
+            if s.startswith("list<"):
+                s = s[5:-1].split(": ", 1)[-1]
+            if s not in _SAFE_ARROW_TYPES:
+                return None
+        return from_arrow_schema(arrow, prefer_timestamp_ntz=True)
+    except Exception:
+        return None
+
+
 def read_table(spark: SparkSession, sf_dir: str, name: str):
     """Read one testdata parquet table, normalizing nano-precision
     timestamp columns (read as long via nanosAsLong) back to
@@ -72,9 +116,15 @@ def read_table(spark: SparkSession, sf_dir: str, name: str):
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     except Exception:
         pass
-    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    schema = _footer_schema(path)
+    if schema is not None:
+        df = spark.read.schema(schema).parquet(path)
+    else:
+        df = spark.read.parquet(path)
+        schema = df.schema
     if name == "events":
-        for field in df.schema.fields:
+        for field in schema.fields:
             if field.name == "ts" and isinstance(field.dataType, T.LongType):
                 df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     return df
@@ -97,6 +147,83 @@ def parquet_row_count(sf_dir: str, name: str) -> int:
             if f.endswith(".parquet")
         )
     return pq.read_metadata(path).num_rows
+
+
+def _parquet_files(sf_dir: str, name: str) -> list[str]:
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    if os.path.isdir(path):
+        return [
+            os.path.join(path, f)
+            for f in sorted(os.listdir(path))
+            if f.endswith(".parquet")
+        ]
+    return [path]
+
+
+def parquet_col_stat(sf_dir: str, name: str, col: str, want: str = "max"):
+    """Exact column min/max from parquet row-group statistics — NO Spark
+    job, no scan (the ``parquet_row_count`` posture; guide §1: a
+    construction-time anchor probe should not cost a cluster pass when
+    the file footer already holds the exact answer). Returns ``None``
+    whenever the statistics cannot be trusted exactly, so callers fall
+    back to a Spark aggregate:
+
+    - BYTE_ARRAY / FIXED_LEN_BYTE_ARRAY columns (string stats may be
+      truncated by writers — never trusted);
+    - any populated row group without min/max stats (all-null groups
+      are skipped: parquet stats ignore NULLs, matching F.min/F.max);
+    - unreadable/missing files or columns.
+    """
+    import pyarrow.parquet as pq
+
+    vals = []
+    try:
+        for f in _parquet_files(sf_dir, name):
+            md = pq.read_metadata(f)
+            idx = md.schema.names.index(col)
+            if md.schema.column(idx).physical_type in (
+                "BYTE_ARRAY",
+                "FIXED_LEN_BYTE_ARRAY",
+            ):
+                return None
+            for rg in range(md.num_row_groups):
+                grp = md.row_group(rg)
+                if grp.num_rows == 0:
+                    continue
+                st = grp.column(idx).statistics
+                if st is None or not st.has_min_max:
+                    if st is not None and st.null_count == grp.num_rows:
+                        continue  # all-null group: no min/max to contribute
+                    return None
+                vals.append(st.max if want == "max" else st.min)
+    except Exception:
+        return None
+    if not vals:
+        return None
+    return max(vals) if want == "max" else min(vals)
+
+
+def parquet_lookup_value(sf_dir: str, name: str, key_col: str, key_val, want_col: str):
+    """Driver-side single-row key lookup straight from the parquet input
+    via pyarrow (row-group statistics prune non-matching groups) — no
+    Spark job. The construction-time "query parameter" probe (e.g. the
+    vec_id=0 query embedding) costs ~5 ms here vs ~180 ms as a Spark
+    filter+first, and bench.py times construction (guide §1). Returns
+    ``None`` when the layout isn't pyarrow-readable or no row matches;
+    callers fall back to the Spark path."""
+    try:
+        import pyarrow.dataset as ds
+
+        path = os.path.join(sf_dir, f"{name}.parquet")
+        tbl = (
+            ds.dataset(path)
+            .to_table(filter=ds.field(key_col) == key_val, columns=[want_col])
+        )
+        if tbl.num_rows < 1:
+            return None
+        return tbl.column(0)[0].as_py()
+    except Exception:
+        return None
 
 
 def load_tables(spark: SparkSession, sf_dir: str, names: list[str] | None = None):

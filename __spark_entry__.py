@@ -46,6 +46,21 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return read_table(spark, sf_dir, name)
 
 
+def _ts(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """``_t`` + scale-adaptive parallelism on-ramp (plans/spread.py):
+    for queries whose FIRST stage is heavy per-row compute (signature
+    folds, gram explodes, distance arithmetic) — a small single-split
+    input would otherwise pin that stage on one core. No-op whenever
+    the scan already yields >= cores splits (any production-size
+    input), so the plan is unchanged at scale. Used only by the
+    compute-heavy queries; cheap scans keep the plain ``_t`` (the
+    spread's ~10 ms driver probe and its exchange would be pure
+    overhead there)."""
+    from usajobs_etl_service_spark.plans.spread import spread_for_compute
+
+    return spread_for_compute(_t(spark, sf_dir, name))
+
+
 def _max_date(spark: SparkSession, sf_dir: str, table: str, ts_col: str):
     """Anchor-date probe (max date of a timestamp column). Served from
     parquet row-group statistics on the driver when they are exact
@@ -411,7 +426,7 @@ def q22_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact cosine — the block stands in for an IVF/LSH bucket at scale."""
     from usajobs_etl_service_spark.operators.neardup import embedding_near_dup_pairs
 
-    emb = _t(spark, sf_dir, "embeddings")
+    emb = _ts(spark, sf_dir, "embeddings")
     return embedding_near_dup_pairs(emb, block_col="label", threshold=0.4)
 
 
@@ -674,12 +689,16 @@ def q40_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     single scan + one dedup shuffle; every stage is a codegen'd
     expression, so Catalyst fuses the gates into the scan."""
     from usajobs_etl_service_spark.operators.dedup import dedup_first_wins
+    from usajobs_etl_service_spark.plans.spread import spread_for_compute
 
     docs = _t(spark, sf_dir, "documents")
     fingerprinted = docs.withColumn("fp", TX.fingerprint_md5(F.col("text")))
     deduped = dedup_first_wins(fingerprinted, ["fp"], "doc_id")
+    # AQE coalesces the tiny dedup exchange back to one partition, so
+    # the per-row gate expressions below would run single-core on a
+    # small input; spread is a structural no-op at scale (spread.py).
     curated = (
-        deduped.withColumn("lang_pred", TX.lang_id(F.col("text")))
+        spread_for_compute(deduped).withColumn("lang_pred", TX.lang_id(F.col("text")))
         .withColumn("quality", TX.quality_score(F.col("text")))
         .withColumn("tokens", TX.token_count_ws(F.col("text")))
         .filter((F.col("quality") >= 0.5) & (F.col("lang_pred") != "und"))
@@ -1149,7 +1168,7 @@ def q69_training_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     from usajobs_etl_service_spark.operators.dedup import dedup_first_wins
     from usajobs_etl_service_spark.operators.sampling import stratified_sample
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _ts(spark, sf_dir, "documents")
     fingerprinted = docs.withColumn("fp", TX.fingerprint_md5(F.col("text")))
     deduped = dedup_first_wins(fingerprinted, ["fp"], "doc_id")
     # Repetition gate fused into the main chain (no second corpus scan)
@@ -1258,7 +1277,7 @@ def q72_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     sorted token array, not an explode+groupBy)."""
     from usajobs_etl_service_spark.operators.repetition import repetition_signals
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _ts(spark, sf_dir, "documents")
     return repetition_signals(docs)
 
 
@@ -1500,7 +1519,7 @@ def q82_embedding_srp_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from usajobs_etl_service_spark.operators.neardup import embedding_srp_near_dup_pairs
     from usajobs_etl_service_spark.session import parquet_row_count
 
-    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    emb = _ts(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     planted = emb.select(
         (F.col("vec_id") + 10000000).alias("vec_id"),
         F.transform("embedding", lambda x: x * F.lit(1.5)).alias("embedding"),
@@ -1542,7 +1561,7 @@ def q83_minhash_exact_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
         minhash_near_dup_pairs, ngram_jaccard_pairs,
     )
 
-    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = _ts(spark, sf_dir, "documents").select("doc_id", "text")
     planted = docs.select((F.col("doc_id") + 10000000).alias("doc_id"), "text")
     u = docs.unionByName(planted)
     cand = minhash_near_dup_pairs(
@@ -1604,7 +1623,7 @@ def q85_quality_gate_exact_regime(spark: SparkSession, sf_dir: str) -> DataFrame
     q80/q81 (order-insensitive aggregates, float-stable compare)."""
     from usajobs_etl_service_spark.operators.sampling import adaptive_quality_gate
 
-    docs = _t(spark, sf_dir, "documents").withColumn("quality", TX.quality_score(F.col("text")))
+    docs = _ts(spark, sf_dir, "documents").withColumn("quality", TX.quality_score(F.col("text")))
     kept = adaptive_quality_gate(
         docs, group_col="source", score_col="quality", keep_frac=0.75, approx=True,
         threshold_sample=1.0, sample_key_col="doc_id",
@@ -1742,7 +1761,7 @@ def q90_duplicated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     argument)."""
     from usajobs_etl_service_spark.operators.substring_dedup import duplicated_spans
 
-    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = _ts(spark, sf_dir, "documents").select("doc_id", "text")
     return duplicated_spans(docs, n=8)
 
 
@@ -3128,13 +3147,25 @@ def q148_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     9-element broadcast array (membership = count of edges <= value),
     add-one-smoothed shares, PSI = sum (p-q)*ln(p/q). The binned
     complement of q123's KS and q142's KL; bin counts are integers so
-    both engines' shares are bit-identical."""
+    both engines' shares are bit-identical.
+
+    Plan shape (optimization round 12, guide §1.2): the DataFrame-API
+    transcription of the oracle's CTEs evaluated the ``edges`` subtree
+    (a global rank over the reference half) four times — once per
+    ``binned`` branch, and the whole ``joined`` tree again inside the
+    broadcast ``tot``. Now the two halves are binned in ONE pass over
+    events (conditional counts on a ref/cur tag) and the 10-row bin
+    frame's totals come from a whole-frame window instead of a
+    self-referencing crossJoin — every subtree evaluated exactly once;
+    bin rows, counts and PSI are unchanged."""
+    from pyspark.sql import Window
+
     from usajobs_etl_service_spark.operators.distributed_order import global_row_number
 
     events = _t(spark, sf_dir, "events")
     cut = F.lit("2024-01-16").cast("date")
-    ref = events.filter(F.to_date("ts") < cut).select("value", "event_id")
-    cur = events.filter(F.to_date("ts") >= cut).select("value", "event_id")
+    is_ref = F.to_date("ts") < cut
+    ref = events.filter(is_ref).select("value", "event_id")
 
     ranked = global_row_number(
         ref, [F.col("value").asc(), F.col("event_id").asc()], out_col="rn"
@@ -3149,24 +3180,26 @@ def q148_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     bin_of = F.size(F.filter(F.col("edges"), lambda e: F.col("value") >= e))
 
-    def binned(df, name):
-        return (
-            df.crossJoin(F.broadcast(edges))
-            .groupBy(bin_of.alias("bin"))
-            .agg(F.count(F.lit(1)).alias(name))
+    # One binning pass over both halves; NULL-ts rows (in neither half)
+    # are excluded exactly as the two separate filters excluded them.
+    both = events.filter(is_ref.isNotNull()).select("value", is_ref.alias("is_ref"))
+    joined = (
+        both.crossJoin(F.broadcast(edges))
+        .groupBy(bin_of.alias("bin"))
+        .agg(
+            F.count(F.when(F.col("is_ref"), F.lit(1))).alias("n_ref_bin"),
+            F.count(F.when(~F.col("is_ref"), F.lit(1))).alias("n_cur_bin"),
         )
-
-    a = binned(ref, "n_ref_bin")
-    b = binned(cur, "n_cur_bin")
-    joined = a.join(b, "bin", "full_outer").fillna(0, ["n_ref_bin", "n_cur_bin"])
-    tot = joined.agg(
-        F.sum("n_ref_bin").alias("na"),
-        F.sum("n_cur_bin").alias("nb"),
-        F.count(F.lit(1)).alias("nbins"),
+    )
+    w_all = Window.partitionBy()  # <=10 bin rows: whole-frame totals
+    joined = (
+        joined.withColumn("na", F.sum("n_ref_bin").over(w_all))
+        .withColumn("nb", F.sum("n_cur_bin").over(w_all))
+        .withColumn("nbins", F.count(F.lit(1)).over(w_all))
     )
     p = (F.col("n_ref_bin") + 1) / (F.col("na") + F.col("nbins"))
     q = (F.col("n_cur_bin") + 1) / (F.col("nb") + F.col("nbins"))
-    return joined.crossJoin(F.broadcast(tot)).agg(
+    return joined.agg(
         F.round(F.sum((p - q) * F.log(p / q)), 6).alias("psi"),
         F.first("na").alias("n_ref"),
         F.first("nb").alias("n_cur"),
@@ -3272,7 +3305,7 @@ def q151_cms_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
         cms_merge,
     )
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _ts(spark, sf_dir, "documents")
     toks = docs.select(
         (F.col("doc_id") % 2).alias("half"),
         F.explode(tokens_ws(F.lower(F.col("text")))).alias("item"),
@@ -3357,7 +3390,7 @@ def q152_dsir_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
     and break by doc_id."""
     from usajobs_etl_service_spark.operators.dsir import dsir_select
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _ts(spark, sf_dir, "documents")
     return dsir_select(docs, F.col("lang") == "en", 50, width=4096)
 
 
@@ -4445,7 +4478,7 @@ def q194_quantized_ivf_fullprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
         quantized_ivf_topk_cosine,
     )
 
-    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    emb = _ts(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     qvec = _qvec(spark, sf_dir)
     index, cents = quantized_ivf_build(
         emb.filter(F.col("vec_id") != 0), n_centroids=16

@@ -221,3 +221,19 @@ def test_grouped_quantiles_validation(spark):
         grouped_quantiles(df, "v", "grp", "id", [])
     with pytest.raises(ValueError):
         grouped_quantiles(df, "v", "grp", "id", [1.5])
+
+
+def test_grouped_quantiles_single_rank_pass_plan(spark):
+    """Optimization-round contract: one rank pass serves every
+    fraction. The earlier one-leg-per-fraction form re-evaluated the
+    whole rank subtree per fraction (a Union of N legs in the plan);
+    the HOF match + explode form has no Union and exactly one
+    explode-generate."""
+    from usajobs_etl_service_spark.operators.robust import grouped_quantiles
+
+    rows = [(i, "g", float(i)) for i in range(20)]
+    df = spark.createDataFrame(rows, "id long, grp string, v double")
+    out = grouped_quantiles(df, "v", "grp", "id", [0.25, 0.5, 0.75, 0.9, 0.99])
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    assert "Union" not in plan, plan[:800]
+    assert plan.count("Generate explode") == 1, plan[:800]

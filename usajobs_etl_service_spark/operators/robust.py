@@ -191,21 +191,25 @@ def grouped_quantiles(
     ranked = grouped_row_number(
         clean, "__g", [F.col("__v"), F.col("__tb")], out_col="__grn", n_col="__n"
     )
-    # one output leg per fraction: the bracketing ranks lo = floor(h),
-    # hi = ceil(h) with h = (n-1)*q + 1; a row can bracket several
-    # fractions, so legs are unioned (|fractions| bounded, plan-time)
-    legs = []
-    for q in fractions:
-        h = (F.col("__n") - 1) * F.lit(float(q)) + 1
-        lo, hi = F.floor(h), F.ceil(h)
-        legs.append(
-            ranked.filter((F.col("__grn") == lo) | (F.col("__grn") == hi))
-            .withColumn("__q", F.lit(float(q)))
-            .withColumn("__h", h)
-        )
-    picked = legs[0]
-    for leg in legs[1:]:
-        picked = picked.unionByName(leg)
+    # a row brackets fraction q when its within-group rank equals
+    # lo = floor(h) or hi = ceil(h), h = (n-1)*q + 1; all fractions are
+    # tested in ONE pass over the ranking with an array higher-order
+    # filter + explode of the (<=|fractions|) matches. The earlier
+    # one-leg-per-fraction union re-evaluated the whole rank subtree
+    # per fraction (5 fractions = 21 parquet scans in q237's plan); the
+    # row multiset, h arithmetic and output are identical.
+    fr = F.array(*[F.lit(float(q)) for q in fractions])
+    matched = F.filter(
+        fr,
+        lambda q: (F.col("__grn") == F.floor((F.col("__n") - 1) * q + 1))
+        | (F.col("__grn") == F.ceil((F.col("__n") - 1) * q + 1)),
+    )
+    picked = (
+        ranked.withColumn("__qs", matched)
+        .filter(F.size("__qs") > 0)
+        .select("__g", "__v", "__n", F.explode("__qs").alias("__q"))
+        .withColumn("__h", (F.col("__n") - 1) * F.col("__q") + 1)
+    )
     # per (group, fraction): min row = lo statistic, max row = hi
     # statistic (equal when h is integral); explicit lerp
     agg = picked.groupBy("__g", "__q").agg(

@@ -134,7 +134,13 @@ def curation_gate(
     from usajobs_etl_service_spark.functions.text import tokens_ws
     from usajobs_etl_service_spark.operators.repetition import repetition_keep_tokens
     from usajobs_etl_service_spark.plans.barrier import barrier_filter
+    from usajobs_etl_service_spark.plans.spread import spread_for_compute
 
+    # Scale-adaptive on-ramp: the gate is pure per-row CPU (regex
+    # features, token folds), so a small single-split input would pin
+    # the whole stage on one core; at scale the scan is already wide
+    # and this is a no-op (streaming frames pass through untouched).
+    docs = spread_for_compute(docs)
     gated = (
         docs.withColumn("lang_pred", TX.lang_id(F.col(text_col)))
         .withColumn("quality", TX.quality_score(F.col(text_col)))

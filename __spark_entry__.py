@@ -1088,7 +1088,7 @@ def q64_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from usajobs_etl_service_spark.operators.clustering import connected_components
     from usajobs_etl_service_spark.operators.neardup import embedding_near_dup_pairs
 
-    emb = _t(spark, sf_dir, "embeddings")
+    emb = _ts(spark, sf_dir, "embeddings")
     pairs = embedding_near_dup_pairs(emb, block_col="label", threshold=0.35)
     return connected_components(pairs.select("id_a", "id_b"))
 

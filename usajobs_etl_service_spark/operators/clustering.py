@@ -236,9 +236,17 @@ def connected_components(
         os.makedirs(base, exist_ok=True)
     else:
         atexit.register(shutil.rmtree, base, ignore_errors=True)
+    from usajobs_etl_service_spark.operators.superstep import write_read
+
+    _FP = [
+        F.count(F.lit(1)).alias("n"),
+        F.coalesce(F.bit_xor(F.xxhash64(F.col("a"), F.col("b"))), F.lit(0)).alias("h1"),
+        F.coalesce(
+            F.bit_xor(F.xxhash64(F.lit(0x9E3779B9), F.col("a"), F.col("b"))), F.lit(0)
+        ).alias("h2"),
+    ]
     nodes_path = os.path.join(base, "nodes")
-    all_nodes.write.mode("overwrite").parquet(nodes_path)
-    all_nodes = spark.read.parquet(nodes_path)
+    all_nodes, _ = write_read(all_nodes, nodes_path)
     prev_path: str | None = None
     for rounds in range(1, max_iterations + 1):
         # symmetric neighbor list: every undirected edge seen from both ends
@@ -246,14 +254,19 @@ def connected_components(
             edges.select(F.col("b").alias("u"), F.col("a").alias("v"))
         )
         out_path = os.path.join(base, f"r{rounds}")
-        _small_star(_large_star(nbrs, p), p).write.mode("overwrite").parquet(out_path)
+        # the round fingerprint (count + 2 hash lanes) is observed by
+        # the materializing write itself — fingerprint() as a second
+        # job over the written parquet is gone (optimization round 12)
+        edges_back, m = write_read(
+            _small_star(_large_star(nbrs, p), p), out_path, metrics=_FP
+        )
         if rounds == 1:
             edges.unpersist()  # round 1 is on parquet; the initial set is dead
         elif prev_path is not None:
             shutil.rmtree(prev_path, ignore_errors=True)  # consumed by the write above
         prev_path = out_path
-        edges = spark.read.parquet(out_path)
-        cur = fingerprint(edges)
+        edges = edges_back
+        cur = (int(m["n"]), int(m["h1"]), int(m["h2"]))
         p = clamp(cur[0])
         if cur == prev:
             labels = (

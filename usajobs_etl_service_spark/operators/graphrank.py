@@ -558,11 +558,14 @@ def kcore_membership(
     else:
         atexit.register(shutil.rmtree, base, ignore_errors=True)
 
+    from usajobs_etl_service_spark.operators.superstep import write_read
+
+    _N = [F.count(F.lit(1)).alias("n")]
     path0 = os.path.join(base, "r0")
-    e.write.mode("overwrite").parquet(path0)
+    e_back, sig = write_read(e, path0, metrics=_N)
     e.unpersist()
-    e = spark.read.parquet(path0)
-    n_edges = e.count()
+    e = e_back
+    n_edges = sig["n"]
     prev_path = path0
 
     for r in range(1, rounds + 1):
@@ -579,9 +582,8 @@ def kcore_membership(
             .select("u", "v")
         )
         out_path = os.path.join(base, f"r{r}")
-        survived.write.mode("overwrite").parquet(out_path)
-        e = spark.read.parquet(out_path)
-        n_new = e.count()
+        e, msig = write_read(survived, out_path, metrics=_N)
+        n_new = msig["n"]
         shutil.rmtree(prev_path, ignore_errors=True)
         prev_path = out_path
         if n_new == n_edges:  # fixpoint: every remaining round is an identity
@@ -804,10 +806,11 @@ def khop_distances(
     # parquet round-trip, no re-derivation)
     sym = e.unionAll(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
 
-    s.select("node", F.lit(0).alias("dist")).write.mode("overwrite").parquet(
-        os.path.join(base, "v0")
+    from usajobs_etl_service_spark.operators.superstep import write_read
+
+    visited, _ = write_read(
+        s.select("node", F.lit(0).alias("dist")), os.path.join(base, "v0")
     )
-    visited = spark.read.parquet(os.path.join(base, "v0"))
     frontier = visited.select("node")
 
     for d in range(1, max_hops + 1):
@@ -820,11 +823,13 @@ def khop_distances(
         )
         # materialize ONLY the new frontier (small) — visited stays a
         # flat union of the per-round parquet scans, so its lineage
-        # never grows past one union per hop and never references sym
+        # never grows past one union per hop and never references sym;
+        # the frontier size is observed by the write job itself
         out_path = os.path.join(base, f"v{d}")
-        reached.write.mode("overwrite").parquet(out_path)
-        reached = spark.read.parquet(out_path)
-        if reached.count() == 0:  # empty frontier: fixpoint
+        reached, sig = write_read(
+            reached, out_path, metrics=[F.count(F.lit(1)).alias("n")]
+        )
+        if sig["n"] == 0:  # empty frontier: fixpoint
             break
         visited = visited.unionByName(reached)
         frontier = reached.select("node")
@@ -875,15 +880,19 @@ def label_propagation(
         .filter(F.col("u") != F.col("v"))
         .distinct()
     )
+    from usajobs_etl_service_spark.operators.superstep import write_read
+
+    # static edge set: one parquet materialization read by every round
+    # (an unmaterialized persist would compute the distinct TWICE in
+    # round 1 — both union branches scan the cold cache in one job;
+    # khop avoids that only because its size gate counts e first)
     sym = e.unionAll(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
-    sym.write.mode("overwrite").parquet(os.path.join(base, "edges"))
-    sym = spark.read.parquet(os.path.join(base, "edges"))
+    sym, _ = write_read(sym, os.path.join(base, "edges"))
 
     labels = (
         sym.select(F.col("u").alias("node")).distinct().select("node", F.col("node").alias("label"))
     )
-    labels.write.mode("overwrite").parquet(os.path.join(base, "l0"))
-    labels = spark.read.parquet(os.path.join(base, "l0"))
+    labels, _ = write_read(labels, os.path.join(base, "l0"))
 
     w = Window.partitionBy("node").orderBy(F.desc("c"), F.asc("label"))
     for r in range(1, rounds + 1):
@@ -903,8 +912,7 @@ def label_propagation(
             .select("node", F.coalesce("__new", "label").alias("label"))
         )
         out_path = os.path.join(base, f"l{r}")
-        nxt.write.mode("overwrite").parquet(out_path)
-        labels = spark.read.parquet(out_path)
+        labels, _ = write_read(nxt, out_path)
     return labels
 
 
@@ -958,22 +966,27 @@ def sssp_bounded(
     base = tempfile.mkdtemp(prefix="sssp_rounds_")
     atexit.register(shutil.rmtree, base, ignore_errors=True)
 
+    # static edge set: one parquet materialization read by every round
+    # (an unmaterialized persist computes the distinct twice in round 1
+    # — both union branches scan the cold cache in one job; measured
+    # slower than the single write)
     sym = e.unionAll(
         e.select(F.col("v").alias("u"), F.col("u").alias("v"), F.col("w"))
     )
-    sym.write.mode("overwrite").parquet(os.path.join(base, "edges"))
-    sym = spark.read.parquet(os.path.join(base, "edges"))
+    from usajobs_etl_service_spark.operators.superstep import write_read
+
+    _SIG = [
+        F.count(F.lit(1)).alias("c"),
+        F.coalesce(F.sum("dist"), F.lit(0)).alias("s"),
+    ]
+    sym, _ = write_read(sym, os.path.join(base, "edges"))
 
     dist = (
         seeds.select(F.col(seed_col).alias("node"))
         .distinct()
         .select("node", F.lit(0).cast("long").alias("dist"))
     )
-    dist.write.mode("overwrite").parquet(os.path.join(base, "d0"))
-    dist = spark.read.parquet(os.path.join(base, "d0"))
-    sig = dist.agg(
-        F.count(F.lit(1)).alias("c"), F.coalesce(F.sum("dist"), F.lit(0)).alias("s")
-    ).first()
+    dist, sig = write_read(dist, os.path.join(base, "d0"), metrics=_SIG)
 
     for r in range(1, rounds + 1):
         relaxed = (
@@ -986,12 +999,7 @@ def sssp_bounded(
             .agg(F.min("dist").alias("dist"))
         )
         out_path = os.path.join(base, f"d{r}")
-        nxt.write.mode("overwrite").parquet(out_path)
-        dist = spark.read.parquet(out_path)
-        new_sig = dist.agg(
-            F.count(F.lit(1)).alias("c"),
-            F.coalesce(F.sum("dist"), F.lit(0)).alias("s"),
-        ).first()
+        dist, new_sig = write_read(nxt, out_path, metrics=_SIG)
         # min only ever decreases and nodes only get added, so an
         # unchanged (count, sum) means a fixpoint: every later round
         # is an identity

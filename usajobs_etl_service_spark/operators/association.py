@@ -51,12 +51,21 @@ def association_rules(
     """
     if min_pair_count < 1:
         raise ValueError(f"min_pair_count must be >= 1, got {min_pair_count}")
+    # persisted: referenced FOUR times below (supports, basket count,
+    # both self-join sides) — unpersisted, each reference re-ran the
+    # scan + distinct shuffle (14 parquet scans in q225's plan, zero
+    # exchange reuse under broadcast-join planning). Lazy marking, LRU-
+    # evictable; the triangle_stats posture (no post-action unpersist
+    # point exists for a returned lazy frame).
+    from pyspark.storagelevel import StorageLevel
+
     items = (
         df.select(
             F.col(basket_col).alias("__b"), F.col(item_col).alias("__i")
         )
         .filter(F.col("__b").isNotNull() & F.col("__i").isNotNull())
         .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     supports = items.groupBy(F.col("__i").alias("item")).agg(
         F.count(F.lit(1)).alias("supp")
@@ -73,14 +82,22 @@ def association_rules(
         .agg(F.count(F.lit(1)).alias("pair_n"))
         .filter(F.col("pair_n") >= min_pair_count)
     )
-    # both rule directions from the one unordered pair table
+    # both rule directions from the one unordered pair table — via a
+    # 2-element explode, NOT a union of two projections: the union
+    # form evaluated the whole self-join + aggregate subtree twice
     rules = pairs.select(
-        F.col("ia").alias("antecedent"), F.col("ib").alias("consequent"), "pair_n"
-    ).unionByName(
-        pairs.select(
-            F.col("ib").alias("antecedent"), F.col("ia").alias("consequent"), "pair_n"
-        )
-    )
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("ia").alias("antecedent"), F.col("ib").alias("consequent")
+                ),
+                F.struct(
+                    F.col("ib").alias("antecedent"), F.col("ia").alias("consequent")
+                ),
+            )
+        ).alias("__r"),
+        "pair_n",
+    ).select("__r.antecedent", "__r.consequent", "pair_n")
     out = (
         rules.join(
             supports.select(F.col("item").alias("antecedent"), F.col("supp").alias("supp_a")),

@@ -1107,11 +1107,22 @@ def containment_pairs(
     with the numerator; documented contract the oracle replays).
     Docs shorter than ``n`` tokens produce no grams and never pair.
     """
+    from pyspark.storagelevel import StorageLevel
+
     from usajobs_etl_service_spark.operators.decontam import _exploded_gram_hashes
 
     if not 0.0 < threshold <= 1.0:
         raise ValueError(f"threshold must be in (0, 1], got {threshold}")
-    grams = _exploded_gram_hashes(docs, text_col, n, keep=[id_col]).distinct()
+    # persisted (lazy marking, LRU-evictable — the triangle_stats
+    # posture): `grams` feeds both the document-frequency pass and the
+    # kept stream, and `kept` feeds three consumers (sizes + both join
+    # sides); unpersisted, the explode + distinct shuffle re-ran once
+    # per reference (optimization round 12, guide §1.2)
+    grams = (
+        _exploded_gram_hashes(docs, text_col, n, keep=[id_col])
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     dfreq = grams.groupBy("g").agg(F.count(F.lit(1)).alias("__df"))
     hot = dfreq.filter(F.col("__df") > max_gram_df)
     if observation is not None:
@@ -1121,7 +1132,9 @@ def containment_pairs(
             F.coalesce(F.sum("__df"), F.lit(0)).alias("stop_gram_rows"),
         )
     # open-cardinality stop-gram set: plain hash anti-join, no broadcast
-    kept = grams.join(hot.select("g"), "g", "left_anti")
+    kept = grams.join(hot.select("g"), "g", "left_anti").persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     sizes = kept.groupBy(id_col).agg(F.count(F.lit(1)).alias("__sz"))
     a = kept.select(F.col(id_col).alias("id_a"), "g")
     b = kept.select(F.col(id_col).alias("id_b"), "g")

@@ -105,6 +105,13 @@ def hashed_linear_score(
         )
         .filter(F.size("ts") >= 1)
     )
+    if bigrams:
+        # two consumers (unigram + bigram legs) — persisted so the
+        # tokenize pass runs once (lazy marking, LRU-evictable; the
+        # triangle_stats posture). Skipped for the single-leg form.
+        from pyspark.storagelevel import StorageLevel
+
+        base = base.persist(StorageLevel.MEMORY_AND_DISK)
     uni = base.select("__id", F.explode("ts").alias("feat"))
     feats = uni
     if bigrams:

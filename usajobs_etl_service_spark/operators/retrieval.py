@@ -29,6 +29,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
 
 from usajobs_etl_service_spark.functions.text import tokens_ws
 
@@ -190,6 +191,11 @@ def bigram_lm_scores(
         )
         .filter(F.size("ts") >= 1)
         .select("doc_id", "ts", F.size("ts").alias("n_tokens"))
+        # persisted (lazy marking, LRU-evictable — the triangle_stats
+        # posture): base feeds FOUR consumers (transitions, unigrams,
+        # the first-token leg, the n_tokens join); unpersisted, the
+        # tokenize pass re-ran per reference (round 12, guide §1.2)
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     trans = (
         base.select(
@@ -205,11 +211,15 @@ def bigram_lm_scores(
         .select("doc_id", F.col("bg.p").alias("prev"), F.col("bg.c").alias("cur"))
         .groupBy("doc_id", "prev", "cur")
         .agg(F.count(F.lit(1)).alias("tf_b"))
+        # two consumers: the bigram table and the scoring join
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     unigrams = (
         base.select("doc_id", F.explode("ts").alias("term"))
         .groupBy("term")
         .agg(F.count(F.lit(1)).alias("cu"))
+        # four consumers: total, both scoring joins, the first-token leg
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     bigrams = trans.groupBy("prev", "cur").agg(F.sum("tf_b").alias("cb"))
     total = unigrams.agg(F.sum("cu").cast("double").alias("t_total"))
@@ -409,8 +419,18 @@ def kneser_ney_scores(
         .select("doc_id", F.col("bg.p").alias("prev"), F.col("bg.c").alias("cur"))
         .groupBy("doc_id", "prev", "cur")
         .agg(F.count(F.lit(1)).alias("tf_b"))
+        # persisted (lazy marking, LRU-evictable — the triangle_stats
+        # posture): trans feeds the bigram table AND the scoring join;
+        # unpersisted, the tokenize + explode + per-doc aggregate re-ran
+        # per reference (optimization round 12, guide §1.2)
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    bigrams = trans.groupBy("prev", "cur").agg(F.sum("tf_b").alias("cb"))
+    bigrams = (
+        trans.groupBy("prev", "cur")
+        .agg(F.sum("tf_b").alias("cb"))
+        # four consumers: ctx, cont, b_total, and the scoring join
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     ctx = bigrams.groupBy("prev").agg(
         F.sum("cb").alias("c_ctx"), F.count(F.lit(1)).alias("n_follow")
     )
@@ -426,10 +446,15 @@ def kneser_ney_scores(
         .join(ctx, "prev")
         .join(cont, "cur")
         .crossJoin(F.broadcast(b_total))
-        .select("doc_id", (-F.col("tf_b") * F.log(prob)).alias("nats"))
+        .select("doc_id", (-F.col("tf_b") * F.log(prob)).alias("nats"), "tf_b")
         .groupBy("doc_id")
-        .agg(F.sum("nats").alias("sum_nats"))
-        .join(base.select("doc_id", "n_transitions"), "doc_id")
+        # n_transitions == sum(tf_b) over the doc's scored transition
+        # rows (inner joins on model tables keep every trans row), so
+        # the join back onto `base` — a second tokenize pass — is free
+        .agg(
+            F.sum("nats").alias("sum_nats"),
+            F.sum("tf_b").alias("n_transitions"),
+        )
         .select(
             "doc_id",
             F.round(F.col("sum_nats") / F.col("n_transitions"), 4).alias("kn_surprisal_nats"),

@@ -3250,6 +3250,8 @@ def q150_ops_dashboard(spark: SparkSession, sf_dir: str) -> DataFrame:
     concurrency (q117's sweep line), and exact median event value.
     Each branch is an aggregate of an already-verified operator; the
     union is the dashboard artifact a scheduler materializes."""
+    from pyspark.storagelevel import StorageLevel
+
     from usajobs_etl_service_spark.operators.funnel import assign_sessions
     from usajobs_etl_service_spark.operators.sweepline import daily_peak_concurrency
 
@@ -3260,21 +3262,20 @@ def q150_ops_dashboard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     vol = metric("n_events", events.agg(F.count(F.lit(1)).alias("v")))
     reach = metric("n_users", events.agg(F.countDistinct("user_id").alias("v")))
-    sessions = metric(
-        "n_sessions",
-        assign_sessions(events)
-        .groupBy("user_id", "session_no")
-        .agg(F.lit(1))
-        .agg(F.count(F.lit(1)).alias("v")),
-    )
-    purchases = metric(
-        "n_purchases",
-        events.filter(F.col("event_type") == "purchase").agg(F.count(F.lit(1)).alias("v")),
-    )
+    # ONE per-(user, session) interval table serves both the session
+    # count and the sweep-line peak — sessionization (a user-window
+    # pass) previously ran twice (round 12, guide §1.2); persisted for
+    # the two consumers (lazy marking, LRU posture)
     bounds = (
         assign_sessions(events)
         .groupBy("user_id", "session_no")
         .agg(F.min("ts").alias("start_ts"), F.max("ts").alias("end_ts"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    sessions = metric("n_sessions", bounds.agg(F.count(F.lit(1)).alias("v")))
+    purchases = metric(
+        "n_purchases",
+        events.filter(F.col("event_type") == "purchase").agg(F.count(F.lit(1)).alias("v")),
     )
     peak = metric(
         "peak_concurrency", daily_peak_concurrency(bounds).agg(F.max("peak").alias("v"))

@@ -3867,6 +3867,12 @@ def _copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     equi-join of the distinct (order, part) incidence table, bounded
     by the per-order line count (single digits), never a part cross
     product."""
+    # NOT persisted, on measurement: the incidence feeds both self-join
+    # sides (4 lineitem scans in the plan), but a persist here LOSES
+    # (A/B median 2.83-4.99 s vs 2.39-3.20 s on the triangle census) —
+    # both branches scan the cold cache inside the one census job, so
+    # the distinct still computes twice AND pays the cache write; the
+    # downstream consumers all persist the derived edge set instead.
     li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
     a = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("u"))
     b = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("v"))

@@ -2,18 +2,33 @@
 ``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
 ``local[$SPARK_GRAFT_CPUS]``.
 
-stdout layout (two JSON lines, tail-capture-safe):
+stdout layout (tail-capture-safe; round-13 fix for the truncated
+per-query dict — VERDICT r12 #1):
 
-    line 1: {"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}
-    line 2: {"metric": ..., "value": N, "unit": "sec", "sf": ..., "n_queries": K}
+    line 1:     {"metric": "sum_query_seconds", ..., "queries": {...}}  (full, ~9 KB)
+    lines 2..k: {"metric": "per_query_chunk", "i": N, "k": K, "q": {...}}  (< 2 KB each)
+    line k+1:   {"metric": "per_query_ms", "n": N, "names_md5": ..., "t": [...]}  (~1.3 KB)
+    last line:  {"metric": "sum_query_seconds", ...}  (compact headline, < 300 bytes)
 
-The LAST line is the compact headline (< 200 bytes) — log collectors
-that keep only the tail of stdout always capture a complete, parseable
-JSON object. The full per-query dict rides on the first line and is
-also persisted to BENCH_DETAIL.json next to this file.
+The LAST line is the compact headline — log collectors that keep only
+the tail of stdout always capture a complete, parseable JSON object.
+The driver's tail capture keeps only ~2000 chars, which for three
+rounds truncated the bulky per-query line off the front; the
+``per_query_ms`` line (millisecond ints in registry order, name-list
+md5 for safe reconstruction) plus the headline fit in ~1.6 KB, so ALL
+per-query timings now survive even that capture, and the named chunk
+lines reconstruct the full dict from any capture >= ~10 KB. Everything
+is also persisted to BENCH_DETAIL.json next to this file.
 
 Each query is materialized with the noop sink (full computation, no
-driver collect). The headline value is the sum of per-query seconds.
+driver collect). The headline value is the sum of per-query seconds;
+``value_cold`` (round-13, VERDICT r12 #2) is the sum of each query's
+FIRST execution — the per-execution cost a single-shot caller pays,
+immune to the warm-repeat cache effect. ``spark.catalog.clearCache()``
+runs between queries so no query's cold run silently reuses a sibling
+query's persisted intermediates (the accidental cross-query cache
+sharing VERDICT r12 called out); warm repeats of the SAME query keep
+their intra-query persists — that reuse is the operator's own design.
 Timing protocol (regression-grade, round-11): the first execution of
 each query is the WARM-UP — it pays plan compile + codegen + cache
 fill and is recorded separately (``cold_sec``), never mixed into the
@@ -191,9 +206,22 @@ def main() -> None:
         shuffle_mb[name] = round((after["shuffle_write"] - before["shuffle_write"]) / n_execs / 1e6, 2)
         peak_mem_mb[name] = round(after["peak_exec_mem_new"] / 1e6, 2)
         before = after
+        # Release every persisted intermediate before the NEXT query
+        # (VERDICT r12 #2): without this, Spark's CacheManager
+        # plan-fingerprint matching silently serves one query's cold
+        # run from a sibling query's cache (cross-query memoization the
+        # bench must not measure), and a long run accumulates
+        # MEMORY_AND_DISK blocks with no release point. Outside the
+        # timed region; intra-query warm-repeat reuse is unaffected
+        # (each query's own cold run re-populates its caches).
+        try:
+            spark.catalog.clearCache()
+        except Exception as _ex:
+            print(f"bench: clearCache failed: {type(_ex).__name__}: {_ex}", file=sys.stderr)
     calibration_end = calibration_median(spark)
 
     total = round(sum(timings.values()), 3)
+    total_cold = round(sum(s["cold"] for s in timing_spread.values()), 3)
 
     # Time-regression tripwire (round-7 lesson: q153 shipped at 385 s —
     # 64% of the whole bench — and nothing screamed). Any query slower
@@ -334,33 +362,47 @@ def main() -> None:
     except Exception as _ex:
         print(f"bench: pq_warm_adc_probe_sec skipped: {type(_ex).__name__}: {_ex}", file=sys.stderr)
 
-    # Two stdout lines. The per-query dict (~3 KB for 79 queries) rides
-    # on the FIRST line; the LAST line is a compact (< 200 byte) headline.
-    # Tail-only log capture keeps the end of stdout, so the parseable
-    # headline can never be truncated off the front again (it was, for
-    # three rounds, when the bulky line was the only/last one). Both
-    # lines name the sibling BENCH_DETAIL.json (written by THIS run), so
-    # a tail-truncated round snapshot still points at the canonical
-    # per-query artifact (VERDICT r6 #4).
+    # stdout layout (module docstring): full line first, then named
+    # <2 KB chunks, then the compact per_query_ms array, then the
+    # compact headline LAST. Tail-only log capture keeps the end of
+    # stdout, so the parseable headline can never be truncated off the
+    # front (it was, for three rounds, when the bulky line was the
+    # only/last one), and the per-query data now survives a 2 KB tail
+    # via per_query_ms (VERDICT r12 #1). All lines name the sibling
+    # BENCH_DETAIL.json (written by THIS run), so a tail-truncated
+    # round snapshot still points at the canonical per-query artifact
+    # (VERDICT r6 #4).
+    # Host context (VERDICT r12 #8): the calibration probe disagreed
+    # with the totals by 26 points r11->r12; cpu count + load average
+    # let a future comparison see host pressure directly.
+    host = {"cpus_os": os.cpu_count()}
+    try:
+        host["load_avg_1m"] = round(os.getloadavg()[0], 2)
+    except OSError:
+        pass
     full = {
         "metric": "sum_query_seconds",
         "value": total,
+        "value_cold": total_cold,
         "unit": "sec",
         "queries": timings,
         "sf": float(sf),
         "detail_file": "BENCH_DETAIL.json",
         "slow_outliers": slow_outliers,
         "calibration_sec": calibration_end["median"],
+        "host": host,
     }
     compact = {
         "metric": "sum_query_seconds",
         "value": total,
+        "value_cold": total_cold,
         "unit": "sec",
         "sf": float(sf),
         "n_queries": len(timings),
         "detail_file": "BENCH_DETAIL.json",
         "n_slow_outliers": len(slow_outliers),
         "calibration_sec": calibration_end["median"],
+        "host": host,
     }
     # Suite-level spread summary (round-9 verdict #7): p50/p95 of each
     # query's RELATIVE spread ((max-min)/median across its runs), so a
@@ -387,6 +429,9 @@ def main() -> None:
     )
     detail = {
         "queries_sec": timings,
+        "queries_sec_total": total,
+        "queries_sec_cold_total": total_cold,
+        "host": host,
         "queries_sec_spread": timing_spread,
         "spread_summary": spread_summary,
         "timing_protocol": "untimed-warmup + median-of-3 warm repeats (<15s); single cold shot otherwise",
@@ -412,71 +457,172 @@ def main() -> None:
     except OSError:
         pass
     print(json.dumps(full), flush=True)
+    for line in per_query_lines(timings):
+        print(line, flush=True)
     print(json.dumps(compact), flush=True)
+
+
+def per_query_lines(timings: dict[str, float], chunk_bytes: int = 1900) -> list[str]:
+    """Tail-capture-safe per-query timing lines (VERDICT r12 #1).
+
+    Returns (a) named chunk lines, each a self-contained JSON object
+    under ``chunk_bytes`` with a slice of the full {name: sec} dict —
+    reconstructable from any tail capture big enough to hold them all —
+    and (b) LAST, one compact ``per_query_ms`` line: millisecond ints
+    in registry order plus an md5 of the comma-joined names, ~1.3 KB
+    at 247 queries, so together with the <300-byte headline the
+    COMPLETE per-query data survives even a 2000-char tail capture.
+    Reconstruction: verify md5(",".join(queries())) matches
+    ``names_md5``, then zip names with ``t`` (see ``compare``)."""
+    import hashlib
+
+    lines: list[str] = []
+    chunk: dict[str, float] = {}
+    chunks: list[dict[str, float]] = []
+    for name, sec in timings.items():
+        chunk[name] = sec
+        # ~30 bytes/entry; stay well under the byte budget
+        if len(json.dumps(chunk)) > chunk_bytes - 100:
+            chunks.append(chunk)
+            chunk = {}
+    if chunk:
+        chunks.append(chunk)
+    for i, c in enumerate(chunks):
+        lines.append(
+            json.dumps(
+                {"metric": "per_query_chunk", "i": i, "k": len(chunks), "q": c},
+                separators=(",", ":"),
+            )
+        )
+    names = list(timings)
+    lines.append(
+        json.dumps(
+            {
+                "metric": "per_query_ms",
+                "n": len(names),
+                "names_md5": hashlib.md5(",".join(names).encode()).hexdigest()[:8],
+                "t": [int(round(v * 1000)) for v in timings.values()],
+            },
+            separators=(",", ":"),
+        )
+    )
+    return lines
+
+
+def load_bench_artifact(path: str) -> dict:
+    """Parse a bench artifact into ``{"value": ..., "queries": {...}}``.
+    Accepts this script's raw headline JSON, the driver's wrapper
+    (extracts the embedded ``{"metric": ...}`` lines from its
+    ``tail``), or a bare (possibly tail-truncated) stdout capture —
+    reconstructing the per-query dict from the round-13 chunk /
+    per_query_ms lines when the full line was truncated away."""
+    text = open(path).read()
+    return _parse_bench_blob(text)
+
+
+def _parse_bench_blob(text: str) -> dict:
+    try:
+        d = json.loads(text)
+    except json.JSONDecodeError:
+        d = None
+    if isinstance(d, dict) and "queries" in d:
+        return d
+    blob = text if d is None else d.get("tail", "")
+
+    def parse_at(start: int) -> dict | None:
+        depth = 0
+        for i, ch in enumerate(blob[start:], start):
+            depth += ch == "{"
+            depth -= ch == "}"
+            if depth == 0:
+                try:
+                    return json.loads(blob[start : i + 1])
+                except json.JSONDecodeError:
+                    return None
+        return None
+
+    # Scan every headline candidate from last to first; prefer one
+    # carrying the per-query dict (line 1) over the compact tail line.
+    candidates = []
+    start = blob.rfind('{"metric"')
+    while start >= 0:
+        parsed = parse_at(start)
+        if parsed is not None:
+            candidates.append(parsed)
+        start = blob.rfind('{"metric"', 0, start)
+    headlines = [c for c in candidates if c.get("metric") == "sum_query_seconds"]
+    for c in headlines:
+        if "queries" in c:
+            return c
+    if headlines:
+        c = dict(headlines[0])
+        # round-13 stdout: reconstruct the per-query dict from the
+        # tail-safe lines — named chunks when all survived, else the
+        # compact ms array zipped with the current registry names
+        # (md5-of-names guard against a registry drift).
+        chunks = {
+            d["i"]: d["q"] for d in candidates if d.get("metric") == "per_query_chunk"
+        }
+        k = next((d["k"] for d in candidates if d.get("metric") == "per_query_chunk"), None)
+        if k is not None and set(chunks) == set(range(k)):
+            merged: dict[str, float] = {}
+            for i in range(k):
+                merged.update(chunks[i])
+            c["queries"] = merged
+            return c
+        ms = next((d for d in candidates if d.get("metric") == "per_query_ms"), None)
+        if ms is not None:
+            try:
+                import hashlib
+
+                import __spark_entry__ as entrymod
+
+                names = list(entrymod.queries())
+                good = (
+                    len(names) == ms["n"]
+                    and hashlib.md5(",".join(names).encode()).hexdigest()[:8]
+                    == ms["names_md5"]
+                )
+                if good:
+                    c["queries"] = {
+                        n: t / 1000.0 for n, t in zip(names, ms["t"])
+                    }
+                    return c
+            except Exception:
+                pass
+        c.setdefault("queries", {})
+        return c
+    # Last resort: a front-truncated tail (rounds 1-3) keeps only the
+    # back half of the per-query dict — salvage what timings survive.
+    import re
+
+    pairs = re.findall(r'"(q\d+[a-z0-9_]*)":\s*([0-9.]+)', blob)
+    if pairs:
+        qs = {k: float(v) for k, v in pairs}
+        return {"value": round(sum(qs.values()), 3), "queries": qs, "partial": True}
+    raise SystemExit("no bench headline found in artifact")
+
 
 
 def compare(path_a: str, path_b: str, top: int = 15) -> None:
     """``python bench.py --compare A.json B.json``: per-query deltas
-    between two bench artifacts. Accepts either this script's raw
-    headline JSON or the driver's wrapper (extracts the embedded
-    ``{"metric": ...}`` line from its ``tail``)."""
-
-    def load(path: str) -> dict:
-        text = open(path).read()
-        try:
-            d = json.loads(text)
-        except json.JSONDecodeError:
-            d = None
-        if isinstance(d, dict) and "queries" in d:
-            return d
-        blob = text if d is None else d.get("tail", "")
-
-        def parse_at(start: int) -> dict | None:
-            depth = 0
-            for i, ch in enumerate(blob[start:], start):
-                depth += ch == "{"
-                depth -= ch == "}"
-                if depth == 0:
-                    try:
-                        return json.loads(blob[start : i + 1])
-                    except json.JSONDecodeError:
-                        return None
-            return None
-
-        # Scan every headline candidate from last to first; prefer one
-        # carrying the per-query dict (line 1) over the compact tail line.
-        candidates = []
-        start = blob.rfind('{"metric"')
-        while start >= 0:
-            parsed = parse_at(start)
-            if parsed is not None:
-                candidates.append(parsed)
-            start = blob.rfind('{"metric"', 0, start)
-        for c in candidates:
-            if "queries" in c:
-                return c
-        if candidates:
-            c = dict(candidates[0])
-            c.setdefault("queries", {})
-            return c
-        # Last resort: a front-truncated tail (rounds 1-3) keeps only the
-        # back half of the per-query dict — salvage what timings survive.
-        import re
-
-        pairs = re.findall(r'"(q\d+[a-z0-9_]*)":\s*([0-9.]+)', blob)
-        if pairs:
-            qs = {k: float(v) for k, v in pairs}
-            return {"value": round(sum(qs.values()), 3), "queries": qs, "partial": True}
-        raise SystemExit(f"{path}: no bench headline found")
-
-    a, b = load(path_a), load(path_b)
+    between two bench artifacts (raw headline JSON, driver wrapper, or
+    truncated stdout tail — see load_bench_artifact)."""
+    a, b = load_bench_artifact(path_a), load_bench_artifact(path_b)
     qa, qb = a["queries"], b["queries"]
     common = sorted(set(qa) & set(qb), key=lambda q: qa[q] - qb[q])
     print(f"total: {a['value']}s -> {b['value']}s over {len(qa)}/{len(qb)} queries ({len(common)} common)")
+    if a.get("value_cold") and b.get("value_cold"):
+        print(f"cold total: {a['value_cold']}s -> {b['value_cold']}s")
+    for side, d in (("A", a), ("B", b)):
+        if d.get("host"):
+            print(f"host {side}: {d['host']}")
     ca, cb = a.get("calibration_sec"), b.get("calibration_sec")
     if ca and cb:
         # host-noise-normalized comparison: each total divided by its
-        # run's fixed calibration-probe time (see calibration_probe)
+        # run's fixed calibration-probe time (see calibration_probe) —
+        # printed ALONGSIDE the raw regime above, never instead of it
+        # (VERDICT r12 #8: the probe itself can drift; read both)
         print(
             f"calibrated: {a['value'] / ca:.1f} -> {b['value'] / cb:.1f} "
             f"(probe {ca:.2f}s -> {cb:.2f}s; ratio change "

@@ -115,3 +115,59 @@ class TestLookupValue:
             parquet_lookup_value(SF_DIRS[0], "embeddings", "vec_id", -999, "embedding")
             is None
         )
+
+
+class TestLookupSizeGuard:
+    """VERDICT r12 #3: the driver-side pyarrow lookup must refuse —
+    BEFORE reading any data pages — layouts the footer metadata says
+    are too big, so callers fall back to the distributed Spark path."""
+
+    def _multi_file_table(self, tmp_path, n_files: int) -> str:
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        d = tmp_path / "wide.parquet"
+        d.mkdir()
+        for i in range(n_files):
+            pq.write_table(
+                pa.table({"k": [i * 10 + j for j in range(10)], "v": [f"r{i}"] * 10}),
+                d / f"part-{i:05d}.parquet",
+            )
+        return str(tmp_path)
+
+    def test_file_count_guard_falls_back(self, tmp_path):
+        base = self._multi_file_table(tmp_path, 5)
+        # under the cap: the lookup works
+        assert parquet_lookup_value(base, "wide", "k", 12, "v", max_files=64) == "r1"
+        # over the cap: None (Spark fallback), even though the key exists
+        assert parquet_lookup_value(base, "wide", "k", 12, "v", max_files=4) is None
+
+    def test_candidate_bytes_guard_falls_back(self, tmp_path):
+        base = self._multi_file_table(tmp_path, 3)
+        # a 1-byte budget can't admit any candidate row group
+        assert (
+            parquet_lookup_value(base, "wide", "k", 12, "v", max_candidate_bytes=1)
+            is None
+        )
+
+    def test_stats_pruning_keeps_small_lookups_under_budget(self, tmp_path):
+        # row-group stats exclude the non-matching files, so the
+        # candidate set stays one group even with a tight budget
+        import pyarrow.parquet as pq
+
+        base = self._multi_file_table(tmp_path, 3)
+        one_group = pq.read_metadata(
+            tmp_path / "wide.parquet" / "part-00000.parquet"
+        ).row_group(0).total_byte_size
+        assert (
+            parquet_lookup_value(
+                base, "wide", "k", 12, "v", max_candidate_bytes=one_group + 1
+            )
+            == "r1"
+        )
+
+    def test_default_guards_admit_testdata(self):
+        # the sf0.001 embeddings table is one small file: the production
+        # defaults must keep the fast path (probe queries unchanged)
+        got = parquet_lookup_value(SF_DIRS[0], "embeddings", "vec_id", 0, "embedding")
+        assert got is not None

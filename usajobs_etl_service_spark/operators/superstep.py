@@ -33,7 +33,18 @@ def write_read(
     """Materialize ``df`` to ``path`` and return the parquet-backed
     frame plus the observed ``metrics`` row (a dict, or None when no
     metrics were requested). The metrics are aggregate expressions
-    over the written rows, collected by the write job itself."""
+    over the written rows, collected by the write job itself.
+
+    INVARIANT (fixpoint correctness — ADVICE r12): the CollectMetrics
+    node is placed IMMEDIATELY on top of the written plan, i.e. in the
+    write's own result stage, where Spark's exactly-once accumulator
+    semantics for the final stage hold. Callers must NOT add
+    transformations between this observe and the write (there is no
+    seam here to do so — keep it that way): an observe evaluated below
+    a shuffle boundary can double/under-count under task retry, and a
+    skewed convergence signal silently stops a superstep loop at the
+    wrong fixpoint — the failure mode clustering.py's fingerprint
+    comment warns about."""
     spark = df.sparkSession
     obs = None
     if metrics:

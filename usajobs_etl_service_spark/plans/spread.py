@@ -30,9 +30,14 @@ operators/layout.py.
 
 from __future__ import annotations
 
+import logging
+
 from pyspark.sql import DataFrame
 
 __all__ = ["spread_for_compute"]
+
+_log = logging.getLogger(__name__)
+_warned_fallback = False
 
 
 def spread_for_compute(df: DataFrame) -> DataFrame:
@@ -59,7 +64,23 @@ def spread_for_compute(df: DataFrame) -> DataFrame:
             max_split = int(
                 spark._jvm.org.apache.spark.network.util.JavaUtils.byteStringAsBytes(raw)
             )
-    except Exception:  # pragma: no cover - exotic plans without stats
+    except Exception as ex:
+        # Perf-only fallback (the frame is correct either way), but a
+        # SILENT one would hide a regression of the on-ramp itself — a
+        # Spark version bump renaming the private queryExecution API,
+        # or an estimate-less plan — so the first occurrence per
+        # process logs loudly (ADVICE r12: observability of the
+        # fallback path; one-time so per-query call sites don't spam).
+        global _warned_fallback
+        if not _warned_fallback:
+            _warned_fallback = True
+            _log.warning(
+                "spread_for_compute: size-estimate probe failed (%s: %s); "
+                "the parallelism on-ramp is a no-op for this and any "
+                "similar plans — small scans will run single-task",
+                type(ex).__name__,
+                ex,
+            )
         return df
     if size >= cores * max_split:
         return df

@@ -173,6 +173,10 @@ def parquet_col_stat(sf_dir: str, name: str, col: str, want: str = "max"):
     - any populated row group without min/max stats (all-null groups
       are skipped: parquet stats ignore NULLs, matching F.min/F.max);
     - unreadable/missing files or columns.
+
+    Driver cost is metadata-only but O(files): one footer read per
+    file, no data pages — bounded by listing cost, not table size, so
+    no byte guard is needed here (unlike parquet_lookup_value).
     """
     import pyarrow.parquet as pq
 
@@ -203,17 +207,83 @@ def parquet_col_stat(sf_dir: str, name: str, col: str, want: str = "max"):
     return max(vals) if want == "max" else min(vals)
 
 
-def parquet_lookup_value(sf_dir: str, name: str, key_col: str, key_val, want_col: str):
+# Size guard for parquet_lookup_value (VERDICT r12 #3): the pyarrow
+# read runs ON THE DRIVER, so it must be bounded by what the footer
+# metadata says could actually be scanned, not only by error fallback.
+_LOOKUP_MAX_FILES = 64
+_LOOKUP_MAX_CANDIDATE_BYTES = 256 * 1024 * 1024
+
+
+def _lookup_candidate_bytes(files: list[str], key_col: str, key_val) -> int | None:
+    """Compressed bytes of the row groups a ``key_col == key_val``
+    lookup could have to scan, from footer metadata only (no data
+    read). Groups whose min/max statistics exclude the key are pruned;
+    groups without trustworthy stats count in full. BYTE_ARRAY stats
+    are used for PRUNING only (writer-truncated min stays a lower
+    bound and max an upper bound, so exclusion is still sound — the
+    exactness distrust in parquet_col_stat doesn't apply to bounds).
+    Returns ``None`` when the metadata itself can't be read."""
+    import pyarrow.parquet as pq
+
+    total = 0
+    try:
+        for f in files:
+            md = pq.read_metadata(f)
+            idx = md.schema.names.index(key_col)
+            for rg in range(md.num_row_groups):
+                grp = md.row_group(rg)
+                if grp.num_rows == 0:
+                    continue
+                col = grp.column(idx)
+                st = col.statistics
+                excluded = False
+                if st is not None and st.has_min_max:
+                    try:
+                        excluded = key_val < st.min or key_val > st.max
+                    except TypeError:
+                        excluded = False  # incomparable types: keep the group
+                if not excluded:
+                    total += grp.total_byte_size
+    except Exception:
+        return None
+    return total
+
+
+def parquet_lookup_value(
+    sf_dir: str,
+    name: str,
+    key_col: str,
+    key_val,
+    want_col: str,
+    *,
+    max_files: int = _LOOKUP_MAX_FILES,
+    max_candidate_bytes: int = _LOOKUP_MAX_CANDIDATE_BYTES,
+):
     """Driver-side single-row key lookup straight from the parquet input
     via pyarrow (row-group statistics prune non-matching groups) — no
     Spark job. The construction-time "query parameter" probe (e.g. the
     vec_id=0 query embedding) costs ~5 ms here vs ~180 ms as a Spark
     filter+first, and bench.py times construction (guide §1). Returns
     ``None`` when the layout isn't pyarrow-readable or no row matches;
-    callers fall back to the Spark path."""
+    callers fall back to the Spark path.
+
+    Scale guard (VERDICT r12 #3): the read happens on the driver, so
+    before touching any data the footer metadata is consulted — more
+    than ``max_files`` files, or candidate row groups (those whose
+    statistics cannot exclude the key) totalling more than
+    ``max_candidate_bytes`` compressed, route to ``None`` so the
+    caller's distributed Spark path does the lookup. A 100 TB table
+    with unclustered keys therefore never turns this probe into an
+    unbounded driver-side scan."""
     try:
         import pyarrow.dataset as ds
 
+        files = _parquet_files(sf_dir, name)
+        if len(files) > max_files:
+            return None
+        cand = _lookup_candidate_bytes(files, key_col, key_val)
+        if cand is None or cand > max_candidate_bytes:
+            return None
         path = os.path.join(sf_dir, f"{name}.parquet")
         tbl = (
             ds.dataset(path)

@@ -58,23 +58,75 @@ def _marker_hits(col: Column, markers: list[str]) -> Column:
     return F.size(hits)
 
 
+def _once(expr: Column, body) -> Column:
+    """Evaluate ``expr`` exactly once inside a single Column expression
+    and feed the result to ``body`` as a higher-order-function LAMBDA
+    VARIABLE. Subexpressions referenced several times inside one
+    Column tree are otherwise re-evaluated per reference — HOF subtrees
+    are CodegenFallback, so whole-stage-codegen subexpression
+    elimination never sees them (the shingles_from_tokens landmine,
+    measured again round-13 on lang_id: the when-chain re-ran the regex
+    split per reference). A lambda variable is bound once per row by
+    construction. NULL-safe: ``array(expr)`` is a 1-element array even
+    when ``expr`` is NULL, and index 0 is always in bounds (ANSI-safe)."""
+    return F.transform(F.array(expr), body)[0]
+
+
 def lang_id(col: Column) -> Column:
     """Best-guess language code by stopword-hit count; ``und`` when no
-    marker list scores a hit."""
-    scores = [(_marker_hits(col, m), lang) for lang, m in _LANG_MARKERS.items()]
-    best_score = F.greatest(*[s for s, _ in scores])
-    result = F.lit("und")
-    # later languages win ties only if strictly better -> iterate in order
-    for score, lang in scores:
-        result = F.when((score == best_score) & (best_score > 0) & (result == "und"), F.lit(lang)).otherwise(
-            result
-        )
-    return result
+    marker list scores a hit.
+
+    Single-tokenization form (round-13, guide §1.2/§4): ONE regex split
+    feeds per-language token-filter counts bound as a lambda variable,
+    so the greatest/tie-break chain references cheap array lookups
+    instead of re-running the split per reference (the old form
+    evaluated the split once per score reference — ~12 regex passes per
+    row; measured 1.6x on the documents corpus). Hit counts, tie order
+    and ``und`` fallback are expression-for-expression identical."""
+    langs = list(_LANG_MARKERS)
+    toks = F.split(F.lower(col), _WS)
+    hits = _once(
+        toks,
+        lambda t: F.array(
+            *[
+                F.size(F.filter(t, lambda x: x.isin(*_LANG_MARKERS[lang])))
+                for lang in langs
+            ]
+        ),
+    )
+
+    def _pick(h: Column) -> Column:
+        scores = [(h[i], lang) for i, lang in enumerate(langs)]
+        best_score = F.greatest(*[s for s, _ in scores])
+        result = F.lit("und")
+        # later languages win ties only if strictly better -> iterate in order
+        for score, lang in scores:
+            result = F.when(
+                (score == best_score) & (best_score > 0) & (result == "und"),
+                F.lit(lang),
+            ).otherwise(result)
+        return result
+
+    return _once(hits, _pick)
 
 
 # ---------------------------------------------------------------------------
 # Quality scoring
 # ---------------------------------------------------------------------------
+
+# translate() alphabets for the char-class counts below: a char-map
+# pass (no regex engine) that deletes exactly the class, so
+# n_chars - length(translate(col, CLASS, "")) counts the class's
+# occurrences — value-identical to length(regexp_replace(col,
+# "[^CLASS]", "")) and measured ~4x cheaper (round-13, guide §1.2).
+# _JAVA_WS spells out Java regex \s = [ \t\n\x0B\f\r] (no
+# UNICODE_CHARACTER_CLASS flag), matching the old regexp exactly.
+_ALPHA_CHARS = (
+    "ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuvwxyz"
+)
+_DIGIT_CHARS = "0123456789"
+_JAVA_WS = " \t\n\x0b\f\r"
+
 
 def quality_features(col: Column) -> dict[str, Column]:
     """Gopher/C4-style cheap quality signals as named expressions."""
@@ -82,9 +134,9 @@ def quality_features(col: Column) -> dict[str, Column]:
     toks = tokens_ws(col)
     n_tokens = F.size(toks)
     mean_tok_len = F.when(n_tokens > 0, n_chars.cast("double") / n_tokens).otherwise(F.lit(0.0))
-    n_alpha = F.length(F.regexp_replace(col, r"[^A-Za-z]", ""))
-    n_digit = F.length(F.regexp_replace(col, r"[^0-9]", ""))
-    n_space = n_chars - F.length(F.regexp_replace(col, r"\s", ""))
+    n_alpha = n_chars - F.length(F.translate(col, _ALPHA_CHARS, ""))
+    n_digit = n_chars - F.length(F.translate(col, _DIGIT_CHARS, ""))
+    n_space = n_chars - F.length(F.translate(col, _JAVA_WS, ""))
     # "punct" = everything that is not alpha, digit, or whitespace
     n_punct = n_chars - n_alpha - n_digit - n_space
     stop_hits = _marker_hits(col, _LANG_MARKERS["en"])

@@ -340,9 +340,17 @@ def quantized_topk_cosine(
 
     q = F.array(*[F.lit(float(x)) for x in query_vec])
     code_sim = F.round(cosine(F.col("qvec").cast("array<double>"), q), round_digits)
+    # barrier_filter: a plain .filter(sim.isNotNull()) over the sim
+    # projection gets the cosine fold SUBSTITUTED into the Filter by
+    # PushDownPredicates, so every row pays the fold twice (filter +
+    # project) — plans/barrier.py's landmine, measured on q194's probe
+    from usajobs_etl_service_spark.plans.barrier import barrier_filter
+
     stage1 = (
-        store.select("id", "qvec", "scale", code_sim.alias("sim"))
-        .filter(F.col("sim").isNotNull())
+        barrier_filter(
+            store.select("id", "qvec", "scale", code_sim.alias("sim")),
+            F.col("sim").isNotNull(),
+        )
         .orderBy(F.col("sim").desc(), F.col("id").asc())
         .limit(shortlist if shortlist is not None else k)
     )
@@ -588,9 +596,16 @@ def quantized_ivf_topk_cosine(
         F.col("centroid_id").isin(probe_centroid_ids(centroids, query_vec, nprobe))
     )
     sim = F.round(cosine(F.col("qvec").cast("array<double>"), q), round_digits)
+    # barrier_filter: keeps the cosine fold OUT of the Filter condition
+    # (PushDownPredicates would make every row pay it twice) and, being
+    # a nondeterministic projection, also blocks CollapseProject from
+    # inlining the index's quantization transform into downstream
+    # references — q194 fullprobe measured 2.3 s -> 0.7 s at sf0.1
+    # combined with cosine()'s lambda-var binding
+    from usajobs_etl_service_spark.plans.barrier import barrier_filter
+
     return (
-        pruned.select("id", sim.alias("sim"))
-        .filter(F.col("sim").isNotNull())
+        barrier_filter(pruned.select("id", sim.alias("sim")), F.col("sim").isNotNull())
         .orderBy(F.col("sim").desc(), F.col("id").asc())
         .limit(k)
     )

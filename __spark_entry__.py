@@ -3861,22 +3861,64 @@ def q170_copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return triangle_stats(_copurchase_edges(spark, sf_dir))
 
 
+# Per-basket pair expansion: for the sorted distinct part array of one
+# order, emit every (parts[i], parts[j]) with i < j — ascending sort +
+# set-dedup make u < v strict by construction. slice() caps at the
+# array end, so the last element contributes an empty inner array and
+# flatten/explode drop it.
+_PAIR_EXPAND_SQL = (
+    "flatten(transform(parts, (x, i) -> "
+    "transform(slice(parts, i + 2, size(parts)), y -> struct(x AS u, y AS v))))"
+)
+
+
+def _copurchase_pairs(
+    spark: SparkSession, sf_dir: str, part_keep: DataFrame | None = None
+) -> DataFrame:
+    """One row per (order, unordered part pair): the co-purchase pair
+    stream BEFORE cross-order dedup — ``(u, v)`` with u < v, repeated
+    once per order containing both. Round-13 shape (guide §1.2/§2.4):
+    ONE lineitem scan -> groupBy(order) collect_set -> map-side pair
+    expansion of the sorted basket array, replacing the old distinct
+    incidence self-join (2 scans + distinct exchange + join exchanges
+    + the per-order O(k^2) join blowup). Pair multiset proven equal to
+    the self-join's (edge set AND per-pair order counts — the q234
+    wedge weights) at sf0.01. Baskets are single-digit rows, so the
+    expansion array is tiny; at 100 TB the groupBy shuffles (order,
+    part) pairs once instead of joining the incidence against itself.
+
+    ``part_keep`` (one part-key column) restricts to the induced
+    subgraph: the incidence is semi-joined to it BEFORE the basket
+    groupBy, which is set-identical to semi-joining both pair
+    endpoints afterwards (a pair of the restricted basket is exactly a
+    pair with both ends kept) but shrinks every downstream exchange —
+    the optimizer cannot push a semi-join through the pair-expansion
+    explode on its own (measured +0.6 s on q210 without this)."""
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    if part_keep is not None:
+        keep = part_keep.select(
+            F.col(part_keep.columns[0]).alias("l_partkey")
+        )
+        li = li.join(F.broadcast(keep), "l_partkey", "left_semi")
+    baskets = li.groupBy("l_orderkey").agg(
+        F.array_sort(F.collect_set("l_partkey")).alias("parts")
+    )
+    return baskets.select(F.explode(F.expr(_PAIR_EXPAND_SQL)).alias("p")).select(
+        "p.u", "p.v"
+    )
+
+
 def _copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distinct id-ordered part co-purchase edges (u < v iff some
-    order contains both parts) — the q170/q171 graph. Per-order self
-    equi-join of the distinct (order, part) incidence table, bounded
-    by the per-order line count (single digits), never a part cross
-    product."""
-    # NOT persisted, on measurement: the incidence feeds both self-join
-    # sides (4 lineitem scans in the plan), but a persist here LOSES
-    # (A/B median 2.83-4.99 s vs 2.39-3.20 s on the triangle census) —
-    # both branches scan the cold cache inside the one census job, so
-    # the distinct still computes twice AND pays the cache write; the
-    # downstream consumers all persist the derived edge set instead.
-    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
-    a = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("u"))
-    b = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("v"))
-    return a.join(b, "ok").filter(F.col("u") < F.col("v")).select("u", "v").distinct()
+    order contains both parts) — the q170/q171 graph. Derived via the
+    basket-grouped pair expansion (``_copurchase_pairs``), never a
+    part cross product: the per-order expansion is bounded by the
+    basket size (single digits)."""
+    # NOT persisted, on measurement (round-12): consumers referencing
+    # the edge set more than once persist the DERIVED set themselves
+    # (triangle_stats, khop, LPA/SSSP parquet supersteps); a persist
+    # here loses when both branches of one job scan the cold cache.
+    return _copurchase_pairs(spark, sf_dir).distinct()
 
 
 def q171_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3970,12 +4012,9 @@ def q174_kcore_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     part = _t(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#1")
     keep = part.select(F.col("p_partkey").alias("u"))
-    e = (
-        _copurchase_edges(spark, sf_dir)
-        .join(F.broadcast(keep), "u", "left_semi")
-        .join(F.broadcast(keep.select(F.col("u").alias("v"))), "v", "left_semi")
-        .select("u", "v")
-    )
+    # induced-subgraph filter pushed into the incidence before pair
+    # expansion (set-identical; see _copurchase_pairs)
+    e = _copurchase_pairs(spark, sf_dir, part_keep=keep).distinct()
     return kcore_membership(e, k=3, rounds=6)
 
 
@@ -5269,12 +5308,11 @@ def q210_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     part = _t(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#1")
     keep = part.select(F.col("p_partkey").alias("u"))
-    e = (
-        _copurchase_edges(spark, sf_dir)
-        .join(F.broadcast(keep), "u", "left_semi")
-        .join(F.broadcast(keep.select(F.col("u").alias("v"))), "v", "left_semi")
-        .select("u", "v")
-    )
+    # induced-subgraph filter applied to the incidence BEFORE the pair
+    # expansion (set-identical to semi-joining both endpoints after —
+    # see _copurchase_pairs; the optimizer can't push a semi through
+    # the explode itself)
+    e = _copurchase_pairs(spark, sf_dir, part_keep=keep).distinct()
     out = label_propagation(e, rounds=3)
     return out.select(F.col("node").alias("p_partkey"), "label").orderBy("p_partkey")
 
@@ -5614,12 +5652,13 @@ def q234_weighted_sssp(spark: SparkSession, sf_dir: str) -> DataFrame:
     relaxations as MATERIALIZED CTEs (the q174/q199 pattern)."""
     from usajobs_etl_service_spark.operators.graphrank import sssp_bounded
 
-    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
-    a = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("u"))
-    b = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("v"))
+    # tie strength n = number of orders containing both parts: the
+    # basket-grouped pair stream emits each unordered pair once per
+    # containing order (proven equal to the old distinct-incidence
+    # self-join's counts at sf0.01), so one groupBy replaces the
+    # 2-scan self-join + distinct (round-13, guide §1.2/§2.4)
     wedges = (
-        a.join(b, "ok")
-        .filter(F.col("u") < F.col("v"))
+        _copurchase_pairs(spark, sf_dir)
         .groupBy("u", "v")
         .agg(F.count(F.lit(1)).alias("n"))
         .select(

@@ -3955,15 +3955,10 @@ def q172_common_neighbor_links(spark: SparkSession, sf_dir: str) -> DataFrame:
     from usajobs_etl_service_spark.operators.graphrank import common_neighbor_links
 
     part = _t(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#1")
-    e = _copurchase_edges(spark, sf_dir)
     keep = part.select(F.col("p_partkey").alias("u"))
-    e = (
-        e.join(F.broadcast(keep), "u", "left_semi")
-        .join(F.broadcast(keep.select(F.col("u").alias("v"))), "v", "left_semi")
-        # using-column joins move the join column first — (v, u) after
-        # the second hop; re-pin the order because unions are positional
-        .select("u", "v")
-    )
+    # induced-subgraph filter pushed into the incidence before pair
+    # expansion (set-identical; see _copurchase_pairs)
+    e = _copurchase_pairs(spark, sf_dir, part_keep=keep).distinct()
     return common_neighbor_links(e, top_k=50)
 
 

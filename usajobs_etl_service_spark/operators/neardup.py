@@ -24,6 +24,7 @@ from pyspark.sql import functions as F
 
 from usajobs_etl_service_spark.functions.text import shingles
 from usajobs_etl_service_spark.functions.vectors import cosine
+from usajobs_etl_service_spark.plans.barrier import barrier_filter
 
 
 def _cap_drop_metrics(max_bucket: int) -> tuple[Column, Column]:
@@ -300,7 +301,10 @@ def minhash_pairs_from_sigs(
         pairs.join(sa, "id_a")
         .join(sb, "id_b")
         .withColumn("est_jaccard", F.round(signature_similarity(F.col("sig_a"), F.col("sig_b")), 4))
-        .filter(F.col("est_jaccard") >= threshold)
+        # barrier: a plain filter gets the 128-lane signature fold
+        # substituted into the Filter condition (PushDownPredicates),
+        # re-evaluating it per row on top of the projection
+        .transform(lambda d: barrier_filter(d, F.col("est_jaccard") >= threshold))
         .select("id_a", "id_b", "est_jaccard")
     )
 
@@ -387,7 +391,10 @@ def minhash_incremental_pairs(
         pairs.join(sa, "id_a")
         .join(sb, "id_b")
         .withColumn("est_jaccard", F.round(signature_similarity(F.col("sig_a"), F.col("sig_b")), 4))
-        .filter(F.col("est_jaccard") >= threshold)
+        # barrier: a plain filter gets the 128-lane signature fold
+        # substituted into the Filter condition (PushDownPredicates),
+        # re-evaluating it per row on top of the projection
+        .transform(lambda d: barrier_filter(d, F.col("est_jaccard") >= threshold))
         .select("id_a", "id_b", "est_jaccard")
     )
 
@@ -504,7 +511,10 @@ def minhash_near_dup_pairs(
         pairs.join(sigs.select(F.col("id").alias("id_a"), F.col("sig").alias("sig_a")), "id_a")
         .join(sigs.select(F.col("id").alias("id_b"), F.col("sig").alias("sig_b")), "id_b")
         .withColumn("est_jaccard", F.round(signature_similarity(F.col("sig_a"), F.col("sig_b")), 4))
-        .filter(F.col("est_jaccard") >= threshold)
+        # barrier: a plain filter gets the 128-lane signature fold
+        # substituted into the Filter condition (PushDownPredicates),
+        # re-evaluating it per row on top of the projection
+        .transform(lambda d: barrier_filter(d, F.col("est_jaccard") >= threshold))
         .select("id_a", "id_b", "est_jaccard")
     )
 
@@ -1032,7 +1042,9 @@ def embedding_srp_near_dup_pairs(
             "cos",
             F.round(F.try_divide(dot(F.col("va"), F.col("vb")), F.col("na") * F.col("nb")), 4),
         )
-        .filter(F.col("cos") >= threshold)
+        # barrier: keep the dot fold out of the Filter condition (it
+        # would otherwise run twice per surviving pair)
+        .transform(lambda d: barrier_filter(d, F.col("cos") >= threshold))
         .select("id_a", "id_b", "cos")
     )
 
@@ -1067,7 +1079,9 @@ def embedding_near_dup_pairs(
             "cos",
             F.round(F.try_divide(dot(F.col("va"), F.col("vb")), F.col("na") * F.col("nb")), 4),
         )
-        .filter(F.col("cos") >= threshold)
+        # barrier: keep the dot fold out of the Filter condition (it
+        # would otherwise run twice per surviving pair)
+        .transform(lambda d: barrier_filter(d, F.col("cos") >= threshold))
         .select("id_a", "id_b", "cos")
     )
 

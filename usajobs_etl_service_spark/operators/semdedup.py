@@ -549,15 +549,20 @@ def _dup_pair_parts(
         F.col(id_col).alias("id_b"),
         F.col(embedding_col).cast("array<double>").alias("vb"),
     )
-    rep_pairs = (
+    from usajobs_etl_service_spark.plans.barrier import barrier_filter
+
+    rep_pairs = barrier_filter(
+        # barrier: a plain filter on the projected cos gets the cosine
+        # folds substituted into the Filter (PushDownPredicates) — the
+        # per-pair verify would run twice per surviving pair
         a.join(b, "cluster_id")
         .filter(F.col("id_a") < F.col("id_b"))
         .select(
             "id_a",
             "id_b",
             F.round(cosine(F.col("va"), F.col("vb")), round_digits).alias("cos"),
-        )
-        .filter(F.col("cos") >= F.lit(threshold))
+        ),
+        F.col("cos") >= F.lit(threshold),
     )
     return rep_pairs, chains
 

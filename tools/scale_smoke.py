@@ -220,6 +220,7 @@ def run(outdir: str) -> None:
         "zorder_layout": _zorder_smoke(spark),
         "skew_safe_join": _skew_join_smoke(spark),
         "bucketed_join": _bucketed_join_smoke(spark),
+        "persisted_intermediates_storage": _persist_storage_smoke(spark, outdir, big),
         "khop_bfs": _khop_smoke(spark),
         "maintain_cli": _maintain_smoke(spark, outdir),
         "table_profile": _profile_smoke(spark, outdir),
@@ -231,6 +232,134 @@ def run(outdir: str) -> None:
     with open(path, "w") as f:
         json.dump(summary, f, indent=1)
     print(f"worst ratio {worst} (bar {bar}) spill {total_spill} -> {path}")
+
+
+def _cached_storage_bytes(spark) -> dict[str, int]:
+    """Sum of memory+disk bytes currently held by CACHED blocks, via
+    the UI REST storage endpoint (zeros if the UI is off). Sampled
+    right after a query's action, BEFORE its unpersist, this is the
+    peak persisted footprint that query pins."""
+    out = {"mem": 0, "disk": 0}
+    ui = spark.sparkContext.uiWebUrl
+    if not ui:
+        return out
+    import json as _json
+    import urllib.request
+
+    try:
+        app_id = spark.sparkContext.applicationId
+        with urllib.request.urlopen(
+            f"{ui}/api/v1/applications/{app_id}/storage/rdd", timeout=10
+        ) as r:
+            for rdd in _json.load(r):
+                out["mem"] += rdd.get("memoryUsed", 0)
+                out["disk"] += rdd.get("diskUsed", 0)
+    except Exception:
+        pass
+    return out
+
+
+def _persist_storage_smoke(spark, outdir: str, big: str) -> dict[str, dict]:
+    """Memory profile of the round-12 persisted intermediates (VERDICT
+    r12 #7): q175's Kneser-Ney model tables, q241's gram/kept streams,
+    and q225's basket incidence each pin MEMORY_AND_DISK blocks for
+    the duration of their query. Record, per scale, the query seconds,
+    the CACHED bytes sampled right after the action (the peak the
+    persist pins), and the spill delta — the x{MULT} row is the
+    bounded-storage evidence. q225's lineitem is not in the x-corpus
+    (gen writes documents+embeddings), so its big input is the sf0.1
+    lineitem explode-scaled in Spark with shifted order keys — same
+    basket-size distribution, MULT x the baskets."""
+    import time as _time
+
+    from pyspark.sql import functions as F
+
+    from bench import materialize, stage_totals
+    from usajobs_etl_service_spark.operators.association import association_rules
+    from usajobs_etl_service_spark.operators.neardup import containment_pairs
+    from usajobs_etl_service_spark.operators.retrieval import kneser_ney_scores
+    from usajobs_etl_service_spark.session import read_table
+
+    def scaled_lineitem(mult: int):
+        li = read_table(spark, BASE_SF, "lineitem").select("l_orderkey", "l_partkey")
+        if mult == 1:
+            return li
+        return li.select(
+            F.explode(F.sequence(F.lit(0), F.lit(mult - 1))).alias("__k"),
+            "l_orderkey",
+            "l_partkey",
+        ).select(
+            (F.col("l_orderkey") * mult + F.col("__k")).alias("l_orderkey"),
+            "l_partkey",
+        )
+
+    out: dict[str, dict] = {}
+
+    # earlier smoke sections leave their own persisted frames behind;
+    # the storage sample below sums ALL cached blocks, so start clean
+    # (first x10 run recorded q175@sf0.1 at 206.8 MB of other sections'
+    # leftovers)
+    spark.catalog.clearCache()
+
+    def run_case(name, make):
+        rec: dict[str, dict] = {}
+        for label, d, mult in (("sf0.1", BASE_SF, 1), (big, outdir, MULT)):
+            handle: list = []
+            before = stage_totals(spark)
+            t0 = _time.perf_counter()
+            materialize(make(d, mult, handle))
+            sec = _time.perf_counter() - t0
+            stored = _cached_storage_bytes(spark)
+            after = stage_totals(spark, after_stage=before["max_stage_id"])
+            for frame in handle:
+                frame.unpersist()
+            spark.catalog.clearCache()
+            rec[label] = {
+                "sec": round(sec, 3),
+                "cached_mem_mb": round(stored["mem"] / 1e6, 2),
+                "cached_disk_mb": round(stored["disk"] / 1e6, 2),
+                "spill_delta_bytes": after["spilled_disk"] - before["spilled_disk"],
+            }
+        rec["storage_ratio"] = round(
+            rec[big]["cached_mem_mb"] / max(rec["sf0.1"]["cached_mem_mb"], 1e-9), 2
+        )
+        out[name] = rec
+        print(
+            f"persist_storage {name:20s} cached {rec['sf0.1']['cached_mem_mb']:.1f}"
+            f" -> {rec[big]['cached_mem_mb']:.1f} MB"
+            f"  spill {rec[big]['spill_delta_bytes']}"
+        )
+
+    run_case(
+        "q175_kneser_ney",
+        lambda d, m, h: kneser_ney_scores(
+            read_table(spark, d, "documents").select("doc_id", "text"),
+            discount=0.75,
+            unpersist_handle=h,
+        ),
+    )
+    run_case(
+        "q241_containment",
+        lambda d, m, h: containment_pairs(
+            read_table(spark, d, "documents").select("doc_id", "text"),
+            n=8,
+            threshold=0.9,
+            max_gram_df=1000,
+            unpersist_handle=h,
+        ),
+    )
+    run_case(
+        "q225_association",
+        lambda d, m, h: association_rules(
+            scaled_lineitem(m),
+            "l_orderkey",
+            "l_partkey",
+            min_pair_count=2,
+            top_n=25,
+            unpersist_handle=h,
+        ),
+    )
+    return out
 
 
 def _dist_order_smoke(spark, outdir: str, big: str) -> dict[str, dict]:

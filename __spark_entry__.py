@@ -3829,18 +3829,24 @@ def q169_gopher_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     zero shuffles (a pure map over the scan); the gate compares
     UNROUNDED doubles (identical cross-engine single divisions of
     integers) and display-rounds once."""
-    from usajobs_etl_service_spark.functions.text import gopher_flags
+    from usajobs_etl_service_spark.functions.text import gopher_struct
 
     docs = _t(spark, sf_dir, "documents")
-    fl = gopher_flags(F.col("text"), min_stop_hits=1)
-    return docs.select(
+    # inline(array(struct)): the whole signal struct evaluates ONCE per
+    # row under the Generate — six separate projection columns would
+    # each re-evaluate their own copy of the (CodegenFallback,
+    # CSE-invisible) tokenization tree (round-13, guide §1.2)
+    raw = docs.select(
+        "doc_id", F.inline(F.array(gopher_struct(F.col("text"), min_stop_hits=1)))
+    )
+    return raw.select(
         "doc_id",
-        fl["n_words"].alias("n_words"),
-        F.round(fl["mean_word_len"], 6).alias("mean_word_len"),
-        F.round(fl["alpha_word_frac"], 6).alias("alpha_word_frac"),
-        F.round(fl["symbol_ratio"], 6).alias("symbol_ratio"),
-        fl["stop_hits"].alias("stop_hits"),
-        fl["passes"].alias("passes"),
+        "n_words",
+        F.round("mean_word_len", 6).alias("mean_word_len"),
+        F.round("alpha_word_frac", 6).alias("alpha_word_frac"),
+        F.round("symbol_ratio", 6).alias("symbol_ratio"),
+        "stop_hits",
+        "passes",
     )
 
 
@@ -5763,7 +5769,7 @@ def q238_c4_rule_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     the planted corpus (<= 2 terminal marks per doc). Counts are
     integers; the one ratio is a single bigint/bigint division,
     identical cross-engine."""
-    from usajobs_etl_service_spark.functions.text import c4_flags
+    from usajobs_etl_service_spark.functions.text import c4_struct
 
     docs = _t(spark, sf_dir, "documents")
     text2 = F.concat(
@@ -5781,14 +5787,18 @@ def q238_c4_rule_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .otherwise(F.lit("another plain line with seven words here.")),
     )
-    fl = c4_flags(text2, min_sentences=1)
+    # inline(array(struct)): the planted-text concat + line filter
+    # evaluate ONCE per row under the Generate instead of once per
+    # flag column (round-13, guide §1.2)
     feats = docs.select(
+        "source", F.inline(F.array(c4_struct(text2, min_sentences=1)))
+    ).select(
         "source",
-        fl["n_kept_lines"].alias("kept"),
-        fl["has_lorem_ipsum"].alias("lor"),
-        fl["has_curly_brace"].alias("brc"),
-        fl["has_javascript"].alias("js"),
-        fl["passes"].alias("p"),
+        F.col("n_kept_lines").alias("kept"),
+        F.col("has_lorem_ipsum").alias("lor"),
+        F.col("has_curly_brace").alias("brc"),
+        F.col("has_javascript").alias("js"),
+        F.col("passes").alias("p"),
     )
     return (
         feats.groupBy("source")

@@ -154,6 +154,79 @@ def quality_features(col: Column) -> dict[str, Column]:
 _GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
 
 
+def gopher_struct(
+    col: Column,
+    *,
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_ratio: float = 0.1,
+    min_alpha_word_frac: float = 0.8,
+    min_stop_hits: int = 2,
+) -> Column:
+    """All Gopher signals as ONE struct Column with every internal
+    reference bound as a lambda variable (the ``_once`` device), so
+    evaluating the struct costs exactly one tokenization of each case
+    form — the old dict-of-expressions shape re-ran the regex split
+    once per signal reference (~25 splits/row across q169's six output
+    columns; HOF subtrees are CodegenFallback, so codegen CSE never
+    merged them). Field-for-field the same formulas as
+    :func:`gopher_flags`; evaluate once per row via
+    ``F.inline(F.array(gopher_struct(...)))`` and read attributes."""
+    toks = tokens_ws(col)
+    toks_l = tokens_ws(F.lower(col))
+    n_symbols = F.size(F.regexp_extract_all(col, F.lit(r"#|\.\.\."), 0))
+    bundle = F.struct(toks.alias("t"), toks_l.alias("tl"), n_symbols.alias("ns"))
+
+    def signals(s: Column) -> Column:
+        t = s["t"]
+        n_words = F.size(t)
+        word_chars = F.length(F.concat_ws("", t))
+        mean_wl = F.when(n_words > 0, word_chars.cast("double") / n_words).otherwise(
+            F.lit(0.0)
+        )
+        n_alpha_words = F.size(F.filter(t, lambda w: w.rlike("[A-Za-z]")))
+        alpha_frac = F.when(
+            n_words > 0, n_alpha_words.cast("double") / n_words
+        ).otherwise(F.lit(0.0))
+        symbol_ratio = F.when(
+            n_words > 0, s["ns"].cast("double") / n_words
+        ).otherwise(F.lit(0.0))
+        stop_hits = None
+        for w in _GOPHER_STOPWORDS:
+            hit = F.array_contains(s["tl"], w).cast("int")
+            stop_hits = hit if stop_hits is None else stop_hits + hit
+        return F.struct(
+            n_words.alias("n_words"),
+            mean_wl.alias("mean_word_len"),
+            alpha_frac.alias("alpha_word_frac"),
+            symbol_ratio.alias("symbol_ratio"),
+            stop_hits.alias("stop_hits"),
+        )
+
+    def with_passes(g: Column) -> Column:
+        passes = (
+            (g["n_words"] >= min_words)
+            & (g["n_words"] <= max_words)
+            & (g["mean_word_len"] >= min_mean_word_len)
+            & (g["mean_word_len"] <= max_mean_word_len)
+            & (g["symbol_ratio"] <= max_symbol_ratio)
+            & (g["alpha_word_frac"] >= min_alpha_word_frac)
+            & (g["stop_hits"] >= min_stop_hits)
+        )
+        return F.struct(
+            g["n_words"].alias("n_words"),
+            g["mean_word_len"].alias("mean_word_len"),
+            g["alpha_word_frac"].alias("alpha_word_frac"),
+            g["symbol_ratio"].alias("symbol_ratio"),
+            g["stop_hits"].alias("stop_hits"),
+            passes.alias("passes"),
+        )
+
+    return _once(_once(bundle, signals), with_passes)
+
+
 def gopher_flags(
     col: Column,
     *,
@@ -179,41 +252,104 @@ def gopher_flags(
     tokenization (no UDFs): all counts are integers and the two
     ratios are single divisions of integers, so both engines compute
     identical doubles (display-rounded once at 6 decimals by the
-    caller)."""
-    toks = tokens_ws(col)
-    toks_l = tokens_ws(F.lower(col))
-    n_words = F.size(toks)
-    word_chars = F.length(F.concat_ws("", toks))
-    mean_wl = F.when(n_words > 0, word_chars.cast("double") / n_words).otherwise(F.lit(0.0))
-    n_alpha_words = F.size(F.filter(toks, lambda w: w.rlike("[A-Za-z]")))
-    alpha_frac = F.when(n_words > 0, n_alpha_words.cast("double") / n_words).otherwise(
-        F.lit(0.0)
-    )
-    n_symbols = F.size(F.regexp_extract_all(col, F.lit(r"#|\.\.\."), 0))
-    symbol_ratio = F.when(n_words > 0, n_symbols.cast("double") / n_words).otherwise(
-        F.lit(0.0)
-    )
-    stop_hits = None
-    for w in _GOPHER_STOPWORDS:
-        hit = F.array_contains(toks_l, w).cast("int")
-        stop_hits = hit if stop_hits is None else stop_hits + hit
-    passes = (
-        (n_words >= min_words)
-        & (n_words <= max_words)
-        & (mean_wl >= min_mean_word_len)
-        & (mean_wl <= max_mean_word_len)
-        & (symbol_ratio <= max_symbol_ratio)
-        & (alpha_frac >= min_alpha_word_frac)
-        & (stop_hits >= min_stop_hits)
+    caller).
+
+    Each dict entry is a field of ONE :func:`gopher_struct` tree, so a
+    consumer column costs one tokenization pass (the struct's internal
+    references are lambda-bound). Multi-column consumers should prefer
+    ``F.inline(F.array(gopher_struct(...)))`` — one evaluation for ALL
+    columns — since separate projection columns each re-evaluate their
+    own copy of the struct tree."""
+    s = gopher_struct(
+        col,
+        min_words=min_words,
+        max_words=max_words,
+        min_mean_word_len=min_mean_word_len,
+        max_mean_word_len=max_mean_word_len,
+        max_symbol_ratio=max_symbol_ratio,
+        min_alpha_word_frac=min_alpha_word_frac,
+        min_stop_hits=min_stop_hits,
     )
     return {
-        "n_words": n_words,
-        "mean_word_len": mean_wl,
-        "alpha_word_frac": alpha_frac,
-        "symbol_ratio": symbol_ratio,
-        "stop_hits": stop_hits,
-        "passes": passes,
+        k: s[k]
+        for k in (
+            "n_words",
+            "mean_word_len",
+            "alpha_word_frac",
+            "symbol_ratio",
+            "stop_hits",
+            "passes",
+        )
     }
+
+
+def c4_struct(
+    col: Column,
+    *,
+    min_words_per_line: int = 5,
+    min_sentences: int = 3,
+) -> Column:
+    """All C4 signals as ONE struct Column (the :func:`gopher_struct`
+    device): the input text, its lowercase form, and the line split
+    are each bound once as lambda variables, so evaluating the struct
+    costs one pass per case form — the dict shape re-evaluated ``col``
+    (often a heavy concat in callers) and the line-filter once per
+    signal reference. Field-for-field the same formulas as
+    :func:`c4_flags`; evaluate once per row via
+    ``F.inline(F.array(c4_struct(...)))``."""
+
+    def _wc(line: Column) -> Column:
+        return F.when(F.length(F.trim(line)) == 0, F.lit(0)).otherwise(
+            F.size(F.split(F.trim(line), _WS))
+        )
+
+    def _kept(line: Column) -> Column:
+        return (
+            (_wc(line) >= F.lit(min_words_per_line))
+            & F.substring(line, -1, 1).isin(".", "!", "?", '"')
+            & ~F.contains(F.lower(line), F.lit("javascript"))
+        )
+
+    def from_text(c: Column) -> Column:
+        low = F.lower(c)
+        bundle = F.struct(
+            F.split(c, "\n").alias("ls"),
+            F.size(F.regexp_extract_all(c, F.lit(r"[.!?]"), 0)).alias("nsent"),
+            F.contains(low, F.lit("lorem ipsum")).alias("lorem"),
+            F.contains(c, F.lit("{")).alias("brace"),
+            F.contains(low, F.lit("javascript")).alias("js"),
+        )
+
+        def signals(s: Column) -> Column:
+            return F.struct(
+                F.size(s["ls"]).alias("n_lines"),
+                F.size(F.filter(s["ls"], _kept)).alias("n_kept_lines"),
+                s["nsent"].alias("n_sentences"),
+                s["lorem"].alias("has_lorem_ipsum"),
+                s["brace"].alias("has_curly_brace"),
+                s["js"].alias("has_javascript"),
+            )
+
+        def with_passes(g: Column) -> Column:
+            passes = (
+                (g["n_kept_lines"] >= 1)
+                & (g["n_sentences"] >= min_sentences)
+                & ~g["has_lorem_ipsum"]
+                & ~g["has_curly_brace"]
+            )
+            return F.struct(
+                g["n_lines"].alias("n_lines"),
+                g["n_kept_lines"].alias("n_kept_lines"),
+                g["n_sentences"].alias("n_sentences"),
+                g["has_lorem_ipsum"].alias("has_lorem_ipsum"),
+                g["has_curly_brace"].alias("has_curly_brace"),
+                g["has_javascript"].alias("has_javascript"),
+                passes.alias("passes"),
+            )
+
+        return _once(_once(bundle, signals), with_passes)
+
+    return _once(col, from_text)
 
 
 def c4_flags(
@@ -244,41 +380,25 @@ def c4_flags(
     engines agree bit-for-bit (the lone ratio is a single division
     the caller display-rounds). The word splitter inside the line
     lambda is ``trim`` + ``\\s+`` (empty line -> 0 words), matching
-    the oracle's ``regexp_split_to_array`` spelling."""
-    lines = F.split(col, "\n")
+    the oracle's ``regexp_split_to_array`` spelling.
 
-    def _wc(line: Column) -> Column:
-        return F.when(F.length(F.trim(line)) == 0, F.lit(0)).otherwise(
-            F.size(F.split(F.trim(line), _WS))
-        )
-
-    def _kept(line: Column) -> Column:
-        return (
-            (_wc(line) >= F.lit(min_words_per_line))
-            & F.substring(line, -1, 1).isin(".", "!", "?", '"')
-            & ~F.contains(F.lower(line), F.lit("javascript"))
-        )
-
-    n_lines = F.size(lines)
-    n_kept_lines = F.size(F.filter(lines, _kept))
-    n_sentences = F.size(F.regexp_extract_all(col, F.lit(r"[.!?]"), 0))
-    has_lorem = F.contains(F.lower(col), F.lit("lorem ipsum"))
-    has_brace = F.contains(col, F.lit("{"))
-    has_js = F.contains(F.lower(col), F.lit("javascript"))
-    passes = (
-        (n_kept_lines >= 1)
-        & (n_sentences >= min_sentences)
-        & ~has_lorem
-        & ~has_brace
+    Each dict entry is a field of ONE :func:`c4_struct` tree; see
+    :func:`gopher_flags` on why multi-column consumers should prefer
+    ``F.inline(F.array(c4_struct(...)))``."""
+    s = c4_struct(
+        col, min_words_per_line=min_words_per_line, min_sentences=min_sentences
     )
     return {
-        "n_lines": n_lines,
-        "n_kept_lines": n_kept_lines,
-        "n_sentences": n_sentences,
-        "has_lorem_ipsum": has_lorem,
-        "has_curly_brace": has_brace,
-        "has_javascript": has_js,
-        "passes": passes,
+        k: s[k]
+        for k in (
+            "n_lines",
+            "n_kept_lines",
+            "n_sentences",
+            "has_lorem_ipsum",
+            "has_curly_brace",
+            "has_javascript",
+            "passes",
+        )
     }
 
 
